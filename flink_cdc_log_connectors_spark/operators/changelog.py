@@ -1,0 +1,145 @@
+"""Changelog materialization operators — the engine's CDC core.
+
+The reference emits an append-only change log with an explicit ``op`` column
+(``'r'`` snapshot read, ``'c'`` create, ``'u'`` update, ``'d'`` delete —
+reference ``RowDataDebeziumDeserializeSchema.java:117-146``), and merges
+backfill events onto buffered snapshot chunks with last-write-wins-per-key,
+delete-drops-key semantics (reference ``RecordUtils.normalizedSplitRecords``
+:85-136 and ``upsertBinlog`` :138-192).  These operators express that same
+semantics over a Spark DataFrame.
+
+Scale notes: ``apply_changelog`` is a single hash-shuffle on the key columns
+(window row_number → one exchange + per-partition sort).  At 100 TB this is
+the minimal shuffle for the semantics; when the target table is bucketed by
+the same keys the exchange disappears entirely.  ``max_by``-based
+``apply_changelog_agg`` is the alternative physical strategy (partial
+aggregation map-side — better under heavy per-key fan-in, e.g. hot rows
+updated millions of times).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: op codes of the reference's change log (Debezium Envelope.Operation)
+OP_READ = "r"
+OP_CREATE = "c"
+OP_UPDATE = "u"
+OP_DELETE = "d"
+
+
+def apply_changelog(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    op_col: str = "op",
+    delete_op: str = OP_DELETE,
+    keep_op_col: bool = True,
+) -> DataFrame:
+    """Materialize an append-only change log into current state.
+
+    Latest event per key wins (ties broken by later ``order_by`` columns);
+    keys whose latest event is a delete are dropped — exactly the reference's
+    chunk-merge semantics (``RecordUtils.upsertBinlog``: c/u ⇒ put, d ⇒
+    remove), generalized to any ordered log.
+
+    Physical plan: one hash exchange on ``keys`` + per-partition sort +
+    running row_number — no driver-side state, arbitrarily wide keys.
+    """
+    if not keys:
+        raise ValueError("apply_changelog requires at least one key column")
+    if not order_by:
+        raise ValueError("apply_changelog requires at least one order column")
+    w = Window.partitionBy(*keys).orderBy(*[F.desc(c) for c in order_by])
+    out = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .filter(F.col(op_col) != delete_op)
+        .drop("__rn")
+    )
+    if not keep_op_col:
+        out = out.drop(op_col)
+    return out
+
+
+def apply_changelog_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    op_col: str = "op",
+    delete_op: str = OP_DELETE,
+) -> DataFrame:
+    """``apply_changelog`` via ``max_by`` aggregation instead of a window.
+
+    Same result; different physical strategy: partial (map-side) aggregation
+    reduces each key to one candidate row per input partition *before* the
+    shuffle, so the exchange carries ~|keys| rows instead of |events| rows.
+    Prefer this form when the per-key event fan-in is large (hot keys).
+    """
+    order_struct = F.struct(*[F.col(c) for c in order_by])
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    latest = df.groupBy(*keys).agg(
+        F.max_by(payload, order_struct).alias("__latest")
+    )
+    out_cols = [F.col(f"__latest.{c}").alias(c) for c in df.columns if c not in keys]
+    out = latest.select(*keys, *out_cols)
+    return out.filter(F.col(op_col) != delete_op)
+
+
+def split_update_images(
+    df: DataFrame,
+    before_col: str = "before",
+    after_col: str = "after",
+    op_col: str = "op",
+) -> DataFrame:
+    """Explode a Debezium-style envelope row into the fork's append-only form.
+
+    The reference emits updates as TWO rows (before-image then after-image)
+    and rewrites deletes as INSERTs of the before-image, with the op code in
+    the last column (``RowDataDebeziumDeserializeSchema.deserialize:117-146``).
+    Input: a DataFrame with struct columns ``before``/``after`` and ``op``.
+    Output: one row per image with a flattened payload and the op retained.
+    """
+    before = F.col(before_col)
+    after = F.col(after_col)
+    op = F.col(op_col)
+    # c/r -> after image; d -> before image; u -> both images
+    images = F.when(
+        op == OP_UPDATE, F.array(before, after)
+    ).when(
+        op == OP_DELETE, F.array(before)
+    ).otherwise(F.array(after))
+    exploded = df.withColumn("__img", F.explode(images))
+    payload_fields = [
+        f.name for f in df.schema[after_col].dataType.fields  # type: ignore[union-attr]
+    ]
+    others = [c for c in df.columns if c not in (before_col, after_col)]
+    return exploded.select(
+        *[F.col(f"__img.{name}").alias(name) for name in payload_fields],
+        *others,
+    )
+
+
+def filter_ops(df: DataFrame, ops: Sequence[str], op_col: str = "op") -> Column | DataFrame:
+    """Keep only the requested op codes (e.g. drop snapshot reads)."""
+    return df.filter(F.col(op_col).isin(list(ops)))
+
+
+def with_metadata_columns(
+    df: DataFrame,
+    src_col: str = "_src",
+    keys: Sequence[str] = ("database_name", "table_name", "op_ts"),
+) -> DataFrame:
+    """Project reference-style metadata columns out of the source struct.
+
+    Mirrors SupportsReadingMetadata + AppendMetadataCollector (reference
+    ``MySqlReadableMetadata.java:35-70``, ``AppendMetadataCollector.java:33-58``):
+    requested metadata keys are appended after the physical columns.
+    """
+    return df.select(
+        "*", *[F.col(f"{src_col}.{k}").alias(k) for k in keys]
+    )

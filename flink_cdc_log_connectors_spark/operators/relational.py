@@ -1,0 +1,592 @@
+"""The declared relational query surface (SURVEY.md §2.9, Q1-Q18).
+
+The reference delegates all relational work to Flink SQL (its ITCases run
+``SELECT name, SUM(weight) FROM source GROUP BY name`` — reference
+``MySqlConnectorITCase.java:186``); here the same surface is expressed with
+the Spark DataFrame API and verified against a DuckDB oracle.
+
+Cross-engine determinism discipline:
+
+- Doubles are CAST to DECIMAL(18,2) *before* aggregation (exact decimal
+  arithmetic in both engines — the synthetic data is 2-decimal-valued so the
+  cast itself is exact), and final aggregate columns are cast to DOUBLE
+  (exact decimal → correctly-rounded nearest double in both engines).
+- AVG is computed as CAST(SUM(decimal) AS DOUBLE)/COUNT — both engines then
+  perform the identical IEEE double division instead of engine-specific
+  decimal-average scale rules.
+- Every computed column is aliased identically in the DataFrame plan and the
+  oracle SQL (the driver sorts columns by name before hashing).
+- Every ORDER BY ... LIMIT has a tie-free total order.
+
+Scale notes (100 TB readiness):
+
+- Dimension joins (nation 25 rows, region 5 rows, per-nation aggregates)
+  carry explicit ``F.broadcast`` hints — no shuffle of the fact side.
+- Aggregations are plain ``groupBy().agg()`` — Catalyst plans
+  partial (map-side) + final aggregation, so the shuffle carries one row
+  per (partition × group), not per input row.
+- Top-k (``ORDER BY ... LIMIT k``) compiles to TakeOrderedAndProject —
+  per-partition heaps, no global sort.
+- All filters/projections are Catalyst expressions → parquet pushdown and
+  column pruning apply (see tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import load_table
+
+DEC = "decimal(18,2)"
+
+
+def _dec(c: str) -> F.Column:
+    return F.col(c).cast(DEC)
+
+
+# --------------------------------------------------------------------------
+# Q1 projection + scalar functions  (reference README.md:56 pattern)
+# --------------------------------------------------------------------------
+def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.select(
+            "c_custkey",
+            F.upper("c_name").alias("name_u"),
+            F.round(_dec("c_acctbal"), 1).cast("double").alias("bal"),
+        )
+        .orderBy("c_custkey")
+        .limit(100)
+    )
+
+
+Q1_SQL = """
+SELECT c_custkey, UPPER(c_name) AS name_u,
+       CAST(ROUND(CAST(c_acctbal AS DECIMAL(18,2)), 1) AS DOUBLE) AS bal
+FROM customer ORDER BY c_custkey LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
+# Q2 filter + predicates
+# --------------------------------------------------------------------------
+def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 1000.0))
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            _dec("o_totalprice").cast("double").alias("price"),
+        )
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+Q2_SQL = """
+SELECT o_orderkey, o_orderstatus,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 1000.0
+ORDER BY o_orderkey LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
+# Q3 grouped aggregation  (reference ITCase:186 pattern: SUM ... GROUP BY)
+# --------------------------------------------------------------------------
+def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q3_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# Q4 distinct aggregation
+# --------------------------------------------------------------------------
+def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.agg(F.countDistinct("l_suppkey").alias("suppliers"))
+
+
+Q4_SQL = "SELECT COUNT(DISTINCT l_suppkey) AS suppliers FROM lineitem"
+
+
+# --------------------------------------------------------------------------
+# Q5 inner equi join (dimension side broadcast — no fact shuffle)
+# --------------------------------------------------------------------------
+def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "inner"
+        )
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("n_name")
+    )
+
+
+Q5_SQL = """
+SELECT n_name, COUNT(*) AS cnt
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Q6 multi-way join + broadcast (nation and region are tiny dims)
+# --------------------------------------------------------------------------
+def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("customers"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+Q6_SQL = """
+SELECT r_name, n_name, COUNT(*) AS customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name ORDER BY r_name, n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Q7 outer/semi/anti joins
+# --------------------------------------------------------------------------
+def q7a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with no matching customer (left outer + IS NULL ≡ anti join)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "left_anti")
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+Q7A_SQL = """
+SELECT o_orderkey FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+WHERE c_custkey IS NULL ORDER BY o_orderkey LIMIT 100
+"""
+
+
+def q7b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with at least one order (EXISTS ≡ left semi join)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+        .limit(100)
+    )
+
+
+Q7B_SQL = """
+SELECT c_custkey FROM customer WHERE EXISTS
+  (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey LIMIT 100
+"""
+
+
+def q7c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders (NOT EXISTS ≡ left anti join)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+        .limit(100)
+    )
+
+
+Q7C_SQL = """
+SELECT c_custkey FROM customer WHERE NOT EXISTS
+  (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
+# Q8 TPC-H Q1-style wide aggregate (partial+final agg, exact decimals)
+# --------------------------------------------------------------------------
+def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    qty = _dec("l_quantity")
+    price = _dec("l_extendedprice")
+    disc = _dec("l_discount")
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc"),
+            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q8_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       COUNT(*) AS n
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# Q9 rollup / grouping sets
+# --------------------------------------------------------------------------
+def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+Q9_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+# --------------------------------------------------------------------------
+# Q10 window functions: ranking + running frame
+# --------------------------------------------------------------------------
+def q10a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+        .orderBy("o_custkey", "rk")
+        .limit(300)
+    )
+
+
+Q10A_SQL = """
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders) t WHERE rk <= 3 ORDER BY o_custkey, rk LIMIT 300
+"""
+
+
+def q10b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running"),
+        )
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+Q10B_SQL = """
+SELECT o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+FROM orders ORDER BY o_orderkey LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
+# Q11 sort / limit / top-k  (TakeOrderedAndProject — no global sort)
+# --------------------------------------------------------------------------
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select("p_partkey", "p_retailprice")
+        .orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+        .limit(20)
+    )
+
+
+Q11_SQL = """
+SELECT p_partkey, p_retailprice FROM part
+ORDER BY p_retailprice DESC, p_partkey LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# Q12 set operations
+# --------------------------------------------------------------------------
+def q12a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        customer.select(F.col("c_nationkey").alias("k"))
+        .intersect(supplier.select(F.col("s_nationkey").alias("k")))
+        .orderBy("k")
+    )
+
+
+Q12A_SQL = """
+SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier ORDER BY k
+"""
+
+
+def q12b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        customer.select(F.col("c_nationkey").alias("k"))
+        .subtract(supplier.select(F.col("s_nationkey").alias("k")))
+        .orderBy("k")
+    )
+
+
+Q12B_SQL = """
+SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier ORDER BY k
+"""
+
+
+def q12c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    unioned = customer.select(F.col("c_nationkey").alias("k")).unionAll(
+        supplier.select(F.col("s_nationkey").alias("k"))
+    )
+    return unioned.groupBy("k").agg(F.count(F.lit(1)).alias("n")).orderBy("k")
+
+
+Q12C_SQL = """
+SELECT k, COUNT(*) AS n FROM (
+  SELECT c_nationkey AS k FROM customer UNION ALL SELECT s_nationkey FROM supplier) t
+GROUP BY k ORDER BY k
+"""
+
+
+# --------------------------------------------------------------------------
+# Q13 date/string/math/conditional scalars
+# --------------------------------------------------------------------------
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+            F.substring("o_orderpriority", 1, 1).alias("pri"),
+            F.length("o_orderstatus").alias("ln"),
+            F.when(F.col("o_totalprice") > 5000, "big").otherwise("small").alias("sz"),
+        )
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+Q13_SQL = """
+SELECT o_orderkey, CAST(YEAR(o_orderdate) AS INT) AS y, CAST(MONTH(o_orderdate) AS INT) AS m,
+       SUBSTRING(o_orderpriority, 1, 1) AS pri, CAST(LENGTH(o_orderstatus) AS INT) AS ln,
+       CASE WHEN o_totalprice > 5000 THEN 'big' ELSE 'small' END AS sz
+FROM orders ORDER BY o_orderkey LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
+# Q14 changelog materialization — the reference's P7/L2 semantics
+# (latest event per key wins, deletes drop the key).  Implemented by the
+# engine's apply_changelog operator (operators/changelog.py).
+# --------------------------------------------------------------------------
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .changelog import apply_changelog
+
+    events = load_table(spark, sf_dir, "events")
+    latest = apply_changelog(
+        events,
+        keys=["user_id"],
+        order_by=["ts", "event_id"],
+        op_col="event_type",
+        delete_op="delete",
+    )
+    return latest.select("user_id", "value").orderBy("user_id").limit(200)
+
+
+Q14_SQL = """
+SELECT user_id, value FROM (
+  SELECT user_id, value, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) t
+WHERE rn = 1 AND event_type <> 'delete'
+ORDER BY user_id LIMIT 200
+"""
+
+
+# --------------------------------------------------------------------------
+# Q15 op-code breakdown (the fork's op column — SURVEY §0)
+# --------------------------------------------------------------------------
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.col("event_type").alias("op"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .orderBy("op")
+    )
+
+
+Q15_SQL = """
+SELECT event_type AS op, COUNT(*) AS n, MIN(ts) AS first_ts, MAX(ts) AS last_ts
+FROM events GROUP BY event_type ORDER BY op
+"""
+
+
+# --------------------------------------------------------------------------
+# Q16 time-window aggregation (tumbling window, batch form)
+# --------------------------------------------------------------------------
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.datetime import date_trunc_ntz
+
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            date_trunc_ntz("hour", "ts").alias("h"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("value")).cast("double").alias("v"),
+        )
+        .orderBy("h", "event_type")
+        .limit(500)
+    )
+
+
+Q16_SQL = """
+SELECT DATE_TRUNC('hour', ts) AS h, event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+FROM events GROUP BY DATE_TRUNC('hour', ts), event_type ORDER BY h, event_type LIMIT 500
+"""
+
+
+# --------------------------------------------------------------------------
+# Q17 JSON extraction (props is a JSON string; MySQL JSON→STRING mapping,
+# reference MySqlDeserializationConverterFactory ENUM/JSON→STRING)
+# --------------------------------------------------------------------------
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("props").isNotNull())
+        .select("event_id", F.get_json_object("props", "$.k").alias("k"))
+        .orderBy("event_id")
+        .limit(100)
+    )
+
+
+Q17_SQL = """
+SELECT event_id, json_extract_string(props, '$.k') AS k FROM events
+WHERE props IS NOT NULL ORDER BY event_id LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
+# Q18 correlated scalar subquery (decorrelated to a broadcast join; the
+# AVG comparison is done multiplicatively in exact decimals:
+# acctbal > SUM/COUNT  ⇔  acctbal*COUNT > SUM  (COUNT > 0)
+# --------------------------------------------------------------------------
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    per_nation = customer.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.sum(_dec("c_acctbal")).alias("total"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        customer.join(F.broadcast(per_nation), customer.c_nationkey == per_nation.nk)
+        .filter(_dec("c_acctbal") * F.col("cnt") > F.col("total"))
+        .select("c_custkey")
+        .orderBy("c_custkey")
+        .limit(100)
+    )
+
+
+Q18_SQL = """
+SELECT c_custkey FROM customer c
+JOIN (SELECT c_nationkey AS nk,
+             SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS total,
+             COUNT(*) AS cnt
+      FROM customer GROUP BY c_nationkey) a
+  ON c.c_nationkey = a.nk
+WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * a.cnt > a.total
+ORDER BY c_custkey LIMIT 100
+"""
+
+
+#: name -> (query builder, oracle SQL)
+RELATIONAL_QUERIES = {
+    "q01_project_scalar": (q1, Q1_SQL),
+    "q02_filter": (q2, Q2_SQL),
+    "q03_group_agg": (q3, Q3_SQL),
+    "q04_count_distinct": (q4, Q4_SQL),
+    "q05_join_agg": (q5, Q5_SQL),
+    "q06_multijoin_broadcast": (q6, Q6_SQL),
+    "q07a_outer_null": (q7a, Q7A_SQL),
+    "q07b_semi_join": (q7b, Q7B_SQL),
+    "q07c_anti_join": (q7c, Q7C_SQL),
+    "q08_wide_agg": (q8, Q8_SQL),
+    "q09_rollup": (q9, Q9_SQL),
+    "q10a_topk_window": (q10a, Q10A_SQL),
+    "q10b_running_sum": (q10b, Q10B_SQL),
+    "q11_topk": (q11, Q11_SQL),
+    "q12a_intersect": (q12a, Q12A_SQL),
+    "q12b_except": (q12b, Q12B_SQL),
+    "q12c_union_agg": (q12c, Q12C_SQL),
+    "q13_scalars": (q13, Q13_SQL),
+    "q14_changelog_materialize": (q14, Q14_SQL),
+    "q15_op_breakdown": (q15, Q15_SQL),
+    "q16_tumbling_window": (q16, Q16_SQL),
+    "q17_json_extract": (q17, Q17_SQL),
+    "q18_correlated_subquery": (q18, Q18_SQL),
+}

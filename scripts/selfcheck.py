@@ -1,0 +1,119 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at the given scale factor, then compares row count, column names,
+and an order-insensitive value hash (columns sorted by name).
+
+Usage: python scripts/selfcheck.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from flink_cdc_log_connectors_spark.io import TABLES
+from flink_cdc_log_connectors_spark.registry import all_queries
+from flink_cdc_log_connectors_spark.session import get_spark
+
+
+def normalize_cell(v) -> str:
+    import datetime
+    import math
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(normalize_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def hash_rows(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x1f".join(normalize_cell(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    spark = get_spark("selfcheck")
+    failures = []
+    for name, (fn, sql) in sorted(all_queries().items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        sdf = fn(spark, sf_dir)
+        srows = [tuple(r) for r in sdf.collect()]
+        scols = list(sdf.columns)
+        t_spark = time.time() - t0
+        if sql is None:
+            print(f"  {name}: rows-only rows={len(srows)} ({t_spark:.1f}s)")
+            if len(srows) == 0:
+                failures.append((name, "zero rows (rows-only check)"))
+            continue
+        t0 = time.time()
+        res = con.execute(sql)
+        dcols = [d[0] for d in res.description]
+        drows = res.fetchall()
+        t_duck = time.time() - t0
+        problems = []
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        if not problems:
+            hs, hd = hash_rows(scols, srows), hash_rows(dcols, drows)
+            if hs != hd:
+                problems.append("value-hash mismatch")
+                order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+                order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
+                set_s = {tuple(normalize_cell(r[i]) for i in order_s) for r in srows}
+                set_d = {tuple(normalize_cell(r[i]) for i in order_d) for r in drows}
+                for x in list(set_s - set_d)[:3]:
+                    print(f"    spark-only: {x}")
+                for x in list(set_d - set_s)[:3]:
+                    print(f"    duck-only:  {x}")
+        if problems:
+            failures.append((name, "; ".join(problems)))
+            print(f"  {name}: FAIL {problems} ({t_spark:.1f}s/{t_duck:.1f}s)")
+        else:
+            print(f"  {name}: OK rows={len(srows)} ({t_spark:.1f}s/{t_duck:.1f}s)")
+
+    print()
+    if failures:
+        print(f"{len(failures)} FAILURES:")
+        for name, why in failures:
+            print(f"  {name}: {why}")
+        return 1
+    print("ALL OK")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
