@@ -1,0 +1,54 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line with per-query and total wall-clock seconds.
+
+Timing excludes SparkSession startup (fixed JVM cost, amortized to zero on a
+long-lived cluster) but includes full plan + execution + collect per query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flink_cdc_log_connectors_spark.registry import all_queries
+from flink_cdc_log_connectors_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    spark = get_spark("bench")
+    # Warm the JVM/codegen once with a trivial action so q1 doesn't pay
+    # first-stage setup that no steady-state cluster query would pay.
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    for name, (fn, _sql) in sorted(all_queries().items()):
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = len(df.collect())
+        timings[name] = round(time.time() - t0, 4)
+        print(f"# {name}: {timings[name]:.2f}s rows={n}", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
