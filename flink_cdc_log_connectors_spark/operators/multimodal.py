@@ -1,0 +1,136 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched Pandas UDFs.
+
+The container has no image/audio codecs, so the actual decode step is a
+clearly-marked stub (``NotImplementedError``) with a deterministic fake
+used by tests and the registry query — but the Spark-side plumbing is
+real: schemas, ``mapInPandas`` batch iteration, partition-parallel
+execution, and metadata extraction are exactly what a codec-backed
+implementation would use at 100 TB (swap ``_fake_decode`` for PIL/ffmpeg).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..io import load_table
+
+#: schema of a multimodal asset column group
+ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("meta", T.StructType(
+            [
+                T.StructField("byte_len", T.LongType(), True),
+                T.StructField("width", T.IntegerType(), True),
+                T.StructField("height", T.IntegerType(), True),
+                T.StructField("duration_ms", T.LongType(), True),
+            ]
+        ), True),
+    ]
+)
+
+
+def decode_image(payload: bytes) -> object:
+    """Real image decode — requires a codec library not present in this
+    container.  Replace with PIL/torchvision at deployment."""
+    raise NotImplementedError(
+        "image codecs are not available in this environment; "
+        "use fake_decode_features for deterministic plumbing tests"
+    )
+
+
+def fake_decode_features(payload: bytes, n_features: int = 4) -> list[float]:
+    """Deterministic stand-in for decode+feature-extract: rolling-byte
+    checksums of the payload.  Keeps the full pipeline testable."""
+    if payload is None:
+        return [0.0] * n_features
+    acc = [0] * n_features
+    for i, b in enumerate(payload):
+        acc[i % n_features] = (acc[i % n_features] * 31 + b) % 1_000_003
+    return [float(x) for x in acc]
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthesize a binary asset column from text (UTF-8 bytes) with typed
+    metadata — the shape a parquet table with real blobs would have."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col("doc_id").alias("asset_id"),
+        payload.alias("payload"),
+        F.lit("text/plain").alias("media_type"),
+        F.struct(
+            F.length(payload).cast("bigint").alias("byte_len"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+_FEATURES_SCHEMA = "asset_id bigint, byte_len bigint, f0 double, f1 double, f2 double, f3 double"
+
+
+def extract_features(assets: DataFrame, batch_hint: int | None = None) -> DataFrame:
+    """Partition-parallel decode/feature pass via ``mapInPandas``:
+    Arrow batches in, one feature row per asset out.  This is the slot
+    where a real codec plugs in; the batch shape (iterator of pandas
+    DataFrames) is the production pattern for heavyweight per-row work."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["payload"].map(fake_decode_features)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "byte_len": pdf["payload"].map(
+                        lambda p: 0 if p is None else len(p)
+                    ),
+                    "f0": feats.map(lambda f: f[0]),
+                    "f1": feats.map(lambda f: f[1]),
+                    "f2": feats.map(lambda f: f[2]),
+                    "f3": feats.map(lambda f: f[3]),
+                }
+            )
+
+    return assets.mapInPandas(op, schema=_FEATURES_SCHEMA)
+
+
+def mm_meta_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary metadata extraction — byte length of the synthesized payload
+    (oracle-checkable: DuckDB computes the same UTF-8 octet length)."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = attach_binary_payload(docs)
+    return assets.select(
+        "asset_id",
+        "media_type",
+        F.col("meta.byte_len").alias("byte_len"),
+    ).orderBy("asset_id")
+
+
+MM_META_SQL = """
+SELECT doc_id AS asset_id, 'text/plain' AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+FROM documents ORDER BY asset_id
+"""
+
+
+def mm_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full plumbing pass: synthesize payloads → mapInPandas feature
+    extraction (deterministic fake decode) — rows-only check."""
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(attach_binary_payload(docs)).orderBy("asset_id")
+
+
+MULTIMODAL_QUERIES = {
+    "mm_binary_meta": (mm_meta_query, MM_META_SQL),
+    # Pandas-UDF fake decode isn't ANSI-SQL-expressible — rows-only check.
+    "mm_decode_features": (mm_features_query, None),
+}

@@ -1,0 +1,284 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Three strategies:
+
+- **Brute-force cosine top-k** — the exactness baseline.  The query set is
+  broadcast (tiny), so the plan is a map-only pass over the candidate side:
+  no shuffle of the big table, linear scale-out with partitions.
+- **IVF by cluster id** — probe only candidates in the query's cell
+  (here the pre-assigned ``label`` column plays the IVF cell id, as a
+  k-means assignment would at scale).  Turns the cross product into an
+  equi-join on the cell key.
+- **Sign-LSH (random hyperplanes)** — 16-bit sign signatures, banded
+  bucket join for candidates, exact cosine re-verification.  The 100 TB
+  path: candidate generation never materializes the full cross product.
+
+Determinism discipline: dot products and norms are computed as STRICTLY
+SEQUENTIAL left-to-right double summation (Spark ``aggregate`` HOF; DuckDB
+``list_reduce``), so Spark and the DuckDB oracle produce bit-identical
+IEEE doubles — similarity values can be compared and ranked exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import load_table
+
+DIM = 64
+
+
+def seq_dot(a: Column, b: Column) -> Column:
+    """Sequential (left-to-right) double dot product of two float arrays."""
+    prods = F.zip_with(
+        a.cast("array<double>"), b.cast("array<double>"), lambda x, y: x * y
+    )
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    return seq_dot(a, b) / (F.sqrt(norm_a) * F.sqrt(norm_b))
+
+
+def _dot_sql(a: str, b: str, dim: int = DIM) -> str:
+    """DuckDB fragment: the same sequential double dot product."""
+    return (
+        f"list_reduce(list_transform(generate_series(1, {dim}), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("norm2", seq_dot(F.col(vec_col), F.col(vec_col)))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries × map-side scan of candidates."""
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col("norm2").alias("qn"),
+    )
+    c = with_norm(candidates, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.col("norm2").alias("cn"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    )
+
+
+def ann_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return brute_force_topk(queries, emb, k=10).orderBy("query_id", "rk")
+
+
+_DOT_AB = _dot_sql("a.embedding", "b.embedding")
+_NORM = _dot_sql("embedding", "embedding")
+
+ANN_TOPK_SQL = f"""
+WITH n AS (SELECT vec_id, embedding, {_NORM} AS norm2 FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         {_DOT_AB} / (sqrt(a.norm2) * sqrt(b.norm2)) AS sim
+  FROM n a JOIN n b ON a.vec_id < 8 AND b.vec_id != a.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, sim, rk FROM ranked
+WHERE rk <= 10 ORDER BY query_id, rk
+"""
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 3,
+    cell_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF probe: equi-join on the cell id instead of a cross product.
+    At 100 TB the candidate side shuffles once on the cell key (or not at
+    all if stored bucketed by cell)."""
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(cell_col).alias("cell"),
+        F.col(vec_col).alias("qv"),
+        F.col("norm2").alias("qn"),
+    )
+    c = with_norm(candidates, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(cell_col).alias("ccell"),
+        F.col(vec_col).alias("cv"),
+        F.col("norm2").alias("cn"),
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("cell") == F.col("ccell")) & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .withColumn("sim", cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    )
+
+
+def ann_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ivf_topk(queries, emb, k=3).orderBy("query_id", "rk")
+
+
+ANN_IVF_SQL = f"""
+WITH n AS (SELECT vec_id, label, embedding, {_NORM} AS norm2 FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         {_DOT_AB} / (sqrt(a.norm2) * sqrt(b.norm2)) AS sim
+  FROM n a JOIN n b ON a.vec_id < 8 AND b.label = a.label AND b.vec_id != a.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, sim, rk FROM ranked
+WHERE rk <= 3 ORDER BY query_id, rk
+"""
+
+
+# --------------------------------------------------------------------------
+# Sign-LSH: hyperplane signatures → banded candidates → exact verify
+# --------------------------------------------------------------------------
+
+NUM_PLANES = 16
+LSH_BANDS = 4
+PLANE_BITS = NUM_PLANES // LSH_BANDS
+
+
+def _plane_weight(p: int, d: int) -> float:
+    """Deterministic pseudo-random hyperplane weight in [-1, 1): md5-seeded,
+    computed once on the driver — the plan carries plain double literals."""
+    import hashlib
+
+    h = int.from_bytes(hashlib.md5(f"plane:{p}:{d}".encode()).digest()[:8], "big")
+    return (h % 2_000_003) / 1_000_001.5 - 1.0
+
+
+#: driver-side constant hyperplanes (NUM_PLANES × DIM doubles)
+_PLANES = [[_plane_weight(p, d) for d in range(DIM)] for p in range(NUM_PLANES)]
+
+
+def lsh_signature(vec_col: Column) -> Column:
+    """16-bit sign signature: bit p = sign(dot(vec, plane_p)) > 0."""
+    v = vec_col.cast("array<double>")
+    bits = []
+    for p in range(NUM_PLANES):
+        plane = F.array(*[F.lit(w) for w in _PLANES[p]])
+        dot = F.aggregate(
+            F.zip_with(v, plane, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.shiftleft(F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint"), p))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig
+
+
+def lsh_cosine_pairs(
+    df: DataFrame,
+    min_sim: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Near-dup pairs by sign-LSH banding + exact cosine verification.
+    Probabilistic recall (banding); exact precision (re-verified)."""
+    base = with_norm(df, vec_col).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(vec_col).alias("v"),
+        F.col("norm2").alias("nn"),
+        lsh_signature(F.col(vec_col)).alias("sig"),
+    )
+    bands = base.select(
+        "doc_id",
+        "v",
+        "nn",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"),
+                        F.shiftrightunsigned(F.col("sig"), PLANE_BITS * k)
+                        .bitwiseAND(F.lit((1 << PLANE_BITS) - 1))
+                        .alias("band"),
+                    )
+                    for k in range(LSH_BANDS)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", "v", "nn", "e.k", "e.band")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.v").alias("v1"),
+            F.col("b.v").alias("v2"),
+            F.col("a.nn").alias("n1"),
+            F.col("b.nn").alias("n2"),
+        )
+        .dropDuplicates(["d1", "d2"])
+    )
+    return (
+        cand.withColumn("sim", cosine(F.col("v1"), F.col("v2"), F.col("n1"), F.col("n2")))
+        .filter(F.col("sim") >= min_sim)
+        .select("d1", "d2", "sim")
+    )
+
+
+def simsearch_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_cosine_pairs(emb, min_sim=0.4).orderBy("d1", "d2")
+
+
+SIMILARITY_QUERIES = {
+    "ann_cosine_topk": (ann_topk_query, ANN_TOPK_SQL),
+    "ann_ivf_label": (ann_ivf_query, ANN_IVF_SQL),
+    # LSH banding recall is probabilistic — rows-only check.
+    "simsearch_lsh_cosine": (simsearch_lsh_query, None),
+}

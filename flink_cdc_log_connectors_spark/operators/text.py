@@ -1,0 +1,158 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path expressions are built-in Catalyst functions (JVM-side, whole-
+stage-codegen) — no Python UDFs.  Each operator is embarrassingly parallel
+(per-row), so the plans contain no shuffle except final ORDER BY for the
+deterministic oracle comparison; at 100 TB they scale linearly with input
+partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import STOPWORDS, TOKENS_SQL, tokens
+from ..io import load_table
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting + quality ratios per document.
+
+    ``n_tokens`` (whitespace/punct tokenization), ``n_uniq`` (distinct),
+    ``stop_cnt`` (stopword hits), ``alpha_chars`` (letter count),
+    ``stop_ratio``/``ttr`` as IEEE double divisions (deterministic and
+    identical across engines given identical integer inputs).
+    """
+    toks = tokens(F.col(text_col))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    return df.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).alias(
+            "stop_cnt"
+        ),
+        F.length(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]", "")).alias(
+            "alpha_chars"
+        ),
+    ).select(
+        "*",
+        (F.col("stop_cnt").cast("double") / F.col("n_tokens")).alias("stop_ratio"),
+        (F.col("n_uniq").cast("double") / F.col("n_tokens")).alias("ttr"),
+    )
+
+
+def text_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return token_stats(docs).orderBy("doc_id")
+
+
+_STOP_LIST_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+_T = TOKENS_SQL.format(col="text")
+
+TEXT_STATS_SQL = f"""
+WITH toks AS (SELECT doc_id, text, {_T} AS t FROM documents)
+SELECT doc_id,
+       CAST(len(t) AS INT) AS n_tokens,
+       CAST(len(list_distinct(t)) AS INT) AS n_uniq,
+       CAST(len(list_filter(t, x -> list_contains({_STOP_LIST_SQL}, x))) AS INT) AS stop_cnt,
+       CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS INT) AS alpha_chars,
+       CAST(len(list_filter(t, x -> list_contains({_STOP_LIST_SQL}, x))) AS DOUBLE)
+         / len(t) AS stop_ratio,
+       CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr
+FROM toks ORDER BY doc_id
+"""
+
+
+#: marker words per language for the n-gram/stopword language heuristic
+_LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "que", "los"),
+    "fr": ("le", "la", "les", "des", "est"),
+    "de": ("der", "die", "das", "und", "ist"),
+}
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: score = marker-word hits per language, highest
+    score wins (ties broken by language code order).  Pure Catalyst
+    expressions — at scale this is a map-only pass."""
+    toks = tokens(F.col(text_col))
+
+    def marker_score(markers: tuple[str, ...]) -> F.Column:
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        return F.size(F.filter(toks, lambda x: F.array_contains(marker_arr, x)))
+
+    scores = {lang: marker_score(markers) for lang, markers in _LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    pred = F.lit("unknown")
+    for lang in sorted(_LANG_MARKERS, reverse=True):
+        pred = F.when((scores[lang] == best) & (best > 0), lang).otherwise(pred)
+    return df.select(
+        "doc_id",
+        "lang",
+        *[c.alias(f"score_{lang}") for lang, c in scores.items()],
+        pred.alias("pred_lang"),
+    )
+
+
+def lang_id_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return language_id(docs).orderBy("doc_id")
+
+
+def _marker_score_sql(lang: str) -> str:
+    markers = "[" + ", ".join(f"'{m}'" for m in _LANG_MARKERS[lang]) + "]"
+    return f"len(list_filter(t, x -> list_contains({markers}, x)))"
+
+
+_SCORES = {lang: _marker_score_sql(lang) for lang in _LANG_MARKERS}
+_BEST = "greatest(" + ", ".join(f"score_{lang}" for lang in _LANG_MARKERS) + ")"
+_PRED = "'unknown'"
+for _lang in sorted(_LANG_MARKERS, reverse=True):
+    _PRED = (
+        f"CASE WHEN score_{_lang} = {_BEST} AND {_BEST} > 0 "
+        f"THEN '{_lang}' ELSE {_PRED} END"
+    )
+
+LANG_ID_SQL = f"""
+WITH toks AS (SELECT doc_id, lang, {_T} AS t FROM documents),
+scored AS (SELECT doc_id, lang,
+  {", ".join(f"CAST({sql} AS INT) AS score_{lang}" for lang, sql in _SCORES.items())}
+  FROM toks)
+SELECT doc_id, lang, score_en, score_es, score_fr, score_de,
+       {_PRED} AS pred_lang
+FROM scored ORDER BY doc_id
+"""
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprinting: md5 of the exact text plus md5 of the
+    normalized token stream (whitespace/case-insensitive near-exact key).
+    Hash-groupBy on either column is the exact-dedup primitive."""
+    toks = tokens(F.col(text_col))
+    return df.select(
+        "doc_id",
+        F.md5(F.col(text_col)).alias("fp_exact"),
+        F.md5(F.concat_ws(" ", toks)).alias("fp_norm"),
+    )
+
+
+def fingerprint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprint(docs).orderBy("doc_id")
+
+
+FINGERPRINT_SQL = f"""
+SELECT doc_id, md5(text) AS fp_exact,
+       md5(array_to_string({_T}, ' ')) AS fp_norm
+FROM documents ORDER BY doc_id
+"""
+
+
+TEXT_QUERIES = {
+    "text_token_stats": (text_stats_query, TEXT_STATS_SQL),
+    "text_lang_id": (lang_id_query, LANG_ID_SQL),
+    "text_fingerprint": (fingerprint_query, FINGERPRINT_SQL),
+}
