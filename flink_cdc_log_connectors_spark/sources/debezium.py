@@ -1,0 +1,152 @@
+"""Debezium-JSON envelope deserialization — the reference's D1-D4 operators.
+
+The reference's deserializer (``RowDataDebeziumDeserializeSchema.deserialize``,
+reference ``flink-connector-debezium-log/.../table/RowDataDebeziumDeserializeSchema.java:117-146``)
+turns each Debezium envelope into the fork's append-only form:
+
+- op ``c``/``r`` → one row from the **after** image
+- op ``d``      → one row from the **before** image (delete rewritten as an
+  INSERT carrying the before-image)
+- op ``u``      → **two** rows: before-image then after-image
+- the op code is written into the **last physical column** of every row
+
+Here the envelope is parsed with ``from_json`` against the user-declared
+physical schema (missing DB fields become NULL — reference ``:610-612``),
+and image selection/explosion is a Catalyst expression — fully vectorized,
+no Python in the row path.
+
+Metadata (``_src`` struct) mirrors SupportsReadingMetadata keys
+(``MySqlReadableMetadata.java:35-70``): ``database_name``, ``table_name``,
+``op_ts`` (forced to epoch 0 for snapshot rows — ``RecordUtils.java:197-207``),
+plus the log offset fields used for ordering (``file``, ``pos``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.changelog import OP_DELETE, OP_READ, OP_UPDATE
+
+#: Debezium source-field subset the engine tracks (envelope "source")
+SOURCE_SCHEMA = T.StructType(
+    [
+        T.StructField("db", T.StringType(), True),
+        T.StructField("schema", T.StringType(), True),
+        T.StructField("table", T.StringType(), True),
+        T.StructField("ts_ms", T.LongType(), True),
+        T.StructField("file", T.StringType(), True),
+        T.StructField("pos", T.LongType(), True),
+        T.StructField("row", T.IntegerType(), True),
+        T.StructField("snapshot", T.StringType(), True),
+    ]
+)
+
+
+def envelope_schema(physical: T.StructType) -> T.StructType:
+    """Full Debezium envelope schema for a declared physical row type."""
+    return T.StructType(
+        [
+            T.StructField("before", physical, True),
+            T.StructField("after", physical, True),
+            T.StructField("source", SOURCE_SCHEMA, True),
+            T.StructField("op", T.StringType(), True),
+            T.StructField("ts_ms", T.LongType(), True),
+        ]
+    )
+
+
+def _src_struct(env: Column, img_seq: Column) -> Column:
+    op = env["op"]
+    # snapshot reads get op_ts = epoch 0 (RecordUtils.java:197-207)
+    op_ts = (
+        F.when(op == OP_READ, F.lit(0).cast("long"))
+        .otherwise(F.coalesce(env["source"]["ts_ms"], F.lit(0).cast("long")))
+    )
+    # named_struct: F.struct drops aliases on extracted nested fields
+    return F.named_struct(
+        F.lit("database_name"), env["source"]["db"],
+        F.lit("schema_name"), env["source"]["schema"],
+        F.lit("table_name"), env["source"]["table"],
+        F.lit("op_ts_ms"), op_ts,
+        F.lit("file"), env["source"]["file"],
+        F.lit("pos"), env["source"]["pos"],
+        F.lit("img_seq"), img_seq,
+        F.lit("emit_ts_ms"), env["ts_ms"],
+    )
+
+
+def parse_debezium(
+    df: DataFrame,
+    physical: T.StructType,
+    json_col: str = "value",
+    include_source: bool = True,
+) -> DataFrame:
+    """Envelope JSON → the fork's append-only change rows.
+
+    Output columns: ``*physical``, ``op`` (last physical column, per the
+    fork's contract), and optionally ``_src`` metadata struct.
+    """
+    env = F.from_json(F.col(json_col), envelope_schema(physical))
+    op = env["op"]
+    # image selection incl. update explosion (deserialize:117-146)
+    images = (
+        F.when(op == OP_UPDATE, F.array(env["before"], env["after"]))
+        .when(op == OP_DELETE, F.array(env["before"]))
+        .otherwise(F.array(env["after"]))
+    )
+    # posexplode: the image index disambiguates an update's two rows, which
+    # share one log offset — the after-image (img_seq=1) must win any
+    # last-write-per-key merge (apply_changelog over offset_order).
+    out = df.select(
+        F.posexplode(images).alias("__img_seq", "__row"),
+        op.alias("op"),
+        env.alias("__env"),
+    ).select(
+        F.col("__row"),
+        F.col("op"),
+        _src_struct(F.col("__env"), F.col("__img_seq")).alias("_src"),
+    )
+    cols = [F.col(f"__row.{f.name}").alias(f.name) for f in physical.fields]
+    cols.append(F.col("op"))
+    if include_source:
+        cols.append(F.col("_src"))
+    return out.select(*cols)
+
+
+def raw_json_passthrough(df: DataFrame, json_col: str = "value") -> DataFrame:
+    """D3 — JsonDebeziumDeserializationSchema: raw envelope JSON through."""
+    return df.select(F.col(json_col).alias("json"))
+
+
+def string_passthrough(df: DataFrame, json_col: str = "value") -> DataFrame:
+    """D4 — StringDebeziumDeserializationSchema equivalent."""
+    return df.select(F.col(json_col).cast("string").alias("value"))
+
+
+def offset_order(df: DataFrame) -> list[Column]:
+    """Total order of the change log: (file, pos, img_seq) from the source
+    offset — the engine's analogue of BinlogOffset comparison
+    (``BinlogOffset.compareTo``), with the image index breaking the tie
+    between an update's before/after rows.  Snapshot rows (null file/pos)
+    sort first."""
+    return [
+        F.col("_src.file").asc_nulls_first(),
+        F.col("_src.pos").asc_nulls_first(),
+        F.col("_src.img_seq").asc_nulls_first(),
+    ]
+
+
+def offset_sort_columns(df: DataFrame) -> DataFrame:
+    """Append null-safe offset sort keys (``_off_file``, ``_off_pos``,
+    ``_off_img``) usable directly as ``apply_changelog(order_by=...)`` —
+    snapshot rows sort before every log offset."""
+    return (
+        df.withColumn("_off_file", F.coalesce(F.col("_src.file"), F.lit("")))
+        .withColumn("_off_pos", F.coalesce(F.col("_src.pos"), F.lit(-1)))
+        .withColumn("_off_img", F.coalesce(F.col("_src.img_seq"), F.lit(-1)))
+    )
+
+
+CHANGELOG_ORDER_BY = ["_off_file", "_off_pos", "_off_img"]

@@ -1,0 +1,92 @@
+"""Offset model + startup modes for the CDC-log source.
+
+Mirrors the reference's offset/startup machinery:
+
+- ``LogOffset`` ≈ ``BinlogOffset`` (file + position, lexicographic compare —
+  reference ``flink-connector-mysql-cdc-log/.../source/offset/BinlogOffset.java``)
+  and the generic ``Offset`` (``flink-cdc-log-base/.../meta/offset/Offset.java``).
+- ``StartupOptions`` ≈ ``StartupOptions.java:39-79`` factory methods:
+  ``initial`` (snapshot + log, default), ``earliest``, ``latest``,
+  ``specific_offset(file, pos)``, ``timestamp(ms)``.
+- Offsets serialize to/from plain JSON dicts — the Structured Streaming
+  offset log replaces the reference's versioned state serializers (C3/C4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from enum import Enum
+from typing import Any
+
+
+@dataclass(frozen=True, order=True)
+class LogOffset:
+    """Position in the change log: (file, pos), totally ordered."""
+
+    file: str
+    pos: int
+
+    def to_json(self) -> dict[str, Any]:
+        return {"file": self.file, "pos": self.pos}
+
+    @staticmethod
+    def from_json(d: dict[str, Any]) -> "LogOffset":
+        return LogOffset(file=d["file"], pos=int(d["pos"]))
+
+
+#: sentinel offsets (BinlogOffset.INITIAL_OFFSET / NO_STOPPING_OFFSET analogues)
+EARLIEST = LogOffset(file="", pos=-1)
+
+
+class StartupMode(str, Enum):
+    INITIAL = "initial"
+    EARLIEST = "earliest-offset"
+    LATEST = "latest-offset"
+    SPECIFIC = "specific-offset"
+    TIMESTAMP = "timestamp"
+
+
+@dataclass(frozen=True)
+class StartupOptions:
+    mode: StartupMode
+    specific_offset: LogOffset | None = None
+    timestamp_ms: int | None = None
+
+    @staticmethod
+    def initial() -> "StartupOptions":
+        return StartupOptions(StartupMode.INITIAL)
+
+    @staticmethod
+    def earliest() -> "StartupOptions":
+        return StartupOptions(StartupMode.EARLIEST)
+
+    @staticmethod
+    def latest() -> "StartupOptions":
+        return StartupOptions(StartupMode.LATEST)
+
+    @staticmethod
+    def specific(file: str, pos: int) -> "StartupOptions":
+        return StartupOptions(StartupMode.SPECIFIC, specific_offset=LogOffset(file, pos))
+
+    @staticmethod
+    def timestamp(ts_ms: int) -> "StartupOptions":
+        return StartupOptions(StartupMode.TIMESTAMP, timestamp_ms=ts_ms)
+
+    @staticmethod
+    def parse(value: str) -> "StartupOptions":
+        """Parse the ``startingOffsets`` option string (Kafka-source-style):
+        ``initial`` | ``earliest`` | ``latest`` | ``timestamp:<ms>`` |
+        ``file:<name>:<pos>``."""
+        v = value.strip().lower()
+        if v in ("initial", ""):
+            return StartupOptions.initial()
+        if v in ("earliest", "earliest-offset"):
+            return StartupOptions.earliest()
+        if v in ("latest", "latest-offset"):
+            return StartupOptions.latest()
+        if v.startswith("timestamp:"):
+            return StartupOptions.timestamp(int(v.split(":", 1)[1]))
+        if v.startswith("file:"):
+            _, file, pos = value.strip().split(":", 2)
+            return StartupOptions.specific(file, int(pos))
+        raise ValueError(f"unsupported startingOffsets: {value!r}")

@@ -1,0 +1,102 @@
+"""Changelog merge semantics — port of the reference's RecordUtilsTest
+concepts (normalizedSplitRecords / upsertBinlog: latest-per-key wins,
+delete drops the key)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_cdc_log_connectors_spark.operators.changelog import (
+    apply_changelog,
+    apply_changelog_agg,
+    filter_ops,
+    split_update_images,
+)
+
+CHANGELOG_ROWS = [
+    # (id, name, op, offset)
+    (101, "scooter", "r", 1),
+    (102, "car battery", "r", 2),
+    (103, "hammer", "r", 3),
+    (101, "scooter-v2", "u", 10),
+    (104, "jacket", "c", 11),
+    (103, "hammer", "d", 12),
+    (101, "scooter-v3", "u", 13),
+    (105, "rocks", "c", 14),
+    (105, "rocks", "d", 15),
+]
+
+
+def _changelog(spark):
+    return spark.createDataFrame(
+        CHANGELOG_ROWS, "id int, name string, op string, offset long"
+    )
+
+
+EXPECTED = {101: "scooter-v3", 102: "car battery", 104: "jacket"}
+
+
+def test_apply_changelog_window(spark):
+    out = apply_changelog(_changelog(spark), keys=["id"], order_by=["offset"])
+    state = {r["id"]: r["name"] for r in out.collect()}
+    assert state == EXPECTED
+
+
+def test_apply_changelog_agg_variant_equivalent(spark):
+    df = _changelog(spark)
+    a = apply_changelog(df, keys=["id"], order_by=["offset"])
+    b = apply_changelog_agg(df, keys=["id"], order_by=["offset"])
+    assert sorted(map(tuple, a.select("id", "name").collect())) == sorted(
+        map(tuple, b.select("id", "name").collect())
+    )
+
+
+def test_apply_changelog_tie_break_on_secondary(spark):
+    rows = [(1, "a", "c", 5, 1), (1, "b", "u", 5, 2)]
+    df = spark.createDataFrame(rows, "id int, v string, op string, ts long, seq long")
+    out = apply_changelog(df, keys=["id"], order_by=["ts", "seq"])
+    assert out.collect()[0]["v"] == "b"
+
+
+def test_delete_of_unseen_key(spark):
+    # FIXTURES A8(d): delete for a key with no prior events → no output row
+    rows = [(1, "x", "c", 1), (99, None, "d", 2)]
+    df = spark.createDataFrame(rows, "id int, v string, op string, offset long")
+    out = apply_changelog(df, keys=["id"], order_by=["offset"])
+    assert [r["id"] for r in out.collect()] == [1]
+
+
+def test_filter_ops(spark):
+    df = _changelog(spark)
+    only_changes = filter_ops(df, ["c", "u", "d"])
+    assert only_changes.count() == 6
+
+
+def test_split_update_images(spark):
+    rows = [
+        ((1, "old"), (1, "new"), "u"),
+        ((2, "gone"), None, "d"),
+        (None, (3, "fresh"), "c"),
+        (None, (4, "snap"), "r"),
+    ]
+    schema = (
+        "before struct<id:int,name:string>, after struct<id:int,name:string>, op string"
+    )
+    env = spark.createDataFrame(rows, schema)
+    out = split_update_images(env)
+    got = sorted((r["id"], r["name"], r["op"]) for r in out.collect())
+    assert got == [
+        (1, "new", "u"),
+        (1, "old", "u"),
+        (2, "gone", "d"),
+        (3, "fresh", "c"),
+        (4, "snap", "r"),
+    ]
+    # op is the LAST column (the fork's contract, README.md:38-54)
+    assert out.columns[-1] == "op"
+
+
+def test_changelog_plan_has_single_shuffle(spark):
+    df = _changelog(spark)
+    plan = apply_changelog(df, keys=["id"], order_by=["offset"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.lower().count("exchange") <= 1

@@ -1,0 +1,99 @@
+"""Unit tests for text primitives and dedup/similarity operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_cdc_log_connectors_spark.functions.text import tokens, word_ngrams
+from flink_cdc_log_connectors_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from flink_cdc_log_connectors_spark.operators.multimodal import (
+    fake_decode_features,
+)
+from flink_cdc_log_connectors_spark.operators.similarity import brute_force_topk
+
+
+def test_tokenizer_edges(spark):
+    df = spark.createDataFrame(
+        [("Hello, World! 123",), ("",), ("   ",), ("ONE-two_three",)], "text string"
+    )
+    got = [r[0] for r in df.select(tokens("text")).collect()]
+    assert got[0] == ["hello", "world", "123"]
+    assert got[1] == [] and got[2] == []
+    assert got[3] == ["one", "two", "three"]
+
+
+def test_word_ngrams_short_docs(spark):
+    df = spark.createDataFrame([("a b",), ("a b c d",)], "text string")
+    out = [r[0] for r in df.select(word_ngrams(tokens("text"), 3)).collect()]
+    assert out[0] == []  # shorter than n → empty, not a descending sequence
+    assert out[1] == ["a b c", "b c d"]
+
+
+def test_exact_dedup_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], "doc_id long, text string"
+    )
+    got = {r["keep_id"]: r["n_dups"] for r in exact_dedup_groups(df).collect()}
+    assert got == {1: 2, 3: 1}
+
+
+def test_ngram_jaccard_identical_docs(spark):
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, "completely different words entirely here")],
+        "doc_id long, text string",
+    )
+    pairs = ngram_jaccard_pairs(df, n=3, threshold_num=4, threshold_den=5).collect()
+    assert [(r["d1"], r["d2"]) for r in pairs] == [(1, 2)]
+    assert pairs[0]["jaccard"] == 1.0
+
+
+def test_minhash_recovers_exact_pairs(spark):
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    near = text.replace("lazy", "sleepy")
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, near), (4, "unrelated stuff totally here now")],
+        "doc_id long, text string",
+    )
+    exact = {
+        (r["d1"], r["d2"])
+        for r in ngram_jaccard_pairs(df, n=3, threshold_num=1, threshold_den=2).collect()
+    }
+    lsh = {
+        (r["d1"], r["d2"])
+        for r in minhash_dedup_pairs(df, n=3, threshold_num=1, threshold_den=2).collect()
+    }
+    assert (1, 2) in lsh
+    assert lsh <= exact  # LSH+verify never invents pairs
+
+
+def test_simhash_identical_docs_equal_fp(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "zz yy xx qq")],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+
+
+def test_brute_force_topk_selfsim(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),   # identical to 1 → sim 1.0
+        (3, [0.0, 1.0, 0.0, 0.0]),   # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = brute_force_topk(df.filter(F.col("vec_id") == 1), df, k=2).collect()
+    assert [(r["neighbor_id"], round(r["sim"], 6)) for r in out] == [(2, 1.0), (3, 0.0)]
+
+
+def test_fake_decode_deterministic():
+    assert fake_decode_features(b"hello") == fake_decode_features(b"hello")
+    assert fake_decode_features(None) == [0.0, 0.0, 0.0, 0.0]
+    assert fake_decode_features(b"a") != fake_decode_features(b"b")
