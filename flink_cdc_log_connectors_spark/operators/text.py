@@ -12,7 +12,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import STOPWORDS, TOKENS_SQL, tokens
+from ..functions.text import (
+    STOPWORDS,
+    TOKENS_SQL,
+    tokens,
+    word_count_in_set,
+    word_count_in_set_sql,
+)
 from ..io import load_table
 
 
@@ -23,16 +29,16 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     ``stop_cnt`` (stopword hits), ``alpha_chars`` (letter count),
     ``stop_ratio``/``ttr`` as IEEE double divisions (deterministic and
     identical across engines given identical integer inputs).
+
+    All expressions are codegen'd (regexp counts instead of per-token
+    lambdas) — map-only pass, no shuffle.
     """
     toks = tokens(F.col(text_col))
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     return df.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_uniq"),
-        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).alias(
-            "stop_cnt"
-        ),
+        word_count_in_set(text_col, STOPWORDS).alias("stop_cnt"),
         F.length(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]", "")).alias(
             "alpha_chars"
         ),
@@ -48,18 +54,17 @@ def text_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_stats(docs).orderBy("doc_id")
 
 
-_STOP_LIST_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
 _T = TOKENS_SQL.format(col="text")
+_STOP_CNT_SQL = word_count_in_set_sql("text", STOPWORDS)
 
 TEXT_STATS_SQL = f"""
 WITH toks AS (SELECT doc_id, text, {_T} AS t FROM documents)
 SELECT doc_id,
        CAST(len(t) AS INT) AS n_tokens,
        CAST(len(list_distinct(t)) AS INT) AS n_uniq,
-       CAST(len(list_filter(t, x -> list_contains({_STOP_LIST_SQL}, x))) AS INT) AS stop_cnt,
+       {_STOP_CNT_SQL} AS stop_cnt,
        CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS INT) AS alpha_chars,
-       CAST(len(list_filter(t, x -> list_contains({_STOP_LIST_SQL}, x))) AS DOUBLE)
-         / len(t) AS stop_ratio,
+       CAST({_STOP_CNT_SQL} AS DOUBLE) / len(t) AS stop_ratio,
        CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr
 FROM toks ORDER BY doc_id
 """
@@ -76,15 +81,12 @@ _LANG_MARKERS = {
 
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: score = marker-word hits per language, highest
-    score wins (ties broken by language code order).  Pure Catalyst
-    expressions — at scale this is a map-only pass."""
-    toks = tokens(F.col(text_col))
-
-    def marker_score(markers: tuple[str, ...]) -> F.Column:
-        marker_arr = F.array(*[F.lit(m) for m in markers])
-        return F.size(F.filter(toks, lambda x: F.array_contains(marker_arr, x)))
-
-    scores = {lang: marker_score(markers) for lang, markers in _LANG_MARKERS.items()}
+    score wins (ties broken by language code order).  One codegen'd regexp
+    pass per language — map-only, no shuffle, no lambdas."""
+    scores = {
+        lang: word_count_in_set(text_col, markers)
+        for lang, markers in _LANG_MARKERS.items()
+    }
     best = F.greatest(*scores.values())
     pred = F.lit("unknown")
     for lang in sorted(_LANG_MARKERS, reverse=True):
@@ -102,12 +104,10 @@ def lang_id_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id(docs).orderBy("doc_id")
 
 
-def _marker_score_sql(lang: str) -> str:
-    markers = "[" + ", ".join(f"'{m}'" for m in _LANG_MARKERS[lang]) + "]"
-    return f"len(list_filter(t, x -> list_contains({markers}, x)))"
-
-
-_SCORES = {lang: _marker_score_sql(lang) for lang in _LANG_MARKERS}
+_SCORES = {
+    lang: word_count_in_set_sql("text", markers)
+    for lang, markers in _LANG_MARKERS.items()
+}
 _BEST = "greatest(" + ", ".join(f"score_{lang}" for lang in _LANG_MARKERS) + ")"
 _PRED = "'unknown'"
 for _lang in sorted(_LANG_MARKERS, reverse=True):
@@ -117,10 +117,9 @@ for _lang in sorted(_LANG_MARKERS, reverse=True):
     )
 
 LANG_ID_SQL = f"""
-WITH toks AS (SELECT doc_id, lang, {_T} AS t FROM documents),
-scored AS (SELECT doc_id, lang,
-  {", ".join(f"CAST({sql} AS INT) AS score_{lang}" for lang, sql in _SCORES.items())}
-  FROM toks)
+WITH scored AS (SELECT doc_id, lang,
+  {", ".join(f"{sql} AS score_{lang}" for lang, sql in _SCORES.items())}
+  FROM documents)
 SELECT doc_id, lang, score_en, score_es, score_fr, score_de,
        {_PRED} AS pred_lang
 FROM scored ORDER BY doc_id
