@@ -463,6 +463,24 @@ ORDER BY user_id LIMIT 200
 """
 
 
+def q14b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same changelog materialization via the max_by aggregation strategy —
+    map-side partial aggregation instead of a window sort (the better plan
+    under hot-key fan-in; both are correctness-checked against one oracle).
+    """
+    from .changelog import apply_changelog_agg
+
+    events = load_table(spark, sf_dir, "events")
+    latest = apply_changelog_agg(
+        events,
+        keys=["user_id"],
+        order_by=["ts", "event_id"],
+        op_col="event_type",
+        delete_op="delete",
+    )
+    return latest.select("user_id", "value").orderBy("user_id").limit(200)
+
+
 # --------------------------------------------------------------------------
 # Q15 op-code breakdown (the fork's op column — SURVEY §0)
 # --------------------------------------------------------------------------
@@ -585,6 +603,7 @@ RELATIONAL_QUERIES = {
     "q12c_union_agg": (q12c, Q12C_SQL),
     "q13_scalars": (q13, Q13_SQL),
     "q14_changelog_materialize": (q14, Q14_SQL),
+    "q14b_changelog_maxby": (q14b, Q14_SQL),
     "q15_op_breakdown": (q15, Q15_SQL),
     "q16_tumbling_window": (q16, Q16_SQL),
     "q17_json_extract": (q17, Q17_SQL),

@@ -115,6 +115,71 @@ def parse_debezium(
     return out.select(*cols)
 
 
+def filter_tables(
+    df: DataFrame,
+    database: str | None = None,
+    table_regex: str | None = None,
+    src_col: str = "_src",
+) -> DataFrame:
+    """L3 — table include filter: keep only changes of the configured
+    database/table pattern (reference pushes this into Debezium's
+    ``table.include.list``; ``MySqlSourceOptions.java:58-68``).  A Catalyst
+    filter on the metadata struct — combined with partition/file layout it
+    prunes at the scan."""
+    out = df
+    if database is not None:
+        out = out.filter(F.col(f"{src_col}.database_name") == database)
+    if table_regex is not None:
+        out = out.filter(F.col(f"{src_col}.table_name").rlike(table_regex))
+    return out
+
+
+#: schema of a Debezium schema-change (DDL) event
+DDL_SCHEMA = T.StructType(
+    [
+        T.StructField("source", SOURCE_SCHEMA, True),
+        T.StructField("ts_ms", T.LongType(), True),
+        T.StructField("databaseName", T.StringType(), True),
+        T.StructField("ddl", T.StringType(), True),
+    ]
+)
+
+
+def schema_change_events(df: DataFrame, json_col: str = "value") -> DataFrame:
+    """L6 — DDL side channel: schema-change envelopes (carrying a ``ddl``
+    field) parsed into their own DataFrame, NOT mixed into the row stream
+    (the reference records them into split state and optionally emits them;
+    ``MySqlRecordEmitter.java:85-97``).  Spark streams have fixed schemas,
+    so consumers use this channel to trigger restart-on-widen."""
+    ddl = F.from_json(F.col(json_col), DDL_SCHEMA)
+    return (
+        df.filter(F.get_json_object(F.col(json_col), "$.ddl").isNotNull())
+        .select(
+            ddl["databaseName"].alias("database_name"),
+            ddl["source"]["table"].alias("table_name"),
+            ddl["ddl"].alias("ddl"),
+            ddl["ts_ms"].alias("ts_ms"),
+        )
+    )
+
+
+def validate_before_images(
+    df: DataFrame, op_col: str = "op", probe_col: str | None = None
+) -> DataFrame:
+    """D6 — value validation: updates/deletes whose before-image is entirely
+    NULL indicate a source misconfiguration (e.g. Postgres REPLICA IDENTITY
+    not FULL — reference ``PostgresValueValidator.java:27-49``).  Adds a
+    boolean ``_valid`` column; callers route invalid rows to a dead-letter
+    sink or raise.  ``probe_col``: a physical column expected non-null."""
+    needs_before = F.col(op_col).isin([OP_UPDATE, OP_DELETE])
+    if probe_col is None:
+        # img_seq==0 rows of u/d ops are before-images by construction
+        has_before = F.col("_src.img_seq").isNotNull()
+    else:
+        has_before = F.col(probe_col).isNotNull()
+    return df.withColumn("_valid", ~needs_before | has_before)
+
+
 def raw_json_passthrough(df: DataFrame, json_col: str = "value") -> DataFrame:
     """D3 — JsonDebeziumDeserializationSchema: raw envelope JSON through."""
     return df.select(F.col(json_col).alias("json"))

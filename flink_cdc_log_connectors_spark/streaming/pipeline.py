@@ -153,6 +153,42 @@ def windowed_counts(
     )
 
 
+def session_windows(
+    stream: DataFrame,
+    ts_col: str,
+    gap: str = "5 minutes",
+    watermark: str = "10 minutes",
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Session-window aggregation (dynamic-gap sessions close when no event
+    arrives within ``gap``)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), *group_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def progress_metrics(query) -> dict:
+    """C11 — source metrics from StreamingQueryProgress: rows/sec, batch
+    duration, per-source offsets (the reference exposes fetch/emit delay
+    gauges; SS exposes the equivalent through lastProgress)."""
+    p = query.lastProgress
+    if p is None:
+        return {}
+    return {
+        "batchId": p.get("batchId"),
+        "numInputRows": p.get("numInputRows"),
+        "inputRowsPerSecond": p.get("inputRowsPerSecond"),
+        "processedRowsPerSecond": p.get("processedRowsPerSecond"),
+        "durationMs": p.get("durationMs"),
+        "sources": [
+            {"description": s.get("description"), "endOffset": s.get("endOffset")}
+            for s in p.get("sources", [])
+        ],
+    }
+
+
 def dedup_stream(
     stream: DataFrame,
     keys: Sequence[str],
