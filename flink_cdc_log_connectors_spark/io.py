@@ -38,11 +38,38 @@ def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
     )
 
 
+#: in-memory table cache (path → cached DataFrame), enabled by
+#: ``cache_tables`` — the warehouse pattern of pinning hot dimension/fact
+#: tables in executor memory across a query workload.
+_TABLE_CACHE: dict[str, DataFrame] = {}
+
+
+def cache_tables(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
+    """Pin tables in memory (MEMORY_AND_DISK) for a multi-query workload.
+    Subsequent ``load_table`` calls reuse the cached plans; queries keep
+    identical semantics (cache is an execution detail)."""
+    for name in tables:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if path not in _TABLE_CACHE:
+            df = load_table(spark, sf_dir, name).cache()
+            df.count()  # materialize
+            _TABLE_CACHE[path] = df
+
+
+def clear_table_cache() -> None:
+    for df in _TABLE_CACHE.values():
+        df.unpersist()
+    _TABLE_CACHE.clear()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table.  Plain parquet scan — Catalyst handles column
     pruning and predicate pushdown against it (check ``PushedFilters`` /
     ``ReadSchema`` in ``.explain("formatted")``)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
+    cached = _TABLE_CACHE.get(path)
+    if cached is not None:
+        return cached
     nanos_cols = _nanos_timestamp_cols(path)
     if nanos_cols:
         # Settable at runtime; the driver's own session may not carry it.
