@@ -127,6 +127,16 @@ def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q4_SQL = "SELECT COUNT(DISTINCT l_suppkey) AS suppliers FROM lineitem"
 
 
+def q4b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct (HyperLogLog++) — the scale path for Q4.
+    Sketch implementations differ per engine, so this is a rows-only check;
+    the test suite bounds its error against the exact count."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.agg(
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("suppliers_approx")
+    )
+
+
 # --------------------------------------------------------------------------
 # Q5 inner equi join (dimension side broadcast — no fact shuffle)
 # --------------------------------------------------------------------------
@@ -286,6 +296,25 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q9_SQL = """
 SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+def q9b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+Q9B_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
 """
 
@@ -582,12 +611,44 @@ ORDER BY c_custkey LIMIT 100
 """
 
 
+# --------------------------------------------------------------------------
+# Q19 pivot (wide conditional aggregation — portable form of PIVOT)
+# --------------------------------------------------------------------------
+_PIVOT_STATUSES = ["F", "O", "P"]
+
+
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", _PIVOT_STATUSES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, [s for s in _PIVOT_STATUSES])
+        .select(
+            "o_orderpriority",
+            *[F.col(s).alias(f"n_{s}") for s in _PIVOT_STATUSES],
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q19_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_F,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_O,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_P
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 #: name -> (query builder, oracle SQL)
 RELATIONAL_QUERIES = {
     "q01_project_scalar": (q1, Q1_SQL),
     "q02_filter": (q2, Q2_SQL),
     "q03_group_agg": (q3, Q3_SQL),
     "q04_count_distinct": (q4, Q4_SQL),
+    # HLL sketches differ across engines → rows-only; error bounded in tests
+    "q04b_approx_distinct": (q4b, None),
     "q05_join_agg": (q5, Q5_SQL),
     "q06_multijoin_broadcast": (q6, Q6_SQL),
     "q07a_outer_null": (q7a, Q7A_SQL),
@@ -595,6 +656,7 @@ RELATIONAL_QUERIES = {
     "q07c_anti_join": (q7c, Q7C_SQL),
     "q08_wide_agg": (q8, Q8_SQL),
     "q09_rollup": (q9, Q9_SQL),
+    "q09b_cube": (q9b, Q9B_SQL),
     "q10a_topk_window": (q10a, Q10A_SQL),
     "q10b_running_sum": (q10b, Q10B_SQL),
     "q11_topk": (q11, Q11_SQL),
@@ -608,4 +670,5 @@ RELATIONAL_QUERIES = {
     "q16_tumbling_window": (q16, Q16_SQL),
     "q17_json_extract": (q17, Q17_SQL),
     "q18_correlated_subquery": (q18, Q18_SQL),
+    "q19_pivot": (q19, Q19_SQL),
 }

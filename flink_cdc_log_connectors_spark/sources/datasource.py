@@ -150,8 +150,11 @@ class CdcLogStreamReader(SimpleDataSourceStreamReader):
             # does exactly this switch)
             log_start = {"phase": "log", "file": "", "pos": 0}
             if len(rows) < self.max_lines:
-                more, nxt = self._read_log(log_start)
-                rows.extend(more[: self.max_lines - len(rows)])
+                # budget-limited: the log cursor must advance EXACTLY as far
+                # as the rows actually emitted in this batch (a larger read
+                # + truncation would silently drop rows on replay)
+                more, nxt = self._read_log(log_start, limit=self.max_lines - len(rows))
+                rows.extend(more)
                 return rows, nxt
             return rows, log_start
         return rows, {"phase": "snapshot", "snap_idx": idx, "snap_line": line_no}
@@ -167,7 +170,8 @@ class CdcLogStreamReader(SimpleDataSourceStreamReader):
         ts = env.get("ts_ms") or (env.get("source") or {}).get("ts_ms") or 0
         return ts >= (self.startup.timestamp_ms or 0)
 
-    def _read_log(self, start: dict) -> Tuple[list[tuple], dict]:
+    def _read_log(self, start: dict, limit: int | None = None) -> Tuple[list[tuple], dict]:
+        limit = self.max_lines if limit is None else limit
         rows: list[tuple] = []
         cur_file, cur_pos = start.get("file", ""), int(start.get("pos", 0))
         log_dir = _log_dir(self.path)
@@ -182,7 +186,7 @@ class CdcLogStreamReader(SimpleDataSourceStreamReader):
                     if self._ts_filter(line):
                         rows.append((line.rstrip("\n"), fname, i))
                     cur_file, cur_pos = fname, i + 1
-                    if len(rows) >= self.max_lines:
+                    if len(rows) >= limit:
                         return rows, {"phase": "log", "file": cur_file, "pos": cur_pos}
         return rows, {"phase": "log", "file": cur_file, "pos": cur_pos}
 
