@@ -45,4 +45,10 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         out.update(MULTIMODAL_QUERIES)
     except ImportError:
         pass
+    try:
+        from .operators.temporal import TEMPORAL_QUERIES
+
+        out.update(TEMPORAL_QUERIES)
+    except ImportError:
+        pass
     return out
