@@ -150,8 +150,49 @@ FROM documents ORDER BY doc_id
 """
 
 
+def clean_corpus_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data prep pipeline: quality filter → normalized
+    exact dedup → survivors with their stats.  One scan feeding map-side
+    expressions + a single hash-groupBy on the fingerprint — the shape a
+    100 TB corpus-cleaning job takes."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = token_stats(docs).join(fingerprint(docs), "doc_id")
+    quality = stats.filter((F.col("n_tokens") >= 20) & (F.col("ttr") >= 0.3))
+    survivors = (
+        quality.groupBy("fp_norm")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+    return (
+        survivors.join(quality, "doc_id")
+        .select("doc_id", "n_tokens", "n_uniq", "n_copies")
+        .orderBy("doc_id")
+    )
+
+
+CLEAN_CORPUS_SQL = f"""
+WITH toks AS (SELECT doc_id, text, {_T} AS t FROM documents),
+stats AS (
+  SELECT doc_id, text,
+         CAST(len(t) AS INT) AS n_tokens,
+         CAST(len(list_distinct(t)) AS INT) AS n_uniq,
+         CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr,
+         md5(array_to_string(t, ' ')) AS fp_norm
+  FROM toks
+),
+quality AS (SELECT * FROM stats WHERE n_tokens >= 20 AND ttr >= 0.3),
+grouped AS (
+  SELECT fp_norm, min(doc_id) AS doc_id, count(*) AS n_copies
+  FROM quality GROUP BY fp_norm
+)
+SELECT g.doc_id, q.n_tokens, q.n_uniq, g.n_copies
+FROM grouped g JOIN quality q ON g.doc_id = q.doc_id
+ORDER BY g.doc_id
+"""
+
+
 TEXT_QUERIES = {
     "text_token_stats": (text_stats_query, TEXT_STATS_SQL),
     "text_lang_id": (lang_id_query, LANG_ID_SQL),
     "text_fingerprint": (fingerprint_query, FINGERPRINT_SQL),
+    "pipeline_clean_corpus": (clean_corpus_query, CLEAN_CORPUS_SQL),
 }
