@@ -178,7 +178,55 @@ ORDER BY user_id, valid_from, event_id LIMIT 1000
 """
 
 
+def cdc_parse_throughput_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC deserialization throughput probe: wrap the events table as
+    Debezium envelope JSON (to_json), then run the engine's full parse
+    path (from_json + image explode + op append + metadata) and aggregate —
+    the closest analogue of the reference's events/sec deserializer hot
+    loop, measured inside the bench."""
+    from ..sources.debezium import parse_debezium
+    from pyspark.sql import types as T
+
+    events = load_table(spark, sf_dir, "events")
+    env = events.select(
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.col("user_id"), F.col("value"), F.col("event_id")
+                ).alias("after"),
+                F.when(F.col("event_type") == "error", "d")
+                .when(F.col("event_type") == "purchase", "u")
+                .otherwise("c")
+                .alias("op"),
+                F.struct(
+                    F.lit("bench").alias("db"),
+                    F.lit("events").alias("table"),
+                    (F.unix_timestamp("ts") * 1000).alias("ts_ms"),
+                    F.lit("f0").alias("file"),
+                    F.col("event_id").alias("pos"),
+                ).alias("source"),
+            )
+        ).alias("value")
+    )
+    # 'u' without before-image: the envelope has only after → before NULL row
+    physical = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("event_id", T.LongType()),
+        ]
+    )
+    parsed = parse_debezium(env, physical)
+    return (
+        parsed.groupBy("op")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("op")
+    )
+
+
 TEMPORAL_QUERIES = {
     "cdc_asof_join": (asof_query, ASOF_SQL),
     "cdc_scd2_history": (scd2_query, SCD2_SQL),
+    # engine-internal envelope round-trip — no ANSI oracle; rows-only
+    "cdc_parse_throughput": (cdc_parse_throughput_query, None),
 }
