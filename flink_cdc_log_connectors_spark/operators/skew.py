@@ -1,0 +1,98 @@
+"""Skew mitigation + co-located storage — the 100 TB shuffle toolbox.
+
+AQE's skew-join splitting (`spark.sql.adaptive.skewJoin.enabled`, on by
+default in `session.get_spark`) handles most runtime skew; these operators
+cover the cases AQE cannot re-plan:
+
+- ``salted_agg`` — two-phase aggregation for hot GROUP BY keys: stage 1
+  aggregates on (key, salt) spreading a hot key over N reducers, stage 2
+  combines the N partials.  Works for any algebraic aggregate list.
+- ``salted_join`` — replicate the small side N ways, salt the big side:
+  a hot join key's rows land on N reducers instead of one.
+- ``write_bucketed`` / ``read_bucketed`` — persist a table hash-bucketed
+  by its join/merge keys so repeated joins and ``apply_changelog`` runs
+  need no exchange at all (the storage-level answer to the reference's
+  per-chunk parallelism).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+    num_salts: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    ``aggs``: output name → (input column, fn) with fn ∈ {sum, count, min,
+    max} (algebraic — partials combine exactly).
+    """
+    partial_exprs = []
+    final_exprs = []
+    for out, (col, fn) in aggs.items():
+        if fn == "count":
+            partial_exprs.append(F.count(F.lit(1)).alias(f"__p_{out}"))
+            final_exprs.append(F.sum(f"__p_{out}").alias(out))
+        elif fn == "sum":
+            partial_exprs.append(F.sum(col).alias(f"__p_{out}"))
+            final_exprs.append(F.sum(f"__p_{out}").alias(out))
+        elif fn == "min":
+            partial_exprs.append(F.min(col).alias(f"__p_{out}"))
+            final_exprs.append(F.min(f"__p_{out}").alias(out))
+        elif fn == "max":
+            partial_exprs.append(F.max(col).alias(f"__p_{out}"))
+            final_exprs.append(F.max(f"__p_{out}").alias(out))
+        else:
+            raise ValueError(f"non-algebraic aggregate: {fn}")
+    salted = df.withColumn(
+        "__salt", (F.rand(seed=42) * num_salts).cast("int")
+    )
+    partial = salted.groupBy(*keys, "__salt").agg(*partial_exprs)
+    return partial.groupBy(*keys).agg(*final_exprs)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    num_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the big side, replicate the small side.
+
+    Use when the small side is too large to broadcast but the big side has
+    hot keys AQE cannot split (e.g. after a non-shuffle stage).
+    """
+    big_s = big.withColumn("__salt", (F.rand(seed=42) * num_salts).cast("int"))
+    salts = F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1))).alias("__salt")
+    small_r = small.select("*", salts)
+    joined = big_s.join(small_r, [on, "__salt"], how)
+    return joined.drop("__salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: Sequence[str],
+    num_buckets: int = 32,
+    sort_by: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist hash-bucketed (and optionally sorted) by the merge/join keys:
+    later equi-joins and apply_changelog windows over ``keys`` read
+    co-located, pre-sorted buckets — no exchange, no sort."""
+    writer = df.write.mode(mode).bucketBy(num_buckets, *keys)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)

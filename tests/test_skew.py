@@ -1,0 +1,66 @@
+"""Skew mitigation + bucketing: results must equal the naive plans, and
+bucketed joins must drop the exchange."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_cdc_log_connectors_spark.operators.skew import (
+    salted_agg,
+    salted_join,
+    write_bucketed,
+)
+from flink_cdc_log_connectors_spark.plans.inspect import count_exchanges
+
+
+def test_salted_agg_matches_naive(spark):
+    # hot key 1 has 10k rows, others 10
+    rows = [(1, float(i % 7)) for i in range(10_000)] + [
+        (k, float(k)) for k in range(2, 12) for _ in range(10)
+    ]
+    df = spark.createDataFrame(rows, "k int, v double")
+    naive = {
+        (r["k"]): (r["n"], r["s"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"), F.max("v").alias("mx"))
+        .collect()
+    }
+    salted = {
+        (r["k"]): (r["n"], r["s"], r["mx"])
+        for r in salted_agg(
+            df, ["k"], {"n": ("v", "count"), "s": ("v", "sum"), "mx": ("v", "max")}
+        ).collect()
+    }
+    assert naive == salted
+
+
+def test_salted_join_matches_naive(spark):
+    big = spark.createDataFrame(
+        [(1, i) for i in range(5000)] + [(2, 0), (3, 1)], "k int, payload int"
+    )
+    small = spark.createDataFrame([(1, "hot"), (2, "a"), (4, "unused")], "k int, v string")
+    naive = sorted(
+        (r["k"], r["payload"], r["v"]) for r in big.join(small, "k").collect()
+    )
+    salted = sorted(
+        (r["k"], r["payload"], r["v"]) for r in salted_join(big, small, "k").collect()
+    )
+    assert naive == salted
+    assert len(naive) == 5001
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(0, 1000).withColumn("v", F.col("id") * 2)
+        b = spark.range(0, 1000).withColumn("w", F.col("id") * 3)
+        write_bucketed(a, "bk_a", ["id"], num_buckets=4)
+        write_bucketed(b, "bk_b", ["id"], num_buckets=4)
+        joined = spark.table("bk_a").join(spark.table("bk_b"), "id")
+        n_exchange = count_exchanges(joined)
+        assert joined.count() == 1000
+        assert n_exchange == 0, "bucketed equi-join must not shuffle"
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")
