@@ -56,7 +56,7 @@ def probe_key_stats(
     ``StatementUtils.java:38-78``)."""
     probe = (
         f"(SELECT MIN({key_col}) AS mn, MAX({key_col}) AS mx, COUNT(*) AS cnt "
-        f"FROM {table}) __probe"
+        f"FROM {table}) probe_q"
     )
     row = (
         spark.read.format("jdbc")
@@ -66,7 +66,8 @@ def probe_key_stats(
         .load()
         .collect()[0]
     )
-    return int(row["mn"]), int(row["mx"]), int(row["cnt"])
+    # positional access: identifier case-folding differs per database
+    return int(row[0]), int(row[1]), int(row[2])
 
 
 def read_snapshot(
@@ -96,7 +97,7 @@ def read_snapshot(
         key_df = (
             spark.read.format("jdbc")
             .option("url", url)
-            .option("dbtable", f"(SELECT {key_col} FROM {table}) __keys")
+            .option("dbtable", f"(SELECT {key_col} FROM {table}) keys_q")
             .options(**props)
             .load()
         )
