@@ -19,6 +19,16 @@ _EPOCH = "timestamp_ntz'1970-01-01 00:00:00'"
 _FIXED_UNITS = {"SECOND", "MINUTE", "HOUR", "DAY"}
 
 
+def epoch_seconds(col: str | Column) -> Column:
+    """Seconds since epoch of a TIMESTAMP_NTZ wall-clock value — pure NTZ
+    arithmetic (``unix_timestamp``/casts would route through the session
+    timezone; TIMESTAMP_NTZ cannot CAST to BIGINT at all)."""
+    c = col if isinstance(col, str) else None
+    if c is None:
+        raise TypeError("epoch_seconds requires a column name string")
+    return F.expr(f"timestampdiff(SECOND, {_EPOCH}, {c})")
+
+
 def date_trunc_ntz(unit: str, col: str | Column) -> Column:
     """Truncate a TIMESTAMP_NTZ column without session-timezone effects.
 

@@ -224,9 +224,149 @@ def cdc_parse_throughput_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    gap_seconds: int,
+    order_tie: Sequence[str] = (),
+) -> DataFrame:
+    """Batch sessionization: a new session starts when the gap to the
+    previous event of the same key exceeds ``gap_seconds`` (lag + running
+    sum of session-start flags).  One hash shuffle on the key."""
+    from ..functions.datetime import epoch_seconds
+
+    epoch = epoch_seconds(ts_col)
+    w = Window.partitionBy(key).orderBy(ts_col, *order_tie)
+    prev_epoch = F.lag(epoch).over(w)
+    is_new = (
+        prev_epoch.isNull() | (epoch - prev_epoch > gap_seconds)
+    ).cast("bigint")
+    return df.withColumn(
+        "session_id",
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+
+def sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessions per user (30-minute gap): count + span per session."""
+    events = load_table(spark, sf_dir, "events")
+    s = sessionize(events, key="user_id", ts_col="ts", gap_seconds=1800,
+                   order_tie=["event_id"])
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_id")
+        .limit(1000)
+    )
+
+
+SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM sessions GROUP BY user_id, session_id
+ORDER BY user_id, session_id LIMIT 1000
+"""
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+    window_seconds: int,
+) -> DataFrame:
+    """Time-range equi+band join: pairs with the same key and
+    ``left_time <= right_time < left_time + window``.
+
+    Scalable formulation: bucket both sides by ``floor(time/window)`` and
+    equi-join each left bucket against right buckets b and b+1, then apply
+    the exact range filter — candidate pairs are bounded by bucket
+    populations (never the full per-key cross product), and the join is a
+    plain hash join Catalyst can plan.  (Spark would otherwise plan an
+    inequality join as a nested-loop.)"""
+    from ..functions.datetime import epoch_seconds
+
+    win = F.lit(window_seconds)
+    lb = left.withColumn(
+        "__b", F.floor(epoch_seconds(left_time) / win).cast("long")
+    )
+    rb = right.withColumn(
+        "__rb", F.floor(epoch_seconds(right_time) / win).cast("long")
+    ).withColumn("__b", F.explode(F.array(F.col("__rb"), F.col("__rb") - 1)))
+    joined = lb.join(
+        rb, (lb[left_on] == rb[right_on]) & (lb["__b"] == rb["__b"]), "inner"
+    )
+    return joined.filter(
+        (F.col(right_time) >= F.col(left_time))
+        & (epoch_seconds(right_time) < epoch_seconds(left_time) + win)
+    ).drop("__b", "__rb")
+
+
+def range_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase event: count other events of the same user in the
+    following hour (self range-join on the events stream)."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("p_event"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = range_join(
+        purchases,
+        events.select("user_id", "event_id", "ts"),
+        left_on="p_user",
+        right_on="user_id",
+        left_time="p_ts",
+        right_time="ts",
+        window_seconds=3600,
+    ).filter(F.col("event_id") != F.col("p_event"))
+    return (
+        joined.groupBy("p_event")
+        .agg(F.count(F.lit(1)).alias("n_following"))
+        .orderBy("p_event")
+        .limit(1000)
+    )
+
+
+RANGE_JOIN_SQL = """
+SELECT p.event_id AS p_event, COUNT(*) AS n_following
+FROM events p JOIN events e
+  ON e.user_id = p.user_id
+ AND e.ts >= p.ts AND epoch(e.ts) < epoch(p.ts) + 3600
+ AND e.event_id != p.event_id
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id ORDER BY p_event LIMIT 1000
+"""
+
+
 TEMPORAL_QUERIES = {
     "cdc_asof_join": (asof_query, ASOF_SQL),
     "cdc_scd2_history": (scd2_query, SCD2_SQL),
     # engine-internal envelope round-trip — no ANSI oracle; rows-only
     "cdc_parse_throughput": (cdc_parse_throughput_query, None),
+    "sessionize_events": (sessionize_query, SESSIONIZE_SQL),
+    "range_join_events": (range_join_query, RANGE_JOIN_SQL),
 }
