@@ -93,6 +93,21 @@ def test_brute_force_topk_selfsim(spark):
     assert [(r["neighbor_id"], round(r["sim"], 6)) for r in out] == [(2, 1.0), (3, 0.0)]
 
 
+def test_embedding_dedup_pairs_blocked_by_cell(spark):
+    from flink_cdc_log_connectors_spark.operators.dedup import embedding_dedup_pairs
+
+    rows = [
+        (1, 0, [1.0, 0.0, 0.0, 0.0]),
+        (2, 0, [1.0, 0.001, 0.0, 0.0]),  # near-dup of 1, same cell
+        (3, 1, [1.0, 0.0, 0.0, 0.0]),    # identical to 1 but other cell → blocked
+        (4, 0, [0.0, 1.0, 0.0, 0.0]),    # orthogonal, same cell
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    out = embedding_dedup_pairs(df, min_sim=0.99).collect()
+    assert [(r["d1"], r["d2"]) for r in out] == [(1, 2)]
+    assert out[0]["sim"] > 0.999
+
+
 def test_fake_decode_deterministic():
     assert fake_decode_features(b"hello") == fake_decode_features(b"hello")
     assert fake_decode_features(None) == [0.0, 0.0, 0.0, 0.0]
