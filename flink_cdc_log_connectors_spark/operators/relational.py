@@ -641,6 +641,107 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+# --------------------------------------------------------------------------
+# Q20 exact percentiles (interpolated quantiles — Spark `percentile` and
+# DuckDB `quantile_cont` share the linear-interpolation definition on
+# DOUBLE inputs; results are rounded to 4 decimals so low-order IEEE bits
+# from the interpolation arithmetic cannot break hash equality).  Exact
+# quantiles need the full sorted group — at 100 TB swap in
+# `approx_percentile` (t-digest sketch, map-side combinable); the exact
+# twin stays as the correctness anchor.
+# --------------------------------------------------------------------------
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("double")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.percentile(price, F.lit(0.25)), 4).alias("p25"),
+            F.round(F.percentile(price, F.lit(0.5)), 4).alias("med"),
+            F.round(F.percentile(price, F.lit(0.9)), 4).alias("p90"),
+            F.min(price).alias("lo"),
+            F.max(price).alias("hi"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+Q20_SQL = """
+SELECT o_orderstatus,
+       round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25), 4) AS p25,
+       round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5), 4) AS med,
+       round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9), 4) AS p90,
+       min(CAST(o_totalprice AS DOUBLE)) AS lo,
+       max(CAST(o_totalprice AS DOUBLE)) AS hi
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+# --------------------------------------------------------------------------
+# Q21 array functions + explode (LATERAL-unnest surface): token frequency
+# over documents — split/lower/explode are all codegen'd; the only shuffle
+# is the token-count groupBy (map-side combined), then TakeOrderedAndProject.
+# --------------------------------------------------------------------------
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(100)
+    )
+
+
+def _q21_sql() -> str:
+    from ..functions.text import TOKENS_SQL
+
+    t = TOKENS_SQL.format(col="text")
+    return f"""
+SELECT tok, count(*) AS n
+FROM (SELECT unnest({t}) AS tok FROM documents)
+GROUP BY tok ORDER BY n DESC, tok LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
+# Q22 explicit GROUPING SETS + grouping_id (generalizes Q9 rollup/cube;
+# grouping_id disambiguates aggregation-NULL from data-NULL — the same
+# contract Flink SQL exposes to the reference's users)
+# --------------------------------------------------------------------------
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+        .orderBy(
+            F.col("gid"),
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+Q22_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT) AS gid
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
 #: name -> (query builder, oracle SQL)
 RELATIONAL_QUERIES = {
     "q01_project_scalar": (q1, Q1_SQL),
@@ -671,4 +772,7 @@ RELATIONAL_QUERIES = {
     "q17_json_extract": (q17, Q17_SQL),
     "q18_correlated_subquery": (q18, Q18_SQL),
     "q19_pivot": (q19, Q19_SQL),
+    "q20_percentiles": (q20, Q20_SQL),
+    "q21_token_freq": (q21, _q21_sql()),
+    "q22_grouping_sets": (q22, Q22_SQL),
 }
