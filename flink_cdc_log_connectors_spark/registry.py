@@ -51,4 +51,10 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         out.update(TEMPORAL_QUERIES)
     except ImportError:
         pass
+    try:
+        from .operators.hypertable import HYPERTABLE_QUERIES
+
+        out.update(HYPERTABLE_QUERIES)
+    except ImportError:
+        pass
     return out
