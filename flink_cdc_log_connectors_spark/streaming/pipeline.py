@@ -199,3 +199,48 @@ def dedup_stream(
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    keys: Sequence[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: each microbatch of the change stream
+    joins the (small) dimension snapshot.  The dimension side is broadcast
+    — the stream is never shuffled, so at 100 TB/day of changes the plan
+    stays map-only per microbatch.  (Reference users write
+    ``SELECT ... FROM cdc_stream JOIN dim ON ...`` in Flink SQL —
+    ``MySqlConnectorITCase.java:186`` pattern; this is the Spark-native
+    equivalent.)"""
+    return stream.join(F.broadcast(dim), list(keys), how)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lower: str = "0 seconds",
+    upper: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream interval join (Flink's interval join, the form the
+    reference's users run between two CDC streams): match rows with equal
+    ``key`` where ``right_ts ∈ [left_ts - lower, left_ts + upper]``.
+
+    Both sides carry watermarks and the join condition bounds event time in
+    BOTH directions, so Structured Streaming can expire join state — state
+    size is O(rate × (lower+upper)), independent of stream length; without
+    the time bound the state would grow forever.  The equi-key keeps the
+    exchange a hash partition on ``key``."""
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.expr(f"l.{left_ts} - INTERVAL {lower}"))
+        & (F.col(f"r.{right_ts}") <= F.expr(f"l.{left_ts} + INTERVAL {upper}"))
+    )
+    return lw.join(rw, cond)

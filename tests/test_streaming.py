@@ -148,3 +148,78 @@ def test_should_emit_filter(spark):
     out = should_emit_filter(events, chunks, key_col="id")
     got = sorted((r["id"], r["_src"]["file"], r["_src"]["pos"]) for r in out.collect())
     assert got == [(50, "f1", 15), (150, "f2", 0), (999, "f0", 0)]
+
+
+def test_enrich_stream_static_broadcast(spark, tmp_path):
+    from flink_cdc_log_connectors_spark.streaming.pipeline import enrich_stream
+
+    rows = [(1, "a", 10.0), (2, "b", 20.0), (3, "zz", 30.0)]
+    src = spark.createDataFrame(rows, "id int, dim_key string, v double")
+    path = str(tmp_path / "enrich_parquet")
+    src.repartition(1).write.parquet(path)
+    dim = spark.createDataFrame(
+        [("a", "Alpha"), ("b", "Beta")], "dim_key string, dim_name string"
+    )
+    stream = spark.readStream.schema(src.schema).parquet(path)
+    out = enrich_stream(stream, dim, ["dim_key"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enr_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "enr_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["id"]: r["dim_name"]
+        for r in spark.sql("SELECT id, dim_name FROM enr_out").collect()
+    }
+    # left join: unmatched key surfaces with NULL dim, row is NOT dropped
+    assert got == {1: "Alpha", 2: "Beta", 3: None}
+
+
+def test_interval_join_stream_stream(spark, tmp_path):
+    from flink_cdc_log_connectors_spark.streaming.pipeline import interval_join
+
+    orders_rows = [
+        ("2024-01-01 10:00:00", "k1", 100),
+        ("2024-01-01 11:00:00", "k2", 200),
+    ]
+    ship_rows = [
+        ("2024-01-01 10:04:00", "k1", "S-in-window"),
+        ("2024-01-01 10:30:00", "k1", "S-too-late"),   # > upper bound (5 min)
+        ("2024-01-01 10:59:00", "k2", "S-before-order"),  # violates lower bound
+        ("2024-01-01 11:02:00", "k2", "S-in-window"),
+    ]
+    op = str(tmp_path / "iv_orders")
+    sp = str(tmp_path / "iv_ships")
+    odf = spark.createDataFrame(orders_rows, "ts_s string, k string, amt int").withColumn(
+        "ots", F.col("ts_s").cast("timestamp")
+    ).drop("ts_s")
+    sdf = spark.createDataFrame(ship_rows, "ts_s string, k string, tag string").withColumn(
+        "sts", F.col("ts_s").cast("timestamp")
+    ).drop("ts_s")
+    odf.repartition(1).write.parquet(op)
+    sdf.repartition(1).write.parquet(sp)
+    left = spark.readStream.schema(odf.schema).parquet(op)
+    right = spark.readStream.schema(sdf.schema).parquet(sp)
+    joined = interval_join(
+        left, right, key="k", left_ts="ots", right_ts="sts",
+        lower="0 seconds", upper="5 minutes", watermark="10 minutes",
+    ).select(F.col("l.k").alias("k"), "amt", "tag")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("iv_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "iv_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["k"], r["amt"], r["tag"])
+        for r in spark.sql("SELECT * FROM iv_out").collect()
+    )
+    # only ship events within [order_ts, order_ts + 5 min] match
+    assert got == [("k1", 100, "S-in-window"), ("k2", 200, "S-in-window")]
