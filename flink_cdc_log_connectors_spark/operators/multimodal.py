@@ -129,8 +129,93 @@ def mm_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(attach_binary_payload(docs)).orderBy("asset_id")
 
 
+FRAME_BYTES = 64   #: bytes per fake "frame" of a video payload
+FRAME_STRIDE = 4   #: sample every 4th frame
+MAX_FRAMES = 8     #: cap sampled frames per asset
+FRAME_MS = 40      #: fake 25 fps → 40 ms per frame
+
+
+def sample_frames(
+    assets: DataFrame,
+    frame_bytes: int = FRAME_BYTES,
+    stride: int = FRAME_STRIDE,
+    max_frames: int = MAX_FRAMES,
+) -> DataFrame:
+    """Video frame sampling plumbing: one input asset row → N sampled-frame
+    rows via ``mapInPandas`` (1→many, the real frame-extraction shape —
+    swap the byte-slice "frame decode" for ffmpeg keyframe extraction at
+    deployment; everything else — Arrow batching, fan-out schema,
+    partition parallelism — is production-shaped).
+
+    A "frame" is a ``frame_bytes`` slice of the payload; every ``stride``-th
+    frame is sampled up to ``max_frames``, each emitted with its index,
+    fake timestamp, byte length, and an md5 content fingerprint (the
+    dedup/similarity key a video pipeline hashes per keyframe).
+    """
+    import hashlib
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, lens, md5s = [], [], [], [], []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                n_frames = -(-len(payload) // frame_bytes)
+                for fi in range(0, min(n_frames, stride * max_frames), stride):
+                    chunk = bytes(payload[fi * frame_bytes : (fi + 1) * frame_bytes])
+                    ids.append(asset_id)
+                    idxs.append(fi)
+                    tss.append(fi * FRAME_MS)
+                    lens.append(len(chunk))
+                    md5s.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_ts_ms": pd.Series(tss, dtype="int64"),
+                    "frame_len": pd.Series(lens, dtype="int32"),
+                    "frame_md5": pd.Series(md5s, dtype="object"),
+                }
+            )
+
+    return assets.mapInPandas(
+        op,
+        schema=(
+            "asset_id bigint, frame_idx int, frame_ts_ms bigint, "
+            "frame_len int, frame_md5 string"
+        ),
+    )
+
+
+def mm_frames_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(attach_binary_payload(docs)).orderBy("asset_id", "frame_idx")
+
+
+# Oracle-checkable because the synthetic payload is ASCII text (octet ==
+# char offsets, verified octet_length == length over the corpus); a real
+# binary corpus keeps the rows-only check instead.
+MM_FRAMES_SQL = f"""
+WITH a AS (SELECT doc_id AS asset_id, text, length(text) AS n FROM documents),
+f AS (
+  SELECT asset_id, text,
+         unnest(range(0, least(CAST(ceil(n / {FRAME_BYTES}.0) AS INT),
+                               {FRAME_STRIDE * MAX_FRAMES}), {FRAME_STRIDE}))
+           AS frame_idx,
+         n
+  FROM a
+)
+SELECT asset_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(frame_idx * {FRAME_MS} AS BIGINT) AS frame_ts_ms,
+       CAST(least({FRAME_BYTES}, n - frame_idx * {FRAME_BYTES}) AS INT) AS frame_len,
+       md5(substring(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS frame_md5
+FROM f ORDER BY asset_id, frame_idx
+"""
+
+
 MULTIMODAL_QUERIES = {
     "mm_binary_meta": (mm_meta_query, MM_META_SQL),
     # Pandas-UDF fake decode isn't ANSI-SQL-expressible — rows-only check.
     "mm_decode_features": (mm_features_query, None),
+    "mm_frame_sample": (mm_frames_query, MM_FRAMES_SQL),
 }
