@@ -60,15 +60,31 @@ def main() -> None:
     # inside the timed region both times.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
-    for name, (fn, _sql) in sorted(all_queries().items()):
-        best, n = float("inf"), 0
-        for _ in range(max(1, runs)):
+    from flink_cdc_log_connectors_spark.caching import release_intermediates
+
+    # Rounds are interleaved (whole suite × runs, not per-query reps):
+    # host/GC slowdowns arrive in multi-second windows, so back-to-back
+    # reps of one query can ALL land in the same window — min-of-reps
+    # then records the outage, not the query.  Taking minima across
+    # temporally separated rounds bounds that distortion to one round.
+    names = sorted(all_queries())
+    qmap = all_queries()
+    rows: dict[str, int] = {}
+    for _ in range(max(1, runs)):
+        for name in names:
+            fn, _sql = qmap[name]
             t0 = time.time()
             df = fn(spark, sf_dir)
-            n = len(df.collect())
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 4)
-        print(f"# {name}: {timings[name]:.2f}s rows={n}", file=sys.stderr)
+            rows[name] = len(df.collect())
+            el = time.time() - t0
+            if el < timings.get(name, float("inf")):
+                timings[name] = el
+            # drop operator-internal persisted intermediates so repeated
+            # runs don't accumulate storage blocks that crowd later queries
+            release_intermediates()
+    for name in names:
+        timings[name] = round(timings[name], 4)
+        print(f"# {name}: {timings[name]:.2f}s rows={rows[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
     print(

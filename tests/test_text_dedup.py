@@ -112,3 +112,21 @@ def test_fake_decode_deterministic():
     assert fake_decode_features(b"hello") == fake_decode_features(b"hello")
     assert fake_decode_features(None) == [0.0, 0.0, 0.0, 0.0]
     assert fake_decode_features(b"a") != fake_decode_features(b"b")
+
+
+def test_simhash_dedup_verdict(spark):
+    from flink_cdc_log_connectors_spark.operators.dedup import simhash_dedup_verdict
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again"),
+            (3, "completely different text about spark structured streaming engines"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["keep_id"], r["n_near_dups"])
+           for r in simhash_dedup_verdict(df).collect()}
+    assert got[1] == (1, 1)          # representative keeps itself; 1 near-dup
+    assert got[2] == (1, 1)          # exact dup points at doc 1
+    assert got[3] == (3, 0)          # unrelated doc survives
