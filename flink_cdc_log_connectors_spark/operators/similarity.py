@@ -293,17 +293,25 @@ def lsh_cosine_pairs(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Near-dup pairs by sign-LSH banding + exact cosine verification.
-    Probabilistic recall (banding); exact precision (re-verified)."""
-    base = with_norm(df, vec_col).select(
-        F.col(id_col).alias("doc_id"),
-        F.col(vec_col).alias("v"),
-        F.col("norm2").alias("nn"),
-        lsh_signature(F.col(vec_col)).alias("sig"),
+    Probabilistic recall (banding); exact precision (re-verified).
+
+    Shuffle discipline: the band self-join runs on SKINNY rows
+    (id, band_idx, band_value) — 20 bytes, not the 64-float vectors; the
+    vectors join in only after candidate pairs are deduplicated, so each
+    vector crosses the exchange once per side of the (small) candidate
+    set instead of 8× through the band explode.  The signature UDF pass
+    is persisted (it feeds both join sides).
+    """
+    from ..caching import persist_tracked
+
+    sigs = persist_tracked(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            lsh_signature(F.col(vec_col)).alias("sig"),
+        )
     )
-    bands = base.select(
+    bands = sigs.select(
         "doc_id",
-        "v",
-        "nn",
         F.explode(
             F.array(
                 *[
@@ -317,7 +325,7 @@ def lsh_cosine_pairs(
                 ]
             )
         ).alias("e"),
-    ).select("doc_id", "v", "nn", "e.k", "e.band")
+    ).select("doc_id", "e.k", "e.band")
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -327,22 +335,27 @@ def lsh_cosine_pairs(
             & (F.col("a.band") == F.col("b.band"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("d1"),
-            F.col("b.doc_id").alias("d2"),
-            F.col("a.v").alias("v1"),
-            F.col("b.v").alias("v2"),
-            F.col("a.nn").alias("n1"),
-            F.col("b.nn").alias("n2"),
-        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .dropDuplicates(["d1", "d2"])
     )
+    vecs = with_norm(df, vec_col).select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        F.col("norm2").alias("nn"),
+    )
+    v1 = vecs.alias("v1")
+    v2 = vecs.alias("v2")
     # HOF cosine, not a Pandas UDF: a per-pair UDF would ship BOTH 64-float
     # vectors per candidate pair through Arrow — measured slower than the
     # codegen'd fold.  (Gram-matrix scoring wins only where each vector
     # crosses the boundary once: applyInPandas/mapInPandas on rows.)
     return (
-        cand.withColumn("sim", cosine(F.col("v1"), F.col("v2"), F.col("n1"), F.col("n2")))
+        cand.join(v1, F.col("d1") == F.col("v1.vid"))
+        .join(v2, F.col("d2") == F.col("v2.vid"))
+        .withColumn(
+            "sim",
+            cosine(F.col("v1.v"), F.col("v2.v"), F.col("v1.nn"), F.col("v2.nn")),
+        )
         .filter(F.col("sim") >= min_sim)
         .select("d1", "d2", "sim")
     )
