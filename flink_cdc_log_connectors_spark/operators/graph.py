@@ -1,0 +1,156 @@
+"""Connected components over near-duplicate pair edges.
+
+Pair generators (n-gram Jaccard, MinHash, SimHash, embedding cosine) emit
+EDGES; a dedup pipeline needs the transitive closure — every doc labeled
+with its cluster representative (the minimum doc id reachable through any
+chain of near-dup pairs) so exactly one doc per cluster survives.
+
+Spark-first design: iterative min-label propagation.  Each round is one
+join (labels → neighbors) + one map-side-combined min aggregation; labels
+monotonically decrease, so the iteration count is bounded by the longest
+min-path in the graph (≤ graph diameter, O(log n) rounds for the
+star-like clusters dedup produces).  Every round ``localCheckpoint``s the
+label table: lineage stays O(1) deep instead of O(rounds), which is what
+keeps the job plannable at 100 TB (a 20-round lineage of joins would
+otherwise blow up the optimizer and re-execute everything on any task
+retry).  Convergence is detected with a count of changed labels —
+a driver-side scalar per round, not a collect of data.
+
+The whole computation is deterministic (min is order-insensitive), so the
+DuckDB oracle — a recursive CTE computing min reachable id — hash-matches
+exactly.  This is the engine's declared "iterative algorithm" surface;
+the same loop shape (iterate → checkpoint → converge-test) serves
+label propagation, PageRank-style scoring, and k-means at deployment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "d1",
+    dst_col: str = "d2",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Label every node with the minimum node id in its connected component.
+
+    ``nodes``: one row per node (isolated nodes keep their own id).
+    ``edges``: undirected pairs (each stored once in either orientation).
+    Returns (id_col, cluster_id).
+    """
+    # Materialize the incoming edge set FIRST: it feeds both union branches
+    # below, and edge generation is typically an expensive pair pipeline
+    # (LSH/inverted-index) that must not execute once per branch.
+    e = edges.select(
+        F.col(src_col).cast("long").alias("a"), F.col(dst_col).cast("long").alias("b")
+    ).localCheckpoint(eager=True)
+    adj = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+
+    # Size the iteration's partitioning to the EDGE data, not the session
+    # default: near-dup graphs are sparse (edges ≪ corpus), and running
+    # each tiny round over 32+ shuffle partitions pays 32 task launches
+    # per stage for rows that fit in one.  ~1M edge-rows per partition;
+    # grows with the graph, so the same rule holds at 100 TB.
+    n_edges = adj.count()
+    parts = max(1, min(adj.rdd.getNumPartitions(), n_edges // 1_000_000 + 1))
+    adj = adj.repartition(parts, "a").localCheckpoint(eager=True)
+
+    # Iterate ONLY over nodes that touch an edge: isolated nodes (the
+    # overwhelming majority of a deduped corpus) can never change label,
+    # so they stay out of every round and rejoin at the end — per-round
+    # work is O(|edge nodes|), not O(|corpus|).
+    labels = (
+        adj.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .repartition(parts, "node")
+        .localCheckpoint(eager=True)
+    )
+
+    # Convergence via the label-sum: labels only ever decrease, so an
+    # unchanged sum ⇔ a fixpoint — one aggregate scan per round instead
+    # of a join-and-count.  DECIMAL(38,0) so the sum cannot overflow even
+    # at 10^12 nodes × 10^12 max id.
+    prev_sum = None
+    for _ in range(max_iterations):
+        msgs = (
+            adj.join(labels, adj.a == labels.node)
+            .select(F.col("b").alias("node"), "label")
+        )
+        labels = (
+            labels.select("node", "label")
+            .union(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    base = nodes.select(F.col(id_col).cast("long").alias("node"))
+    return (
+        base.join(labels, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce(F.col("label"), F.col("node")).alias("cluster_id"),
+        )
+    )
+
+
+def dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster assignment from the EXACT n-gram Jaccard pair set: every doc
+    → min doc id transitively reachable through jaccard ≥ 0.2 pairs."""
+    from .dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold_num=1, threshold_den=5)
+    return connected_components(
+        docs.select("doc_id"), pairs.select("d1", "d2")
+    ).orderBy("doc_id")
+
+
+def _clusters_sql() -> str:
+    from ..functions.text import ngrams_sql
+
+    return f"""
+WITH RECURSIVE
+tri AS (
+  SELECT doc_id, unnest({ngrams_sql("text", 3)}) AS sh FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM tri GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+  FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT d1, d2 FROM common
+  JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+  WHERE 5 * common >= (s1.n_sh + s2.n_sh - common)
+),
+adj AS (SELECT d1 AS a, d2 AS b FROM pairs
+        UNION SELECT d2, d1 FROM pairs),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT adj.b, reach.label FROM reach JOIN adj ON adj.a = reach.node
+)
+SELECT node AS doc_id, min(label) AS cluster_id
+FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+
+GRAPH_QUERIES = {
+    "dedup_clusters": (dedup_clusters_query, _clusters_sql()),
+}

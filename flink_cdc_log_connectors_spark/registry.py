@@ -57,4 +57,10 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         out.update(HYPERTABLE_QUERIES)
     except ImportError:
         pass
+    try:
+        from .operators.graph import GRAPH_QUERIES
+
+        out.update(GRAPH_QUERIES)
+    except ImportError:
+        pass
     return out

@@ -130,3 +130,17 @@ def test_simhash_dedup_verdict(spark):
     assert got[1] == (1, 1)          # representative keeps itself; 1 near-dup
     assert got[2] == (1, 1)          # exact dup points at doc 1
     assert got[3] == (3, 0)          # unrelated doc survives
+
+
+def test_connected_components_chain_and_isolated(spark):
+    from flink_cdc_log_connectors_spark.operators.graph import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 9)], "doc_id long")
+    # chain 1-2-3-4 (transitive closure must reach 4→1), pair 6-7,
+    # isolated 5 and 8
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (6, 7)], "d1 long, d2 long"
+    )
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components(nodes, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 6, 7: 6, 8: 8}
