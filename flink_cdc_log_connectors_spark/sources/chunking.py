@@ -157,3 +157,45 @@ def chunk_predicates(col: str, ranges: list[ChunkRange]) -> list[str]:
     """Predicate list for ``spark.read.jdbc(url, table, predicates=...)`` —
     one executor-side partition per chunk."""
     return [r.predicate(col) for r in ranges]
+
+
+#: Spark type names eligible as a chunk key.  Numeric keys additionally
+#: qualify for the even-distribution shortcut (P2); the rest always take
+#: the quantile path.  Mirrors the reference's accepted split-key types
+#: (``ChunkUtils.getSplitColumn`` + ``ChunkSplitter`` numeric gate
+#: ``:272-281``; varbinary keys exercised by
+#: ``MySqlConnectorITCase.testPrimaryKeyWithVarbinaryType:902``).
+SPLIT_ELIGIBLE_TYPES = frozenset(
+    {
+        "tinyint", "smallint", "int", "integer", "bigint", "long",
+        "float", "double", "decimal", "string", "binary", "date",
+        "timestamp", "timestamp_ntz",
+    }
+)
+
+
+def choose_split_column(schema, primary_key: list[str]) -> str:
+    """P1 — pick the chunk/split column: the FIRST primary-key column
+    (reference ``ChunkUtils.getSplitColumn``); tables without a primary
+    key cannot be incrementally snapshot (the reference rejects them the
+    same way — ``mysql-cdc.md:422-427``).
+
+    ``schema`` is the table's ``StructType``; the chosen column must exist
+    and have a chunkable type.
+    """
+    if not primary_key:
+        raise ValueError(
+            "incremental snapshot requires a primary key; "
+            "tables without one must use a single-chunk (full) scan"
+        )
+    head = primary_key[0]
+    fields = {f.name: f for f in schema.fields}
+    if head not in fields:
+        raise ValueError(f"split column {head!r} not in table schema")
+    type_name = fields[head].dataType.typeName()
+    base = type_name.split("(")[0]
+    if base not in SPLIT_ELIGIBLE_TYPES:
+        raise ValueError(
+            f"split column {head!r} has non-chunkable type {type_name}"
+        )
+    return head

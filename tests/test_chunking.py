@@ -110,3 +110,27 @@ def test_plan_snapshot_chunks_dispatch(spark):
 
     with pytest.raises(ValueError):
         plan_snapshot_chunks(0, 9_999_999, 100, chunk_size=10)
+
+
+def test_choose_split_column():
+    import pytest
+    from pyspark.sql import types as T
+
+    from flink_cdc_log_connectors_spark.sources.chunking import choose_split_column
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("payload", T.ArrayType(T.IntegerType())),
+        ]
+    )
+    # first PK column wins, even for a composite key
+    assert choose_split_column(schema, ["id", "name"]) == "id"
+    assert choose_split_column(schema, ["name"]) == "name"
+    with pytest.raises(ValueError, match="primary key"):
+        choose_split_column(schema, [])
+    with pytest.raises(ValueError, match="not in table schema"):
+        choose_split_column(schema, ["missing"])
+    with pytest.raises(ValueError, match="non-chunkable"):
+        choose_split_column(schema, ["payload"])
