@@ -146,3 +146,36 @@ def test_offset_order_is_stable(spark, fixture_dir):
     df = read_cdc_batch(spark, fixture_dir, PRODUCTS_PHYSICAL)
     ordered = df.orderBy(*offset_order(df)).select("_src.pos").collect()
     assert [r["pos"] for r in ordered] == sorted(r["pos"] for r in ordered)
+
+
+def test_idle_source_yields_no_rows_and_stable_offset(spark, fixture_dir, tmp_path):
+    """L5 analog: a quiet source produces empty microbatches without
+    duplicating data or corrupting the offset (re-trigger on an unchanged
+    log → zero new rows, same final offset)."""
+    out_rows: list = []
+
+    def run():
+        stream = read_cdc_stream(
+            spark,
+            fixture_dir,
+            PRODUCTS_PHYSICAL,
+            snapshot_path=os.path.join(fixture_dir, "snapshot"),
+            starting_offsets="initial",
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda b, _e: out_rows.extend(b.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / "idle_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    n_first = len(out_rows)
+    assert n_first > 0
+    run()  # idle: nothing new in the log
+    assert len(out_rows) == n_first
+    run()  # still idle after two triggers
+    assert len(out_rows) == n_first
