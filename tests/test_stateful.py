@@ -37,3 +37,73 @@ def test_running_counts_accumulate_across_batches(spark, tmp_path):
     second = {r[0]: (r[1], r[2]) for r in captured}
     # state persisted: key 1 continues from (2, 5.0)
     assert second == {1: (3, 10.0), 3: (1, 1.0)}
+
+
+def test_transform_with_state_changelog_materialization(spark, tmp_path):
+    """TWS state machine: upserts then a delete across two microbatches;
+    per-key state survives batches in the RocksDB store and deletes emit
+    tombstones."""
+    import pytest
+
+    # TWS ships state over a protobuf channel; the container lacks
+    # google.protobuf, so this runs only where the dependency exists.
+    pytest.importorskip("google.protobuf.descriptor")
+
+    from flink_cdc_log_connectors_spark.streaming.stateful import (
+        materialize_with_state,
+    )
+
+    old_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        path = str(tmp_path / "tws_src")
+        b1 = spark.createDataFrame(
+            [(1, 10.0, "c", 1), (1, 11.0, "u", 2), (2, 20.0, "c", 3)],
+            "id int, value double, op string, seq long",
+        )
+        b1.repartition(1).write.parquet(path)
+        captured: dict = {}
+
+        def run():
+            stream = spark.readStream.schema(b1.schema).parquet(path)
+            out = materialize_with_state(stream, "id")
+            q = (
+                out.writeStream.foreachBatch(
+                    lambda b, _e: captured.update(
+                        {r["id"]: (r["value"], r["present"]) for r in b.collect()}
+                    )
+                )
+                .outputMode("update")
+                .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run()
+        assert captured == {1: (11.0, True), 2: (20.0, True)}
+        # batch 2: delete key 1 (plus an out-of-order stale row, ignored)
+        b2 = spark.createDataFrame(
+            [(1, None, "d", 4), (2, 19.0, "u", 1)],
+            "id int, value double, op string, seq long",
+        )
+        b2.repartition(1).write.mode("append").parquet(path)
+        captured.clear()
+        run()
+        # key 1 tombstoned; key 2's stale seq=1 ignored → no change emitted
+        # (or re-emitted with unchanged value, depending on touch semantics)
+        assert captured[1] == (None, False)
+        if 2 in captured:
+            assert captured[2] == (20.0, True)
+    finally:
+        if old_provider:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", old_provider
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
