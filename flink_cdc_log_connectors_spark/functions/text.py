@@ -116,3 +116,24 @@ def ngrams_sql(col: str, n: int) -> str:
         f"generate_series(1, greatest(len(t)-{n - 1}, 0)), i -> {parts})) "
         f"FROM (SELECT {toks} AS t) __tk)"
     )
+
+
+#: BPE-ish pre-tokenization regex (GPT-2-style): contraction suffixes,
+#: space-prefixed letter runs, digit runs, punctuation runs.  Restricted to
+#: constructs with identical semantics in Java regex (Spark) and RE2-ish
+#: (DuckDB) so both engines produce the same token stream.
+BPE_ISH_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+"
+
+
+def bpe_ish_tokens(col: str | Column) -> Column:
+    """BPE-style pre-tokens of a string column — the token stream whose
+    count approximates an LLM tokenizer's (bytes-per-token is the corpus
+    quality metric LLM data pipelines track)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_ISH_RE), 0)
+
+
+def bpe_ish_tokens_sql(col: str) -> str:
+    """DuckDB twin of :func:`bpe_ish_tokens` (the pattern's leading
+    apostrophe must be doubled inside the SQL string literal)."""
+    return f"regexp_extract_all({col}, '{BPE_ISH_RE.replace(chr(39), chr(39) * 2)}')"

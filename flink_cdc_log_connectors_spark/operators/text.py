@@ -196,3 +196,43 @@ TEXT_QUERIES = {
     "text_fingerprint": (fingerprint_query, FINGERPRINT_SQL),
     "pipeline_clean_corpus": (clean_corpus_query, CLEAN_CORPUS_SQL),
 }
+
+
+def bpe_token_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: pre-tokens per doc, distinct pre-tokens, and
+    bytes-per-token (the LLM-pipeline quality metric — low values flag
+    repetitive/boilerplate text).  Codegen'd regexp pass, map-only."""
+    from ..functions.text import bpe_ish_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = bpe_ish_tokens(F.col("text"))
+    return (
+        docs.select(
+            "doc_id",
+            F.size(toks).alias("n_bpe"),
+            F.size(F.array_distinct(toks)).alias("n_bpe_uniq"),
+            F.length("text").alias("n_bytes"),
+        )
+        .withColumn(
+            "bytes_per_token",
+            F.round(F.col("n_bytes").cast("double") / F.col("n_bpe"), 4),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_stats_sql() -> str:
+    from ..functions.text import bpe_ish_tokens_sql
+
+    t = bpe_ish_tokens_sql("text")
+    return f"""
+SELECT doc_id,
+       CAST(len({t}) AS INT) AS n_bpe,
+       CAST(len(list_distinct({t})) AS INT) AS n_bpe_uniq,
+       CAST(length(text) AS INT) AS n_bytes,
+       round(CAST(length(text) AS DOUBLE) / len({t}), 4) AS bytes_per_token
+FROM documents ORDER BY doc_id
+"""
+
+
+TEXT_QUERIES["text_bpe_tokens"] = (bpe_token_stats_query, _bpe_stats_sql())
