@@ -224,3 +224,77 @@ def offset_sort_columns(df: DataFrame) -> DataFrame:
 
 
 CHANGELOG_ORDER_BY = ["_off_file", "_off_pos", "_off_img"]
+
+
+# --------------------------------------------------------------------------
+# Schema evolution policy (SURVEY §7 hard-point 3): consume the DDL side
+# channel, decide widen-vs-restart.  The reference tracks runtime schema in
+# state (FlinkDatabaseSchemaHistory) but never changes the produced row
+# type; Spark streams are likewise fixed-schema, so evolution is a policy
+# decision at the stream boundary.
+# --------------------------------------------------------------------------
+
+#: widenings that are SAFE to apply by restarting the stream with the new
+#: schema and re-reading the log from the committed offset: every old value
+#: remains representable (no precision loss, missing fields → NULL)
+_SAFE_WIDENINGS = {
+    ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+    ("short", "integer"), ("short", "long"),
+    ("integer", "long"),
+    ("float", "double"),
+    ("date", "timestamp_ntz"),
+}
+
+
+def plan_schema_evolution(
+    current: T.StructType, target: T.StructType
+) -> dict[str, object]:
+    """Compare the stream's declared physical schema with the post-DDL
+    table schema and classify the evolution:
+
+    - ``compatible`` — identical or pure column ADDITIONS / safe type
+      widenings: restart the stream with ``schema`` (the widened
+      StructType) from the committed offset; history re-parses cleanly
+      because ``from_json`` yields NULL for fields absent in old
+      envelopes and widened numerics parse losslessly.
+    - ``incompatible`` — dropped columns or narrowing/shape changes:
+      requires a new snapshot (the fork's users face the same boundary).
+
+    Returns ``{"action": "none"|"restart_widened"|"resnapshot",
+    "schema": StructType, "changes": [...]}``.
+    """
+    cur = {f.name: f for f in current.fields}
+    tgt = {f.name: f for f in target.fields}
+    changes: list[str] = []
+    compatible = True
+    for name, f in tgt.items():
+        if name not in cur:
+            changes.append(f"add:{name}:{f.dataType.simpleString()}")
+            continue
+        a, b = cur[name].dataType, f.dataType
+        if a == b:
+            continue
+        if (a.typeName(), b.typeName()) in _SAFE_WIDENINGS or (
+            a.typeName() == b.typeName() == "decimal"
+            and b.precision >= a.precision
+            and b.scale >= a.scale
+            and b.precision - b.scale >= a.precision - a.scale
+        ):
+            changes.append(
+                f"widen:{name}:{a.simpleString()}->{b.simpleString()}"
+            )
+        else:
+            changes.append(
+                f"incompatible:{name}:{a.simpleString()}->{b.simpleString()}"
+            )
+            compatible = False
+    for name in cur:
+        if name not in tgt:
+            changes.append(f"drop:{name}")
+            compatible = False
+    if not changes:
+        return {"action": "none", "schema": current, "changes": []}
+    if compatible:
+        # target field order, so the op column can stay last at the caller
+        return {"action": "restart_widened", "schema": target, "changes": changes}
+    return {"action": "resnapshot", "schema": target, "changes": changes}

@@ -78,3 +78,48 @@ def test_validate_before_images(spark):
     assert ("u", True) in by_op
     assert ("d", False) in by_op
     assert ("c", True) in by_op
+
+
+def test_plan_schema_evolution():
+    from pyspark.sql import types as T
+
+    from flink_cdc_log_connectors_spark.sources.debezium import (
+        plan_schema_evolution,
+    )
+
+    cur = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("price", T.FloatType()),
+        ]
+    )
+    # identical → none
+    assert plan_schema_evolution(cur, cur)["action"] == "none"
+    # add column + widen int->long, float->double → restart with new schema
+    widened = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("price", T.DoubleType()),
+            T.StructField("note", T.StringType()),
+        ]
+    )
+    plan = plan_schema_evolution(cur, widened)
+    assert plan["action"] == "restart_widened"
+    assert plan["schema"] == widened
+    assert sorted(plan["changes"]) == [
+        "add:note:string", "widen:id:int->bigint", "widen:price:float->double",
+    ]
+    # dropped column → resnapshot
+    dropped = T.StructType([T.StructField("id", T.IntegerType())])
+    assert plan_schema_evolution(cur, dropped)["action"] == "resnapshot"
+    # narrowing → resnapshot
+    narrowed = T.StructType(
+        [
+            T.StructField("id", T.ShortType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("price", T.FloatType()),
+        ]
+    )
+    assert plan_schema_evolution(cur, narrowed)["action"] == "resnapshot"
