@@ -179,3 +179,28 @@ def test_idle_source_yields_no_rows_and_stable_offset(spark, fixture_dir, tmp_pa
     assert len(out_rows) == n_first
     run()  # still idle after two triggers
     assert len(out_rows) == n_first
+
+
+def test_stream_earliest_mode_log_only_no_snapshot(spark, fixture_dir, tmp_path):
+    """`earliest`: log from the beginning, NO snapshot phase — op 'r' rows
+    must not appear even when a snapshotPath is configured."""
+    stream = read_cdc_stream(
+        spark,
+        fixture_dir,
+        PRODUCTS_PHYSICAL,
+        snapshot_path=os.path.join(fixture_dir, "snapshot"),
+        starting_offsets="earliest",
+    )
+    rows: list = []
+    q = (
+        stream.writeStream.foreachBatch(lambda b, _e: rows.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "earliest_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ops = {r["op"] for r in rows}
+    assert "r" not in ops               # no snapshot reads
+    assert ops <= {"c", "u", "d"}
+    # the full log: 4 updates ×2 images + 2 creates + 1 delete
+    assert len(rows) == 4 * 2 + 2 + 1
