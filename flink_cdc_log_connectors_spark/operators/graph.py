@@ -65,11 +65,12 @@ def connected_components(
     # Iterate ONLY over nodes that touch an edge: isolated nodes (the
     # overwhelming majority of a deduped corpus) can never change label,
     # so they stay out of every round and rejoin at the end — per-round
-    # work is O(|edge nodes|), not O(|corpus|).
+    # work is O(|edge nodes|), not O(|corpus|).  Initial label =
+    # min(self, direct neighbors) — the first propagation round folded
+    # into one aggregation, no join.
     labels = (
-        adj.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        adj.groupBy(F.col("a").alias("node"))
+        .agg(F.least(F.col("a"), F.min("b")).alias("label"))
         .repartition(parts, "node")
         .localCheckpoint(eager=True)
     )
