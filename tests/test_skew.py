@@ -64,3 +64,39 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bk_a")
         spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+def test_time_partitioned_layout_prunes_partitions(spark, tmp_path):
+    from flink_cdc_log_connectors_spark.io import load_table
+    from flink_cdc_log_connectors_spark.operators.skew import (
+        read_time_range,
+        write_time_partitioned,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    path = str(tmp_path / "events_by_day")
+    write_time_partitioned(events, path, "ts")
+    full = spark.read.parquet(path)
+    days = sorted(r["__part"] for r in full.select("__part").distinct().collect())
+    assert len(days) > 3  # the fixture spans multiple days
+    one_day = read_time_range(
+        spark, path, "ts", str(days[1]), str(days[2])
+    )
+    # partition pruning: the __part predicate must reach the scan as a
+    # partition filter (pruned at file-listing time, before any IO), and
+    # the ts range must be pushed into parquet row-group filters
+    from flink_cdc_log_connectors_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(one_day)
+    part_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "__part" in part_line and "[]" not in part_line.replace(" ", "")
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "ts" in pushed
+    # correctness: same rows as an unpartitioned filter
+    import pyspark.sql.functions as F
+
+    expected = events.filter(
+        (F.col("ts") >= F.lit(str(days[1])).cast("timestamp"))
+        & (F.col("ts") < F.lit(str(days[2])).cast("timestamp"))
+    ).count()
+    assert one_day.count() == expected
