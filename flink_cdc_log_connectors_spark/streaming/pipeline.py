@@ -244,3 +244,61 @@ def interval_join(
         & (F.col(f"r.{right_ts}") <= F.expr(f"l.{left_ts} + INTERVAL {upper}"))
     )
     return lw.join(rw, cond)
+
+
+def fanout_by_table(
+    stream: DataFrame,
+    output_base: str,
+    checkpoint_path: str,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    tables: Sequence[str] | None = None,
+    src_col: str = "_src",
+):
+    """Whole-database capture: ONE change stream carrying many tables
+    (the reference's ``table-name`` regex surface — one source captures
+    `tbl_\\d+`; ``MySqlSourceOptions.java:58-68``) materialized into one
+    state directory per table, in a single ``foreachBatch`` pass.
+
+    The alternative — one streaming query per table — re-reads and
+    re-parses the log N times; here the batch is read once, split by the
+    metadata table name, and each slice merged into
+    ``{output_base}/{table}``.  ``tables=None`` discovers the batch's
+    tables dynamically (a driver-side distinct over one microbatch — the
+    per-batch table list, not the data, so O(tables) not O(rows)).
+    """
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.persist()
+        try:
+            names = tables
+            if names is None:
+                names = [
+                    r[0]
+                    for r in batch.select(
+                        F.col(f"{src_col}.table_name")
+                    ).distinct().collect()
+                ]
+            for t in names:
+                slice_ = batch.filter(F.col(f"{src_col}.table_name") == t)
+                out = f"{output_base}/{t}"
+                part = slice_.withColumn("__epoch", F.lit(epoch_id))
+                try:
+                    state = spark.read.parquet(out)
+                    part = state.unionByName(part, allowMissingColumns=True)
+                except Exception:
+                    pass
+                merged = apply_changelog(
+                    part, keys=list(keys), order_by=["__epoch", *order_by]
+                )
+                merged.write.mode("overwrite").parquet(out + "._tmp")
+                spark.read.parquet(out + "._tmp").write.mode("overwrite").parquet(out)
+        finally:
+            batch.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )

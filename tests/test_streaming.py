@@ -223,3 +223,57 @@ def test_interval_join_stream_stream(spark, tmp_path):
     )
     # only ship events within [order_ts, order_ts + 5 min] match
     assert got == [("k1", 100, "S-in-window"), ("k2", 200, "S-in-window")]
+
+
+def test_fanout_by_table_whole_database_capture(spark, tmp_path):
+    """One stream carrying two tables → two materialized state tables in a
+    single foreachBatch pass (whole-database capture)."""
+    import json
+
+    from flink_cdc_log_connectors_spark.streaming.pipeline import fanout_by_table
+    from flink_cdc_log_connectors_spark.sources.debezium import (
+        CHANGELOG_ORDER_BY,
+        offset_sort_columns,
+    )
+
+    log_dir = tmp_path / "log"
+    log_dir.mkdir()
+    envs = []
+    for i, (table, op, after) in enumerate(
+        [
+            ("products", "c", {"id": 1, "name": "a", "weight": 1.0}),
+            ("orders_t", "c", {"id": 1, "name": "o1", "weight": 5.0}),
+            ("products", "u", {"id": 1, "name": "a2", "weight": 2.0}),
+            ("orders_t", "d", None),
+        ]
+    ):
+        before = {"id": 1, "name": "x", "weight": 0.0} if op in ("u", "d") else None
+        envs.append(json.dumps({
+            "before": before, "after": after, "op": op,
+            "ts_ms": 1_700_000_000_000 + i,
+            "source": {"db": "inv", "table": table,
+                       "ts_ms": 1_700_000_000_000 + i,
+                       "file": "binlog.000000", "pos": i},
+        }))
+    (log_dir / "log-000000.jsonl").write_text("\n".join(envs) + "\n")
+
+    stream = read_cdc_stream(spark, str(tmp_path), PRODUCTS_PHYSICAL,
+                             starting_offsets="earliest")
+    q = (
+        fanout_by_table(
+            offset_sort_columns(stream),
+            output_base=str(tmp_path / "state"),
+            checkpoint_path=str(tmp_path / "fo_ckpt"),
+            keys=["id"],
+            order_by=CHANGELOG_ORDER_BY,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    products = spark.read.parquet(str(tmp_path / "state" / "products")).collect()
+    assert {(r["id"], r["name"], r["weight"]) for r in products} == {(1, "a2", 2.0)}
+    # orders_t: create then delete → empty state
+    orders = spark.read.parquet(str(tmp_path / "state" / "orders_t")).collect()
+    assert orders == []
