@@ -226,6 +226,7 @@ def interval_join(
     lower: str = "0 seconds",
     upper: str = "10 minutes",
     watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join (Flink's interval join, the form the
     reference's users run between two CDC streams): match rows with equal
@@ -235,7 +236,8 @@ def interval_join(
     BOTH directions, so Structured Streaming can expire join state — state
     size is O(rate × (lower+upper)), independent of stream length; without
     the time bound the state would grow forever.  The equi-key keeps the
-    exchange a hash partition on ``key``."""
+    exchange a hash partition on ``key``.  ``how='leftOuter'`` etc. emit
+    unmatched rows with NULLs after the watermark closes their window."""
     lw = left.withWatermark(left_ts, watermark).alias("l")
     rw = right.withWatermark(right_ts, watermark).alias("r")
     cond = (
@@ -243,7 +245,10 @@ def interval_join(
         & (F.col(f"r.{right_ts}") >= F.expr(f"l.{left_ts} - INTERVAL {lower}"))
         & (F.col(f"r.{right_ts}") <= F.expr(f"l.{left_ts} + INTERVAL {upper}"))
     )
-    return lw.join(rw, cond)
+    # outer variants emit the unmatched side with NULLs once the
+    # watermark proves no match can still arrive — supported because the
+    # time bounds make join state finite
+    return lw.join(rw, cond, how)
 
 
 def fanout_by_table(

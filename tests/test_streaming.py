@@ -277,3 +277,57 @@ def test_fanout_by_table_whole_database_capture(spark, tmp_path):
     # orders_t: create then delete → empty state
     orders = spark.read.parquet(str(tmp_path / "state" / "orders_t")).collect()
     assert orders == []
+
+
+def test_interval_join_left_outer_emits_unmatched(spark, tmp_path):
+    from flink_cdc_log_connectors_spark.streaming.pipeline import interval_join
+
+    o_rows = [("2024-01-01 10:00:00", "k1", 1), ("2024-01-01 10:00:00", "k2", 2)]
+    s_rows = [("2024-01-01 10:02:00", "k1", "hit"),
+              ("2024-01-01 12:00:00", "k1", "wm-advance")]  # advances watermark
+    op, sp = str(tmp_path / "oj_o"), str(tmp_path / "oj_s")
+    odf = spark.createDataFrame(o_rows, "ts_s string, k string, amt int").withColumn(
+        "ots", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    sdf = spark.createDataFrame(s_rows, "ts_s string, k string, tag string").withColumn(
+        "sts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    odf.repartition(1).write.parquet(op)
+    sdf.repartition(1).write.parquet(sp)
+    left = spark.readStream.schema(odf.schema).parquet(op)
+    right = spark.readStream.schema(sdf.schema).parquet(sp)
+    joined = interval_join(
+        left, right, key="k", left_ts="ots", right_ts="sts",
+        lower="0 seconds", upper="5 minutes", watermark="10 minutes",
+        how="leftOuter",
+    ).select(F.col("l.k").alias("k"), "amt", "tag")
+    rows: list = []
+
+    def run():
+        q = (
+            joined.writeStream.foreachBatch(lambda b, _e: rows.extend(b.collect()))
+            .option("checkpointLocation", str(tmp_path / "oj_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    # outer results finalize only when a LATER BATCH advances the watermark
+    # past the unmatched row's join window — append a fresh far-future row
+    # (an empty batch would advance nothing: no data, no batch)
+    # (the global watermark is the MIN across sources, so BOTH sides
+    # must see later event times)
+    more_r = spark.createDataFrame(
+        [("2024-01-01 14:00:00", "k9", "wm-advance-2")],
+        "ts_s string, k string, tag string",
+    ).withColumn("sts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    more_r.repartition(1).write.mode("append").parquet(sp)
+    more_l = spark.createDataFrame(
+        [("2024-01-01 14:00:00", "k9", 0)],
+        "ts_s string, k string, amt int",
+    ).withColumn("ots", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    more_l.repartition(1).write.mode("append").parquet(op)
+    run()
+    run()  # one more trigger to flush state evicted by the advanced watermark
+    got = sorted((r["k"], r["amt"], r["tag"]) for r in rows)
+    assert ("k1", 1, "hit") in got
+    assert ("k2", 2, None) in got      # unmatched left emitted with NULL
