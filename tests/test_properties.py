@@ -90,3 +90,50 @@ def test_apply_changelog_equals_dict_replay(spark, log):
         for r in apply_changelog(df, keys=["k"], order_by=["off"]).collect()
     }
     assert got == expected
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        max_size=25,
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_connected_components_match_union_find(spark, edge_list):
+    """Distributed min-label propagation equals a driver-side union-find
+    on random sparse graphs."""
+    from flink_cdc_log_connectors_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = [(a, b) for a, b in edge_list if a != b]
+    node_ids = sorted({n for e in edges for n in e} | set(range(5)))
+    # reference: union-find with min-id representative
+    parent = {n: n for n in node_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    expected = {n: find(n) for n in node_ids}
+
+    nodes_df = spark.createDataFrame([(n,) for n in node_ids], "doc_id long")
+    edges_df = spark.createDataFrame(
+        edges or [(0, 0)], "d1 long, d2 long"
+    ).filter("d1 != d2")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(nodes_df, edges_df).collect()
+    }
+    assert got == expected
