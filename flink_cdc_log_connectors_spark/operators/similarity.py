@@ -366,6 +366,102 @@ def simsearch_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_pairs(emb, min_sim=0.4).orderBy("d1", "d2")
 
 
+def ivf_multiprobe_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    cell_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Multi-probe IVF: each query scans the ``nprobe`` cells whose
+    CENTROIDS are nearest to it — recovering the recall a single-probe
+    IVF loses when a true neighbor sits just across a cell boundary.
+
+    Centroids are computed distributed (one tiny row per cell via
+    ``applyInPandas``) and collected — O(cells × dim) driver data, the
+    IVF codebook every ANN system keeps resident.  The scan stays
+    map-only over the candidate side with a per-batch BLAS matmul; the
+    only change vs single-probe is the cell-membership mask (query q
+    scores candidate c iff c's cell ∈ q's probe set).  At 100 TB with
+    storage bucketed by cell, non-probed cells are partition-pruned.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def cell_mean(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        return pd.DataFrame(
+            {cell_col: [pdf[cell_col].iloc[0]], "centroid": [m.mean(axis=0).tolist()]}
+        )
+
+    cent_rows = (
+        candidates.select(cell_col, vec_col)
+        .groupBy(cell_col)
+        .applyInPandas(cell_mean, f"{cell_col} long, centroid array<double>")
+        .collect()
+    )
+    cells = np.array([r[0] for r in cent_rows], dtype="int64")
+    cmat = np.stack([np.asarray(r[1]) for r in cent_rows])  # C × D
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype="int64")
+    qm = np.stack([np.asarray(r[1], dtype="float64") for r in q_rows])
+    # nearest nprobe cells per query by euclidean distance to centroid
+    d2 = ((qm[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+    probe_sets = [
+        set(cells[np.argsort(d2[i])[:nprobe]].tolist()) for i in range(len(q_ids))
+    ]
+    qmat_t, q_norms = qm.T, np.sqrt((qm * qm).sum(axis=1))
+    nq = len(q_ids)
+    probes_b = [
+        np.array([c in probe_sets[i] for c in cells], dtype=bool)
+        for i in range(nq)
+    ]
+    cell_index = {c: j for j, c in enumerate(cells.tolist())}
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.sqrt((m * m).sum(axis=1))
+            sims = (m @ qmat_t) / np.outer(norms, q_norms)
+            cand_cells = pdf[cell_col].to_numpy()
+            cell_pos = np.array([cell_index[c] for c in cand_cells])
+            # mask[c_row, q] = candidate's cell in query q's probe set
+            mask = np.stack([probes_b[q][cell_pos] for q in range(nq)], axis=1)
+            cand_ids = pdf[id_col].to_numpy()
+            out = pd.DataFrame(
+                {
+                    "query_id": np.tile(q_ids, len(pdf)),
+                    "neighbor_id": np.repeat(cand_ids, nq),
+                    "probed": mask.ravel(),
+                    "sim": np.round(sims.ravel(), 6),
+                }
+            )
+            yield out[out.probed & (out.query_id != out.neighbor_id)][
+                ["query_id", "neighbor_id", "sim"]
+            ]
+
+    scored = candidates.select(id_col, cell_col, vec_col).mapInPandas(
+        score, "query_id long, neighbor_id long, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    )
+
+
+def ann_multiprobe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ivf_multiprobe_topk(queries, emb, k=3, nprobe=2).orderBy("query_id", "rk")
+
+
 # --------------------------------------------------------------------------
 # int8 quantized similarity — the 100 TB storage/shuffle compression path
 # --------------------------------------------------------------------------
@@ -473,5 +569,8 @@ SIMILARITY_QUERIES = {
     "ann_ivf_label": (ann_ivf_query, ANN_IVF_SQL),
     # LSH banding recall is probabilistic — rows-only check.
     "simsearch_lsh_cosine": (simsearch_lsh_query, None),
+    # centroid float sums aren't ANSI-portable — rows-only; recall vs the
+    # exact top-k is asserted in tests instead.
+    "ann_ivf_multiprobe": (ann_multiprobe_query, None),
     "simsearch_int8_pairs": (quantized_pairs_query, _quantized_sql()),
 }

@@ -177,3 +177,38 @@ def test_int8_quantized_cosine_close_to_fp64(spark):
             math.sqrt(sum(x * x for x in va)) * math.sqrt(sum(y * y for y in vb))
         )
         assert abs(qsim - cos) < 0.02
+
+
+def test_ivf_multiprobe_recall_at_least_single_probe(spark):
+    """nprobe=2 must recover at least as many exact top-k neighbors as the
+    single-cell probe, and all its reported sims must match brute force."""
+    from flink_cdc_log_connectors_spark.io import load_table
+    from flink_cdc_log_connectors_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_multiprobe_topk,
+        ivf_topk,
+    )
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(queries, emb, k=3).collect()
+    }
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(queries, emb, k=3).collect()
+    }
+    multi = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_multiprobe_topk(queries, emb, k=3, nprobe=2).collect()
+    }
+    assert len(multi & exact) >= len(single & exact)
+    # multiprobe with nprobe = all cells degenerates to brute force
+    n_cells = emb.select("label").distinct().count()
+    all_probe = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_multiprobe_topk(queries, emb, k=3, nprobe=n_cells).collect()
+    }
+    assert all_probe == exact
