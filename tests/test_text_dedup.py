@@ -212,3 +212,30 @@ def test_ivf_multiprobe_recall_at_least_single_probe(spark):
         for r in ivf_multiprobe_topk(queries, emb, k=3, nprobe=n_cells).collect()
     }
     assert all_probe == exact
+
+
+def test_winnow_shared_run_guarantees_shared_fingerprint(spark):
+    """Winnowing guarantee: docs sharing a run >= w+k-1 chars share >= 1
+    fingerprint; disjoint texts share none (w.h.p.)."""
+    from flink_cdc_log_connectors_spark.operators.text import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    shared = "zzqqkkjjxxwwvvrrttyy"  # 20 chars >= w+k-1 = 12
+    df = spark.createDataFrame(
+        [
+            (1, "prefix one " + shared + " suffix alpha"),
+            (2, "other start " + shared + " different end"),
+            (3, "completely unrelated content with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(df).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2]          # shared run → shared fingerprint
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
