@@ -219,3 +219,97 @@ MULTIMODAL_QUERIES = {
     "mm_decode_features": (mm_features_query, None),
     "mm_frame_sample": (mm_frames_query, MM_FRAMES_SQL),
 }
+
+
+OUT_SIDE = 8  #: resized output grid side (8×8 "thumbnail")
+
+
+def resize_assets(assets: DataFrame, out_side: int = OUT_SIDE) -> DataFrame:
+    """Image-resize plumbing: interpret each payload as a square byte grid
+    (side = floor(sqrt(byte_len)), the deterministic stand-in for a real
+    decoded raster) and nearest-neighbor-resample it to ``out_side²``
+    bytes with one vectorized numpy gather per asset — the exact batch
+    shape a PIL/torchvision ``resize`` slots into (swap `_grid_resample`
+    for the codec call; schema, Arrow batching, and fan-in stay as-is).
+
+    Output carries the resized payload, its md5 (content key for
+    downstream thumbnail dedup), and the mean byte value (a cheap
+    brightness-style feature proving the resample touched real bytes).
+    """
+    import hashlib
+
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sides, md5s, means, outs = [], [], [], [], []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                buf = np.frombuffer(bytes(payload), dtype=np.uint8)
+                side = int(len(buf) ** 0.5)
+                if side == 0:
+                    continue
+                grid = buf[: side * side].reshape(side, side)
+                idx = (np.arange(out_side) * side) // out_side
+                resized = grid[np.ix_(idx, idx)]
+                rb = resized.tobytes()
+                ids.append(asset_id)
+                sides.append(side)
+                md5s.append(hashlib.md5(rb).hexdigest())
+                means.append(float(resized.mean()))
+                outs.append(bytearray(rb))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "src_side": pd.Series(sides, dtype="int32"),
+                    "thumb": pd.Series(outs, dtype="object"),
+                    "thumb_md5": pd.Series(md5s, dtype="object"),
+                    "mean_byte": pd.Series(means, dtype="float64"),
+                }
+            )
+
+    return assets.mapInPandas(
+        op,
+        schema=(
+            "asset_id bigint, src_side int, thumb binary, "
+            "thumb_md5 string, mean_byte double"
+        ),
+    )
+
+
+def mm_resize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        resize_assets(attach_binary_payload(docs))
+        .select("asset_id", "src_side", "thumb_md5", F.round("mean_byte", 4).alias("mean_byte"))
+        .orderBy("asset_id")
+    )
+
+
+# Oracle-checkable on the ASCII corpus: the "grid" is text chars, so the
+# gathered thumbnail is a concat of 64 substrings at the same computed
+# offsets; the mean byte is the average of their ASCII codes.
+def _mm_resize_sql() -> str:
+    out = OUT_SIDE
+    picks = (
+        f"list_transform(generate_series(0, {out * out - 1}), "
+        f"p -> substring(text, ((p // {out}) * side // {out}) * side "
+        f"+ ((p % {out}) * side // {out}) + 1, 1))"
+    )
+    return f"""
+WITH a AS (
+  SELECT doc_id AS asset_id, text,
+         CAST(floor(sqrt(length(text))) AS INT) AS side
+  FROM documents WHERE length(text) >= 1
+),
+g AS (SELECT asset_id, side, {picks} AS px FROM a)
+SELECT asset_id, side AS src_side,
+       md5(array_to_string(px, '')) AS thumb_md5,
+       round(list_sum(list_transform(px, c -> ascii(c)))::DOUBLE / {out * out}, 4)
+         AS mean_byte
+FROM g ORDER BY asset_id
+"""
+
+
+MULTIMODAL_QUERIES["mm_resize"] = (mm_resize_query, _mm_resize_sql())
