@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.text import (
     STOPWORDS,
@@ -288,25 +289,47 @@ def winnow_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exploded (doc, fp) join-key form for candidate generation."""
     k, w = WINNOW_K, WINNOW_W
     docs = load_table(spark, sf_dir, "documents")
-    hashes = (
-        f"transform(sequence(1, greatest(length(text) - {k - 1}, 1)), "
-        f"j -> cast(conv(substr(md5(substring(text, j, {k})), 1, 15), 16, 10) AS BIGINT))"
+    # Relational form, no nested higher-order functions: posexplode the
+    # k-gram positions, hash each gram with a codegen'd expression, take
+    # the w-window minimum with a window function, dedup, aggregate.
+    # Tried and rejected: (a) chained selects over array HOFs — project
+    # collapse inlines the nested-lambda tree up to 8×, and whole-stage
+    # codegen then spends ~8.5 s compiling per build (fresh exprIds defeat
+    # the codegen cache); (b) a struct-accumulator `aggregate` to bind the
+    # array once — struct construction per element is interpreted and
+    # ~100× slower than the window form.  The two skinny shuffles here
+    # (window by doc, fp dedup) carry (doc_id, j, h) rows and are the
+    # standard winnowing shape at any scale.
+    n = F.length("text")
+    win = Window.partitionBy("doc_id").orderBy("j").rowsBetween(0, w - 1)
+    grams = docs.select(
+        "doc_id",
+        "text",
+        n.alias("n"),
+        F.posexplode(
+            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+        ).alias("idx", "j"),
+    ).select(
+        "doc_id",
+        "n",
+        "j",
+        F.conv(F.substring(F.md5(F.expr(f"substring(text, j, {k})")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
     )
-    mins = (
-        f"array_distinct(transform(sequence(1, greatest(size(__h) - {w - 1}, 1)), "
-        f"i -> array_min(slice(__h, i, {w}))))"
+    fps = (
+        grams.withColumn("wmin", F.min("h").over(win))
+        .filter(F.col("j") <= F.greatest(F.col("n") - (k + w - 2), F.lit(1)))
+        .select("doc_id", F.col("wmin").alias("fp"))
+        .distinct()
     )
     return (
-        docs.select("doc_id", F.expr(hashes).alias("__h"))
-        .select("doc_id", F.expr(mins).alias("fps"))
-        .select(
-            "doc_id",
-            F.size("fps").alias("n_fps"),
-            F.array_min("fps").alias("fp_min"),
-            F.array_max("fps").alias("fp_max"),
-            F.expr(
-                "aggregate(fps, CAST(0 AS DECIMAL(38,0)), (acc, x) -> acc + x)"
-            ).alias("fp_sum"),
+        fps.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_fps"),
+            F.min("fp").alias("fp_min"),
+            F.max("fp").alias("fp_max"),
+            F.sum(F.col("fp").cast("decimal(38,0)")).alias("fp_sum"),
         )
         .orderBy("doc_id")
     )
