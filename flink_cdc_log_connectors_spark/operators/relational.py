@@ -742,6 +742,52 @@ ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
 """
 
 
+# --------------------------------------------------------------------------
+# Q23 TPC-H Q3 shape: selective dims filter a two-fact join, ranked output.
+# customer(filtered) broadcasts into orders(filtered), lineitem joins on the
+# shuffled order key; revenue aggregated in exact decimals, top-10 by
+# TakeOrdered.  The canonical "shipping priority" plan at any scale: the
+# only big shuffle is lineitem on o_orderkey.
+# --------------------------------------------------------------------------
+def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cut = "1995-03-15"
+    c = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = orders.filter(
+        F.col("o_orderdate") < F.lit(f"{cut} 00:00:00").cast("timestamp_ntz")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    l = lineitem.filter(
+        F.col("l_shipdate") > F.lit(f"{cut} 00:00:00").cast("timestamp_ntz")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+Q23_SQL = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
+
+
 #: name -> (query builder, oracle SQL)
 RELATIONAL_QUERIES = {
     "q01_project_scalar": (q1, Q1_SQL),
@@ -775,4 +821,5 @@ RELATIONAL_QUERIES = {
     "q20_percentiles": (q20, Q20_SQL),
     "q21_token_freq": (q21, _q21_sql()),
     "q22_grouping_sets": (q22, Q22_SQL),
+    "q23_shipping_priority": (q23, Q23_SQL),
 }
