@@ -63,4 +63,10 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         out.update(GRAPH_QUERIES)
     except ImportError:
         pass
+    try:
+        from .operators.clustering import CLUSTERING_QUERIES
+
+        out.update(CLUSTERING_QUERIES)
+    except ImportError:
+        pass
     return out

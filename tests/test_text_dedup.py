@@ -239,3 +239,25 @@ def test_winnow_shared_run_guarantees_shared_fingerprint(spark):
     assert by_doc[1] & by_doc[2]          # shared run → shared fingerprint
     assert not (by_doc[1] & by_doc[3])
     assert not (by_doc[2] & by_doc[3])
+
+
+def test_kmeans_recovers_separable_clusters(spark):
+    import random
+
+    from flink_cdc_log_connectors_spark.operators.clustering import kmeans_assign
+
+    rnd = random.Random(3)
+    centers = [[10.0] * 8, [-10.0] * 8, [10.0] * 4 + [-10.0] * 4]
+    rows = []
+    for i in range(60):
+        c = centers[i % 3]
+        rows.append((i, [x + rnd.uniform(-0.5, 0.5) for x in c]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_assign(df, k=3, max_iter=10).collect()
+    by_true = {}
+    for r in out:
+        by_true.setdefault(r["vec_id"] % 3, set()).add(r["cluster"])
+    # every true cluster maps to exactly one k-means cell, all distinct
+    assert all(len(cells) == 1 for cells in by_true.values())
+    assert len(set.union(*by_true.values())) == 3
+    assert all(r["dist2"] < 8 * 0.5**2 + 1e-6 for r in out)
