@@ -292,14 +292,15 @@ def winnow_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Relational form, no nested higher-order functions: posexplode the
     # k-gram positions, hash each gram with a codegen'd expression, take
     # the w-window minimum with a window function, dedup, aggregate.
-    # Tried and rejected: (a) chained selects over array HOFs — project
-    # collapse inlines the nested-lambda tree up to 8×, and whole-stage
-    # codegen then spends ~8.5 s compiling per build (fresh exprIds defeat
-    # the codegen cache); (b) a struct-accumulator `aggregate` to bind the
-    # array once — struct construction per element is interpreted and
-    # ~100× slower than the window form.  The two skinny shuffles here
-    # (window by doc, fp dedup) carry (doc_id, j, h) rows and are the
-    # standard winnowing shape at any scale.
+    # Tried and rejected: (a) chained selects binding the hash array to a
+    # column — ProjectCollapse inlines the HOF tree up to 8×, and
+    # whole-stage codegen spends ~8.5 s compiling per build (fresh exprIds
+    # defeat the codegen cache) even though runtime CSE keeps execution at
+    # 0.13 s; (b) writing the hash-array expression INSIDE the window
+    # lambda to get a single syntactic copy — lambda bodies re-evaluate
+    # per element, turning n md5 calls into n², i.e. minutes.  The two
+    # skinny shuffles here (window by doc, fp dedup) carry (doc_id, j, h)
+    # rows and are the standard winnowing shape at any scale.
     n = F.length("text")
     win = Window.partitionBy("doc_id").orderBy("j").rowsBetween(0, w - 1)
     grams = docs.select(
