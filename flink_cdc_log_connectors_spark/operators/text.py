@@ -330,7 +330,12 @@ def winnow_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("int").alias("n_fps"),
             F.min("fp").alias("fp_min"),
             F.max("fp").alias("fp_max"),
-            F.sum(F.col("fp").cast("decimal(38,0)")).alias("fp_sum"),
+            # BIGINT-safe modular checksum: fp < 2^60 and positive, so
+            # fp % p < 2^31 and the sum over any realistic fingerprint
+            # count stays inside long range.  A DECIMAL(38,0) sum was
+            # value-identical to DuckDB's HUGEINT sum but normalized
+            # differently in the driver's hasher (r1 hash_match=false).
+            F.sum(F.col("fp") % F.lit(2147483647)).alias("fp_sum"),
         )
         .orderBy("doc_id")
     )
@@ -353,7 +358,7 @@ f AS (
 )
 SELECT doc_id, CAST(len(fps) AS INT) AS n_fps,
        list_min(fps) AS fp_min, list_max(fps) AS fp_max,
-       CAST(list_reduce(list_transform(fps, x -> x::HUGEINT), (acc, x) -> acc + x) AS DECIMAL(38,0)) AS fp_sum
+       CAST(list_reduce(list_transform(fps, x -> x % 2147483647), (acc, x) -> acc + x) AS BIGINT) AS fp_sum
 FROM f ORDER BY doc_id
 """
 
