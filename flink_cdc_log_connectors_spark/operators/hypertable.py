@@ -37,14 +37,16 @@ _EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
 def time_bucket(width_seconds: int, ts_col: str) -> Column:
     """Floor a TIMESTAMP_NTZ column to a fixed-width bucket (epoch-aligned).
 
-    Integer floor-division on whole seconds — no session-timezone
-    dependence, whole-stage-codegen'd, and identical semantics to DuckDB's
-    epoch arithmetic used in the oracles.
+    FLOOR-aligned on whole seconds via ``pmod`` (bucket start =
+    s - pmod(s, w)) — exact integer arithmetic, no session-timezone
+    dependence, whole-stage-codegen'd.  ``div`` would truncate toward
+    zero and mis-bucket pre-epoch timestamps (upper-aligned buckets);
+    pmod floors for negative s exactly like DuckDB's ``//`` used in the
+    oracles.
     """
+    s = f"timestampdiff(SECOND, {_EPOCH}, {ts_col})"
     return F.expr(
-        f"timestampadd(SECOND, "
-        f"(timestampdiff(SECOND, {_EPOCH}, {ts_col}) div {width_seconds}) "
-        f"* {width_seconds}, {_EPOCH})"
+        f"timestampadd(SECOND, {s} - pmod({s}, {width_seconds}), {_EPOCH})"
     )
 
 

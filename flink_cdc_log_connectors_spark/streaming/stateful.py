@@ -8,10 +8,11 @@ Two API generations, both supported:
   ``transformWithStateInPandas`` (Spark 4 StatefulProcessor + RocksDB
   state store): the fork's changelog-apply semantics (P7/L2 — latest
   image per key wins, deletes clear the key) as a continuously-updated
-  keyed state machine.  Unlike the foreachBatch rewrite in
-  ``pipeline.materialize_changelog`` (O(state) per batch), state here
-  lives in the store and each batch touches only changed keys —
-  the per-key-incremental shape a 100 TB materialization needs.
+  keyed state machine.  Complements the bucket-granular foreachBatch
+  sink (``pipeline.materialize_changelog`` over ``PartitionedStateTable``,
+  O(touched buckets) per batch): state here lives in the store and each
+  batch touches only changed KEYS — the finest-grained incremental shape
+  for a 100 TB materialization.
 """
 
 from __future__ import annotations
@@ -65,26 +66,33 @@ class ChangelogStateProcessor(StatefulProcessor):
     code (c/u/r upsert, d delete — reference
     ``RowDataDebeziumDeserializeSchema.java:117-146`` semantics) and
     ``seq`` a monotone offset within the key.  State is the latest
-    (seq, value); an arriving row older than the stored seq is ignored
-    (idempotent replay), a delete clears the key.  Emits the key's
-    current state after each batch that touched it.
+    (seq, deleted, value).  An arriving row older than the stored seq is
+    ignored (idempotent replay); a delete keeps a (seq, deleted=true)
+    TOMBSTONE in state rather than clearing it — clearing would lose the
+    seq watermark, so a replayed stale upsert in a later batch would
+    resurrect the deleted key.  Emits the key's current state (key
+    included — TWS does not prepend grouping keys to output rows) after
+    each batch that touched it.
     """
 
-    def __init__(self, value_field: str = "value double"):
+    def __init__(self, key_field: str = "id int", value_field: str = "value double"):
+        self._key_field = key_field
+        self._key_name = key_field.split()[0]
         self._value_field = value_field
 
     def init(self, handle) -> None:
         self._state = handle.getValueState(
-            "cur", f"seq long, {self._value_field}"
+            "cur", f"seq long, deleted boolean, {self._value_field}"
         )
 
     def handleInputRows(self, key, rows, timerValues):
         import pandas as pd
 
-        best_seq, best_val = (
-            tuple(self._state.get()) if self._state.exists() else (-1, None)
+        best_seq, deleted, best_val = (
+            tuple(self._state.get())
+            if self._state.exists()
+            else (-1, False, None)
         )
-        deleted = False
         for pdf in rows:
             for seq, op, val in zip(pdf["seq"], pdf["op"], pdf["value"]):
                 if seq <= best_seq:
@@ -94,13 +102,15 @@ class ChangelogStateProcessor(StatefulProcessor):
                     deleted, best_val = True, None
                 else:
                     deleted, best_val = False, val
-        if deleted:
-            self._state.clear()
-            # tombstone row so downstream sinks can delete the key
-            yield pd.DataFrame({"value": [None], "present": [False]})
-        else:
-            self._state.update((best_seq, best_val))
-            yield pd.DataFrame({"value": [best_val], "present": [True]})
+        self._state.update((best_seq, bool(deleted), best_val))
+        # present=False rows are tombstones so downstream sinks can delete
+        yield pd.DataFrame(
+            {
+                self._key_name: [key[0]],
+                "value": [best_val],
+                "present": [not deleted],
+            }
+        )
 
     def close(self) -> None:
         pass
@@ -115,9 +125,10 @@ def materialize_with_state(stream: DataFrame, key_col: str = "id") -> DataFrame:
     the accompanying test auto-skips there).  Stream schema:
     (key, value, op, seq).
     """
+    key_field = f"{key_col} {stream.schema[key_col].dataType.simpleString()}"
     return stream.groupBy(key_col).transformWithStateInPandas(
-        statefulProcessor=ChangelogStateProcessor(),
-        outputStructType="value double, present boolean",
+        statefulProcessor=ChangelogStateProcessor(key_field=key_field),
+        outputStructType=f"{key_field}, value double, present boolean",
         outputMode="Update",
         timeMode="None",
     )

@@ -100,6 +100,17 @@ def test_transform_with_state_changelog_materialization(spark, tmp_path):
         assert captured[1] == (None, False)
         if 2 in captured:
             assert captured[2] == (20.0, True)
+        # batch 3: stale upsert (seq=3 < tombstone seq=4) must NOT
+        # resurrect the deleted key — the tombstone keeps the seq
+        # watermark in state.
+        b3 = spark.createDataFrame(
+            [(1, 99.0, "u", 3)], "id int, value double, op string, seq long"
+        )
+        b3.repartition(1).write.mode("append").parquet(path)
+        captured.clear()
+        run()
+        if 1 in captured:
+            assert captured[1] == (None, False)
     finally:
         if old_provider:
             spark.conf.set(

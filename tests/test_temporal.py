@@ -63,3 +63,23 @@ def test_scd2_history(spark):
     assert by[(1, 30)]["valid_to"] is None
     assert not by[(1, 30)]["is_current"] and by[(1, 30)]["is_deleted"]
     assert by[(2, 15)]["is_current"]
+
+
+def test_time_bucket_floors_pre_epoch(spark):
+    # div truncates toward zero and would upper-align pre-epoch buckets;
+    # the pmod form must floor exactly like DuckDB's // (ADVICE r1).
+    from flink_cdc_log_connectors_spark.operators.hypertable import time_bucket
+
+    df = spark.sql(
+        "SELECT TIMESTAMP_NTZ '1969-12-31 23:59:59' AS ts "
+        "UNION ALL SELECT TIMESTAMP_NTZ '1970-01-01 00:00:01' "
+        "UNION ALL SELECT TIMESTAMP_NTZ '1969-12-31 22:00:00'"
+    )
+    got = sorted(
+        str(r["b"]) for r in df.select(time_bucket(3600, "ts").alias("b")).collect()
+    )
+    assert got == [
+        "1969-12-31 22:00:00",
+        "1969-12-31 23:00:00",
+        "1970-01-01 00:00:00",
+    ]

@@ -146,6 +146,34 @@ def test_connected_components_chain_and_isolated(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 6, 7: 6, 8: 8}
 
 
+def test_connected_components_deep_chain_pointer_jumping(spark):
+    # A depth-40 chain converges well inside 10 rounds only if pointer
+    # jumping is doing its job (one-hop propagation alone needs ~40).
+    from flink_cdc_log_connectors_spark.operators.graph import connected_components
+
+    n = 41
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "d1 long, d2 long"
+    )
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components(nodes, edges, max_iterations=10).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_raises_without_convergence(spark):
+    import pytest
+
+    from flink_cdc_log_connectors_spark.operators.graph import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "d1 long, d2 long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, max_iterations=1)
+
+
 def test_int8_quantized_cosine_close_to_fp64(spark):
     import math
     import random
