@@ -14,9 +14,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..operators.changelog import apply_changelog
 from ..sources.datasource import register
 from ..sources.debezium import parse_debezium
+from .statetable import PartitionedStateTable
 
 
 def read_cdc_stream(
@@ -96,34 +96,21 @@ def materialize_changelog(
     output_path: str,
     checkpoint_path: str,
     op_col: str = "op",
+    n_buckets: int = 64,
 ):
-    """``foreachBatch`` upsert materialization: each microbatch is merged
-    into the parquet state table with last-write-wins / delete-drops-key
-    semantics (MERGE-INTO emulation without Delta; with Delta installed,
-    swap the body for ``MERGE``).
-
-    Scale note: state is rewritten per batch — at 100 TB the state table
-    should be Delta/Iceberg with MERGE, or partitioned so only touched
-    partitions rewrite; the changelog semantics (apply_changelog) are
-    identical either way.
+    """``foreachBatch`` upsert materialization into a
+    :class:`~..streaming.statetable.PartitionedStateTable`: each microbatch
+    merges (last-write-wins / delete-drops-key) into ONLY the key-hash
+    buckets it touches, committed by an atomic manifest swap — per-batch
+    work is O(batch + touched buckets), not O(total state), and a crash
+    mid-write leaves the previous state intact.  Read the result back with
+    :func:`~.statetable.read_state`.  (With Delta/Iceberg installed, swap
+    the body for MERGE INTO — identical semantics.)
     """
+    table = PartitionedStateTable(output_path, list(keys), n_buckets=n_buckets)
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
-        spark = batch.sparkSession
-        batch = batch.withColumn("__epoch", F.lit(epoch_id))
-        try:
-            state = spark.read.parquet(output_path)
-        except Exception:
-            state = None
-        if state is not None:
-            batch = state.unionByName(batch, allowMissingColumns=True)
-        merged = apply_changelog(
-            batch, keys=list(keys), order_by=["__epoch", *order_by], op_col=op_col
-        )
-        merged.write.mode("overwrite").parquet(output_path + "._tmp")
-        spark.read.parquet(output_path + "._tmp").write.mode("overwrite").parquet(
-            output_path
-        )
+        table.upsert(batch, order_by=list(order_by), epoch_id=epoch_id, op_col=op_col)
 
     return (
         stream.writeStream.foreachBatch(merge_batch)
@@ -259,22 +246,25 @@ def fanout_by_table(
     order_by: Sequence[str],
     tables: Sequence[str] | None = None,
     src_col: str = "_src",
+    n_buckets: int = 64,
 ):
     """Whole-database capture: ONE change stream carrying many tables
     (the reference's ``table-name`` regex surface — one source captures
     `tbl_\\d+`; ``MySqlSourceOptions.java:58-68``) materialized into one
-    state directory per table, in a single ``foreachBatch`` pass.
+    :class:`PartitionedStateTable` per table, in a single ``foreachBatch``
+    pass.
 
     The alternative — one streaming query per table — re-reads and
     re-parses the log N times; here the batch is read once, split by the
     metadata table name, and each slice merged into
-    ``{output_base}/{table}``.  ``tables=None`` discovers the batch's
-    tables dynamically (a driver-side distinct over one microbatch — the
-    per-batch table list, not the data, so O(tables) not O(rows)).
+    ``{output_base}/{table}`` touching only the key-hash buckets the
+    slice hits (per-batch work O(batch), not O(state)).  ``tables=None``
+    discovers the batch's tables dynamically (a driver-side distinct over
+    one microbatch — the per-batch table list, not the data, so O(tables)
+    not O(rows)).
     """
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
-        spark = batch.sparkSession
         batch = batch.persist()
         try:
             names = tables
@@ -287,18 +277,9 @@ def fanout_by_table(
                 ]
             for t in names:
                 slice_ = batch.filter(F.col(f"{src_col}.table_name") == t)
-                out = f"{output_base}/{t}"
-                part = slice_.withColumn("__epoch", F.lit(epoch_id))
-                try:
-                    state = spark.read.parquet(out)
-                    part = state.unionByName(part, allowMissingColumns=True)
-                except Exception:
-                    pass
-                merged = apply_changelog(
-                    part, keys=list(keys), order_by=["__epoch", *order_by]
-                )
-                merged.write.mode("overwrite").parquet(out + "._tmp")
-                spark.read.parquet(out + "._tmp").write.mode("overwrite").parquet(out)
+                PartitionedStateTable(
+                    f"{output_base}/{t}", list(keys), n_buckets=n_buckets
+                ).upsert(slice_, order_by=list(order_by), epoch_id=epoch_id)
         finally:
             batch.unpersist()
 

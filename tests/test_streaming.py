@@ -40,7 +40,9 @@ def test_materialize_changelog_foreachbatch(spark, tmp_path):
         checkpoint_path=str(tmp_path / "ckpt"),
     ).trigger(availableNow=True).start()
     q.awaitTermination(120)
-    state = spark.read.parquet(out_path)
+    from flink_cdc_log_connectors_spark.streaming.statetable import read_state
+
+    state = read_state(spark, out_path, keys=["id"])
     got = {r["id"]: r["weight"] for r in state.collect()}
     assert got == EXPECTED_FINAL
 
@@ -272,11 +274,50 @@ def test_fanout_by_table_whole_database_capture(spark, tmp_path):
     )
     q.awaitTermination(120)
 
-    products = spark.read.parquet(str(tmp_path / "state" / "products")).collect()
+    from flink_cdc_log_connectors_spark.streaming.statetable import read_state
+
+    products = read_state(spark, str(tmp_path / "state" / "products"), ["id"]).collect()
     assert {(r["id"], r["name"], r["weight"]) for r in products} == {(1, "a2", 2.0)}
-    # orders_t: create then delete → empty state
-    orders = spark.read.parquet(str(tmp_path / "state" / "orders_t")).collect()
-    assert orders == []
+    # orders_t: create then delete → empty state (no live buckets)
+    orders = read_state(spark, str(tmp_path / "state" / "orders_t"), ["id"])
+    assert orders is None or orders.count() == 0
+
+
+def test_partitioned_state_table_batch_proportional(spark, tmp_path):
+    """Upserting one key rewrites ONLY that key's bucket: every other
+    bucket's version (and its files) stays untouched — the per-batch work
+    is proportional to the batch, not the state."""
+    from flink_cdc_log_connectors_spark.streaming.statetable import (
+        PartitionedStateTable,
+    )
+
+    t = PartitionedStateTable(str(tmp_path / "st"), ["id"], n_buckets=8)
+    b0 = spark.createDataFrame(
+        [(i, float(i), "c") for i in range(20)], "id int, v double, op string"
+    )
+    t.upsert(b0, order_by=["v"], epoch_id=0)
+    m0 = t.load_manifest()
+    assert set(m0.values()) == {0} and len(m0) >= 2
+
+    t.upsert(
+        spark.createDataFrame([(3, 99.0, "u")], "id int, v double, op string"),
+        order_by=["v"],
+        epoch_id=1,
+    )
+    m1 = t.load_manifest()
+    changed = {b for b in set(m0) | set(m1) if m0.get(b) != m1.get(b)}
+    assert len(changed) == 1  # exactly the bucket key 3 hashes into
+    got = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    assert len(got) == 20 and got[3] == 99.0 and got[5] == 5.0
+
+    # delete drops the key from state
+    t.upsert(
+        spark.createDataFrame([(3, None, "d")], "id int, v double, op string"),
+        order_by=["v"],
+        epoch_id=2,
+    )
+    got = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    assert len(got) == 19 and 3 not in got
 
 
 def test_interval_join_left_outer_emits_unmatched(spark, tmp_path):
