@@ -1,0 +1,526 @@
+"""``cdcsqlite`` — a LIVE database dialect for the CDC-log source.
+
+The file dialect (``sources/datasource.py``) proves the snapshot→log
+protocol on scripted Debezium-JSON files; this module proves it against a
+REAL mutating database.  SQLite is the only DB engine in this build
+environment, and it has no client-accessible replication log, so the
+dialect uses trigger-based change capture — the standard CDC pattern for
+engines without logical decoding: AFTER INSERT/UPDATE/DELETE triggers
+append before/after images to an ``_cdc_log`` table whose AUTOINCREMENT
+rowid is a total order over commits, i.e. the log offset (≈ binlog
+file/pos collapsed to one integer).
+
+What this exercises FOR REAL that the file dialect cannot:
+
+- **P5 low/high watermark capture** (DBLog, reference
+  ``SnapshotSplitReader.java:118-137``): ``log_position`` reads
+  ``MAX(id)`` from the live log immediately before and after each chunk
+  scan, while writers commit concurrently.
+- **P6 backfill + chunk merge** (``RecordUtils.upsertBinlog:138-192``):
+  events that landed inside a chunk's (low, high] window are merged onto
+  the chunk's rows (last-write-wins, delete-drops-key) so each emitted
+  chunk is point-in-time consistent at its own high watermark.
+- **L2 shouldEmit** (``BinlogSplitReader.shouldEmit:194-240``): during
+  the log phase an event is emitted only if its offset is past the high
+  watermark of the chunk covering its key — otherwise the chunk merge
+  already delivered its effect.
+
+Consistency argument (same as DBLog's): a chunk SELECT runs atomically at
+some commit point T with low ≤ T ≤ high.  Replaying log events in
+(low, high] over the chunk rows with last-write-wins is idempotent for
+events ≤ T (they rewrite the value already seen) and applies events > T,
+so the merged chunk equals the table's chunk range exactly at `high`.
+Log-phase events for that range are then filtered to id > high — no loss,
+no double-emit.
+
+Failover: mid-snapshot restart re-reads the current chunk against the
+LIVE database at a *new* watermark pair — not byte-identical to the lost
+read, but consistent at the new high watermark, which is the reference's
+recovery contract too (snapshot splits re-run on failover,
+``MySqlSourceReader`` re-assigns unacked splits).  Log-phase replay is
+deterministic: the audit log is append-only.
+
+The reader ships raw Debezium-style envelope JSON in the same
+``RAW_SCHEMA`` as the file dialect, so the entire downstream stack —
+``parse_debezium``, ``apply_changelog``, ``PartitionedStateTable`` sinks —
+is shared, unchanged.  That is the point of the S3 dialect SPI.
+"""
+
+from __future__ import annotations
+
+import json
+import sqlite3
+from typing import Any, Iterator, Tuple
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+from pyspark.sql import types as T
+
+from .chunking import DEFAULT_CHUNK_SIZE, ChunkRange, split_even
+from .datasource import RAW_SCHEMA
+
+LOG_TABLE = "_cdc_log"
+
+
+def _connect(db_path: str) -> sqlite3.Connection:
+    """Reader connection: WAL lets the capture read while writers commit
+    (the whole point of a lock-free snapshot); busy_timeout rides out
+    write-lock contention instead of erroring."""
+    conn = sqlite3.connect(db_path, timeout=30.0)
+    conn.execute("PRAGMA busy_timeout=30000")
+    return conn
+
+
+# ---------------------------------------------------------------------------
+# capture installation (DDL — the moral equivalent of "enable binlog")
+# ---------------------------------------------------------------------------
+
+def _table_columns(conn: sqlite3.Connection, table: str) -> list[str]:
+    return [r[1] for r in conn.execute(f"PRAGMA table_info({table})")]
+
+
+def _json_object(prefix: str, cols: list[str]) -> str:
+    """SQL fragment building a JSON image from NEW./OLD. row references."""
+    pairs = ", ".join(f"'{c}', {prefix}.{c}" for c in cols)
+    return f"json_object({pairs})"
+
+
+def install_cdc(db_path: str, table: str) -> None:
+    """Install change capture on ``table``: the ``_cdc_log`` audit table
+    plus AFTER INSERT/UPDATE/DELETE triggers writing before/after images.
+
+    Idempotent.  The AUTOINCREMENT id is assigned at INSERT time inside
+    the writer's transaction, so ids are totally ordered by commit order —
+    the single-integer analogue of (binlog file, position).
+    """
+    conn = _connect(db_path)
+    try:
+        # WAL: concurrent readers never block the writer (and vice versa) —
+        # required for a lock-free snapshot against a live writer
+        conn.execute("PRAGMA journal_mode=WAL")
+        cols = _table_columns(conn, table)
+        if not cols:
+            raise ValueError(f"table {table!r} does not exist in {db_path}")
+        conn.execute(
+            f"""CREATE TABLE IF NOT EXISTS {LOG_TABLE} (
+                id INTEGER PRIMARY KEY AUTOINCREMENT,
+                tbl TEXT NOT NULL,
+                op TEXT NOT NULL,
+                before TEXT,
+                after TEXT,
+                ts_ms INTEGER NOT NULL
+                    DEFAULT (CAST((julianday('now') - 2440587.5) * 86400000 AS INTEGER))
+            )"""
+        )
+        new_img = _json_object("NEW", cols)
+        old_img = _json_object("OLD", cols)
+        specs = [
+            ("ins", "INSERT", "c", "NULL", new_img),
+            ("upd", "UPDATE", "u", old_img, new_img),
+            ("del", "DELETE", "d", old_img, "NULL"),
+        ]
+        for suffix, event, op, before, after in specs:
+            conn.execute(
+                f"""CREATE TRIGGER IF NOT EXISTS _cdc_{table}_{suffix}
+                    AFTER {event} ON {table} BEGIN
+                      INSERT INTO {LOG_TABLE}(tbl, op, before, after)
+                      VALUES ('{table}', '{op}', {before}, {after});
+                    END"""
+            )
+        conn.commit()
+    finally:
+        conn.close()
+
+
+def log_position(db_path: str) -> int:
+    """Current log high-water mark — P5's ``log_position_fn`` against a
+    LIVE log (``MAX(id)``; 0 = empty log)."""
+    conn = _connect(db_path)
+    try:
+        row = conn.execute(f"SELECT COALESCE(MAX(id), 0) FROM {LOG_TABLE}").fetchone()
+        return int(row[0])
+    finally:
+        conn.close()
+
+
+# ---------------------------------------------------------------------------
+# envelope construction (shared raw wire format with the file dialect)
+# ---------------------------------------------------------------------------
+
+def _envelope(
+    op: str,
+    before: str | None,
+    after: str | None,
+    table: str,
+    pos: int,
+    ts_ms: int,
+    snapshot: bool = False,
+) -> str:
+    env: dict[str, Any] = {
+        "before": json.loads(before) if before else None,
+        "after": json.loads(after) if after else None,
+        "op": op,
+        "ts_ms": ts_ms,
+        "source": {
+            "db": "main",
+            "table": table,
+            "ts_ms": ts_ms,
+            "file": "cdc",
+            "pos": pos,
+            "snapshot": "true" if snapshot else None,
+        },
+    }
+    return json.dumps(env, separators=(",", ":"))
+
+
+def read_log_between(
+    db_path: str, after_id: int, upto_id: int | None = None, limit: int | None = None
+) -> list[tuple[int, str, str, str | None, str | None, int]]:
+    """Log rows with ``after_id < id [<= upto_id]`` in commit order.
+    Deterministic (append-only log) — the replay contract of C3/C4."""
+    q = f"SELECT id, tbl, op, before, after, ts_ms FROM {LOG_TABLE} WHERE id > ?"
+    args: list[Any] = [after_id]
+    if upto_id is not None:
+        q += " AND id <= ?"
+        args.append(upto_id)
+    q += " ORDER BY id"
+    if limit is not None:
+        q += " LIMIT ?"
+        args.append(limit)
+    conn = _connect(db_path)
+    try:
+        return [tuple(r) for r in conn.execute(q, args)]
+    finally:
+        conn.close()
+
+
+# ---------------------------------------------------------------------------
+# chunk planning + merged chunk read
+# ---------------------------------------------------------------------------
+
+def plan_chunks(db_path: str, table: str, key_col: str, chunk_size: int) -> list[ChunkRange]:
+    """P1-P3 against the live table: MIN/MAX/COUNT probe, then the even
+    splitter (integer pk).  Sparse/uneven key spaces fall back to a single
+    chunk — correct, just less parallel (sqlite is a one-file DB; the
+    quantile path stays on the JDBC dialect where it pays off)."""
+    conn = _connect(db_path)
+    try:
+        mn, mx, cnt = conn.execute(
+            f"SELECT COALESCE(MIN({key_col}),0), COALESCE(MAX({key_col}),0), COUNT(*) FROM {table}"
+        ).fetchone()
+    finally:
+        conn.close()
+    if cnt == 0:
+        return [ChunkRange(None, None)]
+    return split_even(int(mn), int(mx), int(cnt), chunk_size) or [ChunkRange(None, None)]
+
+
+def _chunk_where(key_col: str, lo: Any, hi: Any) -> tuple[str, list]:
+    conds, args = [], []
+    if lo is not None:
+        conds.append(f"{key_col} >= ?")
+        args.append(lo)
+    if hi is not None:
+        conds.append(f"{key_col} < ?")
+        args.append(hi)
+    return (" AND ".join(conds) or "1=1"), args
+
+
+def _key_in_chunk(key: Any, lo: Any, hi: Any) -> bool:
+    if key is None:
+        return False
+    return (lo is None or key >= lo) and (hi is None or key < hi)
+
+
+def read_chunk_merged(
+    db_path: str,
+    table: str,
+    key_col: str,
+    lo: Any,
+    hi: Any,
+) -> tuple[list[str], int, int]:
+    """One consistent chunk: low watermark → SELECT chunk → high watermark
+    → merge backfill events in (low, high] restricted to the chunk range
+    (``RecordUtils.upsertBinlog`` semantics: c/u put, d remove).
+
+    Returns (envelope JSON strings with op='r' at offset ``high``, low, high).
+    """
+    conn = _connect(db_path)
+    try:
+        low = int(
+            conn.execute(f"SELECT COALESCE(MAX(id),0) FROM {LOG_TABLE}").fetchone()[0]
+        )
+        where, args = _chunk_where(key_col, lo, hi)
+        cols = _table_columns(conn, table)
+        col_list = ", ".join(cols)
+        rows = conn.execute(
+            f"SELECT {col_list} FROM {table} WHERE {where}", args
+        ).fetchall()
+        high = int(
+            conn.execute(f"SELECT COALESCE(MAX(id),0) FROM {LOG_TABLE}").fetchone()[0]
+        )
+    finally:
+        conn.close()
+
+    state: dict[Any, dict] = {}
+    for r in rows:
+        img = dict(zip(cols, r))
+        state[img[key_col]] = img
+    if high > low:
+        for _id, tbl, op, before, after, _ts in read_log_between(db_path, low, high):
+            if tbl != table:
+                continue
+            img = json.loads(after if op != "d" else before)
+            k = img.get(key_col)
+            if not _key_in_chunk(k, lo, hi):
+                continue
+            if op == "d":
+                state.pop(k, None)
+            else:
+                state[k] = img
+    envs = [
+        _envelope("r", None, json.dumps(img, separators=(",", ":")), table, high, 0,
+                  snapshot=True)
+        for img in state.values()
+    ]
+    return envs, low, high
+
+
+# ---------------------------------------------------------------------------
+# streaming reader (driver-side, parallelism 1 in the log phase — same
+# ordering rationale as the file dialect / reference mysql-cdc.md:408)
+# ---------------------------------------------------------------------------
+
+class SqliteCdcStreamReader(SimpleDataSourceStreamReader):
+    """Snapshot→log hybrid stream over a live sqlite database.
+
+    Offset JSON:
+
+    - snapshot phase: ``{"phase": "snapshot", "chunk_idx": i,
+      "chunks": [[lo, hi], ...], "chunk_highs": [...], "min_low": n}``
+      — the chunk plan is pinned at ``initialOffset`` so a restarted query
+      resumes the SAME plan (the reference serializes pending splits into
+      checkpoint state the same way, ``MySqlSplitSerializer``).
+    - log phase: ``{"phase": "log", "log_id": n, "chunks": ...,
+      "chunk_highs": ...}`` — chunk metadata is carried until ``log_id``
+      passes ``max(chunk_highs)`` (shouldEmit horizon), then dropped.
+    """
+
+    def __init__(self, options: dict[str, str]) -> None:
+        self.db_path = options["path"]
+        self.table = options["table"]
+        self.key_col = options.get("keycolumn") or options.get("keyColumn") or "id"
+        self.chunk_size = int(options.get("chunksize", DEFAULT_CHUNK_SIZE))
+        self.max_events = int(options.get("maxeventsperbatch", 10_000))
+        self.startup = (options.get("startingoffsets") or "initial").lower()
+
+    # -- offsets -----------------------------------------------------------
+    def initialOffset(self) -> dict:
+        if self.startup == "latest":
+            return {"phase": "log", "log_id": log_position(self.db_path)}
+        if self.startup == "earliest":
+            return {"phase": "log", "log_id": 0}
+        chunks = plan_chunks(self.db_path, self.table, self.key_col, self.chunk_size)
+        return {
+            "phase": "snapshot",
+            "chunk_idx": 0,
+            "chunks": [[c.start, c.end] for c in chunks],
+            "chunk_highs": [],
+            "min_low": None,
+        }
+
+    # -- shouldEmit (L2) ---------------------------------------------------
+    @staticmethod
+    def _should_emit(ev_id: int, key: Any, chunks: list, highs: list) -> bool:
+        for (lo, hi), high in zip(chunks, highs):
+            if _key_in_chunk(key, lo, hi):
+                return ev_id > high
+        return True  # key outside every finished chunk
+
+    # -- reading -----------------------------------------------------------
+    def _read_snapshot(self, start: dict) -> Tuple[list[tuple], dict]:
+        """Serve whole chunks until the per-batch event budget is spent,
+        then hand off to the log IN the same batch if budget remains (P9 —
+        the single assigner thread of ``MySqlHybridSplitAssigner.getNext``
+        makes the same in-batch switch).  Chunks are never split across
+        batches: a chunk is the atomic unit of watermark bracketing."""
+        chunks = start["chunks"]
+        idx = start["chunk_idx"]
+        highs = list(start["chunk_highs"])
+        min_low = start["min_low"]
+        rows: list[tuple] = []
+        while idx < len(chunks) and len(rows) < self.max_events:
+            lo, hi = chunks[idx]
+            envs, low, high = read_chunk_merged(
+                self.db_path, self.table, self.key_col, lo, hi
+            )
+            rows.extend((e, "cdc", high) for e in envs)
+            highs.append(high)
+            if min_low is None:
+                min_low = low
+            idx += 1
+        if idx < len(chunks):
+            return rows, {
+                "phase": "snapshot",
+                "chunk_idx": idx,
+                "chunks": chunks,
+                "chunk_highs": highs,
+                "min_low": min_low,
+            }
+        # snapshot complete → log phase from the GLOBAL minimum low
+        # watermark; shouldEmit suppresses what chunk merges delivered
+        nxt = {
+            "phase": "log",
+            "log_id": min_low,
+            "chunks": chunks,
+            "chunk_highs": highs,
+        }
+        if len(rows) < self.max_events:
+            more, nxt = self._read_log(nxt, limit=self.max_events - len(rows))
+            rows.extend(more)
+        return rows, nxt
+
+    def _read_log(self, start: dict, limit: int | None = None) -> Tuple[list[tuple], dict]:
+        chunks = start.get("chunks") or []
+        highs = start.get("chunk_highs") or []
+        horizon = max(highs) if highs else -1
+        cursor = int(start["log_id"])
+        rows: list[tuple] = []
+        events = read_log_between(
+            self.db_path, cursor, limit=self.max_events if limit is None else limit
+        )
+        for ev_id, tbl, op, before, after, ts_ms in events:
+            cursor = ev_id
+            if tbl != self.table:
+                continue
+            img = json.loads(after if op != "d" else before)
+            if chunks and not self._should_emit(
+                ev_id, img.get(self.key_col), chunks, highs
+            ):
+                continue
+            rows.append((_envelope(op, before, after, tbl, ev_id, ts_ms), "cdc", ev_id))
+        nxt: dict[str, Any] = {"phase": "log", "log_id": cursor}
+        if chunks and cursor <= horizon:
+            nxt["chunks"], nxt["chunk_highs"] = chunks, highs
+        return rows, nxt
+
+    def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
+        if start.get("phase") == "snapshot":
+            rows, nxt = self._read_snapshot(start)
+        else:
+            rows, nxt = self._read_log(start)
+        return iter(rows), nxt
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[Tuple]:
+        """Recovery replay of a committed range.  Log ranges replay exactly
+        (append-only log).  A snapshot chunk re-reads the LIVE table — the
+        result is consistent at a new high watermark, the reference's
+        failover contract for unacked snapshot splits."""
+        out: list[tuple] = []
+        cursor = start
+        while True:
+            rows, cursor = self.read(cursor)
+            out.extend(rows)
+            if cursor == end or not rows and cursor.get("phase") != "snapshot":
+                break
+            if cursor.get("phase") == "log" and end.get("phase") == "log":
+                if int(cursor["log_id"]) >= int(end["log_id"]):
+                    break
+        if end.get("phase") == "log":
+            limit = int(end["log_id"])
+            out = [r for r in out if r[2] is None or int(r[2]) <= limit]
+        return iter(out)
+
+    def commit(self, end: dict) -> None:
+        # C8: the SS offset log owns progress; the audit log is pruned by
+        # the user's retention job (``prune_log``), not the reader.
+        pass
+
+
+def prune_log(db_path: str, upto_id: int) -> int:
+    """Retention: drop acknowledged log rows (the reference's equivalent is
+    the DB engine's own binlog expiry).  Returns rows deleted."""
+    conn = _connect(db_path)
+    try:
+        cur = conn.execute(f"DELETE FROM {LOG_TABLE} WHERE id <= ?", (upto_id,))
+        conn.commit()
+        return cur.rowcount
+    finally:
+        conn.close()
+
+
+# ---------------------------------------------------------------------------
+# bounded batch reader — chunk-per-partition (executor-parallel snapshot)
+# ---------------------------------------------------------------------------
+
+class _SqlitePartition(InputPartition):
+    def __init__(self, kind: str, lo: Any = None, hi: Any = None) -> None:
+        self.kind = kind
+        self.lo = lo
+        self.hi = hi
+
+
+class SqliteCdcBatchReader(DataSourceReader):
+    """Bounded snapshot + full-log read.  Snapshot chunks become Spark
+    input partitions (executor-parallel, the split-assignment analogue);
+    the log is one ordered partition."""
+
+    def __init__(self, options: dict[str, str]) -> None:
+        self.db_path = options["path"]
+        self.table = options["table"]
+        self.key_col = options.get("keycolumn") or options.get("keyColumn") or "id"
+        self.chunk_size = int(options.get("chunksize", DEFAULT_CHUNK_SIZE))
+
+    def partitions(self) -> list[InputPartition]:
+        chunks = plan_chunks(self.db_path, self.table, self.key_col, self.chunk_size)
+        parts: list[InputPartition] = [
+            _SqlitePartition("chunk", c.start, c.end) for c in chunks
+        ]
+        parts.append(_SqlitePartition("log"))
+        return parts
+
+    def read(self, partition: _SqlitePartition) -> Iterator[Tuple]:
+        if partition.kind == "chunk":
+            envs, _low, high = read_chunk_merged(
+                self.db_path, self.table, self.key_col, partition.lo, partition.hi
+            )
+            for e in envs:
+                yield (e, "cdc", high)
+        else:
+            for ev_id, tbl, op, before, after, ts_ms in read_log_between(
+                self.db_path, 0
+            ):
+                if tbl != self.table:
+                    continue
+                yield (_envelope(op, before, after, tbl, ev_id, ts_ms), "cdc", ev_id)
+
+
+class SqliteCdcDataSource(DataSource):
+    """``spark.readStream.format("cdcsqlite")`` — live-DB dialect.
+
+    Options: ``path`` (sqlite file), ``table``, ``keyColumn`` (default
+    ``id``), ``chunkSize``, ``maxEventsPerBatch``, ``startingOffsets``
+    (initial|earliest|latest).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "cdcsqlite"
+
+    def schema(self) -> T.StructType:
+        return RAW_SCHEMA
+
+    def reader(self, schema: T.StructType) -> DataSourceReader:
+        return SqliteCdcBatchReader(self.options)
+
+    def simpleStreamReader(self, schema: T.StructType) -> SimpleDataSourceStreamReader:
+        return SqliteCdcStreamReader(self.options)
+
+
+def register(spark) -> None:
+    """Register the cdcsqlite source on a session (idempotent)."""
+    spark.dataSource.register(SqliteCdcDataSource)
