@@ -145,30 +145,23 @@ def connected_components(
 
 def dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster assignment from the EXACT n-gram Jaccard pair set: every doc
-    → min doc id transitively reachable through jaccard ≥ 0.2 pairs."""
-    from .dedup import ngram_jaccard_pairs
+    → min doc id transitively reachable through jaccard ≥ 0.2 pairs.
+    Reuses the process-cached pair set shared with dedup_ngram_jaccard —
+    one inverted-index join feeds the whole dedup family."""
+    from .dedup import cached_ngram_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold_num=1, threshold_den=5)
+    pairs = cached_ngram_pairs(spark, sf_dir, n=3, threshold_num=1, threshold_den=5)
     return connected_components(
         docs.select("doc_id"), pairs.select("d1", "d2")
     ).orderBy("doc_id")
 
 
 def _clusters_sql() -> str:
-    from ..functions.text import ngrams_sql
+    from .dedup import NGRAM_KEPT_CTE
 
     return f"""
-WITH RECURSIVE
-tri AS (
-  SELECT doc_id, unnest({ngrams_sql("text", 3)}) AS sh FROM documents
-),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM tri GROUP BY doc_id),
-common AS (
-  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
-  FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
+WITH RECURSIVE {NGRAM_KEPT_CTE},
 pairs AS (
   SELECT d1, d2 FROM common
   JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
