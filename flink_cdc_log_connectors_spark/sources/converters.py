@@ -1,0 +1,262 @@
+"""Per-database extended type converters — the reference's
+DeserializationRuntimeConverterFactory layer (D2 extended types).
+
+The base parse (``parse_debezium``) maps JSON-native scalars through
+``from_json`` against the declared physical schema.  Databases, however,
+ship several types through Debezium in a WIRE form that differs from the
+value a table consumer wants (reference
+``MySqlDeserializationConverterFactory.java:81-143``,
+``OracleDeserializationConverterFactory.java``,
+``SqlServerDeserializationConverterFactory.java``):
+
+==================  ==========================  ===========================
+semantic            Debezium wire form          engine value (Spark type)
+==================  ==========================  ===========================
+``enum``            label string                STRING (identity)
+``json``            normalized JSON string      STRING (identity)
+``set``             comma-joined string "a,b"   ARRAY<STRING> (split)
+``geometry``        {wkb: base64, srid: int}    GeoJSON STRING
+``point``           {wkb, srid, x, y}           GeoJSON STRING
+``year``            int16/int32                 INT
+``bit1``            bool (BIT(1)/TINYINT(1))    BOOLEAN
+``bits``            base64 byte string          BINARY
+``date_days``       int32 days since epoch      DATE
+``micro_time``      int64 micros-of-day         INT millis-of-day (§1.2)
+``micro_timestamp`` int64 micros since epoch    TIMESTAMP_NTZ
+``zoned_timestamp`` ISO-8601 string             TIMESTAMP (LTZ)
+``decimal_string``  decimal string              STRING (precision > 38)
+==================  ==========================  ===========================
+
+Everything except the WKB decode is a built-in Catalyst expression (JVM
+codegen, no Python in the row path).  WKB → GeoJSON needs real binary
+parsing, so it runs as ONE Arrow-batched Pandas UDF over only the
+geometry columns — the cold path by construction (reference uses the
+esri geometry lib for the same step, :88-89).
+"""
+
+from __future__ import annotations
+
+import struct as _struct
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .debezium import parse_debezium
+
+# ---------------------------------------------------------------------------
+# WKB → GeoJSON (OGC 99-049 well-known-binary; standard public format)
+# ---------------------------------------------------------------------------
+
+_GEO_TYPES = {
+    1: "Point",
+    2: "LineString",
+    3: "Polygon",
+    4: "MultiPoint",
+    5: "MultiLineString",
+    6: "MultiPolygon",
+    7: "GeometryCollection",
+}
+
+
+def _parse_wkb(buf: bytes, off: int = 0):
+    """Parse one WKB geometry at ``off`` → (geojson_dict_sans_srid, new_off)."""
+    bo = "<" if buf[off] == 1 else ">"
+    gtype = _struct.unpack_from(bo + "I", buf, off + 1)[0] & 0xFF
+    off += 5
+
+    def point():
+        nonlocal off
+        x, y = _struct.unpack_from(bo + "dd", buf, off)
+        off += 16
+        return [x, y]
+
+    def ring():
+        nonlocal off
+        n = _struct.unpack_from(bo + "I", buf, off)[0]
+        off += 4
+        return [point() for _ in range(n)]
+
+    name = _GEO_TYPES.get(gtype)
+    if name is None:
+        raise ValueError(f"unsupported WKB geometry type {gtype}")
+    if name == "Point":
+        coords = point()
+    elif name == "LineString":
+        coords = ring()
+    elif name == "Polygon":
+        n = _struct.unpack_from(bo + "I", buf, off)[0]
+        off += 4
+        coords = [ring() for _ in range(n)]
+    elif name in ("MultiPoint", "MultiLineString", "MultiPolygon"):
+        n = _struct.unpack_from(bo + "I", buf, off)[0]
+        off += 4
+        coords = []
+        for _ in range(n):
+            sub, off = _parse_wkb(buf, off)  # nested full WKB per element
+            coords.append(sub["coordinates"])
+    else:  # GeometryCollection
+        n = _struct.unpack_from(bo + "I", buf, off)[0]
+        off += 4
+        geoms = []
+        for _ in range(n):
+            sub, off = _parse_wkb(buf, off)
+            geoms.append(sub)
+        return {"type": name, "geometries": geoms}, off
+    return {"type": name, "coordinates": coords}, off
+
+
+def wkb_to_geojson(wkb: bytes, srid: int | None) -> str:
+    """One geometry → the reference's GeoJSON shape: ``type`` +
+    (``coordinates`` | ``geometries``) + ``srid`` (0 when absent), matching
+    ``MySqlDeserializationConverterFactory.java:93-104``."""
+    import json
+
+    geo, _ = _parse_wkb(wkb, 0)
+    geo["srid"] = srid if srid is not None else 0
+    return json.dumps(geo, separators=(",", ":"))
+
+
+def _geojson_udf():
+    import base64
+
+    import pandas as pd
+
+    def _f(wkb_b64: pd.Series, srid: pd.Series) -> pd.Series:
+        out = []
+        for w, s in zip(wkb_b64, srid):
+            if w is None:
+                out.append(None)
+            else:
+                out.append(
+                    wkb_to_geojson(
+                        base64.b64decode(w), int(s) if s is not None else None
+                    )
+                )
+        return pd.Series(out, dtype="object")
+
+    _f.__annotations__ = {"wkb_b64": "pd.Series", "srid": "pd.Series",
+                          "return": "pd.Series"}
+    return F.pandas_udf(_f, "string")
+
+
+# ---------------------------------------------------------------------------
+# semantic registry: wire StructField + conversion expression per semantic
+# ---------------------------------------------------------------------------
+
+#: Debezium geometry wire struct (io.debezium.data.geometry.Geometry/Point)
+_GEOM_WIRE = T.StructType(
+    [
+        T.StructField("wkb", T.StringType(), True),   # base64 in JSON
+        T.StructField("srid", T.IntegerType(), True),
+        T.StructField("x", T.DoubleType(), True),     # Point only
+        T.StructField("y", T.DoubleType(), True),
+    ]
+)
+
+
+def _wire_type(semantic: str, declared: T.DataType) -> T.DataType:
+    return {
+        "enum": T.StringType(),
+        "json": T.StringType(),
+        "set": T.StringType(),
+        "geometry": _GEOM_WIRE,
+        "point": _GEOM_WIRE,
+        "year": T.IntegerType(),
+        "bit1": T.BooleanType(),
+        "bits": T.StringType(),
+        "date_days": T.IntegerType(),
+        "micro_time": T.LongType(),
+        "micro_timestamp": T.LongType(),
+        "zoned_timestamp": T.StringType(),
+        "decimal_string": T.StringType(),
+    }.get(semantic, declared)
+
+
+def _convert(col: Column, semantic: str, declared: T.DataType) -> Column:
+    if semantic == "set":
+        # "a,b,c" → ARRAY<STRING> (factory :122-143); NULL stays NULL,
+        # empty SET '' → empty array
+        return F.when(
+            col.isNull(), F.lit(None).cast(T.ArrayType(T.StringType()))
+        ).otherwise(
+            F.when(col == "", F.array().cast(T.ArrayType(T.StringType())))
+            .otherwise(F.split(col, ","))
+        )
+    if semantic in ("geometry", "point"):
+        return _geojson_udf()(col["wkb"], col["srid"])
+    if semantic == "bits":
+        return F.unbase64(col)
+    if semantic == "date_days":
+        return F.date_from_unix_date(col)
+    if semantic == "micro_time":
+        # micros-of-day → millis-of-day INT (§1.2: Spark has no TimeType)
+        return (col / F.lit(1000)).cast("int")
+    if semantic == "micro_timestamp":
+        return F.timestamp_micros(col).cast(T.TimestampNTZType())
+    if semantic == "zoned_timestamp":
+        return F.to_timestamp(col)
+    if semantic in ("enum", "json", "decimal_string", "year", "bit1"):
+        return col.cast(declared)
+    return col.cast(declared)
+
+
+def wire_schema(physical: T.StructType, semantics: dict[str, str]) -> T.StructType:
+    """The declared schema with semantic columns replaced by their Debezium
+    wire types — what ``from_json`` should actually parse."""
+    return T.StructType(
+        [
+            T.StructField(
+                f.name, _wire_type(semantics.get(f.name, ""), f.dataType), True
+            )
+            for f in physical.fields
+        ]
+    )
+
+
+def parse_debezium_typed(
+    df: DataFrame,
+    physical: T.StructType,
+    semantics: dict[str, str] | None = None,
+    json_col: str = "value",
+    include_source: bool = True,
+) -> DataFrame:
+    """``parse_debezium`` + per-column extended-type conversion.
+
+    ``semantics`` maps column name → semantic key (table above) for
+    columns whose Debezium wire form differs from the declared Spark type;
+    unlisted columns go through the base scalar path unchanged.  This is
+    the engine's converter-factory seam: per-database dialects are just
+    different ``semantics`` dicts over the same machinery.
+    """
+    semantics = semantics or {}
+    unknown = set(semantics.values()) - {
+        "enum", "json", "set", "geometry", "point", "year", "bit1", "bits",
+        "date_days", "micro_time", "micro_timestamp", "zoned_timestamp",
+        "decimal_string",
+    }
+    if unknown:
+        raise ValueError(f"unknown semantic converters: {sorted(unknown)}")
+    parsed = parse_debezium(
+        df, wire_schema(physical, semantics), json_col, include_source
+    )
+    cols: list[Column] = []
+    for f in physical.fields:
+        sem = semantics.get(f.name)
+        if sem:
+            cols.append(_convert(F.col(f.name), sem, f.dataType).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    cols.append(F.col("op"))
+    if include_source:
+        cols.append(F.col("_src"))
+    return parsed.select(*cols)
+
+
+#: convenience presets — which semantics each dialect typically needs
+#: (reference: MySql factory handles enum/set/json/geometry; Oracle's adds
+#: interval/timestamp strings; SqlServer's zoned timestamps)
+MYSQL_EXTENDED = {
+    "enum": "enum", "set": "set", "json": "json",
+    "geometry": "geometry", "point": "point", "year": "year",
+}
