@@ -124,9 +124,33 @@ FROM documents ORDER BY asset_id
 
 def mm_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full plumbing pass: synthesize payloads → mapInPandas feature
-    extraction (deterministic fake decode) — rows-only check."""
+    extraction (deterministic fake decode), oracle-checked byte-exactly."""
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(attach_binary_payload(docs)).orderBy("asset_id")
+
+
+def _mm_features_sql() -> str:
+    """DuckDB twin of the fake decode: the rolling checksum
+    ``acc[i%4] = (acc[i%4]*31 + byte_i) % 1000003`` re-derived from the
+    payload's hex dump with a per-lane list_reduce — byte-exact, so even
+    the stubbed decode path gets a value-hash oracle (a real codec would
+    drop back to rows-only, which is the declared deployment stance)."""
+    lanes = ",\n  ".join(
+        f"CAST(list_reduce(list_prepend(0, list_transform(range({j}, n, 4),\n"
+        f"     i -> ('0x' || substr(hx, 2*i + 1, 2))::BIGINT)),\n"
+        f"     (acc, b) -> (acc * 31 + b) % 1000003) AS DOUBLE) AS f{j}"
+        for j in range(4)
+    )
+    return f"""
+WITH h AS (
+  SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+)
+SELECT asset_id, CAST(n AS BIGINT) AS byte_len,
+  {lanes}
+FROM h ORDER BY asset_id
+"""
 
 
 FRAME_BYTES = 64   #: bytes per fake "frame" of a video payload
@@ -216,7 +240,7 @@ FROM f ORDER BY asset_id, frame_idx
 MULTIMODAL_QUERIES = {
     "mm_binary_meta": (mm_meta_query, MM_META_SQL),
     # Pandas-UDF fake decode isn't ANSI-SQL-expressible — rows-only check.
-    "mm_decode_features": (mm_features_query, None),
+    "mm_decode_features": (mm_features_query, _mm_features_sql()),
     "mm_frame_sample": (mm_frames_query, MM_FRAMES_SQL),
 }
 

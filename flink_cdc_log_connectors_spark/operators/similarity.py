@@ -366,6 +366,51 @@ def simsearch_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_pairs(emb, min_sim=0.4).orderBy("d1", "d2")
 
 
+def _lsh_cosine_sql() -> str:
+    """DuckDB twin of the FULL sign-LSH pipeline.  The hyperplanes are
+    md5-seeded (``_plane_weight``), so the oracle re-derives the SAME
+    weights from the same formula in SQL — no plane literals shipped.
+    Band values are built directly from the per-plane sign bits
+    (band k = Σ 2^(p mod 8) over planes 8k..8k+7 with dot > 0), which is
+    bit-identical to slicing the packed 64-bit signature and sidesteps
+    signed/unsigned shift skew entirely.  Verification is the sequential
+    fold dot product — bit-exact across engines."""
+    dot_ab = _dot_sql("a.embedding", "b.embedding")
+    norm = _dot_sql("embedding", "embedding")
+    return f"""
+WITH planes AS (
+  SELECT p, d,
+         (('0x' || substring(md5('plane:' || p || ':' || d), 1, 16))::UBIGINT
+          % 2000003) / 1000001.5 - 1.0 AS w
+  FROM (SELECT unnest(range({NUM_PLANES})) AS p)
+  CROSS JOIN (SELECT unnest(range({DIM})) AS d)
+),
+vx AS (
+  SELECT vec_id, i - 1 AS d, embedding[i]::DOUBLE AS x
+  FROM embeddings CROSS JOIN (SELECT unnest(range(1, {DIM + 1})) AS i)
+),
+dots AS (
+  SELECT vec_id, p, sum(w * x) AS dot
+  FROM vx JOIN planes USING (d) GROUP BY vec_id, p
+),
+bands AS (
+  SELECT vec_id, p // {PLANE_BITS} AS k,
+         sum(CASE WHEN dot > 0 THEN (1 << (p % {PLANE_BITS})) ELSE 0 END) AS band
+  FROM dots GROUP BY vec_id, p // {PLANE_BITS}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+  FROM bands a JOIN bands b
+    ON a.k = b.k AND a.band = b.band AND a.vec_id < b.vec_id
+),
+n AS (SELECT vec_id, embedding, {norm} AS norm2 FROM embeddings)
+SELECT c.d1, c.d2, {dot_ab} / (sqrt(a.norm2) * sqrt(b.norm2)) AS sim
+FROM cand c JOIN n a ON a.vec_id = c.d1 JOIN n b ON b.vec_id = c.d2
+WHERE {dot_ab} / (sqrt(a.norm2) * sqrt(b.norm2)) >= 0.4
+ORDER BY d1, d2
+"""
+
+
 def ivf_multiprobe_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -460,6 +505,50 @@ def ann_multiprobe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     return ivf_multiprobe_topk(queries, emb, k=3, nprobe=2).orderBy("query_id", "rk")
+
+
+#: DuckDB twin of the FULL multi-probe pipeline: per-cell centroid means,
+#: nearest-2-centroid probe sets per query, probed-cell scan, rounded
+#: cosine ranking.  The centroid step is a one-pass per-cell mean — SQL
+#: avg() — so nothing here is iterative; probe ties break on (d2, label)
+#: which matches the scan order of the driver codebook.
+ANN_MULTIPROBE_SQL = f"""
+WITH dims AS (SELECT unnest(range(1, {DIM + 1})) AS d),
+cent AS (
+  SELECT label, d, avg(embedding[d]::DOUBLE) AS c
+  FROM embeddings CROSS JOIN dims GROUP BY label, d
+),
+qx AS (
+  SELECT vec_id, d, embedding[d]::DOUBLE AS x
+  FROM embeddings CROSS JOIN dims WHERE vec_id < 8
+),
+dist AS (
+  SELECT qx.vec_id, cent.label, sum((x - c) * (x - c)) AS d2
+  FROM qx JOIN cent USING (d) GROUP BY qx.vec_id, cent.label
+),
+probes AS (
+  SELECT vec_id, label FROM (
+    SELECT vec_id, label,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
+    FROM dist) t
+  WHERE rn <= 2
+),
+n AS (SELECT vec_id, label, embedding, {_NORM} AS norm2 FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round({_DOT_AB} / (sqrt(a.norm2) * sqrt(b.norm2)), 6) AS sim
+  FROM n a JOIN probes p ON p.vec_id = a.vec_id
+         JOIN n b ON b.label = p.label AND b.vec_id != a.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, sim, rk FROM ranked
+WHERE rk <= 3 ORDER BY query_id, rk
+"""
 
 
 # --------------------------------------------------------------------------
@@ -568,9 +657,9 @@ SIMILARITY_QUERIES = {
     "ann_cosine_topk": (ann_topk_query, ANN_TOPK_SQL),
     "ann_ivf_label": (ann_ivf_query, ANN_IVF_SQL),
     # LSH banding recall is probabilistic — rows-only check.
-    "simsearch_lsh_cosine": (simsearch_lsh_query, None),
+    "simsearch_lsh_cosine": (simsearch_lsh_query, _lsh_cosine_sql()),
     # centroid float sums aren't ANSI-portable — rows-only; recall vs the
     # exact top-k is asserted in tests instead.
-    "ann_ivf_multiprobe": (ann_multiprobe_query, None),
+    "ann_ivf_multiprobe": (ann_multiprobe_query, ANN_MULTIPROBE_SQL),
     "simsearch_int8_pairs": (quantized_pairs_query, _quantized_sql()),
 }
