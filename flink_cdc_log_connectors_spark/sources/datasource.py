@@ -105,6 +105,18 @@ class CdcLogStreamReader(SimpleDataSourceStreamReader):
         self.startup = StartupOptions.parse(options.get("startingoffsets", "initial"))
         self.max_lines = int(options.get("maxlinesperbatch", DEFAULT_BATCH_LINES))
 
+    def _wrap_snapshot_row(self, line: str) -> str:
+        """Envelope synthesized for a snapshot/initial-load row; dialect
+        subclasses override (e.g. Mongo wraps as a change-stream insert)."""
+        return _wrap_snapshot_row(line)
+
+    def _post_snapshot_log_start(self, start: dict) -> dict:
+        """Log cursor to hand off to when the snapshot phase completes.
+        The file dialect replays the WHOLE log (its log lines carry the
+        deltas the snapshot predates); dialects that capture a resume
+        token before the copy override this to start there."""
+        return {"phase": "log", "file": "", "pos": 0}
+
     # -- offset helpers ----------------------------------------------------
     def _end_of_log(self) -> dict[str, Any]:
         files = _log_files(self.path)
@@ -137,7 +149,7 @@ class CdcLogStreamReader(SimpleDataSourceStreamReader):
                 for i, line in enumerate(fh):
                     if i < line_no or not line.strip():
                         continue
-                    rows.append((_wrap_snapshot_row(line), None, None))
+                    rows.append((self._wrap_snapshot_row(line), None, None))
                     line_no = i + 1
                     if len(rows) >= self.max_lines:
                         break
@@ -148,7 +160,7 @@ class CdcLogStreamReader(SimpleDataSourceStreamReader):
             # keep serving from the log within the same batch if room remains
             # (the single assigner thread of MySqlHybridSplitAssigner.getNext
             # does exactly this switch)
-            log_start = {"phase": "log", "file": "", "pos": 0}
+            log_start = self._post_snapshot_log_start(start)
             if len(rows) < self.max_lines:
                 # budget-limited: the log cursor must advance EXACTLY as far
                 # as the rows actually emitted in this batch (a larger read
@@ -157,7 +169,9 @@ class CdcLogStreamReader(SimpleDataSourceStreamReader):
                 rows.extend(more)
                 return rows, nxt
             return rows, log_start
-        return rows, {"phase": "snapshot", "snap_idx": idx, "snap_line": line_no}
+        nxt = dict(start)
+        nxt.update({"phase": "snapshot", "snap_idx": idx, "snap_line": line_no})
+        return rows, nxt
 
     def _ts_filter(self, line: str) -> bool:
         """Timestamp-seek (L4): drop events before the target ts."""
@@ -237,6 +251,9 @@ class CdcLogBatchReader(DataSourceReader):
             "snapshotPath"
         )
 
+    def _wrap_snapshot_row(self, line: str) -> str:
+        return _wrap_snapshot_row(line)
+
     def partitions(self) -> list[InputPartition]:
         parts: list[InputPartition] = [
             _FilePartition("snapshot", p, None)
@@ -256,7 +273,7 @@ class CdcLogBatchReader(DataSourceReader):
                 if not line.strip():
                     continue
                 if partition.kind == "snapshot":
-                    yield (_wrap_snapshot_row(line), None, None)
+                    yield (self._wrap_snapshot_row(line), None, None)
                 else:
                     yield (line.rstrip("\n"), partition.fname, i)
 

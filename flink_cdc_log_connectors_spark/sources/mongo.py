@@ -15,9 +15,12 @@ Input: change-stream documents as JSON lines (the shape
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.datasource import DataSource
+
+from .datasource import RAW_SCHEMA, CdcLogStreamReader
 
 #: operationType → the fork's op code
 _OP_MAP = {"insert": "c", "update": "u", "replace": "u", "delete": "d"}
@@ -72,3 +75,225 @@ def parse_mongo_changestream(
     )
     cols = [F.col(f"__row.{f.name}").alias(f.name) for f in physical.fields]
     return out.select(*cols, "op", "_src")
+
+
+# --------------------------------------------------------------------------
+# copy.existing — snapshot-then-stream initial load (S7)
+# --------------------------------------------------------------------------
+#
+# The reference's MongoDB source (``MongoDBSource.java:447``,
+# ``MongoDBConnectorSourceTask``) implements ``copy.existing`` as:
+#
+#   1. capture the change-stream RESUME TOKEN *before* the copy starts,
+#   2. emit every existing document as an insert,
+#   3. resume the change stream from the CAPTURED token.
+#
+# Changes that land during the copy are therefore replayed after it —
+# overlap is resolved because materialization is an idempotent keyed
+# upsert ordered by clusterTime (copies carry clusterTime 0, so any real
+# event wins).  Events from before the token are NEVER replayed: they are
+# already reflected in the copied documents.  This is the same
+# P9-handoff shape as the relational hybrid snapshot, with the token
+# captured at startup instead of per-chunk watermarks.
+
+
+class MongoCdcStreamReader(CdcLogStreamReader):
+    """Change-stream tailer with ``copy.existing`` initial load.
+
+    ``path`` holds change-stream JSON lines (the oplog view); existing
+    documents live at ``existingPath`` as plain JSON lines.  The resume
+    token (end-of-stream position at startup) is pinned INSIDE the
+    initial offset, so a restart during the copy replays the identical
+    boundary — exactly-once across failover by construction.
+    """
+
+    def __init__(self, options: dict[str, str]) -> None:
+        super().__init__(options)
+        self.snapshot_path = options.get("existingpath") or options.get(
+            "existingPath"
+        ) or self.snapshot_path
+        copy_opt = (options.get("copyexisting") or options.get("copyExisting")
+                    or ("true" if self.snapshot_path else "false"))
+        self.copy_existing = str(copy_opt).lower() == "true"
+        self.db = options.get("database", "")
+        self.coll = options.get("collection", "")
+
+    def _wrap_snapshot_row(self, line: str) -> str:
+        # copied documents become change-stream inserts with clusterTime 0
+        # (the reference marks copies the same way — they sort before any
+        # real event, so concurrent updates replayed after the copy win)
+        return (
+            '{"operationType": "insert", "fullDocument": ' + line.rstrip("\n")
+            + ', "documentKey": null, "ns": {"db": "' + self.db
+            + '", "coll": "' + self.coll + '"}, "clusterTime": 0}'
+        )
+
+    def _post_snapshot_log_start(self, start: dict) -> dict:
+        return {
+            "phase": "log",
+            "file": start.get("resume_file", ""),
+            "pos": int(start.get("resume_pos", 0)),
+        }
+
+    def initialOffset(self) -> dict:
+        if self.copy_existing and self.snapshot_path:
+            token = self._end_of_log()  # capture BEFORE the copy starts
+            return {
+                "phase": "snapshot",
+                "snap_idx": 0,
+                "snap_line": 0,
+                "resume_file": token["file"],
+                "resume_pos": token["pos"],
+            }
+        return super().initialOffset()
+
+
+class MongoCdcDataSource(DataSource):
+    """``spark.readStream.format("mongocdc")``.
+
+    Options: ``path`` (change-stream JSON lines), ``existingPath``
+    (collection documents, one JSON object per line), ``copyExisting``
+    (default true when ``existingPath`` is set), ``database`` /
+    ``collection`` (ns metadata for copied rows), ``startingOffsets``,
+    ``maxLinesPerBatch``.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "mongocdc"
+
+    def schema(self) -> T.StructType:
+        return RAW_SCHEMA
+
+    def simpleStreamReader(self, schema: T.StructType):
+        return MongoCdcStreamReader(self.options)
+
+
+# --------------------------------------------------------------------------
+# BSON converter tree (D7) — canonical extended JSON → engine values
+# --------------------------------------------------------------------------
+#
+# MongoDB sources ship documents as CANONICAL extended JSON: scalars that
+# don't fit JSON natively arrive as typed wrapper objects
+# (``{"$numberLong": "42"}``, ``{"$date": {"$numberLong": "<ms>"}}``,
+# ``{"$oid": "<hex>"}``, ``{"$binary": {"base64": ..., "subType": ...}}``).
+# The reference converts these in ``MongoDBConnectorDeserializationSchema``'s
+# BSON converter tree; here the tree is built ONCE as Catalyst expressions:
+# the document is parsed twice against two from_json schemas — the wrapper
+# shape and the relaxed (plain) shape — and each field coalesces the
+# canonical conversion with the relaxed value.  Two JVM-side JSON parses,
+# zero Python in the row path.
+
+
+def _bson_wire_type(dt: T.DataType) -> T.DataType:
+    """Wire (wrapper-struct) type of one physical field."""
+    if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType)):
+        return T.StructType(
+            [
+                T.StructField("$numberLong", T.StringType(), True),
+                T.StructField("$numberInt", T.StringType(), True),
+            ]
+        )
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        return T.StructType([T.StructField("$numberDouble", T.StringType(), True)])
+    if isinstance(dt, T.DecimalType):
+        return T.StructType([T.StructField("$numberDecimal", T.StringType(), True)])
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return T.StructType(
+            [
+                T.StructField(
+                    "$date",
+                    T.StructType(
+                        [T.StructField("$numberLong", T.StringType(), True)]
+                    ),
+                    True,
+                )
+            ]
+        )
+    if isinstance(dt, T.BinaryType):
+        return T.StructType(
+            [
+                T.StructField(
+                    "$binary",
+                    T.StructType(
+                        [
+                            T.StructField("base64", T.StringType(), True),
+                            T.StructField("subType", T.StringType(), True),
+                        ]
+                    ),
+                    True,
+                )
+            ]
+        )
+    if isinstance(dt, T.StringType):
+        return T.StructType([T.StructField("$oid", T.StringType(), True)])
+    return dt  # booleans etc. have no wrapper form
+
+
+def _bson_convert(wire: Column, plain: Column, dt: T.DataType) -> Column:
+    """Engine value of one field: canonical wrapper if present, else the
+    relaxed plain value."""
+    if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType)):
+        canonical = F.coalesce(
+            wire["$numberLong"], wire["$numberInt"]
+        ).cast(dt)
+        return F.coalesce(canonical, plain)
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        return F.coalesce(wire["$numberDouble"].cast(dt), plain)
+    if isinstance(dt, T.DecimalType):
+        return F.coalesce(wire["$numberDecimal"].cast(dt), plain)
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        ms = wire["$date"]["$numberLong"].cast("long")
+        return F.coalesce(F.timestamp_millis(ms).cast(dt), plain)
+    if isinstance(dt, T.BinaryType):
+        return F.coalesce(F.unbase64(wire["$binary"]["base64"]), plain)
+    if isinstance(dt, T.StringType):
+        return F.coalesce(wire["$oid"], plain)
+    return plain
+
+
+def parse_bson_document(
+    df: DataFrame, physical: T.StructType, json_col: str = "doc"
+) -> DataFrame:
+    """Canonical-or-relaxed extended-JSON documents → typed columns.
+
+    Mirrors the per-type converter tree of the reference's Mongo
+    deserializer; unknown wrapper keys simply parse to NULL structs and
+    fall through to the relaxed value, so mixed-mode streams are fine.
+    """
+    wire_schema = T.StructType(
+        [
+            T.StructField(f.name, _bson_wire_type(f.dataType), True)
+            for f in physical.fields
+        ]
+    )
+    wire = F.from_json(F.col(json_col), wire_schema)
+    plain = F.from_json(F.col(json_col), physical)
+    cols = [
+        _bson_convert(wire[f.name], plain[f.name], f.dataType).alias(f.name)
+        for f in physical.fields
+    ]
+    return df.select(*cols)
+
+
+def read_mongo_stream(
+    spark,
+    path: str,
+    physical: T.StructType,
+    existing_path: str | None = None,
+    database: str = "",
+    collection: str = "",
+    max_lines_per_batch: int = 10_000,
+) -> DataFrame:
+    """Streaming normalized Mongo change rows with copy.existing load."""
+    spark.dataSource.register(MongoCdcDataSource)
+    raw = (
+        spark.readStream.format("mongocdc")
+        .option("path", path)
+        .option("database", database)
+        .option("collection", collection)
+        .option("maxLinesPerBatch", str(max_lines_per_batch))
+    )
+    if existing_path:
+        raw = raw.option("existingPath", existing_path)
+    return parse_mongo_changestream(raw.load(), physical)
