@@ -293,10 +293,20 @@ class CdcLogDataSource(DataSource):
     def schema(self) -> T.StructType:
         return RAW_SCHEMA
 
+    def _preflight(self) -> None:
+        # C10 pre-flight: submission-time errors with fixes, not
+        # first-microbatch stack traces (MySqlValidator's contract)
+        if str(self.options.get("validatepreflight", "true")).lower() != "false":
+            from .validators import validate_file_dialect
+
+            validate_file_dialect(self.options)
+
     def reader(self, schema: T.StructType) -> DataSourceReader:
+        self._preflight()
         return CdcLogBatchReader(self.options)
 
     def simpleStreamReader(self, schema: T.StructType) -> SimpleDataSourceStreamReader:
+        self._preflight()
         return CdcLogStreamReader(self.options)
 
 

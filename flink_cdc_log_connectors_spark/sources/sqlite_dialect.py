@@ -514,10 +514,20 @@ class SqliteCdcDataSource(DataSource):
     def schema(self) -> T.StructType:
         return RAW_SCHEMA
 
+    def _preflight(self) -> None:
+        # C10: fail at submission with every problem listed, not at the
+        # first microbatch with a stack trace (MySqlValidator's contract)
+        if str(self.options.get("validatepreflight", "true")).lower() != "false":
+            from .validators import validate_sqlite_dialect
+
+            validate_sqlite_dialect(self.options)
+
     def reader(self, schema: T.StructType) -> DataSourceReader:
+        self._preflight()
         return SqliteCdcBatchReader(self.options)
 
     def simpleStreamReader(self, schema: T.StructType) -> SimpleDataSourceStreamReader:
+        self._preflight()
         return SqliteCdcStreamReader(self.options)
 
 
