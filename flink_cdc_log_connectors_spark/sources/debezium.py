@@ -189,6 +189,16 @@ def validate_before_images(
     return df.withColumn("_valid", ~needs_before | has_before)
 
 
+#: op code of synthetic heartbeat rows (L5) — null images, live offsets
+OP_HEARTBEAT = "h"
+
+
+def drop_heartbeats(df: DataFrame, op_col: str = "op") -> DataFrame:
+    """Remove heartbeat rows AFTER any ``withWatermark`` assignment — the
+    heartbeat's only job is advancing event time; it carries no data."""
+    return df.filter(F.col(op_col) != OP_HEARTBEAT)
+
+
 def raw_json_passthrough(df: DataFrame, json_col: str = "value") -> DataFrame:
     """D3 — JsonDebeziumDeserializationSchema: raw envelope JSON through."""
     return df.select(F.col(json_col).alias("json"))

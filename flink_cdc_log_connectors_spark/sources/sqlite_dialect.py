@@ -317,6 +317,17 @@ class SqliteCdcStreamReader(SimpleDataSourceStreamReader):
         self.chunk_size = int(options.get("chunksize", DEFAULT_CHUNK_SIZE))
         self.max_events = int(options.get("maxeventsperbatch", 10_000))
         self.startup = (options.get("startingoffsets") or "initial").lower()
+        # L5 heartbeats (MySqlSourceOptions.java:167-172): when the log
+        # advances on OTHER tables' traffic while ours is idle, emit a
+        # synthetic op='h' row every N skipped entries so downstream
+        # event-time watermarks keep moving.  Counted in log entries (not
+        # wall time) so replay of a committed range reproduces the exact
+        # same heartbeat rows — determinism is the C3/C4 contract.
+        self.heartbeat_every = int(
+            options.get("heartbeatinterval")
+            or options.get("heartbeatInterval")
+            or 0
+        )
 
     # -- offsets -----------------------------------------------------------
     def initialOffset(self) -> dict:
@@ -393,10 +404,22 @@ class SqliteCdcStreamReader(SimpleDataSourceStreamReader):
         events = read_log_between(
             self.db_path, cursor, limit=self.max_events if limit is None else limit
         )
+        skipped = 0
         for ev_id, tbl, op, before, after, ts_ms in events:
             cursor = ev_id
             if tbl != self.table:
+                skipped += 1
+                if self.heartbeat_every and skipped >= self.heartbeat_every:
+                    rows.append(
+                        (
+                            _envelope("h", None, None, "__heartbeat__", ev_id, ts_ms),
+                            "cdc",
+                            ev_id,
+                        )
+                    )
+                    skipped = 0
                 continue
+            skipped = 0
             img = json.loads(after if op != "d" else before)
             if chunks and not self._should_emit(
                 ev_id, img.get(self.key_col), chunks, highs

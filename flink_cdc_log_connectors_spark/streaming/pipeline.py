@@ -288,3 +288,63 @@ def fanout_by_table(
         .option("checkpointLocation", checkpoint_path)
         .outputMode("update")
     )
+
+
+def add_tables_backfill(
+    spark: SparkSession,
+    path: str,
+    physical: T.StructType,
+    new_tables: Sequence[str],
+    output_base: str,
+    keys: Sequence[str],
+    snapshot_path: str | None = None,
+    upto_file: str = "",
+    upto_pos: int = -1,
+    src_col: str = "_src",
+    n_buckets: int = 64,
+) -> dict[str, int]:
+    """L7 — newly-added-table flow: bring tables into a RUNNING capture
+    without restarting it from scratch.
+
+    The reference suspends its binlog reader, snapshots the new tables,
+    then wakes the reader with the merged table list
+    (``MySqlSourceReader.java:141-201`` suspend/wakeup protocol).  This
+    engine gets the same effect with no suspension, because the log is
+    replayable and the state sink is an idempotent keyed merge:
+
+    1. the running stream keeps materializing its current tables;
+    2. this function BATCH-reads the new tables' history bounded at the
+       stream's committed offset (``upto_file``/``upto_pos``) and merges
+       it into each table's :class:`PartitionedStateTable` under epoch
+       ``-1`` — ordered BEFORE every streamed epoch, so any overlap
+       resolves to the streamed (newer) row;
+    3. the caller widens the stream's table list (``fanout_by_table``'s
+       ``tables``) and continues from the same checkpoint — events past
+       the boundary land incrementally.
+
+    No loss: history ≤ boundary comes from the batch read, > boundary
+    from the stream.  No duplication: the keyed merge is idempotent and
+    epoch ordering breaks ties.  Returns rows merged per table.
+    """
+    from ..sources.debezium import CHANGELOG_ORDER_BY, offset_sort_columns
+
+    df = offset_sort_columns(
+        read_cdc_batch(spark, path, physical, snapshot_path=snapshot_path)
+    )
+    # snapshot rows (_off_file = "") sort before any log file, so they are
+    # always inside the bound; upto_pos is the last INCLUDED line index
+    bounded = df.filter(
+        (F.col("_off_file") < F.lit(upto_file))
+        | (
+            (F.col("_off_file") == F.lit(upto_file))
+            & (F.col("_off_pos") <= F.lit(upto_pos))
+        )
+    )
+    merged: dict[str, int] = {}
+    for t in new_tables:
+        slice_ = bounded.filter(F.col(f"{src_col}.table_name") == t)
+        PartitionedStateTable(
+            f"{output_base}/{t}", list(keys), n_buckets=n_buckets
+        ).upsert(slice_, order_by=CHANGELOG_ORDER_BY, epoch_id=-1)
+        merged[t] = slice_.count()
+    return merged
