@@ -135,8 +135,9 @@ def _geojson_udf():
                 )
         return pd.Series(out, dtype="object")
 
-    _f.__annotations__ = {"wkb_b64": "pd.Series", "srid": "pd.Series",
-                          "return": "pd.Series"}
+    # real type objects: string hints are unresolvable to pandas_udf here
+    _f.__annotations__ = {"wkb_b64": pd.Series, "srid": pd.Series,
+                          "return": pd.Series}
     return F.pandas_udf(_f, "string")
 
 
