@@ -364,3 +364,147 @@ FROM f ORDER BY doc_id
 
 
 TEXT_QUERIES["text_winnow_fingerprint"] = (winnow_query, WINNOW_SQL)
+
+
+# --------------------------------------------------------------------------
+# Corpus-frequency quality scoring (rare-token ratio)
+# --------------------------------------------------------------------------
+
+
+def corpus_rarity(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality score from CORPUS token statistics: the share
+    of token occurrences whose corpus-wide frequency is below a rarity
+    threshold.  High rare-ratio flags OCR garbage, codes/ids dumps, and
+    boilerplate-free noise — the frequency-based member of the quality
+    family (`token_stats` covers the doc-local members).
+
+    The threshold scales with the corpus (``max(3, total_tokens/100_000)``,
+    integer arithmetic, so both engines derive it identically) — a fixed
+    K would mark everything "rare" at web scale.
+
+    Plan shape: explode → one shuffle keyed by token (frequency count) →
+    join back (AQE broadcasts the vocabulary when small; at 100 TB the
+    vocab join is a shuffled hash join on uniform keys) → one shuffle
+    keyed by doc for the rollup.  Everything integer until the final
+    ratio division — deterministic across engines, no float folds.
+    """
+    tok = df.select("doc_id", F.explode(tokens(F.col(text_col))).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = tok.count()
+    k = max(3, total // 100_000)
+    return (
+        tok.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum((F.col("c") < F.lit(k)).cast("long")).alias("n_rare"),
+            F.min("c").alias("min_freq"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_rare",
+            (F.col("n_rare").cast("double") / F.col("n_tokens")).alias("rare_ratio"),
+            "min_freq",
+        )
+    )
+
+
+def rarity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_rarity(docs).orderBy("doc_id")
+
+
+RARITY_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest({_T}) AS tok FROM documents),
+freq AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+k AS (SELECT greatest(3, count(*) // 100000) AS k FROM tok)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN c < (SELECT k FROM k) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_rare,
+       CAST(sum(CASE WHEN c < (SELECT k FROM k) THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS rare_ratio,
+       min(c) AS min_freq
+FROM tok JOIN freq USING (tok)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+TEXT_QUERIES["text_rarity_quality"] = (rarity_query, RARITY_SQL)
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap against a held-out set)
+# --------------------------------------------------------------------------
+
+DECON_N = 5          #: shingle width for contamination matching
+DECON_BENCH_MOD = 20  #: doc_id % MOD == 0 plays the benchmark/eval set
+
+
+def decontaminate_hits(
+    corpus: DataFrame, benchmark: DataFrame, n: int = DECON_N
+) -> DataFrame:
+    """Training-corpus documents sharing any word ``n``-gram with a
+    benchmark document — the standard pre-training decontamination check
+    (n-gram overlap against eval sets).  Returns one row per contaminated
+    corpus doc: how many (shingle, benchmark-doc) matches, how many
+    distinct benchmark docs were hit, and the smallest hit id (for
+    triage).
+
+    Scale shape: both sides shingle through the shared md5-60 hash pass;
+    the join runs on 8-byte hashed shingles.  Eval sets are tiny relative
+    to the corpus, so at 100 TB the benchmark side broadcasts and the
+    corpus side never shuffles — the plan is one map-side join plus the
+    per-doc rollup.
+    """
+    from ..functions.text import hashed_word_ngrams
+
+    c_sh = corpus.select(
+        F.col("doc_id"),
+        F.explode(hashed_word_ngrams(F.col("text"), n)).alias("sh"),
+    )
+    b_sh = benchmark.select(
+        F.col("doc_id").alias("bench_id"),
+        F.explode(hashed_word_ngrams(F.col("text"), n)).alias("sh"),
+    )
+    return (
+        c_sh.join(F.broadcast(b_sh), "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.countDistinct("bench_id").cast("long").alias("n_benchmarks"),
+            F.min("bench_id").alias("first_bench_id"),
+        )
+    )
+
+
+def decontaminate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
+    return decontaminate_hits(corpus, bench).orderBy("doc_id")
+
+
+def _decon_sql() -> str:
+    from ..functions.text import ngrams_sql
+
+    grams = ngrams_sql("text", DECON_N)
+    return f"""
+WITH c_sh AS (
+  SELECT doc_id, unnest({grams}) AS sh FROM documents
+  WHERE doc_id % {DECON_BENCH_MOD} != 0
+),
+b_sh AS (
+  SELECT doc_id AS bench_id, unnest({grams}) AS sh FROM documents
+  WHERE doc_id % {DECON_BENCH_MOD} = 0
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_hits,
+       CAST(count(DISTINCT bench_id) AS BIGINT) AS n_benchmarks,
+       min(bench_id) AS first_bench_id
+FROM c_sh JOIN b_sh USING (sh)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+TEXT_QUERIES["text_decontaminate"] = (decontaminate_query, _decon_sql())

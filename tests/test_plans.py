@@ -110,3 +110,21 @@ def test_lsh_band_join_no_vector_shuffle(spark, sf_dir):
         head = seg[: seg.index(")")]
         if "band" in head:
             assert "v#" not in head and "embedding" not in head
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
+    from flink_cdc_log_connectors_spark.operators.text import (
+        decontaminate_query,
+    )
+
+    # the eval set is tiny vs the corpus: its shingles must broadcast so
+    # the corpus side is never shuffled before the per-doc rollup
+    assert uses_broadcast_join(decontaminate_query(spark, sf_dir))
+
+
+def test_rarity_bounded_shuffles(spark, sf_dir):
+    from flink_cdc_log_connectors_spark.operators.text import rarity_query
+
+    # token-frequency count + per-doc rollup (+ final order, + AQE's
+    # optional vocab-join exchange) — bounded, no quadratic stage
+    assert count_exchanges(rarity_query(spark, sf_dir)) <= 4
