@@ -653,13 +653,103 @@ ORDER BY d1, d2
 """
 
 
+def binary_hamming_topk(
+    emb: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_pred=None,
+) -> DataFrame:
+    """1-bit quantized ANN: rank candidates by Hamming distance between
+    64-bit sign signatures — the extreme end of the quantization ladder
+    (float64 512 B → int8 64 B → 8 B code, 64× storage/shuffle
+    compression; Hamming distance between sign codes is the standard
+    monotone proxy for angular distance).
+
+    Scale shape: the signature pass is map-only; the 8-byte codes — not
+    the vectors — are what the ranking touches, and the (tiny) query
+    code set broadcasts, so the candidate side is one map-only scan plus
+    the per-query top-k window.  At 100 TB the codes fit where vectors
+    cannot (1 PB of float32 embeddings → 16 TB of codes).
+    """
+    from ..caching import persist_tracked
+
+    sigs = persist_tracked(
+        emb.select(
+            F.col(id_col).alias("vid"), lsh_signature(F.col(vec_col)).alias("code")
+        )
+    )
+    q = sigs.filter(query_pred(F.col("vid")) if query_pred else F.col("vid") < 8)
+    joined = sigs.crossJoin(
+        F.broadcast(
+            q.select(F.col("vid").alias("query_id"), F.col("code").alias("qcode"))
+        )
+    ).filter(F.col("vid") != F.col("query_id"))
+    scored = joined.select(
+        "query_id",
+        F.col("vid").alias("neighbor_id"),
+        F.bit_count(F.col("code").bitwiseXOR(F.col("qcode"))).alias("hamming"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "hamming", "rk")
+    )
+
+
+def ann_hamming_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return binary_hamming_topk(emb, k=3).orderBy("query_id", "rk")
+
+
+def _hamming_sql() -> str:
+    """DuckDB twin: per-plane sign bits re-derived from the md5-seeded
+    hyperplanes; Hamming = count of differing signs (no 64-bit packing,
+    so no signedness to reconcile)."""
+    return f"""
+WITH planes AS (
+  SELECT p, d,
+         (('0x' || substring(md5('plane:' || p || ':' || d), 1, 16))::UBIGINT
+          % 2000003) / 1000001.5 - 1.0 AS w
+  FROM (SELECT unnest(range({NUM_PLANES})) AS p)
+  CROSS JOIN (SELECT unnest(range({DIM})) AS d)
+),
+vx AS (
+  SELECT vec_id, i - 1 AS d, embedding[i]::DOUBLE AS x
+  FROM embeddings CROSS JOIN (SELECT unnest(range(1, {DIM + 1})) AS i)
+),
+bits AS (
+  SELECT vec_id, p, sum(w * x) > 0 AS b
+  FROM vx JOIN planes USING (d) GROUP BY vec_id, p
+),
+hams AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(sum(CASE WHEN q.b != c.b THEN 1 ELSE 0 END) AS INT) AS hamming
+  FROM bits q JOIN bits c ON q.p = c.p AND c.vec_id != q.vec_id
+  WHERE q.vec_id < 8
+  GROUP BY q.vec_id, c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, hamming,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY hamming, neighbor_id) AS rk
+  FROM hams
+)
+SELECT query_id, neighbor_id, hamming, rk FROM ranked
+WHERE rk <= 3 ORDER BY query_id, rk
+"""
+
+
 SIMILARITY_QUERIES = {
     "ann_cosine_topk": (ann_topk_query, ANN_TOPK_SQL),
     "ann_ivf_label": (ann_ivf_query, ANN_IVF_SQL),
-    # LSH banding recall is probabilistic — rows-only check.
+    # every LSH/probe family below is deterministic (md5-seeded planes /
+    # one-pass centroids) and carries a FULL value oracle
     "simsearch_lsh_cosine": (simsearch_lsh_query, _lsh_cosine_sql()),
-    # centroid float sums aren't ANSI-portable — rows-only; recall vs the
-    # exact top-k is asserted in tests instead.
     "ann_ivf_multiprobe": (ann_multiprobe_query, ANN_MULTIPROBE_SQL),
     "simsearch_int8_pairs": (quantized_pairs_query, _quantized_sql()),
+    "ann_hamming_topk": (ann_hamming_query, _hamming_sql()),
 }

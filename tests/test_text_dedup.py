@@ -289,3 +289,20 @@ def test_kmeans_recovers_separable_clusters(spark):
     assert all(len(cells) == 1 for cells in by_true.values())
     assert len(set.union(*by_true.values())) == 3
     assert all(r["dist2"] < 8 * 0.5**2 + 1e-6 for r in out)
+
+
+def test_binary_hamming_topk_identical_vector_ranks_first(spark):
+    from flink_cdc_log_connectors_spark.operators.similarity import (
+        binary_hamming_topk,
+    )
+
+    base = [float(i % 7) - 3.0 for i in range(64)]
+    far = [(-1.0) ** i * (i + 1.0) for i in range(64)]
+    rows = [(0, base), (1, base), (2, far)]  # 1 duplicates the query 0
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = binary_hamming_topk(
+        emb, k=2, query_pred=lambda v: v == 0
+    ).orderBy("rk").collect()
+    # identical vector → identical sign code → hamming 0, rank 1
+    assert out[0]["neighbor_id"] == 1 and out[0]["hamming"] == 0
+    assert out[1]["hamming"] > 0
