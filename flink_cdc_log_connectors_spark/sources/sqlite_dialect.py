@@ -66,13 +66,57 @@ from .datasource import RAW_SCHEMA
 LOG_TABLE = "_cdc_log"
 
 
-def _connect(db_path: str) -> sqlite3.Connection:
-    """Reader connection: WAL lets the capture read while writers commit
-    (the whole point of a lock-free snapshot); busy_timeout rides out
-    write-lock contention instead of erroring."""
-    conn = sqlite3.connect(db_path, timeout=30.0)
-    conn.execute("PRAGMA busy_timeout=30000")
-    return conn
+#: C9 connection pooling — one cached connection per (db file, thread):
+#: the stream reader calls log_position + read_log_between + chunk scans
+#: every microbatch, and a fresh connection per call re-parses the schema
+#: and re-opens the WAL each time (the reference pools for the same
+#: reason, ``JdbcConnectionPools``).  Keying by thread keeps sqlite's
+#: same-thread contract without locks; executor processes each get their
+#: own pool (module state is per-process).  WAL readers start a fresh
+#: read transaction per statement in autocommit mode, so a pooled
+#: connection always sees the latest commits.
+_POOL: dict[tuple[str, int], sqlite3.Connection] = {}
+
+
+class _PooledConn:
+    """Thin proxy whose ``close()`` returns the connection to the pool."""
+
+    __slots__ = ("_conn",)
+
+    def __init__(self, conn: sqlite3.Connection) -> None:
+        self._conn = conn
+
+    def __getattr__(self, name: str):
+        return getattr(self._conn, name)
+
+    def close(self) -> None:  # pooled: real close happens in close_pool()
+        pass
+
+
+def _connect(db_path: str) -> _PooledConn:
+    """Pooled reader connection: WAL lets the capture read while writers
+    commit (the whole point of a lock-free snapshot); busy_timeout rides
+    out write-lock contention instead of erroring."""
+    import threading
+
+    key = (db_path, threading.get_ident())
+    conn = _POOL.get(key)
+    if conn is None:
+        conn = sqlite3.connect(db_path, timeout=30.0)
+        conn.execute("PRAGMA busy_timeout=30000")
+        _POOL[key] = conn
+    return _PooledConn(conn)
+
+
+def close_pool(db_path: str | None = None) -> int:
+    """Really close pooled connections (all threads; one path or all)."""
+    keys = [k for k in _POOL if db_path is None or k[0] == db_path]
+    for k in keys:
+        try:
+            _POOL.pop(k).close()
+        except Exception:
+            pass
+    return len(keys)
 
 
 # ---------------------------------------------------------------------------

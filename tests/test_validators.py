@@ -133,3 +133,25 @@ def test_jdbc_option_rejects():
     assert "jdbc:" in msg and "table" in msg
     assert len(e.value.problems) == 4
     validate_jdbc_options("jdbc:derby:memory:x", "t", 8, 1024)  # no raise
+
+
+def test_sqlite_connection_pooling(tmp_path):
+    """C9: same (path, thread) reuses one underlying connection; close()
+    on the proxy is a no-op; close_pool really closes."""
+    from flink_cdc_log_connectors_spark.sources.sqlite_dialect import (
+        _connect,
+        close_pool,
+    )
+
+    db = str(tmp_path / "p.db")
+    _make_db(db)
+    c1 = _connect(db)
+    c1.close()  # returns to pool
+    c2 = _connect(db)
+    assert c2._conn is c1._conn
+    assert c2.execute("SELECT count(*) FROM items").fetchone()[0] == 0
+    assert close_pool(db) == 1
+    # fresh connection after a real close
+    c3 = _connect(db)
+    assert c3._conn is not c1._conn
+    close_pool(db)
