@@ -372,3 +372,52 @@ def test_interval_join_left_outer_emits_unmatched(spark, tmp_path):
     got = sorted((r["k"], r["amt"], r["tag"]) for r in rows)
     assert ("k1", 1, "hit") in got
     assert ("k2", 2, None) in got      # unmatched left emitted with NULL
+
+
+def test_streaming_minhash_dedup_across_batches(spark, tmp_path):
+    """Ingestion dedup: a doc arriving in a LATER microbatch is caught
+    against the accumulated index, not just its own batch."""
+    from flink_cdc_log_connectors_spark.streaming.ingest_dedup import (
+        read_dedup_pairs,
+        streaming_minhash_dedup,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill and the birds sing in the garden trees"
+    )
+    near = base.replace("warm", "cold")  # near-dup of doc 1
+    other = (
+        "completely different content about distributed query engines and "
+        "partitioned state tables with atomic manifest swaps for streams"
+    )
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    idx = str(tmp_path / "index")
+
+    schema = "doc_id long, text string"
+    # batch 1: two distinct docs + an intra-batch near-dup pair (3≈1)
+    spark.createDataFrame(
+        [(1, base), (2, other), (3, near)], schema
+    ).repartition(1).write.mode("append").parquet(str(in_dir))
+    stream = spark.readStream.schema(schema).parquet(str(in_dir))
+    q = streaming_minhash_dedup(
+        stream, idx, str(tmp_path / "ckpt"), threshold_num=1, threshold_den=2
+    ).start()
+    q.processAllAvailable()
+
+    got1 = {(r["d1"], r["d2"]) for r in read_dedup_pairs(spark, idx).collect()}
+    assert (1, 3) in got1
+
+    # batch 2: another copy of base → must pair with BOTH 1 and 3 from
+    # the index (cross-batch), not just within its own batch
+    spark.createDataFrame([(9, base)], schema).repartition(1).write.mode(
+        "append"
+    ).parquet(str(in_dir))
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+
+    got2 = {(r["d1"], r["d2"]) for r in read_dedup_pairs(spark, idx).collect()}
+    assert (9, 1) in got2 and (9, 3) in got2
+    assert (9, 2) not in got2 and (1, 2) not in got1
