@@ -171,6 +171,11 @@ def _wire_type(semantic: str, declared: T.DataType) -> T.DataType:
         "micro_timestamp": T.LongType(),
         "zoned_timestamp": T.StringType(),
         "decimal_string": T.StringType(),
+        # Oracle INTERVAL DAY TO SECOND / YEAR TO MONTH wire forms
+        # (io.debezium.time.MicroDuration µs / months int —
+        # OracleDeserializationConverterFactory)
+        "interval_micros": T.LongType(),
+        "interval_months": T.IntegerType(),
     }.get(semantic, declared)
 
 
@@ -197,6 +202,14 @@ def _convert(col: Column, semantic: str, declared: T.DataType) -> Column:
         return F.timestamp_micros(col).cast(T.TimestampNTZType())
     if semantic == "zoned_timestamp":
         return F.to_timestamp(col)
+    if semantic == "interval_micros":
+        # µs → DayTimeIntervalType; decimal seconds keep µs precision
+        return F.make_dt_interval(
+            F.lit(0), F.lit(0), F.lit(0),
+            (col.cast(T.DecimalType(26, 6)) / F.lit(1_000_000)),
+        ).cast(declared)
+    if semantic == "interval_months":
+        return F.make_ym_interval(F.lit(0), col).cast(declared)
     if semantic in ("enum", "json", "decimal_string", "year", "bit1"):
         return col.cast(declared)
     return col.cast(declared)
@@ -234,7 +247,7 @@ def parse_debezium_typed(
     unknown = set(semantics.values()) - {
         "enum", "json", "set", "geometry", "point", "year", "bit1", "bits",
         "date_days", "micro_time", "micro_timestamp", "zoned_timestamp",
-        "decimal_string",
+        "decimal_string", "interval_micros", "interval_months",
     }
     if unknown:
         raise ValueError(f"unknown semantic converters: {sorted(unknown)}")
@@ -256,8 +269,19 @@ def parse_debezium_typed(
 
 #: convenience presets — which semantics each dialect typically needs
 #: (reference: MySql factory handles enum/set/json/geometry; Oracle's adds
-#: interval/timestamp strings; SqlServer's zoned timestamps)
+#: intervals + zoned timestamps; SqlServer's zoned timestamps)
 MYSQL_EXTENDED = {
     "enum": "enum", "set": "set", "json": "json",
     "geometry": "geometry", "point": "point", "year": "year",
+}
+
+ORACLE_EXTENDED = {
+    "interval_ds": "interval_micros",
+    "interval_ym": "interval_months",
+    "ts_tz": "zoned_timestamp",
+    "big_number": "decimal_string",
+}
+
+SQLSERVER_EXTENDED = {
+    "datetimeoffset": "zoned_timestamp",
 }
