@@ -18,12 +18,16 @@ from scripts.selfcheck import hash_rows
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
 # Vanilla session, as the driver would build it (no engine-tuned confs).
-spark = (
+# DRIVER_SIM_TZ probes non-UTC driver sessions (catches NTZ/LTZ leaks).
+builder = (
     SparkSession.builder.master("local[8]")
     .appName("driver-sim")
     .config("spark.ui.enabled", "false")
-    .getOrCreate()
 )
+tz = os.environ.get("DRIVER_SIM_TZ")
+if tz:
+    builder = builder.config("spark.sql.session.timeZone", tz)
+spark = builder.getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 
 print("== entry() smoke ==")
