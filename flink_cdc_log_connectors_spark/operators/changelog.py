@@ -129,6 +129,14 @@ def filter_ops(df: DataFrame, ops: Sequence[str], op_col: str = "op") -> Column 
     return df.filter(F.col(op_col).isin(list(ops)))
 
 
+#: reference metadata-key aliases (MySqlReadableMetadata.java:35-70 names
+#: the event-time key ``op_ts``; our ``_src`` struct stores it as
+#: ``op_ts_ms``) + the Mongo source's ``collection_name``
+#: (MongoDBReadableMetadata) which maps onto the relational ``table_name``
+#: slot of the shared struct.
+_METADATA_ALIASES = {"op_ts": "op_ts_ms", "collection_name": "table_name"}
+
+
 def with_metadata_columns(
     df: DataFrame,
     src_col: str = "_src",
@@ -139,7 +147,14 @@ def with_metadata_columns(
     Mirrors SupportsReadingMetadata + AppendMetadataCollector (reference
     ``MySqlReadableMetadata.java:35-70``, ``AppendMetadataCollector.java:33-58``):
     requested metadata keys are appended after the physical columns.
+    Reference key names (``op_ts``, Mongo's ``collection_name``) are
+    accepted and resolved against the ``_src`` struct's field names; the
+    output column keeps the requested name.
     """
     return df.select(
-        "*", *[F.col(f"{src_col}.{k}").alias(k) for k in keys]
+        "*",
+        *[
+            F.col(f"{src_col}.{_METADATA_ALIASES.get(k, k)}").alias(k)
+            for k in keys
+        ],
     )
