@@ -110,6 +110,19 @@ class CdcLogStreamReader(SimpleDataSourceStreamReader):
         subclasses override (e.g. Mongo wraps as a change-stream insert)."""
         return _wrap_snapshot_row(line)
 
+    def _snapshot_file_list(self) -> list[str]:
+        """Files served in the snapshot phase, in order.  Dialects with
+        their own discovery (e.g. Mongo collection-regex matching)
+        override this; the index into this list is what the snapshot
+        offset's ``snap_idx`` pins, so the list must be deterministic."""
+        return _snapshot_files(self.snapshot_path)
+
+    def _wrap_snapshot_row_for(self, path: str, line: str) -> str:
+        """Per-file wrap hook: ``path`` identifies which snapshot file the
+        row came from (Mongo derives the (db, collection) namespace from
+        it).  Default ignores the path."""
+        return self._wrap_snapshot_row(line)
+
     def _post_snapshot_log_start(self, start: dict) -> dict:
         """Log cursor to hand off to when the snapshot phase completes.
         The file dialect replays the WHOLE log (its log lines carry the
@@ -141,7 +154,7 @@ class CdcLogStreamReader(SimpleDataSourceStreamReader):
 
     # -- reading -----------------------------------------------------------
     def _read_snapshot(self, start: dict) -> Tuple[list[tuple], dict]:
-        files = _snapshot_files(self.snapshot_path)
+        files = self._snapshot_file_list()
         rows: list[tuple] = []
         idx, line_no = start["snap_idx"], start["snap_line"]
         while idx < len(files) and len(rows) < self.max_lines:
@@ -149,7 +162,7 @@ class CdcLogStreamReader(SimpleDataSourceStreamReader):
                 for i, line in enumerate(fh):
                     if i < line_no or not line.strip():
                         continue
-                    rows.append((self._wrap_snapshot_row(line), None, None))
+                    rows.append((self._wrap_snapshot_row_for(files[idx], line), None, None))
                     line_no = i + 1
                     if len(rows) >= self.max_lines:
                         break

@@ -78,6 +78,101 @@ def parse_mongo_changestream(
 
 
 # --------------------------------------------------------------------------
+# collection-regex discovery (reference CollectionDiscoveryUtils.java) —
+# the Mongo twin of the relational L3 include/exclude surface
+# --------------------------------------------------------------------------
+
+
+def _as_patterns(spec: str | None) -> list[str]:
+    """Comma-separated regex list → anchored patterns (the reference
+    compiles each entry with ``Pattern.compile`` and full-matches names)."""
+    if not spec:
+        return []
+    return [p.strip() for p in spec.split(",") if p.strip()]
+
+
+def collection_matcher(
+    databases: str | None, collections: str | None
+):
+    """Predicate ``(db, coll) -> bool`` with the reference's semantics
+    (``CollectionDiscoveryUtils.databaseFilter/collectionsFilter``):
+
+    - ``databases``: regex list full-matched against the database name
+      (empty = every database).
+    - ``collections``: regex list; each entry is tried as a full match
+      against BOTH the bare collection name and the fully-qualified
+      ``db.coll`` name (empty = every collection).  Trying both sides
+      steps around the undecidable "is this dot a regex wildcard or a
+      namespace separator" question (``items.*`` and ``crm\\.leads``
+      both do what they look like).
+    """
+    import re
+
+    db_pats = [re.compile(p) for p in _as_patterns(databases)]
+    coll_pats = [re.compile(p) for p in _as_patterns(collections)]
+
+    def match(db: str, coll: str) -> bool:
+        if db_pats and not any(p.fullmatch(db) for p in db_pats):
+            return False
+        if not coll_pats:
+            return True
+        fq = f"{db}.{coll}"
+        return any(p.fullmatch(coll) or p.fullmatch(fq) for p in coll_pats)
+
+    return match
+
+
+def discover_collections(
+    existing_root: str, databases: str | None, collections: str | None
+) -> list[tuple[str, str, str]]:
+    """Match the ``<root>/<db>/<coll>.jsonl`` layout against the regex
+    lists; returns sorted ``(db, coll, path)`` — deterministic so the
+    snapshot offset's file index stays stable across restarts."""
+    import os
+
+    match = collection_matcher(databases, collections)
+    out = []
+    for db in sorted(os.listdir(existing_root)):
+        db_dir = os.path.join(existing_root, db)
+        if not os.path.isdir(db_dir):
+            continue
+        for f in sorted(os.listdir(db_dir)):
+            if f.endswith(".jsonl") and match(db, f[: -len(".jsonl")]):
+                out.append((db, f[: -len(".jsonl")], os.path.join(db_dir, f)))
+    return out
+
+
+def filter_collections(
+    df: DataFrame, databases: str | None = None, collections: str | None = None
+) -> DataFrame:
+    """L3-parity stream filter over parsed Mongo change rows: keep rows
+    whose ``_src.database_name``/``collection_name`` match the regex
+    lists.  Pure Catalyst (``rlike`` on two tiny columns) — map-only, no
+    Python in the row path."""
+    def _any_match(col: Column, pats: list[str]) -> Column:
+        out = F.lit(False)
+        for p in pats:
+            out = out | col.rlike(f"^(?:{p})$")
+        return out
+
+    db_pats = _as_patterns(databases)
+    cond = F.lit(True)
+    if db_pats:
+        cond = cond & _any_match(F.col("_src.database_name"), db_pats)
+    coll_pats = _as_patterns(collections)
+    if coll_pats:
+        # same bare-or-qualified semantics as collection_matcher
+        fq = F.concat_ws(
+            ".", F.col("_src.database_name"), F.col("_src.collection_name")
+        )
+        cond = cond & (
+            _any_match(F.col("_src.collection_name"), coll_pats)
+            | _any_match(fq, coll_pats)
+        )
+    return df.filter(cond)
+
+
+# --------------------------------------------------------------------------
 # copy.existing — snapshot-then-stream initial load (S7)
 # --------------------------------------------------------------------------
 #
@@ -115,18 +210,57 @@ class MongoCdcStreamReader(CdcLogStreamReader):
         copy_opt = (options.get("copyexisting") or options.get("copyExisting")
                     or ("true" if self.snapshot_path else "false"))
         self.copy_existing = str(copy_opt).lower() == "true"
+        #: ``database``/``collection`` accept comma-separated REGEX lists
+        #: (reference MongoDBSourceOptions + CollectionDiscoveryUtils);
+        #: a plain name is the degenerate one-entry regex.
         self.db = options.get("database", "")
         self.coll = options.get("collection", "")
+        self._discovered: list[tuple[str, str, str]] | None = None
 
-    def _wrap_snapshot_row(self, line: str) -> str:
+    # -- collection-regex discovery (S7 + L3 parity) -----------------------
+    def _discover(self) -> list[tuple[str, str, str]]:
+        """(db, coll, path) for every matched collection.  A flat
+        ``existingPath`` (file or dir of jsonl, the pre-discovery layout)
+        degrades to a single pseudo-collection named by the ``database``/
+        ``collection`` options."""
+        if self._discovered is None:
+            import os
+
+            root = self.snapshot_path or ""
+            if os.path.isdir(root) and any(
+                os.path.isdir(os.path.join(root, d)) for d in os.listdir(root)
+            ):
+                self._discovered = discover_collections(root, self.db, self.coll)
+            else:
+                from .datasource import _snapshot_files
+
+                self._discovered = [
+                    (self.db, self.coll, p) for p in _snapshot_files(root)
+                ]
+        return self._discovered
+
+    def _snapshot_file_list(self) -> list[str]:
+        return [p for _db, _coll, p in self._discover()]
+
+    def _wrap_snapshot_row_for(self, path: str, line: str) -> str:
         # copied documents become change-stream inserts with clusterTime 0
         # (the reference marks copies the same way — they sort before any
-        # real event, so concurrent updates replayed after the copy win)
+        # real event, so concurrent updates replayed after the copy win);
+        # the namespace comes from the DISCOVERED collection the file
+        # belongs to, not a global option
+        db, coll = self.db, self.coll
+        for d, c, p in self._discover():
+            if p == path:
+                db, coll = d, c
+                break
         return (
             '{"operationType": "insert", "fullDocument": ' + line.rstrip("\n")
-            + ', "documentKey": null, "ns": {"db": "' + self.db
-            + '", "coll": "' + self.coll + '"}, "clusterTime": 0}'
+            + ', "documentKey": null, "ns": {"db": "' + db
+            + '", "coll": "' + coll + '"}, "clusterTime": 0}'
         )
+
+    def _wrap_snapshot_row(self, line: str) -> str:
+        return self._wrap_snapshot_row_for("", line)
 
     def _post_snapshot_log_start(self, start: dict) -> dict:
         return {

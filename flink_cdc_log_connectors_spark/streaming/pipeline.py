@@ -156,14 +156,68 @@ def session_windows(
     )
 
 
-def progress_metrics(query) -> dict:
+#: name of the per-batch lag observation attached by ``with_lag_observer``
+LAG_OBSERVATION = "cdc_lag"
+
+
+def with_lag_observer(
+    stream: DataFrame, src_col: str = "_src", name: str = LAG_OBSERVATION
+) -> DataFrame:
+    """Attach the per-batch observation feeding the reference's fetch/emit
+    delay gauges (``SourceReaderMetrics.java:87`` currentFetchEventTimeLag
+    / currentEmitEventTimeLag).  ``df.observe`` aggregates ride the batch
+    for free (no extra pass); snapshot rows (op_ts epoch 0) are excluded —
+    lag over a backfill row is meaningless and would dwarf the gauge."""
+    op_ts = F.col(f"{src_col}.op_ts_ms")
+    emit_ts = F.col(f"{src_col}.emit_ts_ms")
+    live = op_ts > 0
+    return stream.observe(
+        name,
+        F.max(F.when(live, op_ts)).alias("max_op_ts_ms"),
+        # per-event pairing: connector-emit minus source-commit, maxed —
+        # the reference's fetch lag (how stale events were when fetched)
+        F.max(F.when(live, emit_ts - op_ts)).alias("max_fetch_delay_ms"),
+        F.count(F.lit(1)).alias("rows"),
+    )
+
+
+def _iso_to_ms(ts: str | None) -> int | None:
+    if not ts:
+        return None
+    from datetime import datetime, timezone
+
+    t = datetime.fromisoformat(ts.replace("Z", "+00:00"))
+    if t.tzinfo is None:
+        t = t.replace(tzinfo=timezone.utc)
+    return int(t.timestamp() * 1000)
+
+
+def progress_metrics(progress) -> dict:
     """C11 — source metrics from StreamingQueryProgress: rows/sec, batch
-    duration, per-source offsets (the reference exposes fetch/emit delay
-    gauges; SS exposes the equivalent through lastProgress)."""
-    p = query.lastProgress
+    duration, per-source offsets, and the reference's fetch/emit delay
+    gauges (``SourceReaderMetrics.java:87``) derived from the
+    ``with_lag_observer`` observation:
+
+    - ``fetchDelayMs``: max over the batch of (connector emit ts − source
+      commit ts) — how stale events were when the source fetched them.
+    - ``emitDelayMs``: (batch end wall time − newest source commit ts) —
+      event-time-to-downstream-emit lag of the batch.
+
+    Accepts a live StreamingQuery, a StreamingQueryProgress, or a plain
+    progress dict."""
+    if isinstance(progress, dict):
+        p = progress
+    elif hasattr(progress, "lastProgress"):
+        p = progress.lastProgress
+    else:
+        p = progress
+    if p is not None and not isinstance(p, dict):
+        import json as _json
+
+        p = _json.loads(p.json)  # StreamingQueryProgress → plain dict
     if p is None:
         return {}
-    return {
+    out = {
         "batchId": p.get("batchId"),
         "numInputRows": p.get("numInputRows"),
         "inputRowsPerSecond": p.get("inputRowsPerSecond"),
@@ -174,6 +228,19 @@ def progress_metrics(query) -> dict:
             for s in p.get("sources", [])
         ],
     }
+    obs = (p.get("observedMetrics") or {}).get(LAG_OBSERVATION) or {}
+    if hasattr(obs, "asDict"):  # live progress carries observations as Rows
+        obs = obs.asDict()
+    fetch = obs.get("max_fetch_delay_ms")
+    out["fetchDelayMs"] = int(fetch) if fetch is not None else None
+    trigger_ms = _iso_to_ms(p.get("timestamp"))
+    max_op = obs.get("max_op_ts_ms")
+    if trigger_ms is not None and max_op is not None:
+        exec_ms = (p.get("durationMs") or {}).get("triggerExecution") or 0
+        out["emitDelayMs"] = trigger_ms + int(exec_ms) - int(max_op)
+    else:
+        out["emitDelayMs"] = None
+    return out
 
 
 def dedup_stream(

@@ -231,3 +231,177 @@ def test_bson_converter_tree(spark):
     assert r["big"] == 42 and r["small"] == 3 and r["f"] == 1.25
     assert r["dec"] == Decimal("9.50") and r["oid"] == "plain-string"
     assert r["flag"] is False and r["ts"] is not None
+
+
+def test_collection_regex_discovery(spark, tmp_path):
+    """CollectionDiscoveryUtils parity: database/collection options are
+    comma-separated REGEX lists; copy.existing discovers the matched
+    collections from the <root>/<db>/<coll>.jsonl layout and stamps each
+    copied row with ITS OWN namespace."""
+    from flink_cdc_log_connectors_spark.sources.mongo import (
+        MongoCdcDataSource,
+        collection_matcher,
+        discover_collections,
+        parse_mongo_changestream,
+    )
+
+    # matcher semantics: db regex full-match; coll regex bare or qualified
+    m = collection_matcher("shop|crm", "items.*,crm\\.leads")
+    assert m("shop", "items") and m("shop", "items_v2")
+    assert m("crm", "leads")  # qualified entry
+    assert m("crm", "items_archive")  # bare entry matches in any included db
+    assert not m("warehouse", "items")  # db list excludes
+    assert not m("shop", "orders")  # unmatched collection
+
+    root = tmp_path / "mongo"
+    for db, coll, docs in [
+        ("shop", "items", [{"_id": 1, "name": "a"}, {"_id": 2, "name": "b"}]),
+        ("shop", "orders", [{"_id": 7, "name": "should-not-copy"}]),
+        ("crm", "leads", [{"_id": 3, "name": "c"}]),
+    ]:
+        d = root / db
+        d.mkdir(parents=True, exist_ok=True)
+        with open(d / f"{coll}.jsonl", "w") as fh:
+            for doc in docs:
+                fh.write(json.dumps(doc) + "\n")
+    found = discover_collections(str(root), "shop|crm", "items,crm\\.leads")
+    assert [(d, c) for d, c, _p in found] == [("crm", "leads"), ("shop", "items")]
+
+    stream_dir = tmp_path / "cs"
+    stream_dir.mkdir()
+    spark.dataSource.register(MongoCdcDataSource)
+    raw = (
+        spark.readStream.format("mongocdc")
+        .option("path", str(stream_dir))
+        .option("existingPath", str(root))
+        .option("database", "shop|crm")
+        .option("collection", "items,crm\\.leads")
+        .load()
+    )
+    rows = []
+    q = (
+        parse_mongo_changestream(raw, PHYS)
+        .writeStream.foreachBatch(lambda b, _e: rows.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ns = {(r["_src"]["database_name"], r["_src"]["collection_name"], r["_id"]) for r in rows}
+    assert ns == {("crm", "leads", 3), ("shop", "items", 1), ("shop", "items", 2)}
+    assert not any(r["_id"] == 7 for r in rows)  # shop.orders not matched
+
+
+def test_filter_collections_stream_filter(spark):
+    """L3-parity post-parse filter: regex lists over the parsed stream's
+    namespace metadata, pure Catalyst."""
+    from flink_cdc_log_connectors_spark.sources.mongo import filter_collections
+
+    def cs(db, coll, _id):
+        return json.dumps(
+            {
+                "operationType": "insert",
+                "fullDocument": {"_id": _id, "name": f"{db}.{coll}"},
+                "documentKey": {"_id": _id},
+                "ns": {"db": db, "coll": coll},
+                "clusterTime": 1,
+            }
+        )
+
+    df = spark.createDataFrame(
+        [(cs("shop", "items", 1),), (cs("shop", "audit_log", 2),),
+         (cs("crm", "leads", 3),), (cs("warehouse", "items", 4),)],
+        "value string",
+    )
+    parsed = parse_mongo_changestream(df, PHYS)
+    kept = filter_collections(parsed, databases="shop|crm", collections="items,crm\\.leads")
+    assert sorted(r["_id"] for r in kept.collect()) == [1, 3]
+    # db-only filtering
+    only_db = filter_collections(parsed, databases="shop")
+    assert sorted(r["_id"] for r in only_db.collect()) == [1, 2]
+
+
+def test_fetch_emit_delay_gauges_scripted():
+    """C11 delay gauges from a scripted StreamingQueryProgress dict — the
+    reference's currentFetchEventTimeLag / currentEmitEventTimeLag
+    (SourceReaderMetrics.java:87) derived from the lag observation."""
+    from flink_cdc_log_connectors_spark.streaming.pipeline import progress_metrics
+
+    p = {
+        "batchId": 7,
+        "numInputRows": 100,
+        "inputRowsPerSecond": 50.0,
+        "processedRowsPerSecond": 40.0,
+        "timestamp": "2026-08-13T12:00:05.000Z",
+        "durationMs": {"triggerExecution": 2000},
+        "observedMetrics": {
+            "cdc_lag": {
+                # newest event committed at 12:00:00; connector emitted it
+                # 1.5 s after commit
+                "max_op_ts_ms": 1786622400000,  # 2026-08-13T12:00:00Z
+                "max_fetch_delay_ms": 1500,
+                "rows": 100,
+            }
+        },
+        "sources": [{"description": "cdclog", "endOffset": {"file": "a", "pos": 9}}],
+    }
+    m = progress_metrics(p)
+    assert m["fetchDelayMs"] == 1500
+    # batch started 12:00:05, ran 2 s → emit at 12:00:07; newest event
+    # 12:00:00 → 7 s event-time-to-emit lag
+    assert m["emitDelayMs"] == 7000
+    assert m["batchId"] == 7 and m["sources"][0]["description"] == "cdclog"
+    # no observation attached → gauges degrade to None, rest intact
+    del p["observedMetrics"]
+    m2 = progress_metrics(p)
+    assert m2["fetchDelayMs"] is None and m2["emitDelayMs"] is None
+
+
+def test_lag_observer_end_to_end(spark, tmp_path):
+    """with_lag_observer rides a real microbatch: observedMetrics carries
+    the per-batch max source ts + fetch delay, and progress_metrics turns
+    them into gauges."""
+    import os
+
+    from flink_cdc_log_connectors_spark.sources.datasource import register
+    from flink_cdc_log_connectors_spark.sources.debezium import parse_debezium
+    from flink_cdc_log_connectors_spark.streaming.pipeline import (
+        progress_metrics,
+        with_lag_observer,
+    )
+
+    log_dir = tmp_path / "log"
+    log_dir.mkdir()
+    with open(log_dir / "log-000001.jsonl", "w") as fh:
+        for i, (op_ts, emit_ts) in enumerate([(1000, 1400), (2000, 2100)]):
+            fh.write(
+                json.dumps(
+                    {
+                        "before": None,
+                        "after": {"_id": i, "name": f"n{i}"},
+                        "op": "c",
+                        "ts_ms": emit_ts,
+                        "source": {"db": "d", "table": "t", "ts_ms": op_ts,
+                                   "file": "log-000001.jsonl", "pos": i},
+                    }
+                )
+                + "\n"
+            )
+    register(spark)
+    raw = spark.readStream.format("cdclog").option("path", str(log_dir)).load()
+    observed = with_lag_observer(parse_debezium(raw, PHYS))
+    q = (
+        observed.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    progresses = [
+        m for m in (progress_metrics(pp) for pp in q.recentProgress)
+        if m.get("numInputRows")
+    ]
+    assert progresses, "no non-empty batch recorded"
+    m = progresses[-1]
+    assert m["fetchDelayMs"] == 400  # max(1400-1000, 2100-2000)
+    assert m["emitDelayMs"] is not None and m["emitDelayMs"] > 0
