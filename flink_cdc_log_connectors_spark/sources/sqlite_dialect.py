@@ -77,6 +77,25 @@ LOG_TABLE = "_cdc_log"
 #: connection always sees the latest commits.
 _POOL: dict[tuple[str, int], sqlite3.Connection] = {}
 
+#: per-db connection settings (§2.8 option parity with
+#: MySqlSourceOptions.java:32-215: connect.timeout, connect.max-retries,
+#: connection.pool.size) — registered once by the reader/partition via
+#: ``configure_connection`` so every internal ``_connect`` call site
+#: honors them without threading parameters through the module.
+DEFAULT_CONNECT_TIMEOUT_S = 30.0
+DEFAULT_CONNECT_MAX_RETRIES = 3
+DEFAULT_POOL_SIZE = 20
+_CONN_CONF: dict[str, tuple[float, int, int]] = {}
+
+
+def configure_connection(
+    db_path: str,
+    timeout_s: float = DEFAULT_CONNECT_TIMEOUT_S,
+    max_retries: int = DEFAULT_CONNECT_MAX_RETRIES,
+    pool_size: int = DEFAULT_POOL_SIZE,
+) -> None:
+    _CONN_CONF[db_path] = (float(timeout_s), int(max_retries), int(pool_size))
+
 
 class _PooledConn:
     """Thin proxy whose ``close()`` returns the connection to the pool."""
@@ -93,18 +112,55 @@ class _PooledConn:
         pass
 
 
+def _evict_dead(db_path: str, pool_size: int) -> None:
+    """connection.pool.size: when the per-db pool exceeds the cap, close
+    connections owned by threads that no longer exist (live threads keep
+    theirs — sqlite connections are same-thread-only, so closing a live
+    thread's connection under it would be worse than a soft cap)."""
+    import threading
+
+    mine = [k for k in _POOL if k[0] == db_path]
+    if len(mine) <= pool_size:
+        return
+    alive = {t.ident for t in threading.enumerate()}
+    for k in mine:
+        if k[1] not in alive:
+            try:
+                _POOL.pop(k).close()
+            except Exception:
+                pass
+            if sum(1 for k2 in _POOL if k2[0] == db_path) <= pool_size:
+                return
+
+
 def _connect(db_path: str) -> _PooledConn:
     """Pooled reader connection: WAL lets the capture read while writers
     commit (the whole point of a lock-free snapshot); busy_timeout rides
-    out write-lock contention instead of erroring."""
+    out write-lock contention instead of erroring.  connect.timeout /
+    connect.max-retries / connection.pool.size honored per db via
+    ``configure_connection``."""
     import threading
 
+    timeout_s, max_retries, pool_size = _CONN_CONF.get(
+        db_path,
+        (DEFAULT_CONNECT_TIMEOUT_S, DEFAULT_CONNECT_MAX_RETRIES, DEFAULT_POOL_SIZE),
+    )
     key = (db_path, threading.get_ident())
     conn = _POOL.get(key)
     if conn is None:
-        conn = sqlite3.connect(db_path, timeout=30.0)
-        conn.execute("PRAGMA busy_timeout=30000")
+        last: Exception | None = None
+        for _attempt in range(max(1, max_retries)):
+            try:
+                conn = sqlite3.connect(db_path, timeout=timeout_s)
+                break
+            except sqlite3.Error as e:  # pragma: no cover - env-dependent
+                last = e
+                conn = None
+        if conn is None:
+            raise last  # type: ignore[misc]
+        conn.execute(f"PRAGMA busy_timeout={int(timeout_s * 1000)}")
         _POOL[key] = conn
+    _evict_dead(db_path, pool_size)  # every call: hits must also shed dead conns
     return _PooledConn(conn)
 
 
@@ -335,6 +391,60 @@ def read_chunk_merged(
 
 
 # ---------------------------------------------------------------------------
+# chunk-meta compaction (§2.8 chunk-meta.group.size parity)
+# ---------------------------------------------------------------------------
+#
+# The reference splits large chunk-meta lists into groups so checkpoint
+# state stays bounded (MySqlSourceOptions.CHUNK_META_GROUP_SIZE, default
+# 1000).  Our chunk plan lives in the SS offset log; the analogue is to
+# stop the offset JSON growing O(#chunks) for big tables: an even-split
+# plan is pure arithmetic, so past the group-size threshold it is stored
+# as a {start, step, n} descriptor instead of an explicit range list —
+# O(1) offset entries for million-chunk snapshots.
+
+DEFAULT_CHUNK_META_GROUP_SIZE = 1000
+
+
+def encode_chunks(chunks: list[ChunkRange], group_size: int):
+    """Explicit [[lo, hi], ...] below the threshold; above it, an O(1)
+    arithmetic descriptor when the interior chunk boundaries are uniform
+    (split_even output always is — possibly with unbounded first/last
+    chunks, which keep their explicit bounds)."""
+    if len(chunks) <= group_size:
+        return [[c.start, c.end] for c in chunks]
+    # interior boundaries: end of chunk i == start of chunk i+1
+    bounds = [c.start for c in chunks[1:]]
+    if (
+        len(chunks) >= 3
+        and all(b is not None for b in bounds)
+        and all(c.end == n.start for c, n in zip(chunks[:-1], chunks[1:]))
+    ):
+        steps = {int(b) - int(a) for a, b in zip(bounds[:-1], bounds[1:])}
+        if len(steps) == 1:
+            return {
+                "first_start": chunks[0].start,
+                "b1": int(bounds[0]),
+                "step": steps.pop(),
+                "n": len(chunks),
+                "last_end": chunks[-1].end,
+            }
+    return [[c.start, c.end] for c in chunks]  # non-uniform: explicit
+
+
+def decode_chunks(spec) -> list:
+    """Inverse of ``encode_chunks`` → [[lo, hi], ...]."""
+    if isinstance(spec, list):
+        return spec
+    b1, step, n = int(spec["b1"]), int(spec["step"]), int(spec["n"])
+    bounds = (
+        [spec["first_start"]]
+        + [b1 + i * step for i in range(n - 1)]
+        + [spec["last_end"]]
+    )
+    return [[a, b] for a, b in zip(bounds[:-1], bounds[1:])]
+
+
+# ---------------------------------------------------------------------------
 # streaming reader (driver-side, parallelism 1 in the log phase — same
 # ordering rationale as the file dialect / reference mysql-cdc.md:408)
 # ---------------------------------------------------------------------------
@@ -372,6 +482,33 @@ class SqliteCdcStreamReader(SimpleDataSourceStreamReader):
             or options.get("heartbeatInterval")
             or 0
         )
+        # §2.8 connection option parity (MySqlSourceOptions.java:32-215)
+        def _opt(lower: str, camel: str, default):
+            return options.get(lower) or options.get(camel) or default
+
+        configure_connection(
+            self.db_path,
+            timeout_s=float(
+                _opt("connecttimeout", "connectTimeout", DEFAULT_CONNECT_TIMEOUT_S)
+            ),
+            max_retries=int(
+                _opt(
+                    "connectmaxretries",
+                    "connectMaxRetries",
+                    DEFAULT_CONNECT_MAX_RETRIES,
+                )
+            ),
+            pool_size=int(
+                _opt("connectionpoolsize", "connectionPoolSize", DEFAULT_POOL_SIZE)
+            ),
+        )
+        self.chunk_meta_group_size = int(
+            _opt(
+                "chunkmetagroupsize",
+                "chunkMetaGroupSize",
+                DEFAULT_CHUNK_META_GROUP_SIZE,
+            )
+        )
 
     # -- offsets -----------------------------------------------------------
     def initialOffset(self) -> dict:
@@ -383,7 +520,7 @@ class SqliteCdcStreamReader(SimpleDataSourceStreamReader):
         return {
             "phase": "snapshot",
             "chunk_idx": 0,
-            "chunks": [[c.start, c.end] for c in chunks],
+            "chunks": encode_chunks(chunks, self.chunk_meta_group_size),
             "chunk_highs": [],
             "min_low": None,
         }
@@ -403,7 +540,8 @@ class SqliteCdcStreamReader(SimpleDataSourceStreamReader):
         the single assigner thread of ``MySqlHybridSplitAssigner.getNext``
         makes the same in-batch switch).  Chunks are never split across
         batches: a chunk is the atomic unit of watermark bracketing."""
-        chunks = start["chunks"]
+        enc = start["chunks"]  # offset keeps the COMPACT form (C3/C4 size)
+        chunks = decode_chunks(enc)
         idx = start["chunk_idx"]
         highs = list(start["chunk_highs"])
         min_low = start["min_low"]
@@ -422,7 +560,7 @@ class SqliteCdcStreamReader(SimpleDataSourceStreamReader):
             return rows, {
                 "phase": "snapshot",
                 "chunk_idx": idx,
-                "chunks": chunks,
+                "chunks": enc,
                 "chunk_highs": highs,
                 "min_low": min_low,
             }
@@ -431,7 +569,7 @@ class SqliteCdcStreamReader(SimpleDataSourceStreamReader):
         nxt = {
             "phase": "log",
             "log_id": min_low,
-            "chunks": chunks,
+            "chunks": enc,
             "chunk_highs": highs,
         }
         if len(rows) < self.max_events:
@@ -440,7 +578,8 @@ class SqliteCdcStreamReader(SimpleDataSourceStreamReader):
         return rows, nxt
 
     def _read_log(self, start: dict, limit: int | None = None) -> Tuple[list[tuple], dict]:
-        chunks = start.get("chunks") or []
+        enc = start.get("chunks") or []
+        chunks = decode_chunks(enc)
         highs = start.get("chunk_highs") or []
         horizon = max(highs) if highs else -1
         cursor = int(start["log_id"])
@@ -472,7 +611,7 @@ class SqliteCdcStreamReader(SimpleDataSourceStreamReader):
             rows.append((_envelope(op, before, after, tbl, ev_id, ts_ms), "cdc", ev_id))
         nxt: dict[str, Any] = {"phase": "log", "log_id": cursor}
         if chunks and cursor <= horizon:
-            nxt["chunks"], nxt["chunk_highs"] = chunks, highs
+            nxt["chunks"], nxt["chunk_highs"] = enc, highs
         return rows, nxt
 
     def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
@@ -525,10 +664,20 @@ def prune_log(db_path: str, upto_id: int) -> int:
 # ---------------------------------------------------------------------------
 
 class _SqlitePartition(InputPartition):
-    def __init__(self, kind: str, lo: Any = None, hi: Any = None) -> None:
+    def __init__(
+        self,
+        kind: str,
+        lo: Any = None,
+        hi: Any = None,
+        conn_conf: tuple[float, int, int] | None = None,
+    ) -> None:
         self.kind = kind
         self.lo = lo
         self.hi = hi
+        # connection options ride the partition: executor processes have
+        # fresh module state, so driver-side configure_connection alone
+        # would not reach them
+        self.conn_conf = conn_conf
 
 
 class SqliteCdcBatchReader(DataSourceReader):
@@ -541,16 +690,24 @@ class SqliteCdcBatchReader(DataSourceReader):
         self.table = options["table"]
         self.key_col = options.get("keycolumn") or options.get("keyColumn") or "id"
         self.chunk_size = int(options.get("chunksize", DEFAULT_CHUNK_SIZE))
+        self.conn_conf = (
+            float(options.get("connecttimeout") or DEFAULT_CONNECT_TIMEOUT_S),
+            int(options.get("connectmaxretries") or DEFAULT_CONNECT_MAX_RETRIES),
+            int(options.get("connectionpoolsize") or DEFAULT_POOL_SIZE),
+        )
+        configure_connection(self.db_path, *self.conn_conf)
 
     def partitions(self) -> list[InputPartition]:
         chunks = plan_chunks(self.db_path, self.table, self.key_col, self.chunk_size)
         parts: list[InputPartition] = [
-            _SqlitePartition("chunk", c.start, c.end) for c in chunks
+            _SqlitePartition("chunk", c.start, c.end, self.conn_conf) for c in chunks
         ]
-        parts.append(_SqlitePartition("log"))
+        parts.append(_SqlitePartition("log", conn_conf=self.conn_conf))
         return parts
 
     def read(self, partition: _SqlitePartition) -> Iterator[Tuple]:
+        if partition.conn_conf:
+            configure_connection(self.db_path, *partition.conn_conf)
         if partition.kind == "chunk":
             envs, _low, high = read_chunk_merged(
                 self.db_path, self.table, self.key_col, partition.lo, partition.hi
@@ -571,7 +728,9 @@ class SqliteCdcDataSource(DataSource):
 
     Options: ``path`` (sqlite file), ``table``, ``keyColumn`` (default
     ``id``), ``chunkSize``, ``maxEventsPerBatch``, ``startingOffsets``
-    (initial|earliest|latest).
+    (initial|earliest|latest), ``heartbeatInterval``; §2.8 connection
+    parity: ``connectTimeout`` (s), ``connectMaxRetries``,
+    ``connectionPoolSize``, ``chunkMetaGroupSize``.
     """
 
     @classmethod

@@ -127,6 +127,28 @@ def validate_sqlite_dialect(options: dict[str, str]) -> None:
         problems.append("option 'path' is required (the sqlite database file)")
     if not table:
         problems.append("option 'table' is required (the captured table)")
+    # §2.8 connection/chunk-meta option ranges (MySqlSourceOptions parity)
+    for lower, camel, kind in [
+        ("connecttimeout", "connectTimeout", float),
+        ("connectmaxretries", "connectMaxRetries", int),
+        ("connectionpoolsize", "connectionPoolSize", int),
+        ("chunkmetagroupsize", "chunkMetaGroupSize", int),
+        ("chunksize", "chunkSize", int),
+        ("maxeventsperbatch", "maxEventsPerBatch", int),
+        ("heartbeatinterval", "heartbeatInterval", int),
+    ]:
+        raw = options.get(lower) or options.get(camel)
+        if raw is None:
+            continue
+        try:
+            v = kind(raw)
+            positive_required = lower != "heartbeatinterval"  # 0 = disabled
+            if v < 0 or (positive_required and v == 0):
+                problems.append(
+                    f"{camel} must be {'positive' if positive_required else '>= 0'}, got {raw}"
+                )
+        except (TypeError, ValueError):
+            problems.append(f"{camel} must be a number, got {raw!r}")
     if not db_path or not table:
         _raise_if(problems)
         return

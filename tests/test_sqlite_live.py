@@ -370,3 +370,109 @@ def test_prune_log_retention(tmp_path):
     assert prune_log(db, 3) == 3
     remaining = read_log_between(db, 0)
     assert [e[0] for e in remaining] == [4, 5]
+
+
+# ---------------------------------------------------------------------------
+# §2.8 option parity: connect.timeout / pool size / retries / chunk-meta
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_meta_group_size_compacts_offset(spark, tmp_path):
+    """Past the group-size threshold the offset JSON stores the even-split
+    plan as an O(1) arithmetic descriptor (the reference's
+    chunk-meta.group.size bounds checkpoint state the same way), and the
+    stream still materializes exactly-once from the compact form."""
+    from flink_cdc_log_connectors_spark.sources.sqlite_dialect import (
+        decode_chunks,
+        encode_chunks,
+    )
+    from flink_cdc_log_connectors_spark.sources.chunking import ChunkRange
+
+    # roundtrip: uniform plan → descriptor → identical ranges
+    plan = [ChunkRange(i * 10, (i + 1) * 10) for i in range(50)]
+    plan[-1] = ChunkRange(490, None)  # unbounded tail, as split_even emits
+    enc = encode_chunks(plan, group_size=8)
+    assert isinstance(enc, dict) and enc["n"] == 50
+    assert decode_chunks(enc) == [[c.start, c.end] for c in plan]
+    # below threshold stays explicit
+    assert isinstance(encode_chunks(plan, group_size=100), list)
+
+    db = make_db(str(tmp_path / "cm.db"), n=120)
+    reader = SqliteCdcStreamReader(
+        {"path": db, "table": "items", "chunksize": "10",
+         "maxeventsperbatch": "30", "chunkmetagroupsize": "4"}
+    )
+    cur = reader.initialOffset()
+    assert isinstance(cur["chunks"], dict)  # 12 chunks > group size 4
+    rows, offsets = [], [cur]
+    while True:
+        batch, cur = reader.read(cur)
+        batch = list(batch)
+        rows.extend(batch)
+        offsets.append(cur)
+        if not batch and cur.get("phase") == "log":
+            break
+    assert materialize(spark, rows) == db_state(db)
+    # every snapshot-phase offset carried the compact descriptor
+    snap_offs = [o for o in offsets if o.get("phase") == "snapshot"]
+    assert snap_offs and all(isinstance(o["chunks"], dict) for o in snap_offs)
+
+
+def test_connection_options_honored(tmp_path):
+    """connectTimeout lands in the pooled connection's busy_timeout; the
+    per-db pool only evicts connections of DEAD threads past the cap."""
+    import threading
+
+    from flink_cdc_log_connectors_spark.sources.sqlite_dialect import (
+        _POOL,
+        SqliteCdcStreamReader,
+        _connect,
+        close_pool,
+        configure_connection,
+    )
+
+    db = make_db(str(tmp_path / "opt.db"), n=5)
+    close_pool(db)
+    SqliteCdcStreamReader(
+        {"path": db, "table": "items", "connecttimeout": "7",
+         "connectmaxretries": "2", "connectionpoolsize": "1"}
+    )
+    conn = _connect(db)
+    assert conn.execute("PRAGMA busy_timeout").fetchone()[0] == 7000
+
+    # spawn threads that each open a pooled connection, then die
+    def open_conn():
+        _connect(db).execute("SELECT 1").fetchone()
+
+    for _ in range(3):
+        t = threading.Thread(target=open_conn)
+        t.start()
+        t.join()
+    # next connect evicts dead threads' connections down to the cap
+    _connect(db)
+    mine = [k for k in _POOL if k[0] == db]
+    alive = {t.ident for t in threading.enumerate()}
+    assert all(k[1] in alive for k in mine)  # no dead-thread conns retained
+    close_pool(db)
+
+
+def test_option_validation_rejects_bad_ranges(tmp_path):
+    import pytest as _pytest
+
+    from flink_cdc_log_connectors_spark.sources.validators import (
+        ValidationError,
+        validate_sqlite_dialect,
+    )
+
+    db = make_db(str(tmp_path / "val.db"), n=5)
+    with _pytest.raises(ValidationError) as ei:
+        validate_sqlite_dialect(
+            {"path": db, "table": "items", "connecttimeout": "0",
+             "connectionpoolsize": "-2", "chunkmetagroupsize": "abc"}
+        )
+    msg = str(ei.value)
+    assert "connectTimeout" in msg
+    assert "connectionPoolSize" in msg
+    assert "chunkMetaGroupSize" in msg
+    # heartbeatInterval=0 means disabled — allowed
+    validate_sqlite_dialect({"path": db, "table": "items", "heartbeatinterval": "0"})
