@@ -5,11 +5,17 @@ DuckDB at the given scale factor, then compares row count, column names,
 and an order-insensitive value hash (columns sorted by name).
 
 Usage: python scripts/selfcheck.py [sf_dir] [query ...]
+       python scripts/selfcheck.py --json SELFCHECK_r3.json [sf_dir]
+
+``--json OUT`` additionally writes one record per query (match status +
+row counts) so the FULL registry's correctness lands on the committed
+record even when the driver's own file holds a bounded row window.
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import sys
 import time
@@ -53,8 +59,15 @@ def hash_rows(cols: list[str], rows: list[tuple]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    records: dict[str, dict] = {}
 
     con = duckdb.connect()
     for t in TABLES:
@@ -74,6 +87,11 @@ def main() -> int:
         t_spark = time.time() - t0
         if sql is None:
             print(f"  {name}: rows-only rows={len(srows)} ({t_spark:.1f}s)")
+            records[name] = {
+                "check": "rows_only",
+                "spark_rows": len(srows),
+                "ok": len(srows) > 0,
+            }
             if len(srows) == 0:
                 failures.append((name, "zero rows (rows-only check)"))
             continue
@@ -104,6 +122,23 @@ def main() -> int:
             print(f"  {name}: FAIL {problems} ({t_spark:.1f}s/{t_duck:.1f}s)")
         else:
             print(f"  {name}: OK rows={len(srows)} ({t_spark:.1f}s/{t_duck:.1f}s)")
+        records[name] = {
+            "check": "full_oracle",
+            "spark_rows": len(srows),
+            "oracle_rows": len(drows),
+            "ok": not problems,
+            "problems": problems,
+        }
+
+    if json_out:
+        with open(json_out, "w") as fh:
+            json.dump(
+                {"sf_dir": sf_dir, "n_queries": len(records), "queries": records},
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {json_out} ({len(records)} queries)")
 
     print()
     if failures:
