@@ -48,6 +48,14 @@ def kmeans_assign(
     centroids = np.stack([np.asarray(r[1], dtype="float64") for r in init_rows])
 
     vecs = df.select(id_col, vec_col)
+    # Iterative algorithm: every Lloyd round re-reads the input, so pin it
+    # once (MEMORY_AND_DISK — spills, never OOMs) instead of re-scanning
+    # parquet max_iter+1 times.  No forced repartition: per-round cost on
+    # small inputs is task overhead, not BLAS (2k vectors compute in µs),
+    # and at real scale the file count already provides parallelism.
+    from pyspark.storagelevel import StorageLevel
+
+    vecs = vecs.persist(StorageLevel.MEMORY_AND_DISK)
 
     def partials_for(cm: np.ndarray):
         cm_sq = (cm * cm).sum(axis=1)

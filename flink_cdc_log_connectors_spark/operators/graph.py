@@ -179,6 +179,86 @@ FROM reach GROUP BY node ORDER BY doc_id
 """
 
 
+def keep_best_per_cluster(
+    clusters: DataFrame,
+    docs: DataFrame,
+    quality_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The dedup POLICY step: from each near-dup cluster keep the
+    highest-quality document (ties → lowest id).  One window over the
+    cluster key — a single hash shuffle on ``cluster_id``; cluster count
+    ≪ corpus, and the window carries only (cluster, id, quality) skinny
+    rows, so the policy pass costs far less than the pair generation
+    that feeds it."""
+    from pyspark.sql.window import Window
+
+    joined = clusters.join(docs.select(id_col, quality_col), id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc(quality_col), F.asc(id_col)
+    )
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+        )
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("cluster_id"),
+            F.col(id_col).alias("keep_doc_id"),
+            F.col(quality_col).alias("best_quality"),
+            F.col("cluster_size").cast("int").alias("cluster_size"),
+        )
+    )
+
+
+def dedup_keep_best_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection over the n-gram Jaccard clusters:
+    keep the longest doc per cluster.  Reuses the process-cached pair set
+    (one inverted-index join feeds clusters AND policy)."""
+    from .dedup import cached_ngram_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = cached_ngram_pairs(spark, sf_dir, n=3, threshold_num=1, threshold_den=5)
+    clusters = connected_components(docs.select("doc_id"), pairs.select("d1", "d2"))
+    return keep_best_per_cluster(clusters, docs).orderBy("cluster_id")
+
+
+def _keep_best_sql() -> str:
+    from .dedup import NGRAM_KEPT_CTE
+
+    return f"""
+WITH RECURSIVE {NGRAM_KEPT_CTE},
+pairs AS (
+  SELECT d1, d2 FROM common
+  JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+  WHERE 5 * common >= (s1.n_sh + s2.n_sh - common)
+),
+adj AS (SELECT d1 AS a, d2 AS b FROM pairs
+        UNION SELECT d2, d1 FROM pairs),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT adj.b, reach.label FROM reach JOIN adj ON adj.a = reach.node
+),
+clusters AS (
+  SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
+),
+ranked AS (
+  SELECT c.cluster_id, c.doc_id, d.n_chars,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+  FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+)
+SELECT cluster_id, doc_id AS keep_doc_id, n_chars AS best_quality,
+       CAST(cluster_size AS INT) AS cluster_size
+FROM ranked WHERE rn = 1 ORDER BY cluster_id
+"""
+
+
 GRAPH_QUERIES = {
     "dedup_clusters": (dedup_clusters_query, _clusters_sql()),
+    "dedup_keep_best": (dedup_keep_best_query, _keep_best_sql()),
 }

@@ -534,3 +534,140 @@ GROUP BY doc_id ORDER BY doc_id
 
 
 TEXT_QUERIES["text_decontaminate"] = (decontaminate_query, _decon_sql())
+
+
+# --------------------------------------------------------------------------
+# PII redaction (pattern scrub) — map-only regex pipeline
+# --------------------------------------------------------------------------
+
+
+#: engine-portable patterns (same leftmost match under Java regex and RE2:
+#: no backtracking-dependent constructs)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub PII-shaped spans from a text column: count matches per class
+    and emit the redacted text.  Pure Catalyst (regexp_extract_all +
+    chained regexp_replace) — map-only, codegen'd; at 100 TB this is a
+    linear scan with zero shuffle, the shape every compliance pass needs.
+    """
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return df.withColumn(
+        "n_emails", F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
+    ).withColumn(
+        "n_phones", F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), F.lit(0)))
+    ).withColumn("redacted", redacted)
+
+
+def pii_redact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic corpus carries no PII, so the query INJECTS
+    deterministic PII-shaped entities (derived from doc_id identically in
+    the oracle) and proves the scrubber removes every one of them:
+    per-doc match counts plus an md5 over the redacted text — any missed
+    or over-eager redaction shifts the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com tel +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    out = pii_redact(dirty)
+    return out.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        F.length("redacted").alias("redacted_len"),
+        F.md5("redacted").alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+PII_SQL = f"""
+WITH dirty AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com tel +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+  FROM documents
+),
+red AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+         len(regexp_extract_all(text, '{PHONE_RE}')) AS n_phones,
+         regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{PHONE_RE}', '<PHONE>', 'g') AS redacted
+  FROM dirty
+)
+SELECT doc_id, CAST(n_emails AS INT) AS n_emails,
+       CAST(n_phones AS INT) AS n_phones,
+       CAST(length(redacted) AS INT) AS redacted_len,
+       md5(redacted) AS redacted_md5
+FROM red ORDER BY doc_id
+"""
+
+
+TEXT_QUERIES["text_pii_redact"] = (pii_redact_query, PII_SQL)
+
+
+# --------------------------------------------------------------------------
+# Deterministic stratified sampling — per-language hash sampling
+# --------------------------------------------------------------------------
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, int],
+    default_pct: int,
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep each row iff ``md5(id) % 100 < pct(stratum)`` — the standard
+    deterministic downsampling of a 100 TB corpus: map-only (no shuffle,
+    no RNG state), reproducible across engines and reruns, and any
+    stratum's rate can be re-tuned without touching the others.  ``rates``
+    maps stratum value → keep percentage; others use ``default_pct``."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100
+    )
+    pct = F.lit(default_pct)
+    for value, p in sorted(rates.items()):
+        pct = F.when(F.col(strat_col) == value, F.lit(p)).otherwise(pct)
+    return df.withColumn("bucket", bucket).filter(F.col("bucket") < pct)
+
+
+def stratified_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample dominant-language docs (en → 25%) while keeping 75% of
+    the long tail — the language-balancing pass of a training mix."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        stratified_sample(docs, {"en": 25}, 75)
+        .select("doc_id", "lang", F.col("bucket").cast("int").alias("bucket"))
+        .orderBy("doc_id")
+    )
+
+
+SAMPLE_SQL = """
+WITH b AS (
+  SELECT doc_id, lang,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+           AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, CAST(bucket AS INT) AS bucket
+FROM b
+WHERE bucket < CASE WHEN lang = 'en' THEN 25 ELSE 75 END
+ORDER BY doc_id
+"""
+
+
+TEXT_QUERIES["corpus_stratified_sample"] = (stratified_sample_query, SAMPLE_SQL)

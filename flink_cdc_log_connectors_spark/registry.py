@@ -94,6 +94,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "hypertable_gapfill",
     "dedup_clusters",
     "emb_kmeans_assign",
+    # new in r3 — unproven on the driver record until their first row
+    "text_pii_redact",
+    "corpus_stratified_sample",
+    "dedup_keep_best",
     # (b) red at least once before their r2 oracle fixes
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

@@ -306,3 +306,58 @@ def test_binary_hamming_topk_identical_vector_ranks_first(spark):
     # identical vector → identical sign code → hamming 0, rank 1
     assert out[0]["neighbor_id"] == 1 and out[0]["hamming"] == 0
     assert out[1]["hamming"] > 0
+
+
+def test_pii_redact_scrubs_everything(spark):
+    from flink_cdc_log_connectors_spark.operators.text import pii_redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "write to alice.smith+x@corp.example.org or +1-555-0199 now"),
+            (2, "no pii here"),
+            (3, "two mails a@b.io and c.d@e.f.museum"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_redact(df).collect()}
+    assert rows[1]["n_emails"] == 1 and rows[1]["n_phones"] == 1
+    assert "<EMAIL>" in rows[1]["redacted"] and "<PHONE>" in rows[1]["redacted"]
+    assert "@" not in rows[1]["redacted"].replace("<EMAIL>", "")
+    assert rows[2]["n_emails"] == 0 and rows[2]["redacted"] == "no pii here"
+    assert rows[3]["n_emails"] == 2 and rows[3]["redacted"].count("<EMAIL>") == 2
+
+
+def test_stratified_sample_deterministic_rates(spark):
+    from flink_cdc_log_connectors_spark.operators.text import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "fr") for i in range(2000)],
+        "doc_id long, lang string",
+    )
+    out = stratified_sample(df, {"en": 25}, 75)
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in out.collect())
+    assert a == b  # hash sampling: identical on rerun, no RNG state
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert 0.18 < by_lang["en"] / 1000 < 0.32  # ~25% of the en stratum
+    assert 0.68 < by_lang["fr"] / 1000 < 0.82  # ~75% of the fr stratum
+
+
+def test_keep_best_per_cluster_policy(spark):
+    from flink_cdc_log_connectors_spark.operators.graph import keep_best_per_cluster
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5)],
+        "doc_id long, cluster_id long",
+    )
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (4, 7), (5, 3)],
+        "doc_id long, n_chars long",
+    )
+    out = {r["cluster_id"]: r for r in keep_best_per_cluster(clusters, docs).collect()}
+    assert out[1]["keep_doc_id"] == 2  # quality tie 2 vs 3 → lowest id
+    assert out[1]["cluster_size"] == 3
+    assert out[4]["keep_doc_id"] == 4 and out[4]["cluster_size"] == 1
