@@ -743,6 +743,232 @@ WHERE rk <= 3 ORDER BY query_id, rk
 """
 
 
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ: product quantization — the memory-scale path past int8
+# --------------------------------------------------------------------------
+
+#: PQ geometry: M subspaces of DIM/M dims, K codewords per subspace.
+#: 64 float dims (256 B) → M uint8 codes (4 B): 64x compression, and the
+#: ADC scan touches only code bytes + a per-query M x K lookup table.
+PQ_M = 4
+PQ_K = 16
+PQ_SUB = DIM // PQ_M
+
+
+def pq_train_codebook(candidates, vec_col="embedding", id_col="vec_id"):
+    """Deterministic one-round-Lloyd PQ codebook: seeds = the first K
+    vectors' subvectors (by id — no RNG), one distributed assignment pass,
+    codeword = mean of assigned subvectors.  One round keeps the float
+    arithmetic a single data-order-insensitive mean per (subspace, code) —
+    the same portability trick as the multiprobe centroids, so the SQL
+    oracle re-derives the identical codebook.  Returns
+    {(j, code): np.ndarray(PQ_SUB)}; codes with no members are absent
+    (excluded from encoding in both engines)."""
+    import numpy as np
+
+    seed_rows = (
+        candidates.select(id_col, vec_col).orderBy(id_col).limit(PQ_K).collect()
+    )
+    seeds = np.stack([np.asarray(r[1], dtype="float64") for r in seed_rows])
+    seeds_sub = seeds.reshape(PQ_K, PQ_M, PQ_SUB).transpose(1, 0, 2)  # M,K,S
+
+    def assign_partials(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            sub = m.reshape(len(m), PQ_M, PQ_SUB)
+            out = {"j": [], "code": [], "cnt": [], "vsum": []}
+            for j in range(PQ_M):
+                d2 = ((sub[:, j, None, :] - seeds_sub[j][None, :, :]) ** 2).sum(2)
+                a = d2.argmin(1)  # ties -> lowest code (np argmin = first)
+                for code in np.unique(a):
+                    rows = sub[a == code, j, :]
+                    out["j"].append(j)
+                    out["code"].append(int(code))
+                    out["cnt"].append(len(rows))
+                    out["vsum"].append(rows.sum(0).tolist())
+            yield pd.DataFrame(out)
+
+    parts = candidates.select(id_col, vec_col).mapInPandas(
+        assign_partials, "j int, code int, cnt long, vsum array<double>"
+    )
+    agg = (
+        parts.groupBy("j", "code")
+        .agg(
+            F.sum("cnt").alias("n"),
+            F.array(*[
+                F.sum(F.col("vsum")[i]).alias(f"s{i}") for i in range(PQ_SUB)
+            ]).alias("vsum"),
+        )
+        .collect()
+    )
+    import numpy as _np
+
+    return {
+        (r["j"], r["code"]): _np.asarray(r["vsum"]) / r["n"] for r in agg
+    }
+
+
+def ivf_pq_topk(
+    queries,
+    candidates,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """PQ encode + asymmetric-distance (ADC) top-k.
+
+    Scale shape: the codebook is O(M x K x SUB) driver data; candidates
+    are encoded in one map-only pass and scanned with per-query lookup
+    tables (no vector arithmetic in the scan — M byte-indexed adds per
+    candidate).  At 100 TB the code table is 64x smaller than the float
+    vectors and the scan is memory-bandwidth-, not FLOP-, bound; exact
+    re-ranking of the ADC top-k against raw vectors is the standard
+    second stage and composes with ``ann_cosine_topk``."""
+    import numpy as np
+    import pandas as pd
+
+    cb = pq_train_codebook(candidates, vec_col, id_col)
+    codes_by_j = [
+        sorted(c for (j2, c) in cb if j2 == j) for j in range(PQ_M)
+    ]
+    cb_mats = [
+        np.stack([cb[(j, c)] for c in codes_by_j[j]]) for j in range(PQ_M)
+    ]
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype="int64")
+    qm = np.stack([np.asarray(r[1], dtype="float64") for r in q_rows])
+    q_sub = qm.reshape(len(qm), PQ_M, PQ_SUB)
+    # ADC tables: adc[q][j][slot] = ||q_sub_j - codeword||^2
+    adc = [
+        [((q_sub[qi, j, None, :] - cb_mats[j]) ** 2).sum(1) for j in range(PQ_M)]
+        for qi in range(len(q_ids))
+    ]
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            sub = m.reshape(len(m), PQ_M, PQ_SUB)
+            slots = np.empty((len(m), PQ_M), dtype=np.int64)
+            for j in range(PQ_M):
+                d2 = ((sub[:, j, None, :] - cb_mats[j][None, :, :]) ** 2).sum(2)
+                slots[:, j] = d2.argmin(1)
+            cand_ids = pdf[id_col].to_numpy()
+            frames = []
+            for qi, qid in enumerate(q_ids):
+                dist = np.zeros(len(m))
+                for j in range(PQ_M):
+                    dist += adc[qi][j][slots[:, j]]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": cand_ids,
+                            "approx_d2": np.round(dist, 6),
+                        }
+                    )
+                )
+            out = pd.concat(frames)
+            yield out[out.query_id != out.neighbor_id]
+
+    scored = candidates.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, neighbor_id long, approx_d2 double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_d2"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "approx_d2", "rk")
+    )
+
+
+def ann_ivf_pq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ivf_pq_topk(queries, emb, k=3).orderBy("query_id", "rk")
+
+
+def _ivf_pq_sql() -> str:
+    """DuckDB twin of the FULL PQ pipeline: seed codewords (first K
+    vectors, row_number order), one assignment round, mean codebook,
+    encode, ADC tables, ranked scan.  avg() reproduces the one-round
+    codeword means; argmin ties break on code slot in both engines."""
+    return f"""
+WITH dims AS (SELECT unnest(range(1, {DIM + 1})) AS d),
+sub AS (SELECT d, (d - 1) // {PQ_SUB} AS j FROM dims),
+vx AS (
+  SELECT vec_id, j, d, embedding[d]::DOUBLE AS x
+  FROM embeddings CROSS JOIN sub
+),
+seed_ids AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {PQ_K})
+),
+seedx AS (
+  SELECT s.code, v.j, v.d, v.x AS c FROM vx v JOIN seed_ids s USING (vec_id)
+),
+assign_d AS (
+  SELECT v.vec_id, v.j, s.code, sum((v.x - s.c) * (v.x - s.c)) AS d2
+  FROM vx v JOIN seedx s ON s.j = v.j AND s.d = v.d
+  GROUP BY v.vec_id, v.j, s.code
+),
+assigned AS (
+  SELECT vec_id, j, code FROM (
+    SELECT vec_id, j, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS rn
+    FROM assign_d) t WHERE rn = 1
+),
+cb AS (
+  SELECT a.j, a.code, v.d, avg(v.x) AS c
+  FROM assigned a JOIN vx v ON v.vec_id = a.vec_id AND v.j = a.j
+  GROUP BY a.j, a.code, v.d
+),
+enc_d AS (
+  SELECT v.vec_id, v.j, cb.code, sum((v.x - cb.c) * (v.x - cb.c)) AS d2
+  FROM vx v JOIN cb ON cb.j = v.j AND cb.d = v.d
+  GROUP BY v.vec_id, v.j, cb.code
+),
+enc AS (
+  SELECT vec_id, j, code FROM (
+    SELECT vec_id, j, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS rn
+    FROM enc_d) t WHERE rn = 1
+),
+adc AS (
+  SELECT q.vec_id AS query_id, q.j, cb.code,
+         sum((q.x - cb.c) * (q.x - cb.c)) AS d2
+  FROM vx q JOIN cb ON cb.j = q.j AND cb.d = q.d
+  WHERE q.vec_id < 8
+  GROUP BY q.vec_id, q.j, cb.code
+),
+scored AS (
+  SELECT a.query_id, e.vec_id AS neighbor_id,
+         round(sum(a.d2), 6) AS approx_d2
+  FROM enc e JOIN adc a ON a.j = e.j AND a.code = e.code
+  WHERE e.vec_id != a.query_id
+  GROUP BY a.query_id, e.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, approx_d2,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY approx_d2, neighbor_id) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, approx_d2, rk FROM ranked
+WHERE rk <= 3 ORDER BY query_id, rk
+"""
+
+
 SIMILARITY_QUERIES = {
     "ann_cosine_topk": (ann_topk_query, ANN_TOPK_SQL),
     "ann_ivf_label": (ann_ivf_query, ANN_IVF_SQL),
@@ -752,4 +978,5 @@ SIMILARITY_QUERIES = {
     "ann_ivf_multiprobe": (ann_multiprobe_query, ANN_MULTIPROBE_SQL),
     "simsearch_int8_pairs": (quantized_pairs_query, _quantized_sql()),
     "ann_hamming_topk": (ann_hamming_query, _hamming_sql()),
+    "ann_ivf_pq": (ann_ivf_pq_query, _ivf_pq_sql()),
 }

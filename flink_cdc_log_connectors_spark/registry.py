@@ -98,6 +98,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "text_pii_redact",
     "corpus_stratified_sample",
     "dedup_keep_best",
+    "ann_ivf_pq",
     # (b) red at least once before their r2 oracle fixes
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

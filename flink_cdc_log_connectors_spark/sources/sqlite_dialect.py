@@ -236,6 +236,114 @@ def install_cdc(db_path: str, table: str) -> None:
         conn.close()
 
 
+#: declared-type → Spark type for the live physical schema (sqlite's
+#: type affinity system; NUMERIC affinity lands on double)
+_SQLITE_TYPE_MAP = {
+    "INTEGER": "bigint",
+    "INT": "bigint",
+    "BIGINT": "bigint",
+    "REAL": "double",
+    "FLOAT": "double",
+    "DOUBLE": "double",
+    "NUMERIC": "double",
+    "TEXT": "string",
+    "VARCHAR": "string",
+    "CHAR": "string",
+    "BLOB": "binary",
+    "BOOLEAN": "boolean",
+}
+
+
+def table_schema_signature(db_path: str, table: str) -> list[str]:
+    """Deterministic ``name:decltype`` list for schema-drift detection —
+    pinned into the stream offset so a restart compares against the SAME
+    baseline it committed (L6 on a live database)."""
+    conn = _connect(db_path)
+    try:
+        return [
+            f"{r[1]}:{(r[2] or 'TEXT').upper()}"
+            for r in conn.execute(f"PRAGMA table_info({table})")
+        ]
+    finally:
+        conn.close()
+
+
+def physical_schema(db_path: str, table: str):
+    """Spark StructType of the live table (feeds plan_schema_evolution)."""
+    from pyspark.sql import types as _T
+
+    fields = []
+    for sig in table_schema_signature(db_path, table):
+        name, decl = sig.split(":", 1)
+        base = decl.split("(")[0].strip()
+        fields.append(
+            _T.StructField(
+                name, _T._parse_datatype_string(_SQLITE_TYPE_MAP.get(base, "string"))
+            )
+        )
+    return _T.StructType(fields)
+
+
+def _ddl_envelope(table: str, old: list[str], new: list[str], pos: int) -> str:
+    """Synthesized schema-change envelope (the live twin of Debezium's DDL
+    events): pseudo-DDL derived from the pinned-vs-current signature diff,
+    ts_ms 0 — schema history orders by log position, not wall time, so
+    replay regenerates the identical event (C3/C4 determinism)."""
+    old_names = {s.split(":", 1)[0] for s in old}
+    new_names = {s.split(":", 1)[0] for s in new}
+    stmts = [
+        f"ALTER TABLE {table} ADD COLUMN {s.split(':', 1)[0]} {s.split(':', 1)[1]}"
+        for s in new
+        if s.split(":", 1)[0] not in old_names
+    ] + [
+        f"ALTER TABLE {table} DROP COLUMN {s.split(':', 1)[0]}"
+        for s in old
+        if s.split(":", 1)[0] not in new_names
+    ] + [
+        f"ALTER TABLE {table} ALTER COLUMN {s.split(':', 1)[0]} TYPE {s.split(':', 1)[1]}"
+        for s in new
+        if s.split(":", 1)[0] in old_names and s not in old
+    ]
+    env = {
+        "databaseName": "main",
+        "ddl": "; ".join(stmts) or f"ALTER TABLE {table}",
+        "ts_ms": 0,
+        "source": {"db": "main", "table": table, "ts_ms": 0, "file": "cdc", "pos": pos},
+    }
+    return json.dumps(env, separators=(",", ":"))
+
+
+def schema_drift_event(
+    db_path: str, table: str, pinned_sig: list[str] | None
+) -> tuple[str | None, list[str]]:
+    """(ddl_envelope_or_None, current_signature): compare the offset's
+    pinned schema signature against the live table; a drift yields one
+    synthesized DDL envelope.  Constant pos/ts keep replay deterministic
+    — the event is a pure function of (pinned, current) signatures."""
+    sig = table_schema_signature(db_path, table)
+    if pinned_sig is not None and pinned_sig != sig:
+        return _ddl_envelope(table, pinned_sig, sig, 0), sig
+    return None, sig
+
+
+def reinstall_capture(db_path: str, table: str) -> None:
+    """Refresh the capture triggers after a schema change: the trigger
+    bodies enumerate columns (json_object), so an ALTER TABLE leaves them
+    capturing the OLD column list — the trigger-capture analogue of
+    Debezium refreshing its in-memory table schema on a DDL event.  Drop
+    + re-create is atomic per trigger; events committed between the ALTER
+    and the refresh carry old-shape images (their new columns read as
+    NULL downstream, which ``from_json`` handles)."""
+    conn = _connect(db_path)
+    try:
+        for sfx in ("ins", "upd", "del"):
+            conn.execute(f"DROP TRIGGER IF EXISTS _cdc_{table}_{sfx}")
+        conn.commit()
+    finally:
+        conn.close()
+    install_cdc(db_path, table)
+
+
 def log_position(db_path: str) -> int:
     """Current log high-water mark — P5's ``log_position_fn`` against a
     LIVE log (``MAX(id)``; 0 = empty log)."""
@@ -509,21 +617,35 @@ class SqliteCdcStreamReader(SimpleDataSourceStreamReader):
                 DEFAULT_CHUNK_META_GROUP_SIZE,
             )
         )
+        # L6 on the live dialect (reference `include-schema-changes`,
+        # default false there too): per-batch schema probe against the
+        # signature PINNED IN THE OFFSET; drift emits a synthesized DDL
+        # envelope into the raw stream (schema_change_events surfaces it,
+        # plan_schema_evolution classifies widen-vs-resnapshot).
+        self.include_schema_changes = str(
+            _opt("includeschemachanges", "includeSchemaChanges", "false")
+        ).lower() == "true"
 
     # -- offsets -----------------------------------------------------------
     def initialOffset(self) -> dict:
         if self.startup == "latest":
-            return {"phase": "log", "log_id": log_position(self.db_path)}
-        if self.startup == "earliest":
-            return {"phase": "log", "log_id": 0}
-        chunks = plan_chunks(self.db_path, self.table, self.key_col, self.chunk_size)
-        return {
-            "phase": "snapshot",
-            "chunk_idx": 0,
-            "chunks": encode_chunks(chunks, self.chunk_meta_group_size),
-            "chunk_highs": [],
-            "min_low": None,
-        }
+            off = {"phase": "log", "log_id": log_position(self.db_path)}
+        elif self.startup == "earliest":
+            off = {"phase": "log", "log_id": 0}
+        else:
+            chunks = plan_chunks(
+                self.db_path, self.table, self.key_col, self.chunk_size
+            )
+            off = {
+                "phase": "snapshot",
+                "chunk_idx": 0,
+                "chunks": encode_chunks(chunks, self.chunk_meta_group_size),
+                "chunk_highs": [],
+                "min_low": None,
+            }
+        if self.include_schema_changes:
+            off["schema_sig"] = table_schema_signature(self.db_path, self.table)
+        return off
 
     # -- shouldEmit (L2) ---------------------------------------------------
     @staticmethod
@@ -615,11 +737,24 @@ class SqliteCdcStreamReader(SimpleDataSourceStreamReader):
         return rows, nxt
 
     def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
+        ddl_rows: list[tuple] = []
+        sig: list[str] | None = None
+        if self.include_schema_changes:
+            ddl, sig = schema_drift_event(
+                self.db_path, self.table, start.get("schema_sig")
+            )
+            if ddl is not None:
+                ddl_rows.append((ddl, "cdc", None))
+                # triggers still capture the OLD column list — refresh so
+                # events from here on carry the new shape
+                reinstall_capture(self.db_path, self.table)
         if start.get("phase") == "snapshot":
             rows, nxt = self._read_snapshot(start)
         else:
             rows, nxt = self._read_log(start)
-        return iter(rows), nxt
+        if self.include_schema_changes:
+            nxt["schema_sig"] = sig
+        return iter(ddl_rows + list(rows)), nxt
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[Tuple]:
         """Recovery replay of a committed range.  Log ranges replay exactly

@@ -476,3 +476,83 @@ def test_option_validation_rejects_bad_ranges(tmp_path):
     assert "chunkMetaGroupSize" in msg
     # heartbeatInterval=0 means disabled — allowed
     validate_sqlite_dialect({"path": db, "table": "items", "heartbeatinterval": "0"})
+
+
+# ---------------------------------------------------------------------------
+# L6 on the live dialect: schema drift → DDL side channel → evolution plan
+# ---------------------------------------------------------------------------
+
+
+def test_live_schema_change_detection(spark, tmp_path):
+    """ALTER TABLE between batches: the reader emits a synthesized DDL
+    envelope (pinned-offset vs live signature), schema_change_events
+    surfaces it, plan_schema_evolution classifies it as a safe widen, and
+    the widened schema parses subsequent rows including the new column."""
+    from flink_cdc_log_connectors_spark.sources.debezium import (
+        parse_debezium,
+        schema_change_events,
+        plan_schema_evolution,
+    )
+    from flink_cdc_log_connectors_spark.sources.sqlite_dialect import (
+        physical_schema,
+        schema_drift_event,
+        table_schema_signature,
+    )
+
+    db = make_db(str(tmp_path / "l6.db"), n=20)
+    opts = {"path": db, "table": "items", "chunksize": "50",
+            "maxeventsperbatch": "50", "includeschemachanges": "true"}
+    reader = SqliteCdcStreamReader(opts)
+    cur = reader.initialOffset()
+    assert cur["schema_sig"] == table_schema_signature(db, "items")
+    old_phys = physical_schema(db, "items")
+
+    rows = []
+    batch, cur = reader.read(cur)  # snapshot, no drift
+    rows.extend(batch)
+    assert not any("ddl" in json.loads(r[0]) for r in rows)
+
+    conn = sqlite3.connect(db)
+    conn.execute("ALTER TABLE items ADD COLUMN note TEXT")
+    conn.commit()
+    conn.close()
+
+    batch, cur = reader.read(cur)  # detects drift, refreshes capture
+    batch = list(batch)
+    # post-refresh events capture the new column
+    conn = sqlite3.connect(db)
+    conn.execute("INSERT INTO items VALUES (999, 'with-note', 1.0, 'hello')")
+    conn.commit()
+    conn.close()
+    more, cur = reader.read(cur)
+    batch = batch + list(more)
+    ddl_raw = [r for r in batch if "ddl" in json.loads(r[0])]
+    assert len(ddl_raw) == 1
+    assert "ADD COLUMN note TEXT" in json.loads(ddl_raw[0][0])["ddl"]
+    assert cur["schema_sig"] == table_schema_signature(db, "items")
+
+    # side channel parses it; data path ignores it
+    df = spark.createDataFrame(batch, RAW_SCHEMA)
+    events = schema_change_events(df).collect()
+    assert len(events) == 1 and events[0]["table_name"] == "items"
+
+    # evolution policy: pure column addition → restart with widened schema
+    new_phys = physical_schema(db, "items")
+    plan = plan_schema_evolution(old_phys, new_phys)
+    assert plan["action"] == "restart_widened"
+    assert any(c.startswith("add:note") for c in plan["changes"])
+
+    # widened schema parses the post-DDL insert including the new column
+    parsed = parse_debezium(df, plan["schema"])
+    note_rows = [r for r in parsed.collect() if r["id"] == 999]
+    assert note_rows and note_rows[0]["note"] == "hello"
+
+    # a second read with no further drift emits no duplicate DDL event
+    batch2, cur = reader.read(cur)
+    assert not any("ddl" in json.loads(r[0]) for r in batch2)
+
+    # replay determinism: the drift event is a pure function of the
+    # pinned/current signature pair
+    e1, _ = schema_drift_event(db, "items", ["id:INTEGER", "name:TEXT", "qty:REAL"])
+    e2, _ = schema_drift_event(db, "items", ["id:INTEGER", "name:TEXT", "qty:REAL"])
+    assert e1 == e2 and e1 is not None

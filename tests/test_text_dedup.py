@@ -361,3 +361,33 @@ def test_keep_best_per_cluster_policy(spark):
     assert out[1]["keep_doc_id"] == 2  # quality tie 2 vs 3 → lowest id
     assert out[1]["cluster_size"] == 3
     assert out[4]["keep_doc_id"] == 4 and out[4]["cluster_size"] == 1
+
+
+def test_ivf_pq_recall_vs_brute_force(spark):
+    """PQ compresses 64 float dims to 4 codes; the ADC top-3 must still
+    land mostly inside the exact top-10 (recall sanity on real data) and
+    self-matches are excluded."""
+    import numpy as np
+
+    from flink_cdc_log_connectors_spark.io import load_table
+    from flink_cdc_log_connectors_spark.operators.similarity import ivf_pq_topk
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4)
+    got = ivf_pq_topk(queries, emb, k=3).collect()
+    assert {r["query_id"] for r in got} == {0, 1, 2, 3}
+    assert all(r["neighbor_id"] != r["query_id"] for r in got)
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r[0] for r in rows])
+    m = np.stack([np.asarray(r[1], dtype="float64") for r in rows])
+    hits = total = 0
+    for q in range(4):
+        qv = m[ids == q][0]
+        d2 = ((m - qv) ** 2).sum(1)
+        order = ids[np.argsort(d2)]
+        exact10 = set(order[order != q][:10].tolist())
+        pq3 = {r["neighbor_id"] for r in got if r["query_id"] == q}
+        hits += len(pq3 & exact10)
+        total += len(pq3)
+    assert hits / total >= 0.5  # coarse 16-codeword PQ: majority overlap
