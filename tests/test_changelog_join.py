@@ -1,0 +1,175 @@
+"""Incrementally-maintained CDC join (streaming/joins.py): the continuous
+``orders ⋈ customers`` view reference users run in Flink SQL, maintained
+under inserts/updates/deletes on BOTH sides with per-batch O(changed keys)
+recomputation and tombstones."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import types as T
+
+from flink_cdc_log_connectors_spark.sources.datasource import register
+from flink_cdc_log_connectors_spark.streaming.joins import (
+    ChangelogJoin,
+    JoinSide,
+    materialize_join,
+)
+
+ORDERS = T.StructType(
+    [
+        T.StructField("o_id", T.LongType()),
+        T.StructField("cust_id", T.LongType()),
+        T.StructField("amount", T.DoubleType()),
+    ]
+)
+CUSTOMERS = T.StructType(
+    [
+        T.StructField("c_id", T.LongType()),
+        T.StructField("name", T.StringType()),
+    ]
+)
+
+LEFT = JoinSide(table="orders", physical=ORDERS, key="o_id", join_col="cust_id")
+RIGHT = JoinSide(table="customers", physical=CUSTOMERS, key="c_id", join_col="c_id")
+
+
+def env(table, op, after=None, before=None, pos=0):
+    return json.dumps(
+        {
+            "before": before,
+            "after": after,
+            "op": op,
+            "ts_ms": 1000 + pos,
+            "source": {"db": "d", "table": table, "ts_ms": 1000 + pos,
+                       "file": "f.0", "pos": pos},
+        }
+    )
+
+
+def raw_df(spark, lines):
+    return spark.createDataFrame(
+        [(v, "f.0", i) for i, v in enumerate(lines)],
+        "value string, file string, pos long",
+    )
+
+
+def view(spark, join):
+    df = join.read_view(spark)
+    if df is None:
+        return {}
+    return {
+        r["o_id"]: (r["cust_id"], r["amount"], r["r_name"]) for r in df.collect()
+    }
+
+
+def test_incremental_join_all_change_shapes(spark, tmp_path):
+    join = ChangelogJoin(LEFT, RIGHT, str(tmp_path / "j"), how="inner")
+
+    # batch 0: two customers, two orders (one matching each)
+    join.process_batch(
+        raw_df(spark, [
+            env("customers", "c", {"c_id": 1, "name": "ada"}, pos=0),
+            env("customers", "c", {"c_id": 2, "name": "bob"}, pos=1),
+            env("orders", "c", {"o_id": 10, "cust_id": 1, "amount": 5.0}, pos=2),
+            env("orders", "c", {"o_id": 11, "cust_id": 2, "amount": 7.0}, pos=3),
+            env("orders", "c", {"o_id": 12, "cust_id": 9, "amount": 1.0}, pos=4),
+        ]),
+        epoch_id=0,
+    )
+    got = view(spark, join)
+    # inner join: order 12 has no customer → absent
+    assert got == {10: (1, 5.0, "ada"), 11: (2, 7.0, "bob")}
+
+    # batch 1: dim update fans out to matching facts; late dim row makes
+    # the previously-unmatched order appear
+    join.process_batch(
+        raw_df(spark, [
+            env("customers", "u", {"c_id": 1, "name": "ada-v2"},
+                before={"c_id": 1, "name": "ada"}, pos=10),
+            env("customers", "c", {"c_id": 9, "name": "zoe"}, pos=11),
+        ]),
+        epoch_id=1,
+    )
+    got = view(spark, join)
+    assert got[10] == (1, 5.0, "ada-v2")  # dim update propagated
+    assert got[12] == (9, 1.0, "zoe")  # late dim arrival completed the join
+
+    # batch 2: fact update moves an order to another customer; fact delete
+    join.process_batch(
+        raw_df(spark, [
+            env("orders", "u", {"o_id": 11, "cust_id": 1, "amount": 7.5},
+                before={"o_id": 11, "cust_id": 2, "amount": 7.0}, pos=20),
+            env("orders", "d", before={"o_id": 10, "cust_id": 1, "amount": 5.0},
+                pos=21),
+        ]),
+        epoch_id=2,
+    )
+    got = view(spark, join)
+    assert 10 not in got  # deleted fact left the view
+    assert got[11] == (1, 7.5, "ada-v2")  # re-pointed join column
+
+    # batch 3: dim delete under inner semantics tombstones its facts
+    join.process_batch(
+        raw_df(spark, [
+            env("customers", "d", before={"c_id": 9, "name": "zoe"}, pos=30),
+        ]),
+        epoch_id=3,
+    )
+    got = view(spark, join)
+    assert 12 not in got
+    assert got == {11: (1, 7.5, "ada-v2")}
+
+
+def test_left_join_keeps_unmatched_with_nulls(spark, tmp_path):
+    join = ChangelogJoin(LEFT, RIGHT, str(tmp_path / "lj"), how="left")
+    join.process_batch(
+        raw_df(spark, [
+            env("orders", "c", {"o_id": 1, "cust_id": 5, "amount": 2.0}, pos=0),
+        ]),
+        epoch_id=0,
+    )
+    got = view(spark, join)
+    assert got == {1: (5, 2.0, None)}
+    join.process_batch(
+        raw_df(spark, [env("customers", "c", {"c_id": 5, "name": "eve"}, pos=1)]),
+        epoch_id=1,
+    )
+    assert view(spark, join) == {1: (5, 2.0, "eve")}
+    join.process_batch(
+        raw_df(spark, [env("customers", "d", before={"c_id": 5, "name": "eve"}, pos=2)]),
+        epoch_id=2,
+    )
+    # left join: dim delete nulls the dim columns, fact row stays
+    assert view(spark, join) == {1: (5, 2.0, None)}
+
+
+def test_streaming_end_to_end_with_restart(spark, tmp_path):
+    """materialize_join over the cdclog source, including a restart from
+    the checkpoint (replayed epochs must merge idempotently)."""
+    log_dir = tmp_path / "log"
+    log_dir.mkdir()
+    with open(log_dir / "log-000001.jsonl", "w") as fh:
+        fh.write(env("customers", "c", {"c_id": 1, "name": "ada"}, pos=0) + "\n")
+        fh.write(env("orders", "c", {"o_id": 10, "cust_id": 1, "amount": 5.0}, pos=1) + "\n")
+
+    register(spark)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+
+    def run_once():
+        raw = spark.readStream.format("cdclog").option("path", str(log_dir)).load()
+        q = materialize_join(raw, LEFT, RIGHT, out, ckpt).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    run_once()
+    join = ChangelogJoin(LEFT, RIGHT, out)
+    assert view(spark, join) == {10: (1, 5.0, "ada")}
+
+    with open(log_dir / "log-000002.jsonl", "w") as fh:
+        fh.write(env("orders", "u", {"o_id": 10, "cust_id": 1, "amount": 9.0},
+                     before={"o_id": 10, "cust_id": 1, "amount": 5.0}, pos=2) + "\n")
+        fh.write(env("orders", "c", {"o_id": 20, "cust_id": 1, "amount": 3.0}, pos=3) + "\n")
+    run_once()
+    assert view(spark, join) == {10: (1, 9.0, "ada"), 20: (1, 3.0, "ada")}
