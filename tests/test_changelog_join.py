@@ -173,3 +173,52 @@ def test_streaming_end_to_end_with_restart(spark, tmp_path):
         fh.write(env("orders", "c", {"o_id": 20, "cust_id": 1, "amount": 3.0}, pos=3) + "\n")
     run_once()
     assert view(spark, join) == {10: (1, 9.0, "ada"), 20: (1, 3.0, "ada")}
+
+
+@pytest.mark.parametrize("seed", [1, 7, 23])
+def test_randomized_ops_match_naive_join(spark, tmp_path, seed):
+    """Randomized interleavings of c/u/d on both sides across random batch
+    boundaries: the maintained view must equal a naive dict-replay join
+    after every batch (the invariant, not an example)."""
+    import random
+
+    rng = random.Random(seed)
+    join = ChangelogJoin(LEFT, RIGHT, str(tmp_path / f"p{seed}"), how="inner")
+    orders: dict[int, tuple[int, float]] = {}
+    custs: dict[int, str] = {}
+    pos = 0
+    ops: list[str] = []
+
+    def gen_op():
+        nonlocal pos
+        pos += 1
+        if rng.random() < 0.5:  # order-side op
+            oid = rng.randint(1, 8)
+            if oid in orders and rng.random() < 0.3:
+                before = {"o_id": oid, "cust_id": orders[oid][0], "amount": orders[oid][1]}
+                del orders[oid]
+                return env("orders", "d", before=before, pos=pos)
+            cid = rng.randint(1, 5)
+            amt = float(rng.randint(1, 99))
+            op = "u" if oid in orders else "c"
+            orders[oid] = (cid, amt)
+            return env("orders", op, {"o_id": oid, "cust_id": cid, "amount": amt}, pos=pos)
+        cid = rng.randint(1, 5)
+        if cid in custs and rng.random() < 0.25:
+            before = {"c_id": cid, "name": custs[cid]}
+            del custs[cid]
+            return env("customers", "d", before=before, pos=pos)
+        name = f"n{pos}"
+        op = "u" if cid in custs else "c"
+        custs[cid] = name
+        return env("customers", op, {"c_id": cid, "name": name}, pos=pos)
+
+    for epoch in range(5):
+        batch = [gen_op() for _ in range(rng.randint(1, 7))]
+        join.process_batch(raw_df(spark, batch), epoch_id=epoch)
+        expected = {
+            oid: (cid, amt, custs[cid])
+            for oid, (cid, amt) in orders.items()
+            if cid in custs
+        }
+        assert view(spark, join) == expected, f"seed={seed} epoch={epoch}"

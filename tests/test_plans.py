@@ -128,3 +128,43 @@ def test_rarity_bounded_shuffles(spark, sf_dir):
     # token-frequency count + per-doc rollup (+ final order, + AQE's
     # optional vocab-join exchange) — bounded, no quadratic stage
     assert count_exchanges(rarity_query(spark, sf_dir)) <= 4
+
+
+def test_pii_and_sample_no_shuffle(spark, sf_dir):
+    """r3 map-only operators: at most the final ORDER BY exchange — the
+    regex scrub and hash sampling must never shuffle data rows."""
+    from flink_cdc_log_connectors_spark.operators.text import (
+        pii_redact_query,
+        stratified_sample_query,
+    )
+
+    # range-partitioned final sort = 1 exchange; nothing else allowed
+    assert count_exchanges(pii_redact_query(spark, sf_dir)) <= 1
+    assert count_exchanges(stratified_sample_query(spark, sf_dir)) <= 1
+
+
+def test_winnow_no_data_shuffle(spark, sf_dir):
+    """Winnowing is mapInPandas: only the conditional small-input
+    repartition + final sort may exchange — never a per-gram shuffle
+    (the pre-r3 window form's failure mode)."""
+    from flink_cdc_log_connectors_spark.operators.text import winnow_query
+
+    assert count_exchanges(winnow_query(spark, sf_dir)) <= 2
+
+
+def test_keep_best_bounded_exchanges(spark, sf_dir):
+    """Cluster policy = one window over cluster_id on skinny rows; the
+    whole query (incl. the shared pair pipeline and final sort) stays
+    within a fixed exchange budget."""
+    from flink_cdc_log_connectors_spark.operators.graph import keep_best_per_cluster
+    from pyspark.sql import functions as F
+
+    clusters = spark.createDataFrame(
+        [(i, i % 7) for i in range(100)], "doc_id long, cluster_id long"
+    )
+    docs = spark.createDataFrame(
+        [(i, i * 3) for i in range(100)], "doc_id long, n_chars long"
+    )
+    out = keep_best_per_cluster(clusters, docs)
+    # join on doc_id + window on cluster_id: ≤ 3 exchanges, no more
+    assert count_exchanges(out) <= 3

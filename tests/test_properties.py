@@ -137,3 +137,36 @@ def test_connected_components_match_union_find(spark, edge_list):
         for r in connected_components(nodes_df, edges_df).collect()
     }
     assert got == expected
+
+
+@given(
+    start=st.integers(-(10**9), 10**9),
+    step=st.integers(1, 10**6),
+    n=st.integers(3, 400),
+    group_size=st.integers(1, 50),
+    unbounded_first=st.booleans(),
+    unbounded_last=st.booleans(),
+)
+@settings(max_examples=200, deadline=None)
+def test_chunk_meta_encode_decode_roundtrip(
+    start, step, n, group_size, unbounded_first, unbounded_last
+):
+    """chunkMetaGroupSize compaction: encode→decode is the identity for
+    ANY uniform plan (incl. unbounded first/last chunks), and the compact
+    form only appears past the threshold."""
+    from flink_cdc_log_connectors_spark.sources.chunking import ChunkRange
+    from flink_cdc_log_connectors_spark.sources.sqlite_dialect import (
+        decode_chunks,
+        encode_chunks,
+    )
+
+    bounds = [start + i * step for i in range(n + 1)]
+    chunks = [ChunkRange(a, b) for a, b in zip(bounds[:-1], bounds[1:])]
+    if unbounded_first:
+        chunks[0] = ChunkRange(None, chunks[0].end)
+    if unbounded_last:
+        chunks[-1] = ChunkRange(chunks[-1].start, None)
+    enc = encode_chunks(chunks, group_size)
+    assert decode_chunks(enc) == [[c.start, c.end] for c in chunks]
+    if n > group_size:
+        assert isinstance(enc, dict), "uniform plan past threshold must compact"
