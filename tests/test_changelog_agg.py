@@ -1,0 +1,162 @@
+"""Incrementally-maintained GROUP BY view (streaming/aggregates.py):
+count/sum/min/max stay correct under inserts, updates (including group
+re-pointing), and deletes — the retract-aggregate semantics Flink SQL
+gives reference users."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import types as T
+
+from flink_cdc_log_connectors_spark.sources.datasource import register
+from flink_cdc_log_connectors_spark.streaming.aggregates import (
+    ChangelogAggregate,
+    materialize_aggregate,
+)
+
+ORDERS = T.StructType(
+    [
+        T.StructField("o_id", T.LongType()),
+        T.StructField("cust_id", T.LongType()),
+        T.StructField("amount", T.DoubleType()),
+    ]
+)
+
+
+def env(op, after=None, before=None, pos=0):
+    return json.dumps(
+        {
+            "before": before,
+            "after": after,
+            "op": op,
+            "ts_ms": 1000 + pos,
+            "source": {"db": "d", "table": "orders", "ts_ms": 1000 + pos,
+                       "file": "f.0", "pos": pos},
+        }
+    )
+
+
+def raw_df(spark, lines):
+    return spark.createDataFrame(
+        [(v, "f.0", i) for i, v in enumerate(lines)],
+        "value string, file string, pos long",
+    )
+
+
+def make_agg(tmp_path, name="a"):
+    return ChangelogAggregate(
+        "orders", ORDERS, key="o_id", group_cols=["cust_id"],
+        output_path=str(tmp_path / name),
+        sum_cols=["amount"], minmax_cols=["amount"],
+    )
+
+
+def view(spark, agg):
+    df = agg.read_view(spark)
+    if df is None:
+        return {}
+    return {
+        r["cust_id"]: (r["cnt"], r["sum_amount"], r["min_amount"], r["max_amount"])
+        for r in df.collect()
+    }
+
+
+def test_aggregate_view_under_all_change_shapes(spark, tmp_path):
+    agg = make_agg(tmp_path)
+    agg.process_batch(
+        raw_df(spark, [
+            env("c", {"o_id": 1, "cust_id": 1, "amount": 5.0}, pos=0),
+            env("c", {"o_id": 2, "cust_id": 1, "amount": 7.0}, pos=1),
+            env("c", {"o_id": 3, "cust_id": 2, "amount": 3.0}, pos=2),
+        ]),
+        epoch_id=0,
+    )
+    assert view(spark, agg) == {1: (2, 12.0, 5.0, 7.0), 2: (1, 3.0, 3.0, 3.0)}
+
+    # update amount; min/max retraction needs recompute (5.0 was the min)
+    agg.process_batch(
+        raw_df(spark, [
+            env("u", {"o_id": 1, "cust_id": 1, "amount": 20.0},
+                before={"o_id": 1, "cust_id": 1, "amount": 5.0}, pos=10),
+        ]),
+        epoch_id=1,
+    )
+    assert view(spark, agg) == {1: (2, 27.0, 7.0, 20.0), 2: (1, 3.0, 3.0, 3.0)}
+
+    # group re-pointing: order 2 moves cust 1 → cust 2 (both groups move)
+    agg.process_batch(
+        raw_df(spark, [
+            env("u", {"o_id": 2, "cust_id": 2, "amount": 7.0},
+                before={"o_id": 2, "cust_id": 1, "amount": 7.0}, pos=20),
+        ]),
+        epoch_id=2,
+    )
+    assert view(spark, agg) == {1: (1, 20.0, 20.0, 20.0), 2: (2, 10.0, 3.0, 7.0)}
+
+    # deletes empty a group → it leaves the view entirely
+    agg.process_batch(
+        raw_df(spark, [
+            env("d", before={"o_id": 1, "cust_id": 1, "amount": 20.0}, pos=30),
+        ]),
+        epoch_id=3,
+    )
+    assert view(spark, agg) == {2: (2, 10.0, 3.0, 7.0)}
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_randomized_ops_match_naive_groupby(spark, tmp_path, seed):
+    import random
+
+    rng = random.Random(seed)
+    agg = make_agg(tmp_path, f"r{seed}")
+    facts: dict[int, tuple[int, float]] = {}
+    pos = 0
+
+    def gen():
+        nonlocal pos
+        pos += 1
+        oid = rng.randint(1, 10)
+        if oid in facts and rng.random() < 0.3:
+            before = {"o_id": oid, "cust_id": facts[oid][0], "amount": facts[oid][1]}
+            del facts[oid]
+            return env("d", before=before, pos=pos)
+        cid, amt = rng.randint(1, 4), float(rng.randint(1, 50))
+        if oid in facts:
+            before = {"o_id": oid, "cust_id": facts[oid][0], "amount": facts[oid][1]}
+            facts[oid] = (cid, amt)
+            return env("u", {"o_id": oid, "cust_id": cid, "amount": amt},
+                       before=before, pos=pos)
+        facts[oid] = (cid, amt)
+        return env("c", {"o_id": oid, "cust_id": cid, "amount": amt}, pos=pos)
+
+    for epoch in range(4):
+        agg.process_batch(raw_df(spark, [gen() for _ in range(rng.randint(1, 8))]),
+                          epoch_id=epoch)
+        expected: dict[int, tuple] = {}
+        for cid in {c for c, _ in facts.values()}:
+            amts = [a for c, a in facts.values() if c == cid]
+            expected[cid] = (len(amts), sum(amts), min(amts), max(amts))
+        assert view(spark, agg) == expected, f"seed={seed} epoch={epoch}"
+
+
+def test_streaming_end_to_end(spark, tmp_path):
+    log_dir = tmp_path / "log"
+    log_dir.mkdir()
+    with open(log_dir / "log-000001.jsonl", "w") as fh:
+        fh.write(env("c", {"o_id": 1, "cust_id": 1, "amount": 4.0}, pos=0) + "\n")
+        fh.write(env("c", {"o_id": 2, "cust_id": 1, "amount": 6.0}, pos=1) + "\n")
+    register(spark)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    raw = spark.readStream.format("cdclog").option("path", str(log_dir)).load()
+    q = materialize_aggregate(
+        raw, "orders", ORDERS, key="o_id", group_cols=["cust_id"],
+        output_path=out, checkpoint_path=ckpt, sum_cols=["amount"],
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    agg = ChangelogAggregate("orders", ORDERS, "o_id", ["cust_id"], out,
+                             sum_cols=["amount"])
+    got = {r["cust_id"]: (r["cnt"], r["sum_amount"])
+           for r in agg.read_view(spark).collect()}
+    assert got == {1: (2, 10.0)}
