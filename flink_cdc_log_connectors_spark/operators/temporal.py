@@ -362,6 +362,178 @@ GROUP BY p.event_id ORDER BY p_event LIMIT 1000
 """
 
 
+# --------------------------------------------------------------------------
+# Funnel analysis (ordered multi-stage conversion) — single-window formulation
+# --------------------------------------------------------------------------
+
+#: funnel stage sequence over the events stream (strictly increasing ts)
+FUNNEL_STAGES = ("signup", "view", "click", "purchase")
+
+
+def funnel_stages(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    type_col: str,
+    stages: Sequence[str] = FUNNEL_STAGES,
+    order_tie: Sequence[str] = (),
+) -> DataFrame:
+    """Per-key funnel: the earliest time each stage was reached, where stage
+    *i* counts only if it happened STRICTLY AFTER the key's earliest
+    qualifying stage *i-1* event (the standard ordered-funnel semantics of
+    event-analytics engines).
+
+    Single-shuffle formulation: ONE window pass per key ordered by time.
+    ``reach[0]`` is the running min of stage-0 timestamps; ``reach[i]`` is
+    the running min of stage-*i* timestamps that fall after the running
+    ``reach[i-1]`` — a row's qualification is decided by prefix state
+    available at that row, so the whole chain folds into one window spec
+    (no self-joins, no per-stage shuffles).  At 100 TB this is a single
+    hash shuffle on the key; the window state is O(stages) per key.
+
+    Returns one row per key with ``t_<stage>`` columns (NULL = never
+    reached) and ``stage_reached`` (count of non-null prefix stages).
+    """
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts_col, *order_tie)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ts = F.col(ts_col)
+    # each running min must be MATERIALIZED as a column before the next
+    # stage's qualification references it (window-in-window arguments are
+    # illegal SQL); Catalyst plans all stages as Window operators sharing
+    # one partitioning+sort, so this is still a single shuffle.
+    cur = df.withColumn("__q0", F.when(F.col(type_col) == stages[0], ts))
+    cur = cur.withColumn("__r0", F.min("__q0").over(w))
+    for i, st in enumerate(stages[1:], start=1):
+        q = F.when(
+            (F.col(type_col) == st) & (ts > F.col(f"__r{i - 1}")), ts
+        )
+        cur = cur.withColumn(f"__q{i}", q)
+        cur = cur.withColumn(f"__r{i}", F.min(f"__q{i}").over(w))
+    agg = cur.groupBy(key).agg(
+        *[F.min(f"__q{i}").alias(f"t_{st}") for i, st in enumerate(stages)]
+    )
+    stage_n = F.lit(0)
+    for i, st in enumerate(stages):
+        # prefix count: stage i only counts when all prior stages are reached
+        cond = F.col(f"t_{stages[0]}").isNotNull()
+        for j in range(1, i + 1):
+            cond = cond & F.col(f"t_{stages[j]}").isNotNull()
+        stage_n = F.when(cond, F.lit(i + 1)).otherwise(stage_n)
+    return agg.select(key, *[f"t_{st}" for st in stages],
+                      stage_n.alias("stage_reached"))
+
+
+def funnel_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """signup → view → click → purchase funnel per user."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        funnel_stages(events, key="user_id", ts_col="ts",
+                      type_col="event_type", order_tie=["event_id"])
+        .orderBy("user_id")
+        .limit(1000)
+    )
+
+
+def _funnel_sql(stages: Sequence[str] = FUNNEL_STAGES) -> str:
+    # the same staged chain: each CTE materializes reach_i so the next
+    # stage's CASE references a plain column (window-in-window is illegal)
+    win = (
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id\n"
+        "             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    ctes = [
+        f"s0 AS (\n  SELECT user_id, ts, event_id, event_type,\n"
+        f"         CASE WHEN event_type = '{stages[0]}' THEN ts END AS q0,\n"
+        f"         MIN(CASE WHEN event_type = '{stages[0]}' THEN ts END)"
+        f" OVER w AS r0\n  FROM events {win}\n)"
+    ]
+    for i, st in enumerate(stages[1:], start=1):
+        prev_q = ", ".join(f"q{j}" for j in range(i))
+        q = f"CASE WHEN event_type = '{st}' AND ts > r{i - 1} THEN ts END"
+        ctes.append(
+            f"s{i} AS (\n  SELECT user_id, ts, event_id, event_type,"
+            f" {prev_q},\n         {q} AS q{i},\n"
+            f"         MIN({q}) OVER w AS r{i}\n  FROM s{i - 1} {win}\n)"
+        )
+    t_cols = ", ".join(
+        f"MIN(q{i}) AS t_{st}" for i, st in enumerate(stages)
+    )
+    stage_case = "0"
+    for i in range(len(stages)):
+        cond = " AND ".join(
+            f"MIN(q{j}) IS NOT NULL" for j in range(i + 1)
+        )
+        stage_case = f"CASE WHEN {cond} THEN {i + 1} ELSE {stage_case} END"
+    last = len(stages) - 1
+    return f"""
+WITH {", ".join(ctes)}
+SELECT user_id, {t_cols}, CAST({stage_case} AS INT) AS stage_reached
+FROM s{last} GROUP BY user_id ORDER BY user_id LIMIT 1000
+"""
+
+
+# --------------------------------------------------------------------------
+# Cohort retention (first-seen cohort × day offset)
+# --------------------------------------------------------------------------
+
+
+def cohort_retention(
+    df: DataFrame, key: str, ts_col: str
+) -> DataFrame:
+    """Classic retention matrix: users grouped by first-active day
+    (cohort), counted as retained on each later day they were active.
+
+    Plan: one groupBy(key) for cohort assignment, one distinct over
+    (key, active day) — both shuffles keyed by ``key`` so AQE coalesces
+    them into co-partitioned stages — then the final rollup keyed by
+    (cohort, offset), whose cardinality is O(days²): trivially small at
+    any corpus scale.  All arithmetic is integer day differences —
+    deterministic across engines.
+    """
+    day = F.to_date(F.col(ts_col))
+    cohorts = df.groupBy(key).agg(F.min(day).alias("cohort_day"))
+    active = df.select(key, day.alias("active_day")).distinct()
+    return (
+        active.join(cohorts, key)
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("active_day"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+
+
+def retention_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        cohort_retention(events, key="user_id", ts_col="ts")
+        .orderBy("cohort_day", "day_offset")
+        .limit(2000)
+    )
+
+
+RETENTION_SQL = """
+WITH cohorts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day FROM events
+)
+SELECT cohort_day,
+       CAST(date_diff('day', cohort_day, active_day) AS INT) AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_active
+FROM active JOIN cohorts USING (user_id)
+GROUP BY cohort_day, day_offset
+ORDER BY cohort_day, day_offset LIMIT 2000
+"""
+
+
 TEMPORAL_QUERIES = {
     "cdc_asof_join": (asof_query, ASOF_SQL),
     "cdc_scd2_history": (scd2_query, SCD2_SQL),
@@ -369,4 +541,6 @@ TEMPORAL_QUERIES = {
     "cdc_parse_throughput": (cdc_parse_throughput_query, None),
     "sessionize_events": (sessionize_query, SESSIONIZE_SQL),
     "range_join_events": (range_join_query, RANGE_JOIN_SQL),
+    "events_funnel": (funnel_query, _funnel_sql()),
+    "events_retention": (retention_query, RETENTION_SQL),
 }

@@ -99,6 +99,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "corpus_stratified_sample",
     "dedup_keep_best",
     "ann_ivf_pq",
+    "events_funnel",
+    "events_retention",
     # (b) red at least once before their r2 oracle fixes
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

@@ -83,3 +83,63 @@ def test_time_bucket_floors_pre_epoch(spark):
         "1969-12-31 23:00:00",
         "1970-01-01 00:00:00",
     ]
+
+
+def test_funnel_stage_order_is_strict(spark):
+    from flink_cdc_log_connectors_spark.operators.temporal import funnel_stages
+
+    # u1 completes all 4 stages in order; u2 clicks BEFORE viewing (click
+    # must not count) then re-clicks after viewing; u3 purchases without
+    # ever signing up (stage 0); u4 signs up only.
+    rows = [
+        (1, 10, "signup"), (1, 20, "view"), (1, 30, "click"), (1, 40, "purchase"),
+        (2, 10, "signup"), (2, 15, "click"), (2, 20, "view"), (2, 25, "click"),
+        (3, 10, "view"), (3, 20, "purchase"),
+        (4, 10, "signup"),
+    ]
+    df = spark.createDataFrame(
+        [(u, float(t), e) for u, t, e in rows], "user_id int, ts double, et string"
+    )
+    out = funnel_stages(df, key="user_id", ts_col="ts", type_col="et").collect()
+    by = {r["user_id"]: r for r in out}
+    assert by[1]["stage_reached"] == 4 and by[1]["t_purchase"] == 40.0
+    # u2: click@15 precedes the qualifying view@20 → only click@25 counts
+    assert by[2]["stage_reached"] == 3 and by[2]["t_click"] == 25.0
+    assert by[3]["stage_reached"] == 0
+    assert by[4]["stage_reached"] == 1 and by[4]["t_view"] is None
+
+
+def test_funnel_same_timestamp_not_counted(spark):
+    from flink_cdc_log_connectors_spark.operators.temporal import funnel_stages
+
+    # strictly-after semantics: a view at the signup's exact ts is excluded
+    df = spark.createDataFrame(
+        [(1, 10.0, "signup"), (1, 10.0, "view")], "user_id int, ts double, et string"
+    )
+    r = funnel_stages(df, key="user_id", ts_col="ts", type_col="et").collect()[0]
+    assert r["stage_reached"] == 1 and r["t_view"] is None
+
+
+def test_cohort_retention_matrix(spark):
+    import datetime
+
+    from flink_cdc_log_connectors_spark.operators.temporal import cohort_retention
+
+    d = lambda day, h=0: datetime.datetime(2024, 1, day, h)  # noqa: E731
+    rows = [
+        (1, d(1)), (1, d(1, 5)), (1, d(3)),        # cohort 1/1, active d0+d2
+        (2, d(1)), (2, d(2)),                      # cohort 1/1, active d0+d1
+        (3, d(2)), (3, d(4)),                      # cohort 1/2, active d0+d2
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    out = cohort_retention(df, key="user_id", ts_col="ts").collect()
+    got = {
+        (str(r["cohort_day"]), r["day_offset"]): r["n_active"] for r in out
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-02", 0): 1,
+        ("2024-01-02", 2): 1,
+    }
