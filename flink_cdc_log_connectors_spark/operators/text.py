@@ -393,6 +393,132 @@ TEXT_QUERIES["text_winnow_fingerprint"] = (winnow_query, WINNOW_SQL)
 
 
 # --------------------------------------------------------------------------
+# Intra-document repetition stats (Gopher-style quality signals)
+# --------------------------------------------------------------------------
+
+
+def _repetition_doc_summary(text: str, tok_re) -> tuple:
+    """One document's repetition profile, computed doc-locally:
+    top-bigram occurrence share and the fraction of trigram positions
+    covered by a trigram that repeats within the document — the
+    "repetition" members of the Gopher quality-rule family (the corpus
+    documents are single-line, so the line-based members don't apply).
+    All counts are integers; ratios are single IEEE divisions, identical
+    across engines.
+    """
+    toks = [w for w in tok_re.split((text or "").lower()) if w]
+    from collections import Counter
+
+    n = len(toks)
+    bi = Counter(
+        (toks[i], toks[i + 1]) for i in range(n - 1)
+    )
+    tri = Counter(
+        (toks[i], toks[i + 1], toks[i + 2]) for i in range(n - 2)
+    )
+    n_bi = sum(bi.values())
+    top_bi = max(bi.values()) if bi else 0
+    n_tri = sum(tri.values())
+    dup_tri = sum(c for c in tri.values() if c >= 2)
+    return (
+        n,
+        n_bi,
+        top_bi,
+        top_bi / n_bi if n_bi else None,
+        n_tri,
+        dup_tri,
+        dup_tri / n_tri if n_tri else None,
+    )
+
+
+def repetition_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition stats as a map-only Arrow ``mapInPandas`` pass —
+    n-gram counting is doc-local, so like winnowing it needs ZERO shuffle
+    and scales with input partitions (the relational explode→groupBy form
+    would shuffle every gram position twice).  The oracle recomputes the
+    same counters relationally in DuckDB, proving the counting logic."""
+    import re
+
+    from ..functions.text import TOKEN_SPLIT_RE
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _batches(it):
+        import pandas as pd
+
+        tok_re = re.compile(TOKEN_SPLIT_RE)
+        for pdf in it:
+            rows = [
+                (int(d), *_repetition_doc_summary(t, tok_re))
+                for d, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_tokens", "n_bi", "top_bi", "top_bi_share",
+                    "n_tri", "dup_tri", "dup_tri_ratio",
+                ],
+            )
+            # degenerate docs (<2 tokens) carry None shares; keep them as
+            # SQL NULLs (pandas would coerce to NaN, which Spark keeps as
+            # NaN — the oracle's CASE yields NULL)
+            for c in ("top_bi_share", "dup_tri_ratio"):
+                out[c] = out[c].astype(object).where(pd.notna(out[c]), None)
+            yield out
+
+    out_schema = (
+        "doc_id long, n_tokens int, n_bi long, top_bi long, "
+        "top_bi_share double, n_tri long, dup_tri long, dup_tri_ratio double"
+    )
+    slim = docs.select("doc_id", "text")
+    target = spark.sparkContext.defaultParallelism
+    if slim.rdd.getNumPartitions() < target:
+        slim = slim.repartition(target)
+    return slim.mapInPandas(_batches, schema=out_schema).orderBy("doc_id")
+
+
+REPETITION_SQL = f"""
+WITH tok AS (SELECT doc_id, {_T} AS t FROM documents),
+bi AS (
+  SELECT doc_id, unnest(list_transform(
+    generate_series(1, greatest(len(t) - 1, 0)), i -> t[i] || ' ' || t[i+1]))
+    AS g
+  FROM tok
+),
+bic AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g),
+bis AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bi,
+         CAST(max(c) AS BIGINT) AS top_bi
+  FROM bic GROUP BY doc_id
+),
+tri AS (
+  SELECT doc_id, unnest(list_transform(
+    generate_series(1, greatest(len(t) - 2, 0)),
+    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+  FROM tok
+),
+tric AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY doc_id, g),
+tris AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tri,
+         CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_tri
+  FROM tric GROUP BY doc_id
+)
+SELECT tok.doc_id, CAST(len(t) AS INT) AS n_tokens,
+       COALESCE(n_bi, 0) AS n_bi, COALESCE(top_bi, 0) AS top_bi,
+       CASE WHEN COALESCE(n_bi, 0) > 0
+            THEN CAST(top_bi AS DOUBLE) / n_bi END AS top_bi_share,
+       COALESCE(n_tri, 0) AS n_tri, COALESCE(dup_tri, 0) AS dup_tri,
+       CASE WHEN COALESCE(n_tri, 0) > 0
+            THEN CAST(dup_tri AS DOUBLE) / n_tri END AS dup_tri_ratio
+FROM tok LEFT JOIN bis ON tok.doc_id = bis.doc_id
+         LEFT JOIN tris ON tok.doc_id = tris.doc_id
+ORDER BY tok.doc_id
+"""
+
+TEXT_QUERIES["text_repetition_stats"] = (repetition_stats_query, REPETITION_SQL)
+
+
+# --------------------------------------------------------------------------
 # Corpus-frequency quality scoring (rare-token ratio)
 # --------------------------------------------------------------------------
 

@@ -391,3 +391,78 @@ def test_ivf_pq_recall_vs_brute_force(spark):
         hits += len(pq3 & exact10)
         total += len(pq3)
     assert hits / total >= 0.5  # coarse 16-codeword PQ: majority overlap
+
+
+def test_repetition_stats_hand_computed(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_cdc_log_connectors_spark.operators.text import (
+        repetition_stats_query,
+    )
+
+    docs = [
+        # "a b a b a": bigrams a-b×2, b-a×2 (top 2/4); trigrams
+        # aba×2, bab×1 → dup 2/3
+        (1, "a b a b a"),
+        (2, "x"),          # 1 token: no bigrams/trigrams → NULL shares
+        (3, ""),           # empty
+        (4, "p q r"),      # all unique: top_bi=1, dup_tri=0
+    ]
+    pq.write_table(
+        pa.table(
+            {"doc_id": [d for d, _ in docs], "text": [t for _, t in docs]}
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = {r["doc_id"]: r for r in
+           repetition_stats_query(spark, str(tmp_path)).collect()}
+    r1 = out[1]
+    assert (r1["n_tokens"], r1["n_bi"], r1["top_bi"]) == (5, 4, 2)
+    assert r1["top_bi_share"] == 0.5
+    assert (r1["n_tri"], r1["dup_tri"]) == (3, 2)
+    assert r1["dup_tri_ratio"] == 2 / 3
+    assert out[2]["top_bi_share"] is None and out[2]["dup_tri_ratio"] is None
+    assert out[3]["n_tokens"] == 0 and out[3]["top_bi_share"] is None
+    assert out[4]["top_bi"] == 1 and out[4]["dup_tri_ratio"] == 0.0
+
+
+def test_substring_span_coverage_hand_computed(spark):
+    from flink_cdc_log_connectors_spark.operators.dedup import (
+        substring_span_coverage,
+    )
+
+    # 2-grams for a readable fixture.  doc1 and doc2 share the passage
+    # "b c d" → shared 2-gram positions (b c) and (c d): doc1 has a run
+    # of 2 consecutive dup positions; doc3 is fully unique; doc4 is too
+    # short for any 2-gram and must not appear.
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),      # grams: ab bc cd de → dup at bc,cd (run 2)
+            (2, "x b c d y"),      # grams: xb bc cd dy → dup at bc,cd
+            (3, "p q r s"),        # all unique
+            (4, "z"),              # no grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           substring_span_coverage(df, n=2).collect()}
+    assert set(out) == {1, 2, 3}
+    assert (out[1]["n_pos"], out[1]["n_dup"], out[1]["max_run"]) == (4, 2, 2)
+    assert out[1]["dup_ratio"] == 0.5
+    assert (out[2]["n_pos"], out[2]["n_dup"], out[2]["max_run"]) == (4, 2, 2)
+    assert (out[3]["n_pos"], out[3]["n_dup"], out[3]["max_run"]) == (3, 0, 0)
+
+
+def test_substring_span_in_doc_repeat_not_cross_doc(spark):
+    from flink_cdc_log_connectors_spark.operators.dedup import (
+        substring_span_coverage,
+    )
+
+    # a gram repeated WITHIN one doc only is not cross-doc duplicated
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "c d e")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           substring_span_coverage(df, n=2).collect()}
+    assert out[1]["n_dup"] == 0 and out[2]["n_dup"] == 0
