@@ -123,6 +123,60 @@ def hashed_word_ngrams(col: str | Column, n: int) -> Column:
     return udf(c)
 
 
+def positional_hashed_word_ngrams(col: str | Column, n: int) -> Column:
+    """Word n-grams of a text column IN POSITION ORDER (duplicates kept) as
+    60-bit md5 hashes — the positional twin of :func:`hashed_word_ngrams`
+    for span-level analyses where each gram START POSITION matters.
+    Arrow-batched Pandas UDF, same measured rationale as the distinct
+    variant."""
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    tok_re = re.compile(TOKEN_SPLIT_RE)
+
+    def _f(texts):
+        out = []
+        for t in texts:
+            toks = [w for w in tok_re.split((t or "").lower()) if w]
+            if len(toks) < n:
+                out.append([])
+                continue
+            out.append(
+                [
+                    int(
+                        hashlib.md5(
+                            " ".join(toks[i : i + n]).encode()
+                        ).hexdigest()[:15],
+                        16,
+                    )
+                    for i in range(len(toks) - n + 1)
+                ]
+            )
+        return pd.Series(out)
+
+    _f.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    udf = F.pandas_udf(_f, "array<long>")
+    c = F.col(col) if isinstance(col, str) else col
+    return udf(c)
+
+
+def positional_ngrams_sql(col: str, n: int) -> str:
+    """DuckDB fragment: word n-grams of ``col`` in position order (list,
+    1-based positions, duplicates kept) — twin of
+    :func:`positional_hashed_word_ngrams` minus the hashing (oracles join
+    on the raw gram text; the Spark side joins the md5-60 hashes of the
+    same grams)."""
+    toks = TOKENS_SQL.format(col=col)
+    parts = "||' '||".join(f"t[i+{j}]" for j in range(n))
+    return (
+        f"(SELECT list_transform("
+        f"generate_series(1, greatest(len(t)-{n - 1}, 0)), i -> {parts}) "
+        f"FROM (SELECT {toks} AS t) __tk)"
+    )
+
+
 def ngrams_sql(col: str, n: int) -> str:
     """DuckDB fragment: distinct word n-grams of ``col`` (1-based indexing)."""
     toks = TOKENS_SQL.format(col=col)
