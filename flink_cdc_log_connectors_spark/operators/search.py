@@ -1,0 +1,204 @@
+"""Full-text ranked retrieval (BM25) over the document corpus.
+
+The missing member next to the embedding-space searches in
+``similarity.py``: lexical top-k retrieval, the operator behind corpus
+search / hard-negative mining in training-data pipelines.
+
+Determinism note: classic BM25 weights terms by ``ln((N-df+0.5)/(df+0.5))``.
+``ln`` carries no cross-engine correctly-rounded guarantee (Java Math.log
+vs C libm), so the oracle-checked score uses the RATIONAL idf surrogate
+``(N-df+0.5)/(df+0.5)`` — strictly monotone in the classic idf, so
+rankings keep BM25's structure while every arithmetic step (integer
+subtract, one multiply, one divide per factor) is exactly-rounded IEEE
+and bit-identical across Spark and DuckDB.  Per-query scores sum in a
+FIXED expression order (term-slot columns, not a float fold), rounded to
+6 decimals, ranked on the rounded value with doc_id tie-break.
+
+Scale shape: term frequencies are one shuffle keyed by (doc, term); the
+document-frequency table per QUERY term is tiny (≤ terms×1 rows) and
+broadcast; the corpus-side scan joins it map-only, so the only corpus
+-wide shuffles are the tf groupBy and the final per-query top-k
+(TakeOrdered — no global sort).  N and total token count are two scalar
+aggregates (driver-side scalars, same stance as the IVF codebooks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import TOKENS_SQL, tokens
+from ..io import load_table
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+#: fixed benchmark query set (terms drawn from the corpus vocabulary);
+#: each query is a (query_id, terms) pair with at most 3 terms — term
+#: slots beyond a query's length simply contribute 0
+BM25_QUERIES: tuple[tuple[int, tuple[str, ...]], ...] = (
+    (1, ("spark", "join", "window")),
+    (2, ("hash", "table", "scan")),
+    (3, ("merge", "sort")),
+    (4, ("stream", "batch", "vector")),
+)
+
+BM25_TOPK = 10
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: tuple[tuple[int, tuple[str, ...]], ...] = BM25_QUERIES,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    topk: int = BM25_TOPK,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``topk`` documents per query by the deterministic BM25 score
+    (see module docstring for the idf-surrogate rationale)."""
+    spark = docs.sparkSession
+    tok = docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("t"))
+    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+
+    # two scalar corpus stats (a tiny driver-side collect, like the IVF
+    # codebooks); avgdl as one exact double division of two longs
+    n_docs, total_toks = docs.count(), tok.count()
+
+    q_rows = [
+        (qid, slot, term)
+        for qid, terms in queries
+        for slot, term in enumerate(terms)
+    ]
+    qdf = spark.createDataFrame(q_rows, "query_id int, slot int, t string")
+
+    # df per QUERY term only: semi-restrict the corpus tf to query terms
+    # first (broadcast — the query set is tiny), then count docs per term
+    qterms = qdf.select("t").distinct()
+    term_df = (
+        tf.join(F.broadcast(qterms), "t")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    # (query term, df) is at most |query terms| rows — broadcast the
+    # scoring table; the corpus side joins it map-only
+    scoring = qdf.join(term_df, "t", "left").na.fill({"df": 0})
+
+    matched = (
+        tf.join(F.broadcast(scoring), "t")
+        .join(dl, "doc_id")
+    )
+    # exact expression-order arithmetic (see module docstring)
+    idf = (
+        (F.lit(n_docs).cast("double") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    avgdl = F.lit(total_toks).cast("double") / F.lit(n_docs).cast("double")
+    tf_part = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / avgdl))
+    )
+    per_term = matched.select(
+        "query_id",
+        "doc_id",
+        "slot",
+        (idf * tf_part).alias("s"),
+    )
+    # fixed-order sum via term slots: s0 + s1 + s2 (never a float fold)
+    max_slots = max(len(t) for _, t in queries)
+    slots = per_term.groupBy("query_id", "doc_id").agg(
+        *[
+            F.max(F.when(F.col("slot") == i, F.col("s"))).alias(f"s{i}")
+            for i in range(max_slots)
+        ]
+    )
+    total = F.coalesce(F.col("s0"), F.lit(0.0))
+    for i in range(1, max_slots):
+        total = total + F.coalesce(F.col(f"s{i}"), F.lit(0.0))
+    scored = slots.select(
+        "query_id", "doc_id", F.round(total, 6).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= topk)
+        .select("query_id", "doc_id", "score", "rk")
+    )
+
+
+def bm25_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs).orderBy("query_id", "rk")
+
+
+def _bm25_sql(
+    queries: tuple[tuple[int, tuple[str, ...]], ...] = BM25_QUERIES,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    topk: int = BM25_TOPK,
+) -> str:
+    toks = TOKENS_SQL.format(col="text")
+    q_vals = ", ".join(
+        f"({qid}, {slot}, '{term}')"
+        for qid, terms in queries
+        for slot, term in enumerate(terms)
+    )
+    max_slots = max(len(t) for _, t in queries)
+    slot_cols = ", ".join(
+        f"max(CASE WHEN slot = {i} THEN s END) AS s{i}"
+        for i in range(max_slots)
+    )
+    total = " + ".join(f"COALESCE(s{i}, 0.0)" for i in range(max_slots))
+    # literals forced to DOUBLE: DuckDB parses bare decimals as DECIMAL,
+    # whose arithmetic would diverge from Spark's double path
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({toks}) AS t FROM documents),
+tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY doc_id, t),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (SELECT count(*) FROM tok) AS total_toks),
+q(query_id, slot, t) AS (VALUES {q_vals}),
+term_df AS (
+  SELECT t, count(*) AS df FROM tf
+  WHERE t IN (SELECT DISTINCT t FROM q) GROUP BY t
+),
+scoring AS (
+  SELECT q.query_id, q.slot, q.t, COALESCE(term_df.df, 0) AS df
+  FROM q LEFT JOIN term_df ON q.t = term_df.t
+),
+per_term AS (
+  SELECT s.query_id, tf.doc_id, s.slot,
+         ((CAST(n_docs AS DOUBLE) - df + CAST(0.5 AS DOUBLE))
+            / (df + CAST(0.5 AS DOUBLE)))
+         * ((tf * CAST({k1 + 1.0!r} AS DOUBLE))
+            / (tf + CAST({k1!r} AS DOUBLE)
+                    * (CAST({1.0 - b!r} AS DOUBLE)
+                       + CAST({b!r} AS DOUBLE)
+                         * (dl / (CAST(total_toks AS DOUBLE)
+                                  / CAST(n_docs AS DOUBLE))))))
+           AS s
+  FROM tf JOIN scoring s ON tf.t = s.t
+          JOIN dl ON tf.doc_id = dl.doc_id, stats
+),
+slots AS (
+  SELECT query_id, doc_id, {slot_cols}
+  FROM per_term GROUP BY query_id, doc_id
+),
+scored AS (
+  SELECT query_id, doc_id, round({total}, 6) AS score FROM slots
+)
+SELECT query_id, doc_id, score,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id) AS INT) AS rk
+FROM scored
+QUALIFY rk <= {topk}
+ORDER BY query_id, rk
+"""
+
+
+SEARCH_QUERIES = {
+    "text_bm25_topk": (bm25_query, _bm25_sql()),
+}

@@ -69,6 +69,12 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         out.update(CLUSTERING_QUERIES)
     except ImportError:
         pass
+    try:
+        from .operators.search import SEARCH_QUERIES
+
+        out.update(SEARCH_QUERIES)
+    except ImportError:
+        pass
     return _driver_window_order(out)
 
 
@@ -101,6 +107,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "ann_ivf_pq",
     "events_funnel",
     "events_retention",
+    "text_repetition_stats",
+    "dedup_substring_span",
+    "text_bm25_topk",
     # (b) red at least once before their r2 oracle fixes
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
