@@ -168,3 +168,33 @@ def test_keep_best_bounded_exchanges(spark, sf_dir):
     out = keep_best_per_cluster(clusters, docs)
     # join on doc_id + window on cluster_id: ≤ 3 exchanges, no more
     assert count_exchanges(out) <= 3
+
+
+def test_funnel_single_shuffle(spark, sf_dir):
+    """The whole ordered-stage chain folds into one window partitioning:
+    one exchange on user_id, every running-min stage coalesced over the
+    same sort (the top-k output adds no global sort)."""
+    from flink_cdc_log_connectors_spark.operators.temporal import funnel_query
+
+    assert count_exchanges(funnel_query(spark, sf_dir)) <= 2
+
+
+def test_repetition_stats_no_data_shuffle(spark, sf_dir):
+    """Repetition stats are mapInPandas: only the conditional small-input
+    repartition + final sort may exchange — never a per-gram shuffle."""
+    from flink_cdc_log_connectors_spark.operators.text import (
+        repetition_stats_query,
+    )
+
+    assert count_exchanges(repetition_stats_query(spark, sf_dir)) <= 2
+
+
+def test_bm25_no_cartesian_and_bounded_exchanges(spark, sf_dir):
+    """The scoring table joins broadcast; the corpus shuffles only for the
+    tf/dl groupBys and the per-doc slot rollup."""
+    from flink_cdc_log_connectors_spark.operators.search import bm25_query
+    from flink_cdc_log_connectors_spark.plans.inspect import executed_plan
+
+    plan = executed_plan(bm25_query(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
