@@ -1,0 +1,170 @@
+"""Incrementally-maintained Top-N view (streaming/topn.py): the Flink SQL
+Top-N pattern stays correct under inserts, rank churn, partition
+re-pointing, deletes, shrink-below-N, and replayed epochs."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import types as T
+
+from flink_cdc_log_connectors_spark.streaming.topn import ChangelogTopN
+
+ORDERS = T.StructType(
+    [
+        T.StructField("o_id", T.LongType()),
+        T.StructField("cust_id", T.LongType()),
+        T.StructField("amount", T.DoubleType()),
+    ]
+)
+
+
+def env(op, after=None, before=None, pos=0):
+    return json.dumps(
+        {
+            "before": before,
+            "after": after,
+            "op": op,
+            "ts_ms": 1000 + pos,
+            "source": {"db": "d", "table": "orders", "ts_ms": 1000 + pos,
+                       "file": "f.0", "pos": pos},
+        }
+    )
+
+
+def raw_df(spark, lines):
+    return spark.createDataFrame(
+        [(v, "f.0", i) for i, v in enumerate(lines)],
+        "value string, file string, pos long",
+    )
+
+
+def make_topn(tmp_path, n=2, partition_cols=("cust_id",), name="t"):
+    return ChangelogTopN(
+        "orders", ORDERS, key="o_id", partition_cols=list(partition_cols),
+        order_col="amount", n=n, output_path=str(tmp_path / name),
+    )
+
+
+def view(spark, topn):
+    df = topn.read_view(spark)
+    if df is None:
+        return {}
+    out = {}
+    for r in df.collect():
+        p = r["cust_id"] if "cust_id" in df.columns else None
+        out[(p, r["rn"])] = (r["o_id"], r["amount"])
+    return out
+
+
+def test_topn_under_all_change_shapes(spark, tmp_path):
+    t = make_topn(tmp_path)
+    t.process_batch(
+        raw_df(spark, [
+            env("c", {"o_id": 1, "cust_id": 1, "amount": 5.0}, pos=0),
+            env("c", {"o_id": 2, "cust_id": 1, "amount": 7.0}, pos=1),
+            env("c", {"o_id": 3, "cust_id": 1, "amount": 3.0}, pos=2),
+            env("c", {"o_id": 4, "cust_id": 2, "amount": 9.0}, pos=3),
+        ]),
+        epoch_id=0,
+    )
+    # cust 1 keeps top-2 of {5,7,3} = [7,5]; cust 2 has one row
+    assert view(spark, t) == {
+        (1, 1): (2, 7.0), (1, 2): (1, 5.0), (2, 1): (4, 9.0),
+    }
+
+    # rank churn: the evicted row (amount 3) re-enters when the leader
+    # drops out of the top — the case pure delta maintenance gets wrong
+    t.process_batch(
+        raw_df(spark, [
+            env("u", {"o_id": 2, "cust_id": 1, "amount": 1.0},
+                before={"o_id": 2, "cust_id": 1, "amount": 7.0}, pos=10),
+        ]),
+        epoch_id=1,
+    )
+    assert view(spark, t) == {
+        (1, 1): (1, 5.0), (1, 2): (3, 3.0), (2, 1): (4, 9.0),
+    }
+
+    # partition re-pointing: order 1 moves cust 1 → cust 2; both sides'
+    # rankings rebuild (cust 1 shrinks, cust 2 gains a second row)
+    t.process_batch(
+        raw_df(spark, [
+            env("u", {"o_id": 1, "cust_id": 2, "amount": 5.0},
+                before={"o_id": 1, "cust_id": 1, "amount": 5.0}, pos=20),
+        ]),
+        epoch_id=2,
+    )
+    assert view(spark, t) == {
+        (1, 1): (3, 3.0), (1, 2): (2, 1.0),
+        (2, 1): (4, 9.0), (2, 2): (1, 5.0),
+    }
+
+    # deletes: cust 1 loses both rows → its rank slots tombstone away
+    t.process_batch(
+        raw_df(spark, [
+            env("d", None,
+                before={"o_id": 2, "cust_id": 1, "amount": 1.0}, pos=30),
+            env("d", None,
+                before={"o_id": 3, "cust_id": 1, "amount": 3.0}, pos=31),
+        ]),
+        epoch_id=3,
+    )
+    assert view(spark, t) == {(2, 1): (4, 9.0), (2, 2): (1, 5.0)}
+
+
+def test_topn_ties_break_on_key(spark, tmp_path):
+    t = make_topn(tmp_path, n=2)
+    t.process_batch(
+        raw_df(spark, [
+            env("c", {"o_id": 9, "cust_id": 1, "amount": 4.0}, pos=0),
+            env("c", {"o_id": 5, "cust_id": 1, "amount": 4.0}, pos=1),
+            env("c", {"o_id": 7, "cust_id": 1, "amount": 4.0}, pos=2),
+        ]),
+        epoch_id=0,
+    )
+    # equal amounts: ascending key breaks ties → ids 5 then 7
+    assert view(spark, t) == {(1, 1): (5, 4.0), (1, 2): (7, 4.0)}
+
+
+def test_topn_global_partition(spark, tmp_path):
+    t = make_topn(tmp_path, n=2, partition_cols=())
+    t.process_batch(
+        raw_df(spark, [
+            env("c", {"o_id": 1, "cust_id": 1, "amount": 5.0}, pos=0),
+            env("c", {"o_id": 2, "cust_id": 2, "amount": 7.0}, pos=1),
+            env("c", {"o_id": 3, "cust_id": 3, "amount": 6.0}, pos=2),
+        ]),
+        epoch_id=0,
+    )
+    got = {r["rn"]: r["o_id"] for r in t.read_view(spark).collect()}
+    assert got == {1: 2, 2: 3}
+
+
+def test_topn_replayed_epoch_idempotent(spark, tmp_path):
+    t = make_topn(tmp_path)
+    batch = raw_df(spark, [
+        env("c", {"o_id": 1, "cust_id": 1, "amount": 5.0}, pos=0),
+        env("c", {"o_id": 2, "cust_id": 1, "amount": 7.0}, pos=1),
+    ])
+    t.process_batch(batch, epoch_id=0)
+    before = view(spark, t)
+    # Structured Streaming retries re-deliver the same epoch
+    t.process_batch(batch, epoch_id=0)
+    assert view(spark, t) == before
+
+
+def test_topn_ascending_bottom_n(spark, tmp_path):
+    t = ChangelogTopN(
+        "orders", ORDERS, key="o_id", partition_cols=["cust_id"],
+        order_col="amount", n=1, output_path=str(tmp_path / "b"),
+        descending=False,
+    )
+    t.process_batch(
+        raw_df(spark, [
+            env("c", {"o_id": 1, "cust_id": 1, "amount": 5.0}, pos=0),
+            env("c", {"o_id": 2, "cust_id": 1, "amount": 3.0}, pos=1),
+        ]),
+        epoch_id=0,
+    )
+    assert view(spark, t) == {(1, 1): (2, 3.0)}
