@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import json
 
+import pytest
 from pyspark.sql import types as T
 
 from flink_cdc_log_connectors_spark.streaming.topn import ChangelogTopN
@@ -168,3 +169,54 @@ def test_topn_ascending_bottom_n(spark, tmp_path):
         epoch_id=0,
     )
     assert view(spark, t) == {(1, 1): (2, 3.0)}
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_randomized_ops_match_naive_topn(spark, tmp_path, seed):
+    """Randomized c/u/d interleavings across random batch boundaries: the
+    maintained view must equal a naive dict-replay top-N after every
+    batch (the invariant, not an example)."""
+    import random
+
+    rng = random.Random(seed)
+    n = 2
+    t = make_topn(tmp_path, n=n, name=f"r{seed}")
+    orders: dict[int, tuple[int, float]] = {}  # o_id -> (cust, amount)
+    pos = 0
+
+    def gen_op():
+        nonlocal pos
+        pos += 1
+        oid = rng.randint(1, 10)
+        if oid in orders and rng.random() < 0.3:
+            before = {"o_id": oid, "cust_id": orders[oid][0],
+                      "amount": orders[oid][1]}
+            del orders[oid]
+            return env("d", None, before=before, pos=pos)
+        before = None
+        op = "c"
+        if oid in orders:
+            op = "u"
+            before = {"o_id": oid, "cust_id": orders[oid][0],
+                      "amount": orders[oid][1]}
+        cid = rng.randint(1, 4)
+        amt = float(rng.randint(1, 50))
+        orders[oid] = (cid, amt)
+        return env(op, {"o_id": oid, "cust_id": cid, "amount": amt},
+                   before=before, pos=pos)
+
+    def naive_view():
+        out = {}
+        by_cust: dict[int, list[tuple[int, float]]] = {}
+        for oid, (cid, amt) in orders.items():
+            by_cust.setdefault(cid, []).append((oid, amt))
+        for cid, rows in by_cust.items():
+            rows.sort(key=lambda r: (-r[1], r[0]))
+            for rn, (oid, amt) in enumerate(rows[:n], start=1):
+                out[(cid, rn)] = (oid, amt)
+        return out
+
+    for epoch in range(5):
+        batch = [gen_op() for _ in range(rng.randint(1, 6))]
+        t.process_batch(raw_df(spark, batch), epoch_id=epoch)
+        assert view(spark, t) == naive_view(), f"seed={seed} epoch={epoch}"
