@@ -582,6 +582,74 @@ TEXT_QUERIES["corpus_mix_weights"] = (mix_weights_query, MIX_SQL)
 
 
 # --------------------------------------------------------------------------
+# BPE merge candidates (tokenizer-training pair counts)
+# --------------------------------------------------------------------------
+
+BPE_MERGE_TOPK = 50
+
+
+def bpe_merge_candidates(
+    df: DataFrame, text_col: str = "text", topk: int = BPE_MERGE_TOPK
+) -> DataFrame:
+    """Top adjacent-symbol-pair counts over the corpus — the first
+    iteration of BPE tokenizer training (the merge candidate table),
+    runnable at corpus scale.
+
+    The classic BPE-training compression is built in: the corpus
+    collapses to a WORD-FREQUENCY table first (one shuffle keyed by
+    word), and character-pair extraction runs over the distinct
+    vocabulary only, weighted by word frequency — at 100 TB the vocab is
+    millions of rows where the corpus is trillions, so the expensive
+    per-character explode touches ~10⁻⁶ of the data.  All counts are
+    integers; ranking breaks ties on the pair string — deterministic.
+    """
+    tok = df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    pairs_arr = F.when(
+        F.length("w") >= 2,
+        F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"),
+    ).otherwise(F.array().cast("array<string>"))
+    pair_counts = (
+        vocab.select(F.explode(pairs_arr).alias("pair"), "freq")
+        .groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy().orderBy(F.col("cnt").desc(), F.col("pair"))
+    return (
+        pair_counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= topk)
+        .select("rk", "pair", "cnt")
+    )
+
+
+def bpe_merge_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_merge_candidates(docs).orderBy("rk")
+
+
+BPE_MERGE_SQL = f"""
+WITH tok AS (SELECT unnest({_T}) AS w FROM documents),
+vocab AS (SELECT w, count(*) AS freq FROM tok GROUP BY w),
+pc AS (
+  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    SELECT unnest(list_transform(
+             generate_series(1, greatest(length(w) - 1, 0)),
+             i -> substring(w, i, 2))) AS pair,
+           freq
+    FROM vocab
+  ) GROUP BY pair
+)
+SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS INT) AS rk,
+       pair, cnt
+FROM pc
+QUALIFY rk <= {BPE_MERGE_TOPK}
+ORDER BY rk
+"""
+
+TEXT_QUERIES["bpe_merge_candidates"] = (bpe_merge_query, BPE_MERGE_SQL)
+
+
+# --------------------------------------------------------------------------
 # Corpus-frequency quality scoring (rare-token ratio)
 # --------------------------------------------------------------------------
 

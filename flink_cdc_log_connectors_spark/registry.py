@@ -111,6 +111,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_substring_span",
     "text_bm25_topk",
     "corpus_mix_weights",
+    "bpe_merge_candidates",
     # (b) red at least once before their r2 oracle fixes
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

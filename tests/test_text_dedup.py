@@ -488,3 +488,29 @@ def test_corpus_mix_weights_hand_computed(spark):
     assert out["a"]["token_share"] == 6 / 8
     assert out["a"]["sample_rate"] == 4.0 / 6
     assert out["b"]["sample_rate"] == 1.0
+
+
+def test_bpe_merge_candidates_hand_computed(spark):
+    from flink_cdc_log_connectors_spark.operators.text import (
+        bpe_merge_candidates,
+    )
+
+    # corpus: "abab ab" ×1, "ab" ×1 → vocab: abab(1), ab(2)
+    # pairs: abab → ab, ba, ab (freq 1); ab → ab (freq 2)
+    # counts: ab = 2*1 + 2 = 4, ba = 1
+    df = spark.createDataFrame(
+        [(1, "abab ab"), (2, "ab")], "doc_id long, text string"
+    )
+    out = [(r["rk"], r["pair"], r["cnt"])
+           for r in bpe_merge_candidates(df).collect()]
+    assert out == [(1, "ab", 4), (2, "ba", 1)]
+
+
+def test_bpe_merge_single_char_words_ignored(spark):
+    from flink_cdc_log_connectors_spark.operators.text import (
+        bpe_merge_candidates,
+    )
+
+    df = spark.createDataFrame([(1, "a b c xy")], "doc_id long, text string")
+    out = [(r["pair"], r["cnt"]) for r in bpe_merge_candidates(df).collect()]
+    assert out == [("xy", 1)]
