@@ -85,6 +85,40 @@ def md5_60(s: str) -> int:
 MD5_60_SQL = "('0x' || substring(md5({e}), 1, 15))::BIGINT"
 
 
+def _hashed_ngram_udf(col: str | Column, n: int, positional: bool) -> Column:
+    """Shared Arrow-batched tokenize→shingle→md5-60 pass behind both gram
+    shapes (ONE tokenizer/hash definition — the set and positional
+    variants can never drift)."""
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    tok_re = re.compile(TOKEN_SPLIT_RE)
+
+    def _f(texts):
+        out = []
+        for t in texts:
+            toks = [w for w in tok_re.split((t or "").lower()) if w]
+            if len(toks) < n:
+                out.append([])
+                continue
+            grams = (
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            )
+            if not positional:
+                grams = dict.fromkeys(grams)  # distinct, first-seen order
+            out.append(
+                [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+            )
+        return pd.Series(out)
+
+    _f.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    udf = F.pandas_udf(_f, "array<long>")
+    c = F.col(col) if isinstance(col, str) else col
+    return udf(c)
+
+
 def hashed_word_ngrams(col: str | Column, n: int) -> Column:
     """Distinct word n-grams of a text column as 60-bit md5 hashes.
 
@@ -97,69 +131,15 @@ def hashed_word_ngrams(col: str | Column, n: int) -> Column:
     just hash *equality* (all Jaccard needs) but the hash *values*
     (what minhash signatures need).
     """
-    import hashlib
-    import re
-
-    import pandas as pd
-
-    tok_re = re.compile(TOKEN_SPLIT_RE)
-
-    def _f(texts):
-        out = []
-        for t in texts:
-            toks = [w for w in tok_re.split((t or "").lower()) if w]
-            if len(toks) < n:
-                out.append([])
-                continue
-            grams = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
-            out.append(
-                [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
-            )
-        return pd.Series(out)
-
-    _f.__annotations__ = {"texts": pd.Series, "return": pd.Series}
-    udf = F.pandas_udf(_f, "array<long>")
-    c = F.col(col) if isinstance(col, str) else col
-    return udf(c)
+    return _hashed_ngram_udf(col, n, positional=False)
 
 
 def positional_hashed_word_ngrams(col: str | Column, n: int) -> Column:
     """Word n-grams of a text column IN POSITION ORDER (duplicates kept) as
     60-bit md5 hashes — the positional twin of :func:`hashed_word_ngrams`
     for span-level analyses where each gram START POSITION matters.
-    Arrow-batched Pandas UDF, same measured rationale as the distinct
-    variant."""
-    import hashlib
-    import re
-
-    import pandas as pd
-
-    tok_re = re.compile(TOKEN_SPLIT_RE)
-
-    def _f(texts):
-        out = []
-        for t in texts:
-            toks = [w for w in tok_re.split((t or "").lower()) if w]
-            if len(toks) < n:
-                out.append([])
-                continue
-            out.append(
-                [
-                    int(
-                        hashlib.md5(
-                            " ".join(toks[i : i + n]).encode()
-                        ).hexdigest()[:15],
-                        16,
-                    )
-                    for i in range(len(toks) - n + 1)
-                ]
-            )
-        return pd.Series(out)
-
-    _f.__annotations__ = {"texts": pd.Series, "return": pd.Series}
-    udf = F.pandas_udf(_f, "array<long>")
-    c = F.col(col) if isinstance(col, str) else col
-    return udf(c)
+    Same shared pass (``_hashed_ngram_udf``) minus the distinct step."""
+    return _hashed_ngram_udf(col, n, positional=True)
 
 
 def positional_ngrams_sql(col: str, n: int) -> str:

@@ -16,9 +16,13 @@ views — the maintenance is per-batch TOUCHED-PARTITION RECOMPUTATION:
 - touched partitions = every partition value any image of the batch
   mentions (an update's before-image covers the partition a row LEFT);
 - each touched partition's top-N is recomputed exactly against the
-  maintained fact state via a broadcast semi-join — O(touched
-  partitions' rows) per batch, never a full-table rescan, naturally
-  idempotent on replayed epochs, and exact under every change shape (a
+  maintained fact state via a broadcast semi-join: the SCAN is a
+  map-side filter of fact state (the state is bucketed by row key so
+  rows can re-point across partitions; bucket pruning by partition
+  value is therefore impossible and every bucket is read), but nothing
+  beyond the touched partitions' rows enters a shuffle, the rank
+  recompute is bounded by those rows, and the whole merge is naturally
+  idempotent on replayed epochs and exact under every change shape (a
   delta approach must handle the "evicted row re-enters when the top
   shrinks" case, which needs the runner-up rows — i.e. state — anyway);
 - rank slots that emptied (partition shrank below N, or vanished) emit
@@ -28,8 +32,10 @@ View identity is ``(*partition_cols, rn)`` in a
 :class:`PartitionedStateTable` — atomic manifest swap per batch, reads
 are O(buckets touched).
 
-At 100 TB: per-batch cost scales with the row count of TOUCHED
-partitions only.  A skewed hot partition bounds recompute at that
+At 100 TB: per-batch SHUFFLE and rank work scale with the row count of
+TOUCHED partitions only; the fact-state read is a full map-side scan
+(see above — the price of supporting partition re-pointing with
+key-bucketed state).  A skewed hot partition bounds recompute at that
 partition's size; if single partitions outgrow executor memory the
 row_number window spills — same failure envelope as running the Flink
 query over the same state.
@@ -142,36 +148,34 @@ class ChangelogTopN:
 
         # 4. emptied rank slots → tombstones for exactly (m, N] per
         #    touched partition (m = its surviving row count, 0 if gone)
-        if fresh is not None:
+        if fresh is None:
+            have = touched.withColumn("__m", F.lit(0))
+        else:
             counts = fresh.groupBy(*self.partition_cols).agg(
                 F.max("rn").alias("__m")
             )
-        else:
-            counts = None
-        have = touched if counts is None else touched.join(
-            counts, self.partition_cols, "left"
-        ).withColumn("__m", F.coalesce(F.col("__m"), F.lit(0)))
-        if counts is None:
-            have = have.withColumn("__m", F.lit(0))
-        tomb = (
-            have.filter(F.col("__m") < self.n)
-            .select(
-                *self.partition_cols,
-                F.explode(
-                    F.sequence(F.col("__m") + F.lit(1), F.lit(self.n))
-                ).alias("rn"),
-            )
-            .withColumn("op", F.lit("d"))
+            have = touched.join(
+                counts, self.partition_cols, "left"
+            ).withColumn("__m", F.coalesce(F.col("__m"), F.lit(0)))
+        tomb = have.filter(F.col("__m") < self.n).select(
+            *self.partition_cols,
+            F.explode(
+                F.sequence(F.col("__m") + F.lit(1), F.lit(self.n))
+            ).alias("rn"),
         )
+        # null-fill the payload BEFORE stamping op='d' — 'op' rides along
+        # in fact-state rows, so it must not be in the null loop (it
+        # would silently erase the delete marker)
         payload = [
             f.name
             for f in (fresh.schema.fields if fresh is not None else [])
-            if f.name not in (*self.partition_cols, "rn")
+            if f.name not in (*self.partition_cols, "rn", "op")
         ]
         for c in payload:
             tomb = tomb.withColumn(
                 c, F.lit(None).cast(dict(fresh.dtypes)[c])
             )
+        tomb = tomb.withColumn("op", F.lit("d"))
         alive = (
             None if fresh is None else fresh.withColumn("op", F.lit("c"))
         )
@@ -185,26 +189,20 @@ class ChangelogTopN:
         )
 
     def read_view(self, spark: SparkSession) -> DataFrame | None:
+        """Current Top-N contents: the DECLARED physical columns + rank —
+        internal CDC metadata (offset sort columns, op, _src, state
+        bookkeeping) never reaches view consumers, like the sibling
+        JOIN/GROUP BY views."""
         df = self.output.read(spark)
         if df is None:
             return None
         cols = [] if self._global else self.partition_cols
-        return df.select(
-            *cols, "rn", self.key, self.order_col,
-            *[
-                c
-                for c in df.columns
-                if c
-                not in (
-                    *self.partition_cols,
-                    "rn",
-                    self.key,
-                    self.order_col,
-                )
-                and not c.startswith("__")
-                and c not in ("op", "img_seq", "_src")
-            ],
-        )
+        phys = [
+            f.name
+            for f in self.physical.fields
+            if f.name not in (*cols, "rn")
+        ]
+        return df.select(*cols, "rn", *phys)
 
 
 def materialize_topn(

@@ -220,3 +220,14 @@ def test_randomized_ops_match_naive_topn(spark, tmp_path, seed):
         batch = [gen_op() for _ in range(rng.randint(1, 6))]
         t.process_batch(raw_df(spark, batch), epoch_id=epoch)
         assert view(spark, t) == naive_view(), f"seed={seed} epoch={epoch}"
+
+
+def test_topn_view_exposes_only_declared_columns(spark, tmp_path):
+    """No internal CDC metadata (_off_*, op, _src, __*) may leak into the
+    public view — the contract the sibling JOIN/GROUP BY views keep."""
+    t = make_topn(tmp_path, name="cols")
+    t.process_batch(
+        raw_df(spark, [env("c", {"o_id": 1, "cust_id": 1, "amount": 5.0})]),
+        epoch_id=0,
+    )
+    assert t.read_view(spark).columns == ["cust_id", "rn", "o_id", "amount"]
