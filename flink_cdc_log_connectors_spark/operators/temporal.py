@@ -534,6 +534,78 @@ ORDER BY cohort_day, day_offset LIMIT 2000
 """
 
 
+# --------------------------------------------------------------------------
+# Adjacent-pattern detection (MATCH_RECOGNIZE-lite CEP)
+# --------------------------------------------------------------------------
+
+
+def adjacent_pattern_matches(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    type_col: str,
+    pattern: Sequence[str],
+    order_tie: Sequence[str] = (),
+) -> DataFrame:
+    """Occurrences of ``pattern`` as STRICTLY CONSECUTIVE events per key —
+    the simple-pattern core of Flink SQL's MATCH_RECOGNIZE (``PATTERN
+    (A B C)`` with no quantifiers), batch form.
+
+    One window pass: ``lag(type, i)`` per pattern slot over a single
+    (key, time) ordering — the match test is a row-local conjunction, so
+    the whole operator is one shuffle and scales like any ranking window.
+    Returns the matched rows' key, the match END event's time/tiebreaks,
+    and the pattern start time (``lag(ts, len-1)``).
+    """
+    w = Window.partitionBy(key).orderBy(ts_col, *order_tie)
+    k = len(pattern)
+    # lags materialize as columns first (window functions are illegal
+    # inside a WHERE/filter); Catalyst computes all of them in one
+    # Window operator over one sort
+    cur = df
+    for i in range(1, k):
+        cur = cur.withColumn(
+            f"__p{i}", F.lag(F.col(type_col), i).over(w)
+        )
+    cur = cur.withColumn("__start_ts", F.lag(F.col(ts_col), k - 1).over(w))
+    cond = F.col(type_col) == pattern[-1]
+    for i in range(1, k):
+        cond = cond & (F.col(f"__p{i}") == pattern[k - 1 - i])
+    return cur.filter(cond).select(
+        key,
+        F.col("__start_ts").alias("start_ts"),
+        F.col(ts_col).alias("end_ts"),
+        *order_tie,
+    )
+
+
+def cep_adjacent_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase as three consecutive events of one user."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        adjacent_pattern_matches(
+            events, key="user_id", ts_col="ts", type_col="event_type",
+            pattern=("view", "click", "purchase"), order_tie=["event_id"],
+        )
+        .orderBy("user_id", "event_id")
+        .limit(1000)
+    )
+
+
+CEP_ADJACENT_SQL = """
+SELECT user_id,
+       LAG(ts, 2) OVER w AS start_ts,
+       ts AS end_ts,
+       event_id
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+QUALIFY event_type = 'purchase'
+    AND LAG(event_type, 1) OVER w = 'click'
+    AND LAG(event_type, 2) OVER w = 'view'
+ORDER BY user_id, event_id LIMIT 1000
+"""
+
+
 TEMPORAL_QUERIES = {
     "cdc_asof_join": (asof_query, ASOF_SQL),
     "cdc_scd2_history": (scd2_query, SCD2_SQL),
@@ -543,4 +615,5 @@ TEMPORAL_QUERIES = {
     "range_join_events": (range_join_query, RANGE_JOIN_SQL),
     "events_funnel": (funnel_query, _funnel_sql()),
     "events_retention": (retention_query, RETENTION_SQL),
+    "events_cep_adjacent": (cep_adjacent_query, CEP_ADJACENT_SQL),
 }

@@ -112,6 +112,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "text_bm25_topk",
     "corpus_mix_weights",
     "bpe_merge_candidates",
+    "events_cep_adjacent",
     # (b) red at least once before their r2 oracle fixes
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

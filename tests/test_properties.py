@@ -170,3 +170,69 @@ def test_chunk_meta_encode_decode_roundtrip(
     assert decode_chunks(enc) == [[c.start, c.end] for c in chunks]
     if n > group_size:
         assert isinstance(enc, dict), "uniform plan past threshold must compact"
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 3),                      # user
+            st.integers(0, 100),                    # ts
+            st.sampled_from(["signup", "view", "click", "purchase", "noise"]),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_funnel_matches_naive_replay(spark, events):
+    """The single-window funnel equals the obvious per-user scan: walk
+    events in (ts, event_id) order, advancing a stage pointer on strict
+    ts increase past the previous stage's earliest qualifying time."""
+    from flink_cdc_log_connectors_spark.operators.temporal import (
+        FUNNEL_STAGES,
+        funnel_stages,
+    )
+
+    rows = [
+        (u, float(t), e, i) for i, (u, t, e) in enumerate(events)
+    ]
+
+    # naive reference: earliest qualifying time per stage, sequential
+    def naive(user_rows):
+        reach = [None] * len(FUNNEL_STAGES)
+        for _u, t, e, _i in sorted(user_rows, key=lambda r: (r[1], r[3])):
+            for si, stage in enumerate(FUNNEL_STAGES):
+                if e != stage:
+                    continue
+                if si == 0:
+                    if reach[0] is None or t < reach[0]:
+                        reach[0] = t
+                elif reach[si - 1] is not None and t > reach[si - 1]:
+                    if reach[si] is None or t < reach[si]:
+                        reach[si] = t
+        return reach
+
+    df = spark.createDataFrame(
+        rows, "user_id int, ts double, et string, event_id long"
+    )
+    out = funnel_stages(
+        df, key="user_id", ts_col="ts", type_col="et",
+        order_tie=["event_id"],
+    ).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r[0], []).append(r)
+    for r in out:
+        expected = naive(by_user[r["user_id"]])
+        got = [r[f"t_{s}"] for s in FUNNEL_STAGES]
+        assert got == expected, (r["user_id"], got, expected)
+        n = 0
+        for v in expected:
+            if v is None:
+                break
+            n += 1
+        assert r["stage_reached"] == n

@@ -143,3 +143,26 @@ def test_cohort_retention_matrix(spark):
         ("2024-01-02", 0): 1,
         ("2024-01-02", 2): 1,
     }
+
+
+def test_adjacent_pattern_strictly_consecutive(spark):
+    from flink_cdc_log_connectors_spark.operators.temporal import (
+        adjacent_pattern_matches,
+    )
+
+    rows = [
+        # u1: exact consecutive A B C → one match ending at ts 30
+        (1, 10, "A"), (1, 20, "B"), (1, 30, "C"),
+        # u2: A B x C — interrupted, no match (MATCH_RECOGNIZE adjacency)
+        (2, 10, "A"), (2, 20, "B"), (2, 25, "x"), (2, 30, "C"),
+        # u3: overlapping A B C B C → matches at 30 only (B C tail lacks A)
+        (3, 10, "A"), (3, 20, "B"), (3, 30, "C"), (3, 40, "B"), (3, 50, "C"),
+    ]
+    df = spark.createDataFrame(
+        [(u, float(t), e) for u, t, e in rows], "user_id int, ts double, et string"
+    )
+    out = adjacent_pattern_matches(
+        df, key="user_id", ts_col="ts", type_col="et", pattern=("A", "B", "C")
+    ).collect()
+    got = {(r["user_id"], r["end_ts"], r["start_ts"]) for r in out}
+    assert got == {(1, 30.0, 10.0), (3, 30.0, 10.0)}
