@@ -85,13 +85,19 @@ class PartitionedStateTable:
             return {}
 
     # -- read -------------------------------------------------------------
+    # mergeSchema: after an L6 schema widening, buckets written before
+    # the DDL lack the new column while later ones carry it; the default
+    # reader takes one file's schema and silently DROPS the new column
+    # from the union.  Footer merging costs one metadata read per bucket
+    # file — the buckets being read were paid for anyway.
+
     def read(self, spark: SparkSession) -> DataFrame | None:
         """Current state as a DataFrame, or None if nothing materialized."""
         manifest = self.load_manifest()
         if not manifest:
             return None
         paths = [self._bucket_dir(v, int(b)) for b, v in manifest.items()]
-        return spark.read.parquet(*paths)
+        return spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def read_buckets(
         self, spark: SparkSession, buckets: Sequence[int]
@@ -104,7 +110,7 @@ class PartitionedStateTable:
         ]
         if not paths:
             return None
-        return spark.read.parquet(*paths)
+        return spark.read.option("mergeSchema", "true").parquet(*paths)
 
     # -- write ------------------------------------------------------------
     def upsert(

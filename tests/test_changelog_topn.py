@@ -231,3 +231,36 @@ def test_topn_view_exposes_only_declared_columns(spark, tmp_path):
         epoch_id=0,
     )
     assert t.read_view(spark).columns == ["cust_id", "rn", "o_id", "amount"]
+
+
+def test_topn_schema_widening_mid_stream(spark, tmp_path):
+    """L6 widen policy flowing through a maintained view: after the
+    upstream table gains a column, a view re-created with the widened
+    physical schema keeps all prior state (old rows carry NULL for the
+    new column) and ranks new events normally."""
+    t = make_topn(tmp_path, name="widen")
+    t.process_batch(
+        raw_df(spark, [
+            env("c", {"o_id": 1, "cust_id": 1, "amount": 5.0}, pos=0),
+            env("c", {"o_id": 2, "cust_id": 1, "amount": 7.0}, pos=1),
+        ]),
+        epoch_id=0,
+    )
+    wide = T.StructType(
+        [*ORDERS.fields, T.StructField("region", T.StringType())]
+    )
+    t2 = ChangelogTopN(
+        "orders", wide, key="o_id", partition_cols=["cust_id"],
+        order_col="amount", n=2, output_path=str(tmp_path / "widen"),
+    )
+    t2.process_batch(
+        raw_df(spark, [
+            env("c", {"o_id": 3, "cust_id": 1, "amount": 9.0,
+                      "region": "eu"}, pos=10),
+        ]),
+        epoch_id=1,
+    )
+    got = {r["o_id"]: (r["rn"], r["region"])
+           for r in t2.read_view(spark).collect()}
+    # new leader carries the new column; displaced old row keeps NULL
+    assert got == {3: (1, "eu"), 2: (2, None)}
