@@ -53,9 +53,12 @@ def kmeans_assign(
     # parquet max_iter+1 times.  No forced repartition: per-round cost on
     # small inputs is task overhead, not BLAS (2k vectors compute in µs),
     # and at real scale the file count already provides parallelism.
-    from pyspark.storagelevel import StorageLevel
+    # persist_tracked, not a bare persist: repeated invocations (bench
+    # loops, registry sweeps) would otherwise leak one cached input per
+    # call for the session's lifetime.
+    from ..caching import persist_tracked
 
-    vecs = vecs.persist(StorageLevel.MEMORY_AND_DISK)
+    vecs = persist_tracked(vecs)
 
     def partials_for(cm: np.ndarray):
         cm_sq = (cm * cm).sum(axis=1)

@@ -28,7 +28,6 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.storagelevel import StorageLevel
 
 from .chunking import (
     DEFAULT_CHUNK_SIZE,
@@ -196,8 +195,12 @@ def merge_chunk_backfill(
         img = {k.lower(): v for k, v in ev.image.items()}
         return tuple(img.get(f.name.lower()) for f in fields) + (ev.op, ev.offset)
 
+    # event rows relax nullability: a delete image carries only the key
+    # (the LogEvent contract), so non-key columns may be None even where
+    # the snapshot schema says NOT NULL — createDataFrame verifies
+    # nullability and would otherwise abort the whole snapshot
     ev_schema = T.StructType(
-        list(fields)
+        [T.StructField(f.name, f.dataType, nullable=True) for f in fields]
         + [T.StructField("__op", T.StringType()), T.StructField("__off", T.LongType())]
     )
     ev_df = spark.createDataFrame([_row(e) for e in events], schema=ev_schema)
@@ -240,9 +243,10 @@ def read_snapshot_consistent(
     position → merge backfill events in (low, high] ∩ chunk range.
 
     Eagerness: the chunk plan is materialized BEFORE ``high`` is captured —
-    either persisted + counted (default; MEMORY_AND_DISK so a 100 TB
-    snapshot spills instead of OOMing) or, with ``staging_dir``, written to
-    parquet and read back (the scale path: no executor cache pressure, and
+    either eagerly localCheckpoint'ed (default: the lineage is CUT, so a
+    lost block fails loudly rather than silently re-running the JDBC
+    query after HIGH) or, with ``staging_dir``, written to parquet and
+    read back (the scale path: durable, no executor cache pressure, and
     downstream stages re-read columnar files with pushdown intact).
 
     ``parallelism`` > 1 brackets several chunks concurrently from driver
@@ -279,8 +283,14 @@ def read_snapshot_consistent(
             cdf.write.mode("overwrite").parquet(path)  # action: fetch happens NOW
             cdf = spark.read.parquet(path)
         else:
-            cdf = cdf.persist(StorageLevel.MEMORY_AND_DISK)
-            cdf.count()  # action: fetch happens NOW, before the high capture
+            # localCheckpoint, not persist: a persisted block lost to
+            # executor death would be RECOMPUTED by re-running the JDBC
+            # query after HIGH was captured — silently breaking the
+            # per-chunk consistency this function exists for.  A
+            # checkpointed partition cannot be recomputed: block loss
+            # fails the job loudly instead (and staging_dir is the
+            # durable path for 100 TB runs).
+            cdf = cdf.localCheckpoint(eager=True)  # fetch happens NOW
         high = int(log_position_fn())
         events = [
             e

@@ -85,10 +85,28 @@ def parse_mongo_changestream(
 
 def _as_patterns(spec: str | None) -> list[str]:
     """Comma-separated regex list → anchored patterns (the reference
-    compiles each entry with ``Pattern.compile`` and full-matches names)."""
+    compiles each entry with ``Pattern.compile`` and full-matches names).
+
+    Commas inside brackets/braces do NOT split — ``items_[0-9]{2,3}`` is
+    ONE pattern (a naive split would shatter the quantifier into two
+    never-matching pieces, silently discovering nothing)."""
     if not spec:
         return []
-    return [p.strip() for p in spec.split(",") if p.strip()]
+    out: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    for ch in spec:
+        if ch in "[{(":
+            depth += 1
+        elif ch in "]})":
+            depth = max(0, depth - 1)
+        if ch == "," and depth == 0:
+            out.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    out.append("".join(buf))
+    return [p.strip() for p in out if p.strip()]
 
 
 def collection_matcher(
@@ -248,11 +266,13 @@ class MongoCdcStreamReader(CdcLogStreamReader):
         # real event, so concurrent updates replayed after the copy win);
         # the namespace comes from the DISCOVERED collection the file
         # belongs to, not a global option
-        db, coll = self.db, self.coll
-        for d, c, p in self._discover():
-            if p == path:
-                db, coll = d, c
-                break
+        ns_by_path = getattr(self, "_ns_by_path", None)
+        if ns_by_path is None:
+            # one-time index: the per-row linear scan would make the
+            # copy phase O(rows × collections)
+            ns_by_path = {p: (d, c) for d, c, p in self._discover()}
+            self._ns_by_path = ns_by_path
+        db, coll = ns_by_path.get(path, (self.db, self.coll))
         return (
             '{"operationType": "insert", "fullDocument": ' + line.rstrip("\n")
             + ', "documentKey": null, "ns": {"db": "' + db

@@ -112,10 +112,13 @@ def read_snapshot_with_commitlog(
     """S8 snapshot phase: ``read_snapshot_consistent`` with the commit
     version as the watermark domain — each chunk eagerly fetched between
     two ``current_commit_version`` probes and merged with its own
-    backfill window.  Returns the ConsistentSnapshotResult; the caller
-    tails ``client.fetch(result.max_high)`` for the log phase and applies
-    the L2 shouldEmit rule (event emitted iff commit version > the high
-    watermark of the chunk covering its key)."""
+    backfill window.  Returns the ConsistentSnapshotResult; for the log
+    phase the caller hands ``result.watermarks`` to :func:`tail_commitlog`
+    starting from ``min(w.high for w in result.watermarks)`` — NOT from
+    ``result.max_high``: a chunk whose window sealed early is consistent
+    only at its OWN high, so events for its keys in (its high, max_high]
+    exist nowhere in the snapshot and must come from the tail (the
+    per-chunk shouldEmit filter suppresses the already-merged rest)."""
     from .jdbc import read_snapshot_consistent
 
     return read_snapshot_consistent(
@@ -145,8 +148,16 @@ def tail_commitlog(
     (``BinlogSplitReader.shouldEmit`` semantics): an event whose key falls
     in a snapshotted chunk is emitted only past that chunk's high
     watermark — below it, the chunk's backfill merge already delivered
-    the effect.  ``chunk_watermarks`` rows are (chunk_lo, chunk_hi,
-    high_watermark), i.e. ``ConsistentSnapshotResult.watermarks``."""
+    the effect.  ``chunk_watermarks`` accepts
+    ``ConsistentSnapshotResult.watermarks`` directly (ChunkWatermarks
+    objects) or raw (chunk_lo, chunk_hi, high_watermark) tuples."""
+    norm: list[tuple[Any, Any, int]] = []
+    for w in chunk_watermarks or []:
+        if isinstance(w, tuple):
+            norm.append(w)
+        else:  # ChunkWatermarks dataclass
+            norm.append((w.chunk.start, w.chunk.end, w.high))
+    chunk_watermarks = norm
     for m in client.fetch(after_version):
         if m.table != table:
             continue

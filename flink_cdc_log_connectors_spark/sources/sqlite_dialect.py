@@ -50,6 +50,7 @@ from __future__ import annotations
 
 import json
 import sqlite3
+from collections.abc import Sequence
 from typing import Any, Iterator, Tuple
 
 from pyspark.sql.datasource import (
@@ -189,6 +190,26 @@ def _json_object(prefix: str, cols: list[str]) -> str:
     return f"json_object({pairs})"
 
 
+def _create_triggers(conn, table: str, cols: Sequence[str]) -> None:
+    """Create the three capture triggers inside the caller's transaction
+    (shared by first install and post-DDL refresh)."""
+    new_img = _json_object("NEW", cols)
+    old_img = _json_object("OLD", cols)
+    specs = [
+        ("ins", "INSERT", "c", "NULL", new_img),
+        ("upd", "UPDATE", "u", old_img, new_img),
+        ("del", "DELETE", "d", old_img, "NULL"),
+    ]
+    for suffix, event, op, before, after in specs:
+        conn.execute(
+            f"""CREATE TRIGGER IF NOT EXISTS _cdc_{table}_{suffix}
+                AFTER {event} ON {table} BEGIN
+                  INSERT INTO {LOG_TABLE}(tbl, op, before, after)
+                  VALUES ('{table}', '{op}', {before}, {after});
+                END"""
+        )
+
+
 def install_cdc(db_path: str, table: str) -> None:
     """Install change capture on ``table``: the ``_cdc_log`` audit table
     plus AFTER INSERT/UPDATE/DELETE triggers writing before/after images.
@@ -216,21 +237,7 @@ def install_cdc(db_path: str, table: str) -> None:
                     DEFAULT (CAST((julianday('now') - 2440587.5) * 86400000 AS INTEGER))
             )"""
         )
-        new_img = _json_object("NEW", cols)
-        old_img = _json_object("OLD", cols)
-        specs = [
-            ("ins", "INSERT", "c", "NULL", new_img),
-            ("upd", "UPDATE", "u", old_img, new_img),
-            ("del", "DELETE", "d", old_img, "NULL"),
-        ]
-        for suffix, event, op, before, after in specs:
-            conn.execute(
-                f"""CREATE TRIGGER IF NOT EXISTS _cdc_{table}_{suffix}
-                    AFTER {event} ON {table} BEGIN
-                      INSERT INTO {LOG_TABLE}(tbl, op, before, after)
-                      VALUES ('{table}', '{op}', {before}, {after});
-                    END"""
-            )
+        _create_triggers(conn, table, cols)
         conn.commit()
     finally:
         conn.close()
@@ -330,18 +337,27 @@ def reinstall_capture(db_path: str, table: str) -> None:
     """Refresh the capture triggers after a schema change: the trigger
     bodies enumerate columns (json_object), so an ALTER TABLE leaves them
     capturing the OLD column list — the trigger-capture analogue of
-    Debezium refreshing its in-memory table schema on a DDL event.  Drop
-    + re-create is atomic per trigger; events committed between the ALTER
-    and the refresh carry old-shape images (their new columns read as
-    NULL downstream, which ``from_json`` handles)."""
+    Debezium refreshing its in-memory table schema on a DDL event.
+
+    Drop + re-create happens in ONE write transaction (``BEGIN
+    IMMEDIATE`` takes the write lock up front), so no concurrent writer
+    can commit in a triggerless window — a two-transaction refresh would
+    silently lose any event committed between the drop-commit and the
+    re-create.  Events committed BEFORE the refresh carry old-shape
+    images (their new columns read as NULL downstream, which
+    ``from_json`` handles)."""
     conn = _connect(db_path)
     try:
+        conn.execute("BEGIN IMMEDIATE")
         for sfx in ("ins", "upd", "del"):
             conn.execute(f"DROP TRIGGER IF EXISTS _cdc_{table}_{sfx}")
+        _create_triggers(conn, table, _table_columns(conn, table))
         conn.commit()
+    except BaseException:
+        conn.rollback()
+        raise
     finally:
         conn.close()
-    install_cdc(db_path, table)
 
 
 def log_position(db_path: str) -> int:

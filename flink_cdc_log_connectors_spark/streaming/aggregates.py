@@ -11,8 +11,12 @@ TOUCHED-GROUP RECOMPUTATION:
   update's before-image row covers the group the fact LEFT, so group
   re-pointing retracts correctly);
 - touched groups recompute exactly against the maintained fact state via
-  a broadcast semi-join — O(touched groups' rows) per batch, never a
-  full-view rescan, and one code path that is exact for ALL aggregates
+  a broadcast semi-join — the fact-state READ is a map-side scan of all
+  buckets (state is bucketed by fact key so rows can re-point across
+  groups; group-value bucket pruning is impossible), but only the
+  touched groups' rows cross a shuffle and the recompute is bounded by
+  them, never a full-VIEW rescan — and one code path that is exact for
+  ALL aggregates
   including non-invertible MIN/MAX (retracting the current minimum needs
   the runner-up, which only state can supply) and naturally IDEMPOTENT
   on replayed epochs — a delta accumulate/retract merge would be neither

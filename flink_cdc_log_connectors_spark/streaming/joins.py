@@ -171,7 +171,16 @@ class ChangelogJoin:
                 rows = joined.withColumn("op", F.lit("c"))
 
         # -- fact deletes: tombstones keyed by fact pk --------------------
+        # only keys that did NOT survive the batch (post-upsert state is
+        # authoritative): a delete-then-reinsert of the same key within
+        # one batch leaves the key alive, and emitting both its recomputed
+        # 'c' row and a tombstone would tie on the sort key — which row
+        # wins would be partition-order luck
         dels = lb.filter(F.col("op") == "d").select(self.left.key).distinct()
+        if l_state is not None:
+            dels = dels.join(
+                l_state.select(self.left.key), self.left.key, "left_anti"
+            )
         if dels.limit(1).count() > 0:
             ltypes = {f.name: f.dataType for f in self.left.physical.fields}
             tomb = dels
@@ -185,8 +194,9 @@ class ChangelogJoin:
 
         if rows is None:
             return
-        # one deterministic upsert; within a batch each fact key appears
-        # once (recomputes exclude deleted facts — they left l_state)
+        # one deterministic upsert; each fact key appears once — recomputes
+        # cover exactly the keys alive in post-upsert state, tombstones
+        # exactly the keys that are not
         self.output.upsert(
             rows.withColumn("__seq", F.lit(0)),
             order_by=["__seq"],

@@ -222,3 +222,39 @@ def test_randomized_ops_match_naive_join(spark, tmp_path, seed):
             if cid in custs
         }
         assert view(spark, join) == expected, f"seed={seed} epoch={epoch}"
+
+
+def test_delete_then_reinsert_same_key_one_batch(spark, tmp_path):
+    """A fact key deleted and re-created within ONE microbatch must
+    survive in the view — the tombstone must not race the recomputed
+    row (both would otherwise tie on the upsert sort key)."""
+    join = ChangelogJoin(LEFT, RIGHT, str(tmp_path / "dr"), how="inner")
+    join.process_batch(
+        raw_df(spark, [
+            env("customers", "c", {"c_id": 1, "name": "ada"}, pos=0),
+            env("orders", "c", {"o_id": 5, "cust_id": 1, "amount": 2.0}, pos=1),
+        ]),
+        epoch_id=0,
+    )
+    join.process_batch(
+        raw_df(spark, [
+            env("orders", "d", None,
+                before={"o_id": 5, "cust_id": 1, "amount": 2.0}, pos=10),
+            env("orders", "c", {"o_id": 5, "cust_id": 1, "amount": 9.0},
+                pos=11),
+        ]),
+        epoch_id=1,
+    )
+    assert view(spark, join) == {5: (1, 9.0, "ada")}
+
+    # and the reverse (insert-then-delete) still tombstones
+    join.process_batch(
+        raw_df(spark, [
+            env("orders", "c", {"o_id": 6, "cust_id": 1, "amount": 1.0},
+                pos=20),
+            env("orders", "d", None,
+                before={"o_id": 6, "cust_id": 1, "amount": 1.0}, pos=21),
+        ]),
+        epoch_id=2,
+    )
+    assert view(spark, join) == {5: (1, 9.0, "ada")}

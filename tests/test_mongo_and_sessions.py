@@ -405,3 +405,12 @@ def test_lag_observer_end_to_end(spark, tmp_path):
     m = progresses[-1]
     assert m["fetchDelayMs"] == 400  # max(1400-1000, 2100-2000)
     assert m["emitDelayMs"] is not None and m["emitDelayMs"] > 0
+
+
+def test_as_patterns_brace_commas_not_split():
+    from flink_cdc_log_connectors_spark.sources.mongo import _as_patterns
+
+    assert _as_patterns("items_[0-9]{2,3},logs") == ["items_[0-9]{2,3}", "logs"]
+    assert _as_patterns("a,b") == ["a", "b"]
+    assert _as_patterns("x{1,2},y[,]z") == ["x{1,2}", "y[,]z"]
+    assert _as_patterns(None) == []

@@ -556,3 +556,51 @@ def test_live_schema_change_detection(spark, tmp_path):
     e1, _ = schema_drift_event(db, "items", ["id:INTEGER", "name:TEXT", "qty:REAL"])
     e2, _ = schema_drift_event(db, "items", ["id:INTEGER", "name:TEXT", "qty:REAL"])
     assert e1 == e2 and e1 is not None
+
+
+def test_reinstall_capture_loses_no_events_under_writer(tmp_path):
+    """Trigger refresh must never open a capture gap: a writer hammering
+    inserts while reinstall_capture runs repeatedly ends with exactly one
+    log row per committed insert (the one-transaction BEGIN IMMEDIATE
+    refresh; a two-transaction drop→recreate loses whatever commits in
+    between)."""
+    from flink_cdc_log_connectors_spark.sources.sqlite_dialect import (
+        reinstall_capture,
+    )
+
+    path = make_db(str(tmp_path / "r.db"), n=10)
+    stop = threading.Event()
+    written = []
+
+    def writer():
+        conn = sqlite3.connect(path, timeout=30)
+        i = 1000
+        while not stop.is_set():
+            conn.execute(
+                "INSERT INTO items VALUES (?, ?, ?)", (i, f"w-{i}", 1.0)
+            )
+            conn.commit()
+            written.append(i)
+            i += 1
+        conn.close()
+
+    th = threading.Thread(target=writer)
+    th.start()
+    try:
+        for _ in range(25):
+            reinstall_capture(path, "items")
+            time.sleep(0.002)
+    finally:
+        stop.set()
+        th.join()
+
+    conn = sqlite3.connect(path)
+    log_inserts = conn.execute(
+        "SELECT COUNT(*) FROM _cdc_log WHERE op = 'c'"
+    ).fetchone()[0]
+    conn.close()
+    assert log_inserts == len(written), (
+        f"capture gap: {len(written)} committed inserts, "
+        f"{log_inserts} captured"
+    )
+    assert len(written) > 10  # the writer actually ran concurrently
