@@ -590,22 +590,7 @@ class SqliteCdcStreamReader(SimpleDataSourceStreamReader):
 
     def __init__(self, options: dict[str, str]) -> None:
         self.db_path = options["path"]
-        self.table = options["table"]
-        self.key_col = options.get("keycolumn") or options.get("keyColumn") or "id"
-        self.chunk_size = int(options.get("chunksize", DEFAULT_CHUNK_SIZE))
-        self.max_events = int(options.get("maxeventsperbatch", 10_000))
-        self.startup = (options.get("startingoffsets") or "initial").lower()
-        # L5 heartbeats (MySqlSourceOptions.java:167-172): when the log
-        # advances on OTHER tables' traffic while ours is idle, emit a
-        # synthetic op='h' row every N skipped entries so downstream
-        # event-time watermarks keep moving.  Counted in log entries (not
-        # wall time) so replay of a committed range reproduces the exact
-        # same heartbeat rows — determinism is the C3/C4 contract.
-        self.heartbeat_every = int(
-            options.get("heartbeatinterval")
-            or options.get("heartbeatInterval")
-            or 0
-        )
+        self._init_protocol_options(options)
         # §2.8 connection option parity (MySqlSourceOptions.java:32-215)
         def _opt(lower: str, camel: str, default):
             return options.get(lower) or options.get(camel) or default
@@ -626,6 +611,33 @@ class SqliteCdcStreamReader(SimpleDataSourceStreamReader):
                 _opt("connectionpoolsize", "connectionPoolSize", DEFAULT_POOL_SIZE)
             ),
         )
+
+    def _init_protocol_options(self, options: dict[str, str]) -> None:
+        """Engine-agnostic protocol knobs — shared by every trigger-log
+        dialect built on this reader (the snapshot→log state machine,
+        shouldEmit, heartbeats, chunk-meta compaction, and L6 probing are
+        all engine-independent; subclasses override only the engine SPI
+        methods below)."""
+        self.table = options["table"]
+        self.key_col = options.get("keycolumn") or options.get("keyColumn") or "id"
+        self.chunk_size = int(options.get("chunksize", DEFAULT_CHUNK_SIZE))
+        self.max_events = int(options.get("maxeventsperbatch", 10_000))
+        self.startup = (options.get("startingoffsets") or "initial").lower()
+        # L5 heartbeats (MySqlSourceOptions.java:167-172): when the log
+        # advances on OTHER tables' traffic while ours is idle, emit a
+        # synthetic op='h' row every N skipped entries so downstream
+        # event-time watermarks keep moving.  Counted in log entries (not
+        # wall time) so replay of a committed range reproduces the exact
+        # same heartbeat rows — determinism is the C3/C4 contract.
+        self.heartbeat_every = int(
+            options.get("heartbeatinterval")
+            or options.get("heartbeatInterval")
+            or 0
+        )
+
+        def _opt(lower: str, camel: str, default):
+            return options.get(lower) or options.get(camel) or default
+
         self.chunk_meta_group_size = int(
             _opt(
                 "chunkmetagroupsize",
@@ -642,16 +654,40 @@ class SqliteCdcStreamReader(SimpleDataSourceStreamReader):
             _opt("includeschemachanges", "includeSchemaChanges", "false")
         ).lower() == "true"
 
+    # -- engine SPI (override these — and ONLY these — for a new
+    # trigger-log dialect; tests/test_dialect_conformance.py drives the
+    # protocol assertions against every implementation) ------------------
+    def _plan_chunks_spi(self) -> list[ChunkRange]:
+        return plan_chunks(self.db_path, self.table, self.key_col, self.chunk_size)
+
+    def _log_position_spi(self) -> int:
+        return log_position(self.db_path)
+
+    def _read_chunk_merged_spi(self, lo: Any, hi: Any) -> tuple[list[str], int, int]:
+        return read_chunk_merged(self.db_path, self.table, self.key_col, lo, hi)
+
+    def _read_log_between_spi(
+        self, after_id: int, limit: int
+    ) -> list[tuple[int, str, str, str | None, str | None, int]]:
+        return read_log_between(self.db_path, after_id, limit=limit)
+
+    def _schema_signature_spi(self) -> list[str]:
+        return table_schema_signature(self.db_path, self.table)
+
+    def _schema_drift_spi(self, old_sig):
+        return schema_drift_event(self.db_path, self.table, old_sig)
+
+    def _refresh_capture_spi(self) -> None:
+        reinstall_capture(self.db_path, self.table)
+
     # -- offsets -----------------------------------------------------------
     def initialOffset(self) -> dict:
         if self.startup == "latest":
-            off = {"phase": "log", "log_id": log_position(self.db_path)}
+            off = {"phase": "log", "log_id": self._log_position_spi()}
         elif self.startup == "earliest":
             off = {"phase": "log", "log_id": 0}
         else:
-            chunks = plan_chunks(
-                self.db_path, self.table, self.key_col, self.chunk_size
-            )
+            chunks = self._plan_chunks_spi()
             off = {
                 "phase": "snapshot",
                 "chunk_idx": 0,
@@ -660,7 +696,7 @@ class SqliteCdcStreamReader(SimpleDataSourceStreamReader):
                 "min_low": None,
             }
         if self.include_schema_changes:
-            off["schema_sig"] = table_schema_signature(self.db_path, self.table)
+            off["schema_sig"] = self._schema_signature_spi()
         return off
 
     # -- shouldEmit (L2) ---------------------------------------------------
@@ -686,9 +722,7 @@ class SqliteCdcStreamReader(SimpleDataSourceStreamReader):
         rows: list[tuple] = []
         while idx < len(chunks) and len(rows) < self.max_events:
             lo, hi = chunks[idx]
-            envs, low, high = read_chunk_merged(
-                self.db_path, self.table, self.key_col, lo, hi
-            )
+            envs, low, high = self._read_chunk_merged_spi(lo, hi)
             rows.extend((e, "cdc", high) for e in envs)
             highs.append(high)
             if min_low is None:
@@ -722,8 +756,8 @@ class SqliteCdcStreamReader(SimpleDataSourceStreamReader):
         horizon = max(highs) if highs else -1
         cursor = int(start["log_id"])
         rows: list[tuple] = []
-        events = read_log_between(
-            self.db_path, cursor, limit=self.max_events if limit is None else limit
+        events = self._read_log_between_spi(
+            cursor, self.max_events if limit is None else limit
         )
         skipped = 0
         for ev_id, tbl, op, before, after, ts_ms in events:
@@ -756,14 +790,12 @@ class SqliteCdcStreamReader(SimpleDataSourceStreamReader):
         ddl_rows: list[tuple] = []
         sig: list[str] | None = None
         if self.include_schema_changes:
-            ddl, sig = schema_drift_event(
-                self.db_path, self.table, start.get("schema_sig")
-            )
+            ddl, sig = self._schema_drift_spi(start.get("schema_sig"))
             if ddl is not None:
                 ddl_rows.append((ddl, "cdc", None))
                 # triggers still capture the OLD column list — refresh so
                 # events from here on carry the new shape
-                reinstall_capture(self.db_path, self.table)
+                self._refresh_capture_spi()
         if start.get("phase") == "snapshot":
             rows, nxt = self._read_snapshot(start)
         else:

@@ -193,9 +193,100 @@ class FileHarness(Harness):
         return dict(self._state)
 
 
-@pytest.fixture(params=["sqlite", "file"])
+class DerbyTriggerHarness(Harness):
+    """Third dialect: the generic JDBC trigger-log reader over embedded
+    Derby — every engine access is a real java.sql query through the
+    Spark JVM (`sources/jdbc_trigger_dialect.py`)."""
+
+    name = "derby"
+    supports_chunk_watermarks = True
+
+    TABLE = "APP.ITEMS"
+    LOG = "APP.CDC_LOG"
+
+    def setup(self, tmp_path, n: int) -> None:
+        from flink_cdc_log_connectors_spark.sources.jdbc_trigger_dialect import (
+            execute_sql,
+            install_capture,
+        )
+
+        self.url = (
+            f"jdbc:derby:memory:conf{abs(hash(str(tmp_path))) % 10**9}"
+            ";create=true"
+        )
+        execute_sql(
+            self.url,
+            f"CREATE TABLE {self.TABLE} "
+            "(ID INT PRIMARY KEY, NAME VARCHAR(64), QTY DOUBLE)",
+        )
+        seed = ", ".join(
+            f"({i}, 'item-{i}', {float(i % 7)})" for i in range(1, n + 1)
+        )
+        execute_sql(self.url, f"INSERT INTO {self.TABLE} VALUES {seed}")
+        install_capture(
+            self.url,
+            self.TABLE,
+            self.LOG,
+            [("ID", "INT"), ("NAME", "VARCHAR(64)"), ("QTY", "DOUBLE")],
+        )
+
+    def reader(self, budget: int, **opts):
+        from flink_cdc_log_connectors_spark.sources.jdbc_trigger_dialect import (
+            JdbcTriggerLogStreamReader,
+        )
+
+        o = {
+            "url": self.url,
+            "table": self.TABLE,
+            "logtable": self.LOG,
+            "columns": "id,name,qty",
+            "chunksize": str(budget),
+            "maxeventsperbatch": str(budget),
+        }
+        o.update({k.lower(): str(v) for k, v in opts.items()})
+        return JdbcTriggerLogStreamReader(o)
+
+    def apply(self, ops: list[Op]) -> None:
+        from flink_cdc_log_connectors_spark.sources.jdbc_trigger_dialect import (
+            execute_sql,
+        )
+
+        stmts = []
+        for op in ops:
+            if op[0] == "d":
+                stmts.append(f"DELETE FROM {self.TABLE} WHERE ID = {op[1]}")
+            elif op[0] == "c":
+                stmts.append(
+                    f"INSERT INTO {self.TABLE} VALUES "
+                    f"({op[1]}, '{op[2]}', {op[3]})"
+                )
+            else:
+                stmts.append(
+                    f"UPDATE {self.TABLE} SET NAME = '{op[2]}', "
+                    f"QTY = {op[3]} WHERE ID = {op[1]}"
+                )
+        execute_sql(self.url, *stmts)
+
+    def state(self) -> dict[int, tuple[str, float]]:
+        from flink_cdc_log_connectors_spark.sources.jdbc_trigger_dialect import (
+            query_sql,
+        )
+
+        return {
+            int(r[0]): (r[1], float(r[2]))
+            for r in query_sql(
+                self.url, f"SELECT ID, NAME, QTY FROM {self.TABLE}"
+            )
+        }
+
+
+@pytest.fixture(params=["sqlite", "file", "derby"])
 def harness(request, tmp_path):
-    h = {"sqlite": SqliteHarness, "file": FileHarness}[request.param]()
+    h = {
+        "sqlite": SqliteHarness,
+        "file": FileHarness,
+        "derby": DerbyTriggerHarness,
+    }[request.param]()
     h.setup(tmp_path, n=120)
     return h
 
