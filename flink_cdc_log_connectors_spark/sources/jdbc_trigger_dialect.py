@@ -12,11 +12,18 @@ trigger-captured commits are immediately visible to the reader), and the
 dialect-conformance suite (`tests/test_dialect_conformance.py`) runs the
 identical protocol assertions against it.
 
-Reads execute on the DRIVER — the documented execution model of
-``SimpleDataSourceStreamReader`` (parallelism-1 legacy source, §2.1 S2),
-which is also what makes ``java.sql`` access legal here.  The
-parallel-snapshot path for JDBC engines is ``read_snapshot_consistent``
-(`jdbc.py`); this reader is the continuous-stream counterpart.
+Deployment model: this reader is DRIVER-EMBEDDED — construct it
+directly and drive it from driver code (a polling loop feeding
+``foreachBatch``, the conformance harness, or a custom ingestion
+service).  It deliberately does NOT register as a
+``spark.readStream.format(...)`` source: a registered Python
+DataSource's reader executes in a separate Python worker process with
+no py4j gateway, where ``java.sql`` is unreachable.  Dialects whose
+engine is reachable from pure Python (sqlite; a future
+mysql-replication client) register as formats; JVM-embedded engines use
+this embedded model.  The parallel-snapshot path for JDBC engines is
+``read_snapshot_consistent`` (`jdbc.py`); this reader is the
+continuous-stream counterpart.
 
 Capture layout (``install_capture``): one audit table holding typed
 AFTER-image columns (``A_<col>``), BEFORE-image columns (``B_<col>``),
