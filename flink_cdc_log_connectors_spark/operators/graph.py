@@ -258,7 +258,93 @@ FROM ranked WHERE rn = 1 ORDER BY cluster_id
 """
 
 
+def dedup_corpus_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED dedup pipeline as one per-document audit table — the
+    end-to-end "clean this corpus" user story: inverted-index pair
+    generation → connected components → canonical-doc policy, then every
+    document labeled ``kept`` / ``exact_dup`` / ``near_dup`` with the id
+    that superseded it.  Exact duplicates are near-dup cluster members
+    whose md5 equals their keeper's (Jaccard 1 pairs are already in the
+    pair set, so no separate exact pass is needed — the md5 join only
+    CLASSIFIES the drop reason).
+
+    All three stages reuse the process-cached pair set; the audit adds
+    one cluster join + one broadcast-sized keeper join on top.
+    """
+    from .dedup import cached_ngram_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = cached_ngram_pairs(spark, sf_dir, n=3, threshold_num=1, threshold_den=5)
+    clusters = connected_components(docs.select("doc_id"), pairs.select("d1", "d2"))
+    best = keep_best_per_cluster(clusters, docs)
+    fp = docs.select("doc_id", F.md5("text").alias("__fp"))
+    keeper_fp = fp.select(
+        F.col("doc_id").alias("keep_doc_id"), F.col("__fp").alias("__keep_fp")
+    )
+    out = (
+        clusters.join(best, "cluster_id")
+        .join(fp, "doc_id")
+        .join(keeper_fp, "keep_doc_id")
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") == F.col("keep_doc_id"), "kept")
+            .when(F.col("__fp") == F.col("__keep_fp"), "exact_dup")
+            .otherwise("near_dup")
+            .alias("status"),
+            F.col("keep_doc_id").alias("kept_by"),
+            F.col("cluster_size"),
+        )
+    )
+    return out.orderBy("doc_id")
+
+
+def _dedup_corpus_audit_sql() -> str:
+    from .dedup import NGRAM_KEPT_CTE
+
+    return f"""
+WITH RECURSIVE {NGRAM_KEPT_CTE},
+pairs AS (
+  SELECT d1, d2 FROM common
+  JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+  WHERE 5 * common >= (s1.n_sh + s2.n_sh - common)
+),
+adj AS (SELECT d1 AS a, d2 AS b FROM pairs
+        UNION SELECT d2, d1 FROM pairs),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT adj.b, reach.label FROM reach JOIN adj ON adj.a = reach.node
+),
+clusters AS (
+  SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
+),
+ranked AS (
+  SELECT c.cluster_id, c.doc_id, d.n_chars,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+  FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+),
+keepers AS (
+  SELECT cluster_id, doc_id AS keep_doc_id, cluster_size
+  FROM ranked WHERE rn = 1
+)
+SELECT c.doc_id,
+       CASE WHEN c.doc_id = k.keep_doc_id THEN 'kept'
+            WHEN md5(d.text) = md5(kd.text) THEN 'exact_dup'
+            ELSE 'near_dup' END AS status,
+       k.keep_doc_id AS kept_by,
+       CAST(k.cluster_size AS INT) AS cluster_size
+FROM clusters c
+JOIN keepers k ON c.cluster_id = k.cluster_id
+JOIN documents d ON c.doc_id = d.doc_id
+JOIN documents kd ON k.keep_doc_id = kd.doc_id
+ORDER BY c.doc_id
+"""
+
+
 GRAPH_QUERIES = {
     "dedup_clusters": (dedup_clusters_query, _clusters_sql()),
+    "pipeline_dedup_corpus": (dedup_corpus_audit_query, _dedup_corpus_audit_sql()),
     "dedup_keep_best": (dedup_keep_best_query, _keep_best_sql()),
 }

@@ -113,6 +113,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "corpus_mix_weights",
     "bpe_merge_candidates",
     "events_cep_adjacent",
+    "pipeline_dedup_corpus",
     # (b) red at least once before their r2 oracle fixes
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

@@ -514,3 +514,40 @@ def test_bpe_merge_single_char_words_ignored(spark):
     df = spark.createDataFrame([(1, "a b c xy")], "doc_id long, text string")
     out = [(r["pair"], r["cnt"]) for r in bpe_merge_candidates(df).collect()]
     assert out == [("xy", 1)]
+
+
+def test_dedup_corpus_audit_status_classes(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_cdc_log_connectors_spark.operators.graph import (
+        dedup_corpus_audit_query,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = [
+        (1, base),                         # keeper (longest of its cluster)
+        (2, base),                         # exact dup of 1
+        (3, base + " iota"),               # near dup (longer → the keeper)
+        (4, "totally different text here unrelated entirely"),  # unique
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [d for d, _ in docs],
+                "text": [t for _, t in docs],
+                "lang": ["en"] * 4,
+                "source": ["s"] * 4,
+                "n_chars": [len(t) for _, t in docs],
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = {r["doc_id"]: (r["status"], r["kept_by"])
+           for r in dedup_corpus_audit_query(spark, str(tmp_path)).collect()}
+    # doc 3 is longest in the {1,2,3} cluster → keeper; 2 is an exact dup
+    # of 1 but NOT of keeper 3 → near_dup (classification is vs keeper)
+    assert out[3] == ("kept", 3)
+    assert out[1] == ("near_dup", 3)
+    assert out[2] == ("near_dup", 3)
+    assert out[4] == ("kept", 4)
