@@ -185,7 +185,125 @@ ORDER BY a.bucket, a.event_type
 """
 
 
+# --------------------------------------------------------------------------
+# first()/last() per bucket + counter delta (TimescaleDB-parity surface)
+# --------------------------------------------------------------------------
+
+
+def bucket_first_last(
+    events: DataFrame,
+    width_seconds: int,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """TimescaleDB ``first(value, ts)`` / ``last(value, ts)`` per
+    (bucket, key) — the opening/closing observation of each window
+    (candlestick open/close).  ``min_by``/``max_by`` tie behavior is
+    engine-undefined, so ranking runs over the explicit total order
+    (ts, tie_col): deterministic in both engines.  One window shuffle on
+    (bucket, key); at scale this is the same partitioning the rollup
+    aggregation already uses."""
+    from pyspark.sql.window import Window
+
+    b = time_bucket(width_seconds, ts_col)
+    w = Window.partitionBy("bucket", key_col)
+    asc = w.orderBy(F.col(ts_col).asc(), F.col(tie_col).asc())
+    desc = w.orderBy(F.col(ts_col).desc(), F.col(tie_col).desc())
+    return (
+        events.withColumn("bucket", b)
+        .withColumn("__rn_a", F.row_number().over(asc))
+        .withColumn("__rn_d", F.row_number().over(desc))
+        .groupBy("bucket", key_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.max(
+                F.when(F.col("__rn_a") == 1, F.col(value_col))
+            ).alias("first_value"),
+            F.max(
+                F.when(F.col("__rn_d") == 1, F.col(value_col))
+            ).alias("last_value"),
+        )
+    )
+
+
+def first_last_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        bucket_first_last(events, COARSE_S)
+        .orderBy("bucket", "event_type")
+        .limit(2000)
+    )
+
+
+FIRST_LAST_SQL = f"""
+WITH b AS (
+  SELECT {_bucket_sql(COARSE_S, "ts")} AS bucket, event_type, value,
+         row_number() OVER (PARTITION BY {_bucket_sql(COARSE_S, "ts")},
+                            event_type ORDER BY ts ASC, event_id ASC)
+           AS rn_a,
+         row_number() OVER (PARTITION BY {_bucket_sql(COARSE_S, "ts")},
+                            event_type ORDER BY ts DESC, event_id DESC)
+           AS rn_d
+  FROM events
+)
+SELECT bucket, event_type, CAST(count(*) AS BIGINT) AS n,
+       max(CASE WHEN rn_a = 1 THEN value END) AS first_value,
+       max(CASE WHEN rn_d = 1 THEN value END) AS last_value
+FROM b GROUP BY bucket, event_type ORDER BY bucket, event_type LIMIT 2000
+"""
+
+
+def bucket_delta(
+    agg: DataFrame, key_col: str = "event_type"
+) -> DataFrame:
+    """Per-key delta of consecutive bucket sums (counter-rate shape: the
+    change of a cumulative metric between adjacent windows).  Exact
+    DECIMAL subtraction over the rollup output — no raw-data rescan, one
+    skinny window per key."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key_col).orderBy("bucket")
+    return agg.select(
+        "bucket",
+        key_col,
+        "v_sum",
+        (F.col("v_sum") - F.lag("v_sum").over(w)).alias("delta"),
+    )
+
+
+def delta_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    fine = rollup_fine(events, COARSE_S)
+    return (
+        bucket_delta(fine)
+        .select(
+            "bucket", "event_type",
+            F.col("v_sum").cast("double").alias("v_sum"),
+            F.col("delta").cast("double").alias("delta"),
+        )
+        .orderBy("bucket", "event_type")
+        .limit(2000)
+    )
+
+
+DELTA_SQL = f"""
+WITH fine AS (
+  SELECT {_bucket_sql(COARSE_S, "ts")} AS bucket, event_type,
+         SUM(CAST(value AS DECIMAL(18,2))) AS v_sum
+  FROM events GROUP BY 1, 2
+)
+SELECT bucket, event_type, CAST(v_sum AS DOUBLE) AS v_sum,
+       CAST(v_sum - LAG(v_sum) OVER (PARTITION BY event_type
+                                     ORDER BY bucket) AS DOUBLE) AS delta
+FROM fine ORDER BY bucket, event_type LIMIT 2000
+"""
+
+
 HYPERTABLE_QUERIES = {
     "hypertable_rollup": (hypertable_rollup_query, HYPERTABLE_ROLLUP_SQL),
     "hypertable_gapfill": (gapfill_query, GAPFILL_SQL),
+    "hypertable_first_last": (first_last_query, FIRST_LAST_SQL),
+    "hypertable_delta": (delta_query, DELTA_SQL),
 }

@@ -114,6 +114,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "bpe_merge_candidates",
     "events_cep_adjacent",
     "pipeline_dedup_corpus",
+    "hypertable_first_last",
+    "hypertable_delta",
     # (b) red at least once before their r2 oracle fixes
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

@@ -38,6 +38,7 @@ engine for databases without a binlog client in this environment.
 
 from __future__ import annotations
 
+import decimal
 import json
 from typing import Any
 
@@ -73,6 +74,25 @@ def execute_sql(url: str, *stmts: str) -> None:
         conn.close()
 
 
+def execute_sql_atomic(url: str, *stmts: str) -> None:
+    """All statements in one transaction: commit only if every statement
+    succeeds, roll back otherwise."""
+    conn = _jvm_conn(url)
+    try:
+        conn.setAutoCommit(False)
+        try:
+            st = conn.createStatement()
+            for s in stmts:
+                st.executeUpdate(s)
+            st.close()
+            conn.commit()
+        except BaseException:
+            conn.rollback()
+            raise
+    finally:
+        conn.close()
+
+
 def query_sql(url: str, sql: str) -> list[tuple]:
     conn = _jvm_conn(url)
     try:
@@ -84,12 +104,33 @@ def query_sql(url: str, sql: str) -> list[tuple]:
             row = []
             for i in range(n):
                 v = rs.getObject(i + 1)
-                # java.sql.Timestamp arrives as a py4j object; everything
-                # else (numbers, strings, NULL) auto-converts
-                if v is not None and not isinstance(
+                # py4j auto-converts numbers/strings/NULL; other JDBC
+                # classes convert explicitly — and UNKNOWN classes raise
+                # loudly instead of guessing
+                if isinstance(v, decimal.Decimal):
+                    # py4j converts java.math.BigDecimal itself; float so
+                    # images stay JSON-serializable
+                    v = float(v)
+                elif v is not None and not isinstance(
                     v, (int, float, str, bool)
                 ):
-                    v = int(v.getTime())
+                    cls = v.getClass().getName()
+                    if cls in (
+                        "java.sql.Timestamp",
+                        "java.sql.Date",
+                        "java.sql.Time",
+                    ):
+                        v = int(v.getTime())
+                    elif cls == "java.math.BigDecimal":
+                        v = float(v.doubleValue())
+                    elif cls == "java.math.BigInteger":
+                        v = int(v.longValueExact())
+                    else:
+                        raise TypeError(
+                            f"unsupported JDBC value class {cls}; extend "
+                            "query_sql's conversion table for this column "
+                            "type"
+                        )
                 row.append(v)
             out.append(tuple(row))
         rs.close()
@@ -111,6 +152,12 @@ def install_capture(
     ``columns`` = [(name, sql_type), ...] of the captured table.  Not
     idempotent (Derby has no CREATE ... IF NOT EXISTS); callers drop
     first or catch the already-exists error.
+
+    All four DDL statements run in ONE transaction (Derby DDL is
+    transactional): capture is either fully installed or not at all —
+    a partial install (some triggers live, some missing) would silently
+    lose events of the uncovered ops, and a midway failure would leave
+    un-retryable committed leftovers.
     """
     a_cols = ", ".join(f"A_{c} {t}" for c, t in columns)
     b_cols = ", ".join(f"B_{c} {t}" for c, t in columns)
@@ -118,7 +165,7 @@ def install_capture(
     o_list = ", ".join(f"O.{c}" for c, _ in columns)
     a_names = ", ".join(f"A_{c}" for c, _ in columns)
     b_names = ", ".join(f"B_{c}" for c, _ in columns)
-    execute_sql(
+    execute_sql_atomic(
         url,
         f"""CREATE TABLE {log_table} (
             ID INT GENERATED ALWAYS AS IDENTITY PRIMARY KEY,

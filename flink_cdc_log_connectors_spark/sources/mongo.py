@@ -89,13 +89,24 @@ def _as_patterns(spec: str | None) -> list[str]:
 
     Commas inside brackets/braces do NOT split — ``items_[0-9]{2,3}`` is
     ONE pattern (a naive split would shatter the quantifier into two
-    never-matching pieces, silently discovering nothing)."""
+    never-matching pieces, silently discovering nothing).  Backslash
+    escapes are honored: ``\\[`` does not open a bracket and ``\\,`` is a
+    literal comma, never a separator."""
     if not spec:
         return []
     out: list[str] = []
     buf: list[str] = []
     depth = 0
+    escaped = False
     for ch in spec:
+        if escaped:
+            buf.append(ch)
+            escaped = False
+            continue
+        if ch == "\\":
+            buf.append(ch)
+            escaped = True
+            continue
         if ch in "[{(":
             depth += 1
         elif ch in "]})":

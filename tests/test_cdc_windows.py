@@ -48,3 +48,53 @@ def test_windowed_counts_over_cdc_stream(spark, tmp_path):
     # across closed windows must be a multiple of the emission pattern
     assert all(n >= 1 for n in got.values())
     assert sum(n for (_, op), n in got.items() if op == "u") % 2 == 0
+
+
+def test_bucket_first_last_and_delta(spark):
+    import datetime
+
+    from flink_cdc_log_connectors_spark.operators.hypertable import (
+        bucket_delta,
+        bucket_first_last,
+        rollup_fine,
+    )
+
+    d = lambda m, s=0: datetime.datetime(2024, 1, 1, 0, m, s)  # noqa: E731
+    rows = [
+        # bucket 0 (minutes 0-59): first=10.0@(0,1), last=30.0@(5,9)
+        (1, d(0), "a", 10.0),
+        (9, d(5), "a", 30.0),
+        (5, d(3), "a", 20.0),
+        # bucket 1: single event
+        (7, datetime.datetime(2024, 1, 1, 1, 1), "a", 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    fl = {str(r["bucket"]): (r["first_value"], r["last_value"], r["n"])
+          for r in bucket_first_last(df, 3600).collect()}
+    assert fl["2024-01-01 00:00:00"] == (10.0, 30.0, 3)
+    assert fl["2024-01-01 01:00:00"] == (7.0, 7.0, 1)
+
+    deltas = {str(r["bucket"]): r["delta"]
+              for r in bucket_delta(rollup_fine(df, 3600)).collect()}
+    # bucket0 sum=60, bucket1 sum=7 → delta None then -53
+    vals = sorted((k, v) for k, v in deltas.items())
+    assert vals[0][1] is None and float(vals[1][1]) == -53.0
+
+
+def test_bucket_first_last_tie_on_same_ts(spark):
+    import datetime
+
+    from flink_cdc_log_connectors_spark.operators.hypertable import (
+        bucket_first_last,
+    )
+
+    t = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(2, t, "a", 5.0), (1, t, "a", 9.0)],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    r = bucket_first_last(df, 3600).collect()[0]
+    # equal ts: event_id breaks the tie deterministically
+    assert (r["first_value"], r["last_value"]) == (9.0, 5.0)

@@ -447,3 +447,24 @@ def test_heartbeats_on_idle_table(harness):
     more, _ = drain(reader, cur=cur)
     hb = [r for r in more if json.loads(r[0])["op"] == "h"]
     assert len(hb) >= 4  # 25 foreign entries / every-5 → ≥4 heartbeats
+
+
+def test_jdbc_query_value_conversion(spark):
+    """query_sql converts JDBC object types explicitly (BigDecimal,
+    temporal classes) and raises loudly on unknown classes instead of
+    guessing."""
+    from flink_cdc_log_connectors_spark.sources.jdbc_trigger_dialect import (
+        query_sql,
+    )
+
+    url = "jdbc:derby:memory:convtest;create=true"
+    rows = query_sql(
+        url,
+        "VALUES (CAST(1.50 AS DECIMAL(5,2)), CAST(7 AS BIGINT), "
+        "CAST('x' AS VARCHAR(4)), CURRENT_TIMESTAMP)",
+    )
+    dec, big, s, ts = rows[0]
+    assert dec == 1.5 and isinstance(dec, float)
+    assert big == 7
+    assert s == "x"
+    assert isinstance(ts, int) and ts > 1_500_000_000_000  # epoch millis

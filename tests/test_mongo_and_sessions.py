@@ -414,3 +414,12 @@ def test_as_patterns_brace_commas_not_split():
     assert _as_patterns("a,b") == ["a", "b"]
     assert _as_patterns("x{1,2},y[,]z") == ["x{1,2}", "y[,]z"]
     assert _as_patterns(None) == []
+
+
+def test_as_patterns_escapes():
+    from flink_cdc_log_connectors_spark.sources.mongo import _as_patterns
+
+    # escaped bracket must not open a depth level (later commas still split)
+    assert _as_patterns(r"items_\[x,logs") == [r"items_\[x", "logs"]
+    # escaped comma is a literal, never a separator
+    assert _as_patterns(r"a\,b,c") == [r"a\,b", "c"]
