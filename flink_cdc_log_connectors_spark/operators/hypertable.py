@@ -301,9 +301,146 @@ FROM fine ORDER BY bucket, event_type LIMIT 2000
 """
 
 
+# --------------------------------------------------------------------------
+# Largest-triangle downsampling (parallel LTTB variant)
+# --------------------------------------------------------------------------
+
+
+def largest_triangle_downsample(
+    events: DataFrame,
+    width_seconds: int,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """One representative point per (key, bucket): the point forming the
+    largest triangle with the NEIGHBOR BUCKETS' average points — the
+    bucket-parallel variant of LTTB (classic LTTB anchors on the
+    previously SELECTED point, a sequential dependency; anchoring on
+    fixed bucket averages is the formulation that parallelizes, per the
+    original downsampling thesis's largest-triangle-one-bucket family).
+    A series' first bucket keeps its earliest point and its last bucket
+    its latest (LTTB's endpoint rule).
+
+    Cross-engine determinism with NO rounding discipline: bucket
+    averages are exact-decimal sums (values) and exact integer sums
+    (epoch seconds) divided as doubles — both engines derive
+    bit-identical anchors — and the triangle area is a fixed-order
+    double expression of them; ties break on ``tie_col``.
+
+    Plan: one (key, bucket) aggregation for anchors, lag/lead over the
+    TINY per-bucket rows, broadcast-join back to the points, one
+    rank window per (key, bucket) — at 100 TB the points shuffle once.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.datetime import epoch_seconds
+
+    e = events.withColumn("bucket", time_bucket(width_seconds, ts_col))
+    te = epoch_seconds(ts_col).cast("long")
+    agg = (
+        e.groupBy(key_col, "bucket")
+        .agg(
+            (
+                F.sum(te).cast("double") / F.count(F.lit(1))
+            ).alias("t_avg"),
+            (
+                F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("v_avg"),
+        )
+    )
+    wk = Window.partitionBy(key_col).orderBy("bucket")
+    anchors = (
+        agg.withColumn("tp", F.lag("t_avg").over(wk))
+        .withColumn("vp", F.lag("v_avg").over(wk))
+        .withColumn("tn", F.lead("t_avg").over(wk))
+        .withColumn("vn", F.lead("v_avg").over(wk))
+        .select(key_col, "bucket", "tp", "vp", "tn", "vn")
+    )
+    pts = e.join(F.broadcast(anchors), [key_col, "bucket"])
+    tc = te.cast("double")
+    vc = F.col(value_col)
+    area = F.abs(
+        (F.col("tp") - F.col("tn")) * (vc - F.col("vp"))
+        - (F.col("tp") - tc) * (F.col("vn") - F.col("vp"))
+    )
+    # endpoint buckets (no prev/next anchor): earliest / latest point
+    first_b = F.col("tp").isNull()
+    order_key = (
+        F.when(first_b, -te)  # first bucket: earliest point ranks first
+        .when(F.col("tn").isNull(), te)  # last bucket: latest point
+        .otherwise(area)
+    )
+    w = Window.partitionBy(key_col, "bucket").orderBy(
+        F.col("__ok").desc(), F.col(tie_col).asc()
+    )
+    return (
+        pts.withColumn("__ok", order_key)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(key_col, "bucket", ts_col, tie_col, value_col)
+    )
+
+
+def downsample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        largest_triangle_downsample(events, COARSE_S)
+        .select(
+            "event_type", "bucket", "ts", "event_id",
+            F.col("value").alias("v"),
+        )
+        .orderBy("event_type", "bucket")
+        .limit(2000)
+    )
+
+
+def _downsample_sql() -> str:
+    b = _bucket_sql(COARSE_S, "ts")
+    return f"""
+WITH e AS (
+  SELECT event_type, {b} AS bucket, ts, event_id, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS te
+  FROM events
+),
+agg AS (
+  SELECT event_type, bucket,
+         CAST(SUM(te) AS DOUBLE) / COUNT(*) AS t_avg,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+           AS v_avg
+  FROM e GROUP BY event_type, bucket
+),
+anchors AS (
+  SELECT event_type, bucket,
+         LAG(t_avg) OVER w AS tp, LAG(v_avg) OVER w AS vp,
+         LEAD(t_avg) OVER w AS tn, LEAD(v_avg) OVER w AS vn
+  FROM agg WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+),
+ranked AS (
+  SELECT e.event_type, e.bucket, e.ts, e.event_id, e.value,
+         row_number() OVER (
+           PARTITION BY e.event_type, e.bucket
+           ORDER BY (CASE WHEN a.tp IS NULL THEN -e.te
+                          WHEN a.tn IS NULL THEN e.te
+                          ELSE abs((a.tp - a.tn) * (e.value - a.vp)
+                                   - (a.tp - CAST(e.te AS DOUBLE))
+                                     * (a.vn - a.vp)) END) DESC,
+                    e.event_id ASC) AS rn
+  FROM e JOIN anchors a
+    ON e.event_type = a.event_type AND e.bucket = a.bucket
+)
+SELECT event_type, bucket, ts, event_id, value AS v
+FROM ranked WHERE rn = 1
+ORDER BY event_type, bucket LIMIT 2000
+"""
+
+
 HYPERTABLE_QUERIES = {
     "hypertable_rollup": (hypertable_rollup_query, HYPERTABLE_ROLLUP_SQL),
     "hypertable_gapfill": (gapfill_query, GAPFILL_SQL),
     "hypertable_first_last": (first_last_query, FIRST_LAST_SQL),
     "hypertable_delta": (delta_query, DELTA_SQL),
+    "hypertable_downsample": (downsample_query, _downsample_sql()),
 }

@@ -116,6 +116,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "pipeline_dedup_corpus",
     "hypertable_first_last",
     "hypertable_delta",
+    "hypertable_downsample",
     # (b) red at least once before their r2 oracle fixes
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

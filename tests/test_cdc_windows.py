@@ -98,3 +98,36 @@ def test_bucket_first_last_tie_on_same_ts(spark):
     r = bucket_first_last(df, 3600).collect()[0]
     # equal ts: event_id breaks the tie deterministically
     assert (r["first_value"], r["last_value"]) == (9.0, 5.0)
+
+
+def test_largest_triangle_downsample_selection(spark):
+    import datetime
+
+    from flink_cdc_log_connectors_spark.operators.hypertable import (
+        largest_triangle_downsample,
+    )
+
+    d = lambda h, m: datetime.datetime(2024, 1, 1, h, m)  # noqa: E731
+    rows = [
+        # bucket 0 (hour 0): first bucket → earliest point (id 1) kept
+        (1, d(0, 5), "a", 1.0),
+        (2, d(0, 40), "a", 99.0),
+        # bucket 1 (hour 1): interior — neighbors avg flat at v=50-ish;
+        # the spike (id 4, v=100) forms the largest triangle
+        (3, d(1, 10), "a", 50.0),
+        (4, d(1, 30), "a", 100.0),
+        (5, d(1, 50), "a", 50.0),
+        # bucket 2 (hour 2): last bucket → latest point (id 7) kept
+        (6, d(2, 10), "a", 50.0),
+        (7, d(2, 20), "a", 50.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = {str(r["bucket"]): r["event_id"]
+           for r in largest_triangle_downsample(df, 3600).collect()}
+    assert out == {
+        "2024-01-01 00:00:00": 1,
+        "2024-01-01 01:00:00": 4,
+        "2024-01-01 02:00:00": 7,
+    }
