@@ -330,7 +330,8 @@ def largest_triangle_downsample(
     double expression of them; ties break on ``tie_col``.
 
     Plan: one (key, bucket) aggregation for anchors, lag/lead over the
-    TINY per-bucket rows, broadcast-join back to the points, one
+    TINY per-bucket rows, join back to the points (AQE broadcasts when
+    small), one
     rank window per (key, bucket) — at 100 TB the points shuffle once.
     """
     from pyspark.sql.window import Window
@@ -359,7 +360,10 @@ def largest_triangle_downsample(
         .withColumn("vn", F.lead("v_avg").over(wk))
         .select(key_col, "bucket", "tp", "vp", "tn", "vn")
     )
-    pts = e.join(F.broadcast(anchors), [key_col, "bucket"])
+    # no broadcast hint: anchor cardinality is O(keys × buckets), which a
+    # long-retention corpus can push past broadcast limits — AQE
+    # broadcasts when the per-bucket table is actually small
+    pts = e.join(anchors, [key_col, "bucket"])
     tc = te.cast("double")
     vc = F.col(value_col)
     area = F.abs(
