@@ -198,3 +198,19 @@ def test_bm25_no_cartesian_and_bounded_exchanges(spark, sf_dir):
     plan = executed_plan(bm25_query(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_hypertable_additions_no_cartesian(spark, sf_dir):
+    """first/last, delta, and downsampling stay keyed: no nested-loop or
+    cartesian fallback anywhere in their physical plans."""
+    from flink_cdc_log_connectors_spark.operators.hypertable import (
+        delta_query,
+        downsample_query,
+        first_last_query,
+    )
+    from flink_cdc_log_connectors_spark.plans.inspect import executed_plan
+
+    for q in (first_last_query, delta_query, downsample_query):
+        plan = executed_plan(q(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan

@@ -236,3 +236,54 @@ def test_funnel_matches_naive_replay(spark, events):
                 break
             n += 1
         assert r["stage_reached"] == n
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.integers(0, 5), min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_substring_span_matches_naive(spark, docs):
+    """Span coverage equals the obvious Python computation: positional
+    n-grams, cross-doc duplication flags, longest consecutive run."""
+    from flink_cdc_log_connectors_spark.operators.dedup import (
+        substring_span_coverage,
+    )
+
+    n = 2
+    texts = [" ".join(f"w{t}" for t in toks) for toks in docs]
+
+    def grams(toks):
+        return [tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+    owner: dict[tuple, set[int]] = {}
+    for i, toks in enumerate(docs):
+        for g in grams(toks):
+            owner.setdefault(g, set()).add(i)
+    expected = {}
+    for i, toks in enumerate(docs):
+        gs = grams(toks)
+        if not gs:
+            continue
+        flags = [len(owner[g]) >= 2 for g in gs]
+        run = best = 0
+        for f in flags:
+            run = run + 1 if f else 0
+            best = max(best, run)
+        expected[i] = (len(gs), sum(flags), best)
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_pos"], r["n_dup"], r["max_run"])
+        for r in substring_span_coverage(df, n=n).collect()
+    }
+    assert got == expected
