@@ -188,6 +188,14 @@ def install_capture(
     )
 
 
+def prune_log(url: str, log_table: str, upto_id: int) -> None:
+    """Retention: drop acknowledged audit rows (the sqlite dialect's
+    ``prune_log`` twin — the engine-binlog-expiry analogue).  The SS
+    offset log owns progress, so pruning anything at or below the
+    committed offset is always safe."""
+    execute_sql(url, f"DELETE FROM {log_table} WHERE ID <= {int(upto_id)}")
+
+
 class JdbcTriggerLogStreamReader(SqliteCdcStreamReader):
     """The sqlite reader's protocol over a JDBC trigger log.
 

@@ -57,6 +57,7 @@ class ChangelogAggregate:
         output_path: str,
         sum_cols: Sequence[str] = (),
         minmax_cols: Sequence[str] = (),
+        distinct_cols: Sequence[str] = (),
         n_buckets: int = 64,
     ) -> None:
         self.table = table
@@ -65,6 +66,12 @@ class ChangelogAggregate:
         self.group_cols = list(group_cols)
         self.sum_cols = list(sum_cols)
         self.minmax_cols = list(minmax_cols)
+        # COUNT(DISTINCT col) per group: exact under retraction for free —
+        # touched groups recompute against full fact state, so the
+        # "retract one occurrence of a still-present value" case that
+        # forces Flink's retract aggregates into per-value counted state
+        # needs no special handling here
+        self.distinct_cols = list(distinct_cols)
         self.fact_state = PartitionedStateTable(
             f"{output_path}/__fact_state", [key], n_buckets=n_buckets
         )
@@ -80,6 +87,10 @@ class ChangelogAggregate:
         for c in self.minmax_cols:
             exprs.append(F.min(c).alias(f"min_{c}"))
             exprs.append(F.max(c).alias(f"max_{c}"))
+        for c in self.distinct_cols:
+            exprs.append(
+                F.countDistinct(c).cast("long").alias(f"dcnt_{c}")
+            )
         return exprs
 
     def _out_cols(self) -> list[str]:
@@ -87,6 +98,7 @@ class ChangelogAggregate:
         out += [f"sum_{c}" for c in self.sum_cols]
         for c in self.minmax_cols:
             out += [f"min_{c}", f"max_{c}"]
+        out += [f"dcnt_{c}" for c in self.distinct_cols]
         return out
 
     # -- the per-batch merge ----------------------------------------------
@@ -166,6 +178,7 @@ def materialize_aggregate(
     checkpoint_path: str,
     sum_cols: Sequence[str] = (),
     minmax_cols: Sequence[str] = (),
+    distinct_cols: Sequence[str] = (),
     n_buckets: int = 64,
 ):
     """Continuously-maintained GROUP BY view over a raw CDC stream.
@@ -173,7 +186,8 @@ def materialize_aggregate(
     ``ChangelogAggregate(...).read_view``."""
     agg = ChangelogAggregate(
         table, physical, key, group_cols, output_path,
-        sum_cols=sum_cols, minmax_cols=minmax_cols, n_buckets=n_buckets,
+        sum_cols=sum_cols, minmax_cols=minmax_cols,
+        distinct_cols=distinct_cols, n_buckets=n_buckets,
     )
     return (
         raw_stream.writeStream.foreachBatch(agg.process_batch)

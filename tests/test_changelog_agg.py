@@ -160,3 +160,47 @@ def test_streaming_end_to_end(spark, tmp_path):
     got = {r["cust_id"]: (r["cnt"], r["sum_amount"])
            for r in agg.read_view(spark).collect()}
     assert got == {1: (2, 10.0)}
+
+
+def test_distinct_count_retracts_exactly(spark, tmp_path):
+    """COUNT(DISTINCT amount) per group stays exact when an occurrence of
+    a still-present value retracts (the case Flink needs per-value
+    counted state for) and when the last occurrence leaves."""
+    agg = ChangelogAggregate(
+        "orders", ORDERS, key="o_id", group_cols=["cust_id"],
+        output_path=str(tmp_path / "dc"), distinct_cols=["amount"],
+    )
+    agg.process_batch(
+        raw_df(spark, [
+            env("c", {"o_id": 1, "cust_id": 1, "amount": 5.0}, pos=0),
+            env("c", {"o_id": 2, "cust_id": 1, "amount": 5.0}, pos=1),
+            env("c", {"o_id": 3, "cust_id": 1, "amount": 7.0}, pos=2),
+        ]),
+        epoch_id=0,
+    )
+
+    def dcnt():
+        df = agg.read_view(spark)
+        return {r["cust_id"]: r["dcnt_amount"] for r in df.collect()}
+
+    assert dcnt() == {1: 2}  # {5.0, 7.0}
+
+    # delete ONE of the two 5.0 rows: 5.0 is still present → count stays 2
+    agg.process_batch(
+        raw_df(spark, [
+            env("d", None,
+                before={"o_id": 1, "cust_id": 1, "amount": 5.0}, pos=10),
+        ]),
+        epoch_id=1,
+    )
+    assert dcnt() == {1: 2}
+
+    # delete the LAST 5.0 row: value leaves → count drops to 1
+    agg.process_batch(
+        raw_df(spark, [
+            env("d", None,
+                before={"o_id": 2, "cust_id": 1, "amount": 5.0}, pos=20),
+        ]),
+        epoch_id=2,
+    )
+    assert dcnt() == {1: 1}

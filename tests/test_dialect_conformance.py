@@ -468,3 +468,28 @@ def test_jdbc_query_value_conversion(spark):
     assert big == 7
     assert s == "x"
     assert isinstance(ts, int) and ts > 1_500_000_000_000  # epoch millis
+
+
+def test_jdbc_prune_log_retention(spark, tmp_path):
+    """Acknowledged audit rows can be dropped; the reader keeps working
+    from the committed offset (binlog-expiry analogue, sqlite parity)."""
+    from flink_cdc_log_connectors_spark.sources.jdbc_trigger_dialect import (
+        prune_log,
+        query_sql,
+    )
+
+    h = DerbyTriggerHarness()
+    h.setup(tmp_path, n=30)
+    reader = h.reader(budget=1000)
+    _, offsets = drain(reader)
+    cur = offsets[-1]
+    h.apply([("u", 1, "x", 1.0), ("u", 2, "y", 2.0)])
+    rows, cur = reader.read(cur)
+    assert len(list(rows)) == 2
+    prune_log(h.url, h.LOG, int(cur["log_id"]))
+    remaining = query_sql(h.url, f"SELECT COUNT(*) FROM {h.LOG}")[0][0]
+    assert remaining == 0
+    # post-prune commits still flow
+    h.apply([("u", 3, "z", 3.0)])
+    more, _ = reader.read(cur)
+    assert len(list(more)) == 1
