@@ -650,6 +650,61 @@ TEXT_QUERIES["bpe_merge_candidates"] = (bpe_merge_query, BPE_MERGE_SQL)
 
 
 # --------------------------------------------------------------------------
+# Unigram cross-entropy (perplexity-proxy quality score)
+# --------------------------------------------------------------------------
+
+
+def unigram_cross_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document bits-per-token under the corpus unigram model —
+    the cheap stand-in for the LM-perplexity quality filter (a doc whose
+    tokens are improbable under the corpus distribution scores high):
+    ``bits = avg over tokens of -log2(count(tok)/total_tokens)``.
+
+    Same inverted plan as :func:`corpus_rarity` (one token-keyed shuffle
+    for the frequency table, one doc-keyed rollup).  Float discipline:
+    ``log2`` carries no cross-engine correctly-rounded guarantee and the
+    per-doc average folds in nondeterministic order, so the score is
+    ROUNDED to 6 decimals — ulp-scale differences sit ~10 orders of
+    magnitude below the rounding grain.
+    """
+    tok = df.select("doc_id", F.explode(tokens(F.col(text_col))).alias("t"))
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    total = tok.count()
+    nll = -F.log2(F.col("c").cast("double") / F.lit(float(total)))
+    return (
+        tok.join(freq, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg(nll), 6).alias("bits_per_token"),
+            F.round(F.max(nll), 6).alias("max_bits"),
+        )
+    )
+
+
+def cross_entropy_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_cross_entropy(docs).orderBy("doc_id")
+
+
+XENT_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest({_T}) AS t FROM documents),
+freq AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+total AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(-log2(CAST(c AS DOUBLE) / (SELECT n FROM total))), 6)
+         AS bits_per_token,
+       round(max(-log2(CAST(c AS DOUBLE) / (SELECT n FROM total))), 6)
+         AS max_bits
+FROM tok JOIN freq USING (t)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+TEXT_QUERIES["text_cross_entropy"] = (cross_entropy_query, XENT_SQL)
+
+
+# --------------------------------------------------------------------------
 # Corpus-frequency quality scoring (rare-token ratio)
 # --------------------------------------------------------------------------
 

@@ -117,6 +117,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "hypertable_first_last",
     "hypertable_delta",
     "hypertable_downsample",
+    "text_cross_entropy",
     # (b) red at least once before their r2 oracle fixes
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

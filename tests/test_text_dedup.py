@@ -551,3 +551,22 @@ def test_dedup_corpus_audit_status_classes(spark, tmp_path):
     assert out[1] == ("near_dup", 3)
     assert out[2] == ("near_dup", 3)
     assert out[4] == ("kept", 4)
+
+
+def test_unigram_cross_entropy_hand_computed(spark):
+    import math
+
+    from flink_cdc_log_connectors_spark.operators.text import (
+        unigram_cross_entropy,
+    )
+
+    # corpus: "a a a b" → total=4, p(a)=3/4, p(b)=1/4
+    df = spark.createDataFrame(
+        [(1, "a a a"), (2, "b")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in unigram_cross_entropy(df).collect()}
+    bits_a = -math.log2(3 / 4)
+    assert out[1]["bits_per_token"] == round(bits_a, 6)
+    assert out[2]["bits_per_token"] == round(-math.log2(1 / 4), 6) == 2.0
+    # the rare-token doc is the "surprising" one
+    assert out[2]["bits_per_token"] > out[1]["bits_per_token"]
