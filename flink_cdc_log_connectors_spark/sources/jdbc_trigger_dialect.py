@@ -325,6 +325,25 @@ class JdbcTriggerLogStreamReader(SqliteCdcStreamReader):
     def _read_log_between_spi(self, after_id: int, limit: int):
         return self._read_log_rows(after_id, limit=limit)
 
+    def _seek_timestamp_spi(self, ts_ms: int) -> int:
+        # assumes the engine's CURRENT_TIMESTAMP wall clock is UTC (true
+        # for this environment's JVM); a non-UTC deployment should write
+        # UTC in the capture trigger instead — timestamp startup seeks
+        # are only as sound as the log's clock discipline
+        import datetime
+
+        lit = datetime.datetime.utcfromtimestamp(ts_ms / 1000.0).strftime(
+            "%Y-%m-%d %H:%M:%S.%f"
+        )
+        rows = query_sql(
+            self.url,
+            f"SELECT MIN(ID) FROM {self.log_table} "
+            f"WHERE TS >= TIMESTAMP('{lit}')",
+        )
+        if rows[0][0] is None:
+            return self._log_position_spi()
+        return int(rows[0][0]) - 1
+
     def _schema_signature_spi(self) -> list[str]:
         return list(self.columns)  # static — L6 probing unsupported here
 

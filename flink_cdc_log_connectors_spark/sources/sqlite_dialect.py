@@ -680,12 +680,34 @@ class SqliteCdcStreamReader(SimpleDataSourceStreamReader):
     def _refresh_capture_spi(self) -> None:
         reinstall_capture(self.db_path, self.table)
 
+    def _seek_timestamp_spi(self, ts_ms: int) -> int:
+        """Smallest log id with ``ts_ms >=`` the target, or the current
+        log position when nothing is that new (nothing replays)."""
+        conn = _connect(self.db_path)
+        try:
+            row = conn.execute(
+                f"SELECT MIN(id) FROM {LOG_TABLE} WHERE ts_ms >= ?",
+                (int(ts_ms),),
+            ).fetchone()
+        finally:
+            conn.close()
+        return int(row[0]) - 1 if row[0] is not None else self._log_position_spi()
+
     # -- offsets -----------------------------------------------------------
     def initialOffset(self) -> dict:
         if self.startup == "latest":
             off = {"phase": "log", "log_id": self._log_position_spi()}
         elif self.startup == "earliest":
             off = {"phase": "log", "log_id": 0}
+        elif self.startup.startswith("specific:"):
+            # §2.6 scan.startup.specific-offset: resume the log after an
+            # exact committed position (the binlog file/pos analogue is
+            # this dialect's single-integer id)
+            off = {"phase": "log", "log_id": int(self.startup.split(":", 1)[1])}
+        elif self.startup.startswith("timestamp:"):
+            # §2.6 scan.startup.timestamp-millis: first event at/after T
+            ts_ms = int(self.startup.split(":", 1)[1])
+            off = {"phase": "log", "log_id": self._seek_timestamp_spi(ts_ms)}
         else:
             chunks = self._plan_chunks_spi()
             off = {

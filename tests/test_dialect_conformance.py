@@ -493,3 +493,50 @@ def test_jdbc_prune_log_retention(spark, tmp_path):
     h.apply([("u", 3, "z", 3.0)])
     more, _ = reader.read(cur)
     assert len(list(more)) == 1
+
+
+def test_startup_specific_offset_resumes_exactly(spark, harness):
+    """§2.6 specific-offset: resume the log after an exact committed
+    position — only events past it are delivered (live dialects)."""
+    if not harness.supports_chunk_watermarks:  # file dialect: offsets are
+        pytest.skip(f"{harness.name}: no integer log ids")  # file/pos pairs
+    harness.apply([("u", 1, "before", 1.0)])
+    # discover the current position via a latest reader
+    probe = harness.reader(budget=1000, startingoffsets="latest")
+    pos = probe.initialOffset()["log_id"]
+    harness.apply([("u", 2, "after", 2.0), ("c", 901, "new", 9.0)])
+    reader = harness.reader(
+        budget=1000, startingoffsets=f"specific:{pos}"
+    )
+    cur = reader.initialOffset()
+    assert cur == {"phase": "log", "log_id": pos}
+    rows, _ = drain(reader, cur=cur)
+    ids = [
+        (json.loads(r[0])["after"] or {}).get("id")
+        for r in rows
+        if json.loads(r[0])["op"] not in ("r", "h")
+    ]
+    assert 2 in ids and 901 in ids and 1 not in ids
+
+
+def test_startup_timestamp_seeks_first_event_at_or_after(spark, harness):
+    """§2.6 timestamp-millis: deliver the first event committed at or
+    after T, skipping older history (live dialects)."""
+    import time as _time
+
+    if not harness.supports_chunk_watermarks:
+        pytest.skip(f"{harness.name}: no live timestamp seek")
+    harness.apply([("u", 1, "old", 1.0)])
+    _time.sleep(1.1)  # second-granularity clocks must observe a gap
+    t_ms = int(_time.time() * 1000) - 500
+    harness.apply([("u", 2, "fresh", 2.0)])
+    reader = harness.reader(
+        budget=1000, startingoffsets=f"timestamp:{t_ms}"
+    )
+    rows, _ = drain(reader, cur=reader.initialOffset())
+    ids = [
+        (json.loads(r[0])["after"] or {}).get("id")
+        for r in rows
+        if json.loads(r[0])["op"] not in ("r", "h")
+    ]
+    assert 2 in ids and 1 not in ids
