@@ -441,10 +441,142 @@ ORDER BY event_type, bucket LIMIT 2000
 """
 
 
+# --------------------------------------------------------------------------
+# locf + linear interpolation over the gapfilled axis (TimescaleDB
+# time_bucket_gapfill(locf(...)) / interpolate(...) parity)
+# --------------------------------------------------------------------------
+
+
+def bucket_fill_values(
+    fine: DataFrame, width_seconds: int = FINE_S, key_col: str = "event_type"
+) -> DataFrame:
+    """Dense per-key axis with BOTH TimescaleDB gap-fill value policies:
+
+    - ``v_locf`` — last-observation-carried-forward (``locf()``),
+    - ``v_interp`` — linear interpolation between the neighboring observed
+      buckets (``interpolate()``); NULL before the first / after the last
+      observation, exactly as TimescaleDB leaves the edges.
+
+    One dense-axis join (same as :func:`bucket_gapfill`) plus one window
+    per key over the BUCKET-GRAINED rows — at 100 TB the window input is
+    the rollup, orders of magnitude smaller than raw events.  Every value
+    derives from exact decimal sums and integer epoch seconds, and the
+    interpolation expression is a fixed-order double formula, so the
+    DuckDB oracle is bit-exact.
+    """
+    from pyspark.sql.window import Window
+
+    spans = fine.groupBy(key_col).agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    axis = spans.select(
+        key_col,
+        F.explode(
+            F.sequence("lo", "hi", F.expr(f"INTERVAL {width_seconds} SECOND"))
+        ).alias("bucket"),
+    )
+    sparse = axis.join(fine, ["bucket", key_col], "left").select(
+        "bucket",
+        key_col,
+        F.col("v_sum").cast("double").alias("v"),
+    )
+    from ..functions.datetime import epoch_seconds
+
+    t = epoch_seconds("bucket").cast("long")
+    wp = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    v = F.col("v")
+    prev_v = F.last(v, ignorenulls=True).over(wp)
+    prev_t = F.last(F.when(v.isNotNull(), t), ignorenulls=True).over(wp)
+    next_v = F.first(v, ignorenulls=True).over(wn)
+    next_t = F.first(F.when(v.isNotNull(), t), ignorenulls=True).over(wn)
+    interp = F.when(v.isNotNull(), v).otherwise(
+        F.col("__pv")
+        + (F.col("__nv") - F.col("__pv"))
+        * (
+            (t.cast("double") - F.col("__pt").cast("double"))
+            / (F.col("__nt").cast("double") - F.col("__pt").cast("double"))
+        )
+    )
+    return (
+        sparse.withColumn("__pv", prev_v)
+        .withColumn("__pt", prev_t)
+        .withColumn("__nv", next_v)
+        .withColumn("__nt", next_t)
+        .select(
+            "bucket",
+            key_col,
+            "v",
+            F.col("__pv").alias("v_locf"),
+            interp.alias("v_interp"),
+        )
+    )
+
+
+def fill_values_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return bucket_fill_values(rollup_fine(events)).orderBy(
+        "bucket", "event_type"
+    )
+
+
+FILL_VALUES_SQL = f"""
+WITH fine AS (
+  SELECT {_bucket_sql(FINE_S, "ts")} AS bucket, event_type,
+         SUM(CAST(value AS DECIMAL(18,2))) AS v_sum
+  FROM events GROUP BY 1, 2
+),
+spans AS (
+  SELECT event_type, min(bucket) AS lo, max(bucket) AS hi FROM fine
+  GROUP BY event_type
+),
+axis AS (
+  SELECT event_type,
+         unnest(generate_series(lo, hi, INTERVAL {FINE_S} SECOND)) AS bucket
+  FROM spans
+),
+sparse AS (
+  SELECT a.bucket, a.event_type, CAST(f.v_sum AS DOUBLE) AS v,
+         CAST(epoch(a.bucket) AS BIGINT) AS t
+  FROM axis a LEFT JOIN fine f
+    ON a.bucket = f.bucket AND a.event_type = f.event_type
+),
+filled AS (
+  SELECT bucket, event_type, v, t,
+         LAST_VALUE(v IGNORE NULLS) OVER wp AS pv,
+         LAST_VALUE(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+           OVER wp AS pt,
+         FIRST_VALUE(v IGNORE NULLS) OVER wn AS nv,
+         FIRST_VALUE(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+           OVER wn AS nt
+  FROM sparse
+  WINDOW wp AS (PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT bucket, event_type, v, pv AS v_locf,
+       CASE WHEN v IS NOT NULL THEN v
+            ELSE pv + (nv - pv) * ((CAST(t AS DOUBLE) - CAST(pt AS DOUBLE))
+                                   / (CAST(nt AS DOUBLE) - CAST(pt AS DOUBLE)))
+       END AS v_interp
+FROM filled ORDER BY bucket, event_type
+"""
+
+
 HYPERTABLE_QUERIES = {
     "hypertable_rollup": (hypertable_rollup_query, HYPERTABLE_ROLLUP_SQL),
     "hypertable_gapfill": (gapfill_query, GAPFILL_SQL),
     "hypertable_first_last": (first_last_query, FIRST_LAST_SQL),
     "hypertable_delta": (delta_query, DELTA_SQL),
     "hypertable_downsample": (downsample_query, _downsample_sql()),
+    "hypertable_fill_values": (fill_values_query, FILL_VALUES_SQL),
 }

@@ -75,6 +75,12 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         out.update(SEARCH_QUERIES)
     except ImportError:
         pass
+    try:
+        from .operators.windows import WINDOW_QUERIES
+
+        out.update(WINDOW_QUERIES)
+    except ImportError:
+        pass
     return _driver_window_order(out)
 
 
@@ -118,6 +124,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "hypertable_delta",
     "hypertable_downsample",
     "text_cross_entropy",
+    # new in r3 continuation — unproven until their first driver row
+    "events_hop_window",
+    "events_cumulate_window",
+    "hypertable_fill_values",
     # (b) red at least once before their r2 oracle fixes
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

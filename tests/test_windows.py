@@ -1,0 +1,167 @@
+"""HOP / CUMULATE window-TVF semantics (Flink parity) and the gap-fill
+value policies (locf / interpolate) on hand-computed fixtures."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_cdc_log_connectors_spark.operators.windows import (
+    cumulate_window,
+    hop_window,
+)
+
+
+def _ts_df(spark, seconds_values):
+    rows = [(s, v) for s, v in seconds_values]
+    df = spark.createDataFrame(rows, "s long, value double")
+    return df.withColumn(
+        "ts",
+        F.expr("timestampadd(SECOND, s, timestamp_ntz'1970-01-01 00:00:00')"),
+    )
+
+
+def _epoch(col_rows, name):
+    return sorted(
+        (
+            int(r[name].timestamp())
+            if hasattr(r[name], "timestamp")
+            else r[name]
+        )
+        for r in col_rows
+    )
+
+
+def test_hop_assignment_counts_and_bounds(spark):
+    # one event at t=1000 with slide=900, size=3600 → exactly 4 windows,
+    # starts {-1800, -900, 0, 900}: every aligned start in (t-size, t]
+    df = _ts_df(spark, [(1000, 1.0)])
+    out = hop_window(df, "ts", 900, 3600).select("window_start", "window_end")
+    rows = out.collect()
+    assert len(rows) == 4
+    starts = sorted(
+        int((r["window_start"] - r["window_start"].fromtimestamp(0)).total_seconds())
+        for r in rows
+    )
+    assert starts == [-1800, -900, 0, 900]
+    for r in rows:
+        assert (r["window_end"] - r["window_start"]).total_seconds() == 3600
+
+
+def test_hop_boundary_event_on_slide_edge(spark):
+    # event exactly at a slide boundary belongs to the window starting there
+    df = _ts_df(spark, [(900, 1.0)])
+    out = hop_window(df, "ts", 900, 1800).collect()
+    starts = sorted(
+        int((r["window_start"] - r["window_start"].fromtimestamp(0)).total_seconds())
+        for r in out
+    )
+    assert starts == [0, 900]
+
+
+def test_hop_rejects_non_multiple(spark):
+    import pytest
+
+    df = _ts_df(spark, [(0, 1.0)])
+    with pytest.raises(ValueError):
+        hop_window(df, "ts", 700, 3600)
+
+
+def test_cumulate_prefix_windows(spark):
+    # t=1000, step=900, size=3600: enclosing window [0, 3600); the event
+    # appears in prefixes ending at 1800, 2700, 3600 (ends after t only)
+    df = _ts_df(spark, [(1000, 2.0)])
+    out = cumulate_window(df, "ts", 900, 3600).collect()
+    pairs = sorted(
+        (
+            int((r["window_start"] - r["window_start"].fromtimestamp(0)).total_seconds()),
+            int((r["window_end"] - r["window_end"].fromtimestamp(0)).total_seconds()),
+        )
+        for r in out
+    )
+    assert pairs == [(0, 1800), (0, 2700), (0, 3600)]
+
+
+def test_cumulate_full_window_event_counts_once(spark):
+    # event in the LAST step of the hour belongs only to the full window
+    df = _ts_df(spark, [(3599, 1.0)])
+    out = cumulate_window(df, "ts", 900, 3600).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["window_end"] - r["window_start"]).total_seconds() == 3600
+
+
+def test_cumulate_aggregate_is_running_total(spark):
+    # 4 events, one per step: the hour's prefixes accumulate 1,2,3,4
+    df = _ts_df(spark, [(10, 1.0), (910, 1.0), (1810, 1.0), (2710, 1.0)])
+    agg = (
+        cumulate_window(df, "ts", 900, 3600)
+        .groupBy("window_end")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("window_end")
+        .collect()
+    )
+    assert [r["n"] for r in agg] == [1, 2, 3, 4]
+
+
+def test_fill_values_locf_and_interpolate(spark):
+    # sparse buckets at t=0 (v=10) and t=3600 (v=30) with FINE_S=900:
+    # locf carries 10 across the gap; interpolation climbs linearly
+    from flink_cdc_log_connectors_spark.operators.hypertable import (
+        bucket_fill_values,
+    )
+
+    fine = spark.createDataFrame(
+        [(0, "a", 10.0), (3600, "a", 30.0)], "s long, event_type string, v double"
+    ).select(
+        F.expr(
+            "timestampadd(SECOND, s, timestamp_ntz'1970-01-01 00:00:00')"
+        ).alias("bucket"),
+        "event_type",
+        F.col("v").cast("decimal(18,2)").alias("v_sum"),
+    )
+    out = bucket_fill_values(fine, 900).orderBy("bucket").collect()
+    assert [r["v_locf"] for r in out] == [10.0, 10.0, 10.0, 10.0, 30.0]
+    assert [r["v_interp"] for r in out] == [10.0, 15.0, 20.0, 25.0, 30.0]
+
+
+def test_fill_values_edges_stay_null(spark):
+    # interpolation has no left anchor before the first observation —
+    # within a key's own span the edges are observed by construction, so
+    # check a mid-gap with missing FOLLOWING anchor never arises; instead
+    # verify v is null only on gap buckets and observed buckets pass through
+    from flink_cdc_log_connectors_spark.operators.hypertable import (
+        bucket_fill_values,
+    )
+
+    fine = spark.createDataFrame(
+        [(0, "a", 1.0), (1800, "a", 5.0)], "s long, event_type string, v double"
+    ).select(
+        F.expr(
+            "timestampadd(SECOND, s, timestamp_ntz'1970-01-01 00:00:00')"
+        ).alias("bucket"),
+        "event_type",
+        F.col("v").cast("decimal(18,2)").alias("v_sum"),
+    )
+    out = bucket_fill_values(fine, 900).orderBy("bucket").collect()
+    assert [r["v"] for r in out] == [1.0, None, 5.0]
+    assert [r["v_interp"] for r in out] == [1.0, 3.0, 5.0]
+
+
+def test_window_tvf_plans_bounded(spark, sf_dir):
+    """Window assignment is a map-side explode: one aggregation shuffle
+    (plus the ordered-limit exchange) — no join, no cartesian."""
+    from flink_cdc_log_connectors_spark.operators.windows import (
+        cumulate_query,
+        hop_query,
+    )
+    from flink_cdc_log_connectors_spark.plans.inspect import (
+        count_exchanges,
+        executed_plan,
+    )
+
+    for q in (hop_query, cumulate_query):
+        df = q(spark, sf_dir)
+        plan = executed_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "Join" not in plan
+        assert count_exchanges(df) <= 3
