@@ -1,0 +1,159 @@
+"""Frequent-item sketches: Misra–Gries summaries + exact heavy hitters.
+
+Two tiers, matching how a 100 TB engine actually answers "what are the hot
+keys":
+
+- **Exact heavy hitters** (``heavy_hitters``): one hash aggregation with
+  map-side combine, then a relative-support filter.  On Spark this is
+  almost always the right call — the shuffle carries one row per DISTINCT
+  key (not per event), and the threshold test is a tiny post-agg filter.
+  Registry entry with a full SQL oracle.
+
+- **Misra–Gries summaries** (``misra_gries_topk``): bounded-memory
+  (O(k) per partition) frequent-item sketch for when even the distinct
+  keys don't fit a shuffle — streaming ingest, per-batch monitoring
+  gauges, pre-aggregation guards against pathological key explosions.
+  Partial summaries are computed per partition in one Arrow pass and
+  merged with the standard mergeable-summaries rule (sum counters, then
+  subtract the (k+1)-th largest merged weight), preserving the MG
+  guarantee: every item with true frequency > n/(k+1) survives, and each
+  estimate undercounts by at most n/(k+1).  The output depends on
+  partition layout (any MG does), so it is test-verified against its
+  error bound rather than oracle-hashed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from ..io import load_table
+
+
+def heavy_hitters(
+    df: DataFrame, key_col: str, min_share: float
+) -> DataFrame:
+    """Exact keys appearing in at least ``min_share`` of all rows.  One
+    aggregation (partial combine first), threshold derived from the same
+    aggregate via a single-row window — no second scan of the input."""
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
+    total = F.sum("cnt").over(Window.partitionBy())
+    return (
+        counts.withColumn("__total", total)
+        .filter(F.col("cnt") >= F.col("__total") * F.lit(min_share))
+        .select(
+            key_col,
+            F.col("cnt").cast("long").alias("cnt"),
+            (F.col("cnt") / F.col("__total")).alias("share"),
+        )
+    )
+
+
+_SUMMARY_SCHEMA = T.StructType(
+    [
+        T.StructField("item", T.StringType()),
+        T.StructField("weight", T.LongType()),
+    ]
+)
+
+
+def misra_gries_summaries(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Per-partition Misra–Gries summaries (≤ k counters each) in one
+    Arrow-batched pass.  Counter state lives across a partition's batches;
+    memory is O(k) regardless of partition size."""
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for item in pdf[key_col].astype(str):
+                if item in counters:
+                    counters[item] += 1
+                elif len(counters) < k:
+                    counters[item] = 1
+                else:
+                    # decrement-all: drop zeroed counters
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame(
+            {"item": list(counters), "weight": list(counters.values())}
+        )
+
+    return df.select(F.col(key_col).cast("string").alias(key_col)).mapInPandas(
+        summarize, _SUMMARY_SCHEMA
+    )
+
+
+def misra_gries_topk(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Merged Misra–Gries sketch: per-partition summaries → one summed
+    summary (≤ partitions × k rows — trivially small) → subtract the
+    (k+1)-th largest merged weight (mergeable-summaries rule), keep
+    positive estimates.  ``est`` lower-bounds the true count; the true
+    count exceeds ``est`` by at most n/(k+1)."""
+    merged = (
+        misra_gries_summaries(df, key_col, k)
+        .groupBy("item")
+        .agg(F.sum("weight").alias("w"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy().orderBy(F.col("w").desc(), F.col("item"))
+    )
+    ranked = merged.withColumn("__rn", rn)
+    thr = F.max(F.when(F.col("__rn") == k + 1, F.col("w"))).over(
+        Window.partitionBy()
+    )
+    return (
+        ranked.withColumn("__thr", F.coalesce(thr, F.lit(0)))
+        .withColumn("est", F.col("w") - F.col("__thr"))
+        .filter(F.col("est") > 0)
+        .select("item", F.col("est").cast("long").alias("est"))
+    )
+
+
+# --------------------------------------------------------------------------
+# registry query (exact tier)
+# --------------------------------------------------------------------------
+
+
+def heavy_hitters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users generating ≥ 0.05% of all events — the hot-key report that
+    precedes any skew mitigation (salting thresholds, broadcast decisions)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        heavy_hitters(events, "user_id", 0.0005)
+        .select(
+            "user_id",
+            "cnt",
+            F.round(F.col("share"), 8).alias("share_r"),
+        )
+        .orderBy("user_id")
+        .limit(2000)
+    )
+
+
+HEAVY_HITTERS_SQL = """
+WITH counts AS (
+  SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+),
+tot AS (SELECT SUM(cnt) AS total FROM counts)
+SELECT user_id, CAST(cnt AS BIGINT) AS cnt,
+       ROUND(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE), 8) AS share_r
+FROM counts, tot
+WHERE cnt >= total * 0.0005
+ORDER BY user_id LIMIT 2000
+"""
+
+
+SKETCH_QUERIES = {
+    "agg_heavy_hitters": (heavy_hitters_query, HEAVY_HITTERS_SQL),
+}

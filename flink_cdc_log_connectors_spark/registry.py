@@ -81,6 +81,18 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         out.update(WINDOW_QUERIES)
     except ImportError:
         pass
+    try:
+        from .operators.bloomfilter import BLOOM_QUERIES
+
+        out.update(BLOOM_QUERIES)
+    except ImportError:
+        pass
+    try:
+        from .operators.sketch import SKETCH_QUERIES
+
+        out.update(SKETCH_QUERIES)
+    except ImportError:
+        pass
     return _driver_window_order(out)
 
 
@@ -128,6 +140,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "events_hop_window",
     "events_cumulate_window",
     "hypertable_fill_values",
+    "join_bloom_prune",
+    "agg_heavy_hitters",
     # (b) red at least once before their r2 oracle fixes
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
