@@ -788,6 +788,65 @@ ORDER BY revenue DESC, o_orderkey LIMIT 10
 """
 
 
+# --------------------------------------------------------------------------
+# Q24 TPC-H Q5 shape: local-supplier volume — the 6-table join.  All four
+# dims (region→nation→customer/supplier) broadcast; the only big shuffle is
+# lineitem ⋈ orders on the order key.  The c_nationkey = s_nationkey
+# constraint lands as a post-join filter between two broadcast columns —
+# free at any scale.
+# --------------------------------------------------------------------------
+def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    r = region.filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    n = nation.join(F.broadcast(r), nation.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    c = customer.join(
+        F.broadcast(n), customer.c_nationkey == n.n_nationkey
+    ).select("c_custkey", F.col("n_nationkey").alias("c_nat"), "n_name")
+    s = supplier.select("s_suppkey", F.col("s_nationkey").alias("s_nat"))
+    cut_lo = F.lit("1994-01-01 00:00:00").cast("timestamp_ntz")
+    cut_hi = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    o = orders.filter(
+        (F.col("o_orderdate") >= cut_lo) & (F.col("o_orderdate") < cut_hi)
+    ).select("o_orderkey", "o_custkey")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    return (
+        lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .filter(F.col("c_nat") == F.col("s_nat"))
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+Q24_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
 #: name -> (query builder, oracle SQL)
 RELATIONAL_QUERIES = {
     "q01_project_scalar": (q1, Q1_SQL),
@@ -822,4 +881,5 @@ RELATIONAL_QUERIES = {
     "q21_token_freq": (q21, _q21_sql()),
     "q22_grouping_sets": (q22, Q22_SQL),
     "q23_shipping_priority": (q23, Q23_SQL),
+    "q24_local_supplier_volume": (q24, Q24_SQL),
 }

@@ -9,7 +9,7 @@ partitions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -983,3 +983,66 @@ ORDER BY doc_id
 
 
 TEXT_QUERIES["corpus_stratified_sample"] = (stratified_sample_query, SAMPLE_SQL)
+
+
+# --------------------------------------------------------------------------
+# Deterministic importance sampling — quality-weighted Bernoulli keep
+# --------------------------------------------------------------------------
+
+
+def importance_sample(
+    df: DataFrame,
+    weight: Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep each row with probability ``min(1, weight)`` using a
+    deterministic md5-derived uniform — per-document Bernoulli importance
+    sampling (upweight high-quality docs, thin the rest) with zero RNG
+    state: map-only, reproducible across engines, reruns, and restarts,
+    and any doc's verdict is independently recomputable (the property
+    that makes sampled corpora auditable).  The uniform is the first 15
+    md5 hex digits scaled by 2^-60 — an exact integer→double conversion
+    both engines perform identically, so the ``u < p`` comparison is
+    bit-deterministic."""
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .cast("double")
+        / F.lit(float(1 << 60))
+    )
+    p = F.least(F.lit(1.0), weight.cast("double"))
+    return (
+        df.withColumn("p_keep", p)
+        .withColumn("__u", u)
+        .filter(F.col("__u") < F.col("p_keep"))
+        .drop("__u")
+    )
+
+
+def importance_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted corpus thinning: keep probability n_chars/400
+    (capped at 1) — short low-signal docs are thinned hardest, the
+    expected token budget is directly `sum(p_keep × tokens)`."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = importance_sample(docs, F.col("n_chars") / F.lit(400.0))
+    return (
+        out.select("doc_id", "lang", F.round(F.col("p_keep"), 8).alias("p_keep_r"))
+        .orderBy("doc_id")
+    )
+
+
+IMPORTANCE_SQL = """
+WITH b AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              AS DOUBLE) / 1152921504606846976.0 AS u,
+         LEAST(1.0, CAST(n_chars AS DOUBLE) / 400.0) AS p_keep
+  FROM documents
+)
+SELECT doc_id, lang, ROUND(p_keep, 8) AS p_keep_r
+FROM b WHERE u < p_keep
+ORDER BY doc_id
+"""
+
+
+TEXT_QUERIES["corpus_importance_sample"] = (importance_sample_query, IMPORTANCE_SQL)

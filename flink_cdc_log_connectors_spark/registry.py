@@ -142,6 +142,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "hypertable_fill_values",
     "join_bloom_prune",
     "agg_heavy_hitters",
+    "corpus_importance_sample",
+    "q24_local_supplier_volume",
     # (b) red at least once before their r2 oracle fixes
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

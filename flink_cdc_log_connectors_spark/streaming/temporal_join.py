@@ -1,0 +1,299 @@
+"""Event-time temporal table join over CDC streams (Flink's
+``JOIN dim FOR SYSTEM_TIME AS OF fact.rowtime``).
+
+The reference's flagship SQL pattern: an append-only fact stream joined
+against a CDC-fed VERSIONED dimension, each fact enriched with the dim row
+that was valid AT THE FACT'S EVENT TIME — not the dim's latest state (that
+is ``streaming/joins.py``).  Prices at order time, customer tier at click
+time, exchange rate at trade time.
+
+Semantics implemented (matching Flink's event-time temporal join):
+
+- the dim's change log builds a version history: each change opens a
+  version at its source timestamp (``_src.op_ts_ms``); a delete closes the
+  key (facts after the delete and before a re-insert match nothing);
+- a fact joins the LATEST dim version with ``valid_ms <= fact.ts_ms``
+  (same-millisecond dim changes are visible, offset order breaking ties);
+- facts are BUFFERED until the dim watermark (max dim/heartbeat source ts
+  seen) passes their event time — a fact is only emitted once no earlier
+  dim version can still arrive, so results are immune to cross-stream
+  arrival skew;  once emitted, a verdict is final (any later dim change
+  carries a later timestamp and could not have matched).
+
+Mechanics per microbatch (foreachBatch):
+
+1. append this batch's dim changes to the bucketed version-history state
+   (keyed by (dim key, log offset) — replay upserts the same rows:
+   idempotent);  heartbeats (op='h') advance the watermark only.
+2. add this batch's facts to the pending buffer;
+3. emit every pending fact whose ts ≤ watermark: hash-join on the dim
+   key against history, keep versions at-or-before the fact, rank to the
+   latest, tombstone the emitted keys out of the buffer, upsert results
+   into the output view (atomic manifest swap).
+
+Scale: history and output are :class:`PartitionedStateTable`s — per-batch
+work prunes to touched key buckets.  The pending buffer holds only facts
+AHEAD of the dim watermark (steady state: one watermark lag's worth); the
+emit join's cost is bounded by the per-key version count, the same bound
+Flink's temporal-join state carries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.debezium import parse_debezium
+from .joins import JoinSide
+from .statetable import PartitionedStateTable
+
+_OFF_COLS = ["_vfile", "_vpos", "_vimg"]
+
+
+class TemporalJoin:
+    """State + emit machinery behind :func:`materialize_temporal_join`."""
+
+    def __init__(
+        self,
+        fact: JoinSide,
+        dim: JoinSide,
+        output_path: str,
+        how: str = "inner",
+        dim_prefix: str = "d_",
+        n_buckets: int = 64,
+    ) -> None:
+        if how not in ("inner", "left"):
+            raise ValueError(f"how must be inner|left, got {how!r}")
+        self.fact = fact
+        self.dim = dim
+        self.how = how
+        self.dim_prefix = dim_prefix
+        self.output_path = output_path
+        # one row per dim VERSION: keyed by (dim key, source offset)
+        self.history = PartitionedStateTable(
+            f"{output_path}/__dim_history",
+            [dim.key, *_OFF_COLS],
+            n_buckets=n_buckets,
+        )
+        self.pending = PartitionedStateTable(
+            f"{output_path}/__pending", [fact.key], n_buckets=n_buckets
+        )
+        self.output = PartitionedStateTable(
+            f"{output_path}/view", [fact.key], n_buckets=n_buckets
+        )
+
+    # -- watermark persistence (atomic, replay-idempotent: monotone max) --
+    def _wm_path(self) -> str:
+        return os.path.join(self.output_path, "__watermark.json")
+
+    def load_watermark(self) -> int | None:
+        try:
+            with open(self._wm_path()) as f:
+                return json.load(f)["ts_ms"]
+        except FileNotFoundError:
+            return None
+
+    def _store_watermark(self, ts_ms: int) -> None:
+        os.makedirs(self.output_path, exist_ok=True)
+        tmp = self._wm_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"ts_ms": ts_ms}, f)
+        os.replace(tmp, self._wm_path())
+
+    # -- helpers ----------------------------------------------------------
+    def _dim_out_cols(self) -> list[str]:
+        return [f"{self.dim_prefix}{f.name}" for f in self.dim.physical.fields]
+
+    def process_batch(self, raw_batch: DataFrame, epoch_id: int) -> None:
+        spark = raw_batch.sparkSession
+        table_of = F.get_json_object(F.col("value"), "$.source.table")
+
+        # ---- dim side: versions + watermark -----------------------------
+        dim_parsed = parse_debezium(
+            raw_batch.filter(table_of == self.dim.table), self.dim.physical
+        )
+        # final image per source offset (an update's before-image is not a
+        # version); heartbeats advance the watermark but store nothing
+        w_img = Window.partitionBy("_src.file", "_src.pos").orderBy(
+            F.coalesce(F.col("_src.img_seq"), F.lit(-1)).desc()
+        )
+        dim_rows = (
+            dim_parsed.filter(F.col("op") != "h")
+            .withColumn("__rn", F.row_number().over(w_img))
+            .filter(F.col("__rn") == 1)
+            .select(
+                *[f.name for f in self.dim.physical.fields],
+                F.col("op").alias("_vop"),
+                F.col("_src.op_ts_ms").alias("_valid_ms"),
+                F.coalesce(F.col("_src.file"), F.lit("")).alias("_vfile"),
+                F.coalesce(F.col("_src.pos"), F.lit(-1)).alias("_vpos"),
+                F.coalesce(F.col("_src.img_seq"), F.lit(-1)).alias("_vimg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        hb_max = (
+            dim_parsed.filter(F.col("op") == "h")
+            .agg(F.max("_src.op_ts_ms"))
+            .collect()[0][0]
+        )
+        batch_dim_max = dim_rows.agg(F.max("_valid_ms")).collect()[0][0]
+        if dim_rows.limit(1).count() > 0:
+            self.history.upsert(
+                dim_rows.withColumn("op", F.lit("c")).withColumn(
+                    "__seq", F.lit(0)
+                ),
+                order_by=["__seq"],
+                epoch_id=epoch_id,
+            )
+        wm = self.load_watermark()
+        for cand in (batch_dim_max, hb_max):
+            if cand is not None and (wm is None or cand > wm):
+                wm = cand
+        if wm is not None:
+            self._store_watermark(wm)
+
+        # ---- fact side: buffer ------------------------------------------
+        fact_parsed = parse_debezium(
+            raw_batch.filter(table_of == self.fact.table), self.fact.physical
+        )
+        fact_cols = [f.name for f in self.fact.physical.fields]
+        facts = (
+            fact_parsed.filter(F.col("op").isin("c", "r"))
+            .select(
+                *fact_cols,
+                F.col("_src.op_ts_ms").alias("_fact_ms"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # stored buffer ∪ this batch's facts (a replayed batch's facts may
+        # be in both — key dedup).  The buffer is written ONCE per batch
+        # below: new still-pending facts in, emitted keys tombstoned out.
+        buffered = self.pending.read(spark)
+        if buffered is not None:
+            all_facts = (
+                buffered.select(*fact_cols, "_fact_ms")
+                .unionByName(facts)
+                .dropDuplicates([self.fact.key])
+                .localCheckpoint(eager=True)
+            )
+        else:
+            all_facts = facts
+
+        # inclusive bound: the CDC log is totally ordered, so by the time
+        # the dim watermark REACHES ts every log entry at ts has been read
+        # (a later same-ms dim change would occupy a later offset and
+        # arrive before or with the watermark advancing past ts)
+        if wm is None:
+            ready = all_facts.limit(0)
+        else:
+            ready = all_facts.filter(
+                F.col("_fact_ms") <= F.lit(wm)
+            ).localCheckpoint(eager=True)
+        has_ready = ready.limit(1).count() > 0
+        pending_rows = facts.withColumn("op", F.lit("c")).withColumn(
+            "__seq", F.lit(0)
+        )
+        if has_ready:
+            pending_rows = pending_rows.unionByName(
+                ready.withColumn("op", F.lit("d")).withColumn("__seq", F.lit(1))
+            )
+        if pending_rows.limit(1).count() > 0:
+            self.pending.upsert(pending_rows, order_by=["__seq"], epoch_id=epoch_id)
+        if not has_ready:
+            return
+        dim_cols = [f.name for f in self.dim.physical.fields]
+        hist = self.history.read(spark)
+        if hist is not None:
+            renamed = hist
+            for c in dim_cols:
+                renamed = renamed.withColumnRenamed(c, f"{self.dim_prefix}{c}")
+            dk = f"{self.dim_prefix}{self.dim.key}"
+            cand = ready.select(*fact_cols, "_fact_ms").join(
+                renamed.select(
+                    dk,
+                    *[
+                        f"{self.dim_prefix}{c}"
+                        for c in dim_cols
+                        if c != self.dim.key
+                    ],
+                    "_vop",
+                    "_valid_ms",
+                    *_OFF_COLS,
+                ),
+                (F.col(self.fact.join_col) == F.col(dk))
+                & (F.col("_valid_ms") <= F.col("_fact_ms")),
+                "left",
+            )
+            w_rank = Window.partitionBy(self.fact.key).orderBy(
+                F.col("_valid_ms").desc_nulls_last(),
+                F.col("_vfile").desc_nulls_last(),
+                F.col("_vpos").desc_nulls_last(),
+                F.col("_vimg").desc_nulls_last(),
+            )
+            picked = (
+                cand.withColumn("__rn", F.row_number().over(w_rank))
+                .filter(F.col("__rn") == 1)
+            )
+            # a delete version = no value at fact time
+            live = F.col("_vop").isNotNull() & (F.col("_vop") != "d")
+            for c in dim_cols:
+                pc = f"{self.dim_prefix}{c}"
+                picked = picked.withColumn(
+                    pc, F.when(live, F.col(pc))
+                )
+            picked = picked.withColumn("__matched", live)
+        else:
+            picked = ready.select(*fact_cols, "_fact_ms")
+            for f_ in self.dim.physical.fields:
+                picked = picked.withColumn(
+                    f"{self.dim_prefix}{f_.name}",
+                    F.lit(None).cast(f_.dataType),
+                )
+            picked = picked.withColumn("__matched", F.lit(False))
+
+        out_cols = [*fact_cols, F.col("_fact_ms").alias("fact_ts_ms"),
+                    *self._dim_out_cols()]
+        if self.how == "inner":
+            emit = picked.filter(F.col("__matched")).select(*out_cols)
+        else:
+            emit = picked.select(*out_cols)
+        if emit.limit(1).count() > 0:
+            self.output.upsert(
+                emit.withColumn("op", F.lit("c")).withColumn("__seq", F.lit(0)),
+                order_by=["__seq"],
+                epoch_id=epoch_id,
+            )
+    def read_view(self, spark: SparkSession) -> DataFrame | None:
+        df = self.output.read(spark)
+        if df is None:
+            return None
+        keep = [f.name for f in self.fact.physical.fields] + [
+            "fact_ts_ms",
+            *self._dim_out_cols(),
+        ]
+        return df.select(*keep)
+
+
+def materialize_temporal_join(
+    raw_stream: DataFrame,
+    fact: JoinSide,
+    dim: JoinSide,
+    output_path: str,
+    checkpoint_path: str,
+    how: str = "inner",
+    n_buckets: int = 64,
+):
+    """Continuously-maintained event-time temporal join over a raw CDC
+    stream carrying both tables' envelopes.  Returns the
+    ``DataStreamWriter``; read results via ``TemporalJoin(...).read_view``.
+    """
+    tj = TemporalJoin(fact, dim, output_path, how=how, n_buckets=n_buckets)
+    return (
+        raw_stream.writeStream.foreachBatch(tj.process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )

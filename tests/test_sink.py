@@ -1,0 +1,64 @@
+"""Exactly-once append sink: replay-proof ledgered commits."""
+
+from __future__ import annotations
+
+import os
+
+from flink_cdc_log_connectors_spark.streaming.sink import (
+    ExactlyOnceAppendSink,
+    exactly_once_append,
+)
+
+
+def test_replayed_epoch_not_duplicated(spark, tmp_path):
+    sink = ExactlyOnceAppendSink(str(tmp_path / "out"))
+    b0 = spark.createDataFrame([(1,), (2,)], "x long")
+    sink.process_batch(b0, epoch_id=0)
+    sink.process_batch(b0, epoch_id=0)  # crash-retry replay
+    got = sorted(r["x"] for r in sink.read_committed(spark).collect())
+    assert got == [1, 2]
+
+    sink.process_batch(spark.createDataFrame([(3,)], "x long"), epoch_id=1)
+    got = sorted(r["x"] for r in sink.read_committed(spark).collect())
+    assert got == [1, 2, 3]
+
+
+def test_uncommitted_epoch_invisible_and_gced(spark, tmp_path):
+    sink = ExactlyOnceAppendSink(str(tmp_path / "out"))
+    sink.process_batch(spark.createDataFrame([(1,)], "x long"), epoch_id=0)
+    # simulate a crash AFTER the data write but BEFORE the ledger commit:
+    # write epoch 5's directory directly, never append it to the ledger
+    spark.createDataFrame([(99,)], "x long").write.mode("overwrite").parquet(
+        sink._epoch_dir(5)
+    )
+    got = sorted(r["x"] for r in sink.read_committed(spark).collect())
+    assert got == [1]  # orphan invisible
+    assert sink.gc_uncommitted() == [5]
+    assert not os.path.isdir(sink._epoch_dir(5))
+
+
+def test_streaming_end_to_end_exactly_once(spark, tmp_path):
+    import time
+
+    sink_path = str(tmp_path / "out")
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "50").load()
+    )
+    q = (
+        exactly_once_append(stream, sink_path, str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        sink = ExactlyOnceAppendSink(sink_path)
+        while time.time() < deadline:
+            df = sink.read_committed(spark)
+            if df is not None and df.count() >= 20:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    df = ExactlyOnceAppendSink(sink_path).read_committed(spark)
+    vals = [r["value"] for r in df.select("value").collect()]
+    assert len(vals) == len(set(vals)) >= 20  # no duplicates

@@ -1,0 +1,196 @@
+"""Event-time temporal table join (streaming/temporal_join.py): facts
+enriched with the dim version valid at THEIR event time, buffered until the
+dim watermark passes, final verdicts, replay idempotence."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import types as T
+
+from flink_cdc_log_connectors_spark.streaming.joins import JoinSide
+from flink_cdc_log_connectors_spark.streaming.temporal_join import TemporalJoin
+
+TRADES = T.StructType(
+    [
+        T.StructField("t_id", T.LongType()),
+        T.StructField("sym", T.StringType()),
+        T.StructField("qty", T.LongType()),
+    ]
+)
+PRICES = T.StructType(
+    [
+        T.StructField("sym", T.StringType()),
+        T.StructField("px", T.DoubleType()),
+    ]
+)
+
+FACT = JoinSide(table="trades", physical=TRADES, key="t_id", join_col="sym")
+DIM = JoinSide(table="prices", physical=PRICES, key="sym", join_col="sym")
+
+
+def env(table, op, after=None, before=None, pos=0, ts=None):
+    ts = 1000 + pos if ts is None else ts
+    return json.dumps(
+        {
+            "before": before,
+            "after": after,
+            "op": op,
+            "ts_ms": ts,
+            "source": {"db": "d", "table": table, "ts_ms": ts,
+                       "file": "f.0", "pos": pos},
+        }
+    )
+
+
+def raw_df(spark, lines):
+    return spark.createDataFrame(
+        [(v, "f.0", i) for i, v in enumerate(lines)],
+        "value string, file string, pos long",
+    )
+
+
+def view(spark, tj):
+    df = tj.read_view(spark)
+    if df is None:
+        return {}
+    return {r["t_id"]: (r["qty"], r["d_px"]) for r in df.collect()}
+
+
+def test_temporal_join_versions_and_buffering(spark, tmp_path):
+    tj = TemporalJoin(FACT, DIM, str(tmp_path / "tj"), how="inner")
+
+    # batch 0: price v1 at ts=100; trades at ts=50 (before any version,
+    # no match → dropped) and ts=150 (matches v1)
+    tj.process_batch(
+        raw_df(spark, [
+            env("prices", "c", {"sym": "A", "px": 10.0}, pos=0, ts=100),
+            env("trades", "c", {"t_id": 1, "sym": "A", "qty": 5}, pos=1, ts=50),
+            env("trades", "c", {"t_id": 2, "sym": "A", "qty": 6}, pos=2, ts=150),
+        ]),
+        epoch_id=0,
+    )
+    # watermark = 100 < 150: trade 2 still buffered; trade 1 (ts=50 ≤ wm,
+    # no version at-or-before 50) got its final no-match verdict
+    assert view(spark, tj) == {}
+
+    # batch 1: price v2 at ts=200 → wm=200 releases trade 2 against v1
+    tj.process_batch(
+        raw_df(spark, [
+            env("prices", "u", {"sym": "A", "px": 20.0},
+                before={"sym": "A", "px": 10.0}, pos=3, ts=200),
+        ]),
+        epoch_id=1,
+    )
+    assert view(spark, tj) == {2: (6, 10.0)}
+
+    # batch 2: trade at ts=180 (old event arriving late on the fact side —
+    # still ≤ wm, joins v1 not v2) and trade at ts=250 (buffered: wm=200)
+    tj.process_batch(
+        raw_df(spark, [
+            env("trades", "c", {"t_id": 3, "sym": "A", "qty": 7}, pos=4, ts=180),
+            env("trades", "c", {"t_id": 4, "sym": "A", "qty": 8}, pos=5, ts=250),
+        ]),
+        epoch_id=2,
+    )
+    got = view(spark, tj)
+    assert got[3] == (7, 10.0)
+    assert 4 not in got
+
+    # batch 3: heartbeat at ts=300 flushes trade 4 against v2
+    tj.process_batch(
+        raw_df(spark, [env("prices", "h", pos=6, ts=300)]),
+        epoch_id=3,
+    )
+    assert view(spark, tj)[4] == (8, 20.0)
+
+
+def test_temporal_join_delete_closes_version(spark, tmp_path):
+    tj = TemporalJoin(FACT, DIM, str(tmp_path / "tj"), how="left")
+    tj.process_batch(
+        raw_df(spark, [
+            env("prices", "c", {"sym": "A", "px": 10.0}, pos=0, ts=100),
+            env("prices", "d", before={"sym": "A", "px": 10.0}, pos=1, ts=200),
+            env("prices", "c", {"sym": "A", "px": 30.0}, pos=2, ts=300),
+            env("trades", "c", {"t_id": 1, "sym": "A", "qty": 1}, pos=3, ts=150),
+            env("trades", "c", {"t_id": 2, "sym": "A", "qty": 2}, pos=4, ts=250),
+            env("trades", "c", {"t_id": 3, "sym": "A", "qty": 3}, pos=5, ts=300),
+        ]),
+        epoch_id=0,
+    )
+    got = view(spark, tj)
+    assert got[1] == (1, 10.0)   # before the delete
+    assert got[2] == (2, None)   # inside the deleted window: left → NULL
+    assert got[3] == (3, 30.0)   # after the re-insert
+
+
+def test_temporal_join_inner_drops_deleted_window(spark, tmp_path):
+    tj = TemporalJoin(FACT, DIM, str(tmp_path / "tj"), how="inner")
+    tj.process_batch(
+        raw_df(spark, [
+            env("prices", "c", {"sym": "A", "px": 10.0}, pos=0, ts=100),
+            env("prices", "d", before={"sym": "A", "px": 10.0}, pos=1, ts=200),
+            env("trades", "c", {"t_id": 1, "sym": "A", "qty": 1}, pos=2, ts=250),
+            env("prices", "h", pos=3, ts=400),
+        ]),
+        epoch_id=0,
+    )
+    assert view(spark, tj) == {}
+    # and the verdict is final: the fact left the pending buffer
+    assert tj.pending.read(spark) is None or tj.pending.read(spark).count() == 0
+
+
+def test_temporal_join_same_ms_dim_change_visible(spark, tmp_path):
+    # a dim version stamped at exactly the fact's ts IS visible (offset
+    # order: the fact reads the state as of its log position's time)
+    tj = TemporalJoin(FACT, DIM, str(tmp_path / "tj"), how="inner")
+    tj.process_batch(
+        raw_df(spark, [
+            env("prices", "c", {"sym": "A", "px": 10.0}, pos=0, ts=100),
+            env("trades", "c", {"t_id": 1, "sym": "A", "qty": 1}, pos=1, ts=100),
+        ]),
+        epoch_id=0,
+    )
+    assert view(spark, tj)[1] == (1, 10.0)
+
+
+def test_temporal_join_replay_idempotent(spark, tmp_path):
+    tj = TemporalJoin(FACT, DIM, str(tmp_path / "tj"), how="inner")
+    batch = raw_df(spark, [
+        env("prices", "c", {"sym": "A", "px": 10.0}, pos=0, ts=100),
+        env("trades", "c", {"t_id": 1, "sym": "A", "qty": 5}, pos=1, ts=100),
+    ])
+    tj.process_batch(batch, epoch_id=0)
+    before = view(spark, tj)
+    tj.process_batch(batch, epoch_id=0)  # crash-retry of the same epoch
+    assert view(spark, tj) == before == {1: (5, 10.0)}
+
+    # a later batch still applies on top
+    tj.process_batch(
+        raw_df(spark, [
+            env("prices", "u", {"sym": "A", "px": 20.0},
+                before={"sym": "A", "px": 10.0}, pos=2, ts=200),
+            env("trades", "c", {"t_id": 2, "sym": "A", "qty": 6}, pos=3, ts=200),
+        ]),
+        epoch_id=1,
+    )
+    assert view(spark, tj) == {1: (5, 10.0), 2: (6, 20.0)}
+
+
+def test_temporal_join_update_before_image_not_a_version(spark, tmp_path):
+    # an update's before-image must not open a version: a fact between the
+    # create and the update sees the CREATE value, and a fact after the
+    # update sees the after-image — never a phantom version at update-ts
+    # carrying the before value
+    tj = TemporalJoin(FACT, DIM, str(tmp_path / "tj"), how="inner")
+    tj.process_batch(
+        raw_df(spark, [
+            env("prices", "c", {"sym": "A", "px": 10.0}, pos=0, ts=100),
+            env("prices", "u", {"sym": "A", "px": 20.0},
+                before={"sym": "A", "px": 10.0}, pos=1, ts=200),
+            env("trades", "c", {"t_id": 1, "sym": "A", "qty": 1}, pos=2, ts=200),
+            env("prices", "h", pos=3, ts=250),
+        ]),
+        epoch_id=0,
+    )
+    assert view(spark, tj)[1] == (1, 20.0)
