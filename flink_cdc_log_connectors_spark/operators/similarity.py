@@ -969,6 +969,82 @@ WHERE rk <= 3 ORDER BY query_id, rk
 """
 
 
+# --------------------------------------------------------------------------
+# Embedding sanity screening: distance-to-centroid outliers
+# --------------------------------------------------------------------------
+
+
+def centroid_distances(
+    df: DataFrame,
+    cell_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-vector euclidean distance to its OWN cell's centroid — the
+    embedding-quality screen of a training pipeline (mislabeled / corrupt
+    / off-manifold vectors sit far from their cluster's mass).
+
+    Pure-Catalyst formulation: posexplode the components, aggregate the
+    per-(cell, dim) means, broadcast the O(cells × dim) centroid table
+    back, one keyed aggregation for Σ(x−c)².  Distances round to 6
+    decimals — the same cross-engine float discipline the multiprobe/PQ
+    oracles use (summation-order ulps sit ~9 orders below the rounding
+    grain).  No per-row Python anywhere.
+    """
+    dims = df.select(
+        F.col(id_col),
+        F.col(cell_col),
+        F.posexplode(F.col(vec_col)).alias("d", "x"),
+    ).withColumn("x", F.col("x").cast("double"))
+    cent = dims.groupBy(cell_col, "d").agg(F.avg("x").alias("c"))
+    return (
+        dims.join(F.broadcast(cent), [cell_col, "d"])
+        .groupBy(id_col, cell_col)
+        .agg(
+            F.round(
+                F.sqrt(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))),
+                6,
+            ).alias("dist_r")
+        )
+    )
+
+
+#: absolute screening threshold for the registry query (both engines
+#: compare the SAME rounded distance against it, so the flag is exact)
+OUTLIER_DIST_T = 1.02
+
+
+def emb_outlier_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = centroid_distances(emb)
+    return out.select(
+        "vec_id",
+        "label",
+        "dist_r",
+        (F.col("dist_r") > F.lit(OUTLIER_DIST_T)).alias("is_outlier"),
+    ).orderBy("vec_id")
+
+
+EMB_OUTLIER_SQL = f"""
+WITH dims AS (SELECT unnest(range(1, {DIM + 1})) AS d),
+x AS (
+  SELECT vec_id, label, d, embedding[d]::DOUBLE AS x
+  FROM embeddings CROSS JOIN dims
+),
+cent AS (
+  SELECT label, d, avg(x) AS c FROM x GROUP BY label, d
+),
+dist AS (
+  SELECT vec_id, x.label,
+         round(sqrt(sum((x - c) * (x - c))), 6) AS dist_r
+  FROM x JOIN cent ON x.label = cent.label AND x.d = cent.d
+  GROUP BY vec_id, x.label
+)
+SELECT vec_id, label, dist_r, dist_r > {OUTLIER_DIST_T} AS is_outlier
+FROM dist ORDER BY vec_id
+"""
+
+
 SIMILARITY_QUERIES = {
     "ann_cosine_topk": (ann_topk_query, ANN_TOPK_SQL),
     "ann_ivf_label": (ann_ivf_query, ANN_IVF_SQL),
@@ -979,4 +1055,5 @@ SIMILARITY_QUERIES = {
     "simsearch_int8_pairs": (quantized_pairs_query, _quantized_sql()),
     "ann_hamming_topk": (ann_hamming_query, _hamming_sql()),
     "ann_ivf_pq": (ann_ivf_pq_query, _ivf_pq_sql()),
+    "emb_outlier_dist": (emb_outlier_query, EMB_OUTLIER_SQL),
 }

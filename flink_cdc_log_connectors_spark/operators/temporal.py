@@ -606,6 +606,104 @@ ORDER BY user_id, event_id LIMIT 1000
 """
 
 
+# --------------------------------------------------------------------------
+# Time-series anomaly flags (per-key z-score over bucket aggregates)
+# --------------------------------------------------------------------------
+
+
+def bucket_anomalies(
+    events: DataFrame,
+    width_seconds: int = 3600,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Buckets whose value-sum deviates more than ``z_threshold`` standard
+    deviations from the key's own mean — the monitoring pass a CDC-fed
+    metrics pipeline runs downstream of the hypertable rollup.
+
+    Determinism across engines with NO tolerance band: bucket sums are
+    exact decimals; mean and E[x²] derive from exact decimal sums divided
+    as doubles; variance is the fixed-order expression ``E[x²] − mean²``
+    (population form) and ``sqrt`` is IEEE-exact — both engines produce
+    bit-identical z-scores, rounded only for display.
+
+    Plan: the rollup aggregation (one shuffle keyed by (bucket, key)),
+    a per-key stats aggregation over BUCKET-GRAINED rows, and a broadcast
+    join of the tiny stats table back onto the buckets.
+    """
+    from .hypertable import time_bucket
+
+    b = (
+        events.withColumn("bucket", time_bucket(width_seconds, ts_col))
+        .groupBy("bucket", key_col)
+        .agg(
+            F.sum(F.col(value_col).cast("decimal(18,2)")).alias("v_dec"),
+        )
+        .select("bucket", key_col, F.col("v_dec").cast("double").alias("v_sum"))
+    )
+    stats = b.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.col("v_sum").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m"),
+        (
+            F.sum(
+                (
+                    F.col("v_sum").cast("decimal(18,2)")
+                    * F.col("v_sum").cast("decimal(18,2)")
+                ).cast("decimal(38,4)")
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("msq"),
+    )
+    z = (F.col("v_sum") - F.col("m")) / F.sqrt(
+        F.col("msq") - F.col("m") * F.col("m")
+    )
+    return (
+        b.join(F.broadcast(stats.select(key_col, "m", "msq")), key_col)
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > F.lit(z_threshold))
+        .select(
+            "bucket",
+            key_col,
+            "v_sum",
+            F.round(F.col("z"), 6).alias("z_r"),
+        )
+    )
+
+
+def anomaly_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return bucket_anomalies(events).orderBy("bucket", "event_type").limit(2000)
+
+
+ANOMALY_SQL = """
+WITH b AS (
+  SELECT make_timestamp((epoch(date_trunc('second', ts))::BIGINT // 3600)
+                        * 3600 * 1000000) AS bucket,
+         event_type,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v_sum
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type,
+         CAST(SUM(CAST(v_sum AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS m,
+         CAST(SUM(CAST(CAST(v_sum AS DECIMAL(18,2))
+                       * CAST(v_sum AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+              AS DOUBLE) / COUNT(*) AS msq
+  FROM b GROUP BY event_type
+)
+SELECT bucket, b.event_type, v_sum,
+       ROUND((v_sum - m) / sqrt(msq - m * m), 6) AS z_r
+FROM b JOIN stats USING (event_type)
+WHERE ABS((v_sum - m) / sqrt(msq - m * m)) > 2.0
+ORDER BY bucket, event_type LIMIT 2000
+"""
+
+
 TEMPORAL_QUERIES = {
     "cdc_asof_join": (asof_query, ASOF_SQL),
     "cdc_scd2_history": (scd2_query, SCD2_SQL),
@@ -616,4 +714,5 @@ TEMPORAL_QUERIES = {
     "events_funnel": (funnel_query, _funnel_sql()),
     "events_retention": (retention_query, RETENTION_SQL),
     "events_cep_adjacent": (cep_adjacent_query, CEP_ADJACENT_SQL),
+    "events_anomaly_zscore": (anomaly_query, ANOMALY_SQL),
 }

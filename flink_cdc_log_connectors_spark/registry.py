@@ -144,6 +144,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "agg_heavy_hitters",
     "corpus_importance_sample",
     "q24_local_supplier_volume",
+    "events_anomaly_zscore",
+    "emb_outlier_dist",
     # (b) red at least once before their r2 oracle fixes
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

@@ -174,11 +174,21 @@ SPLIT_ELIGIBLE_TYPES = frozenset(
 )
 
 
-def choose_split_column(schema, primary_key: list[str]) -> str:
+def choose_split_column(
+    schema, primary_key: list[str], chunk_key_column: str | None = None
+) -> str:
     """P1 — pick the chunk/split column: the FIRST primary-key column
     (reference ``ChunkUtils.getSplitColumn``); tables without a primary
     key cannot be incrementally snapshot (the reference rejects them the
     same way — ``mysql-cdc.md:422-427``).
+
+    ``chunk_key_column`` mirrors the reference's
+    ``scan.incremental.snapshot.chunk.key-column`` option: the user
+    overrides the default when the leading PK column is badly distributed
+    (e.g. a UUID prefix or a hot tenant id).  It must still be ONE of the
+    primary-key columns — chunk-level exactly-once relies on a chunk
+    range owning its keys exclusively, which only a unique-key component
+    guarantees.
 
     ``schema`` is the table's ``StructType``; the chosen column must exist
     and have a chunkable type.
@@ -188,7 +198,16 @@ def choose_split_column(schema, primary_key: list[str]) -> str:
             "incremental snapshot requires a primary key; "
             "tables without one must use a single-chunk (full) scan"
         )
-    head = primary_key[0]
+    if chunk_key_column is not None:
+        if chunk_key_column not in primary_key:
+            raise ValueError(
+                f"chunk key column {chunk_key_column!r} must be one of the "
+                f"primary key columns {primary_key} (chunk ranges must own "
+                "their keys exclusively)"
+            )
+        head = chunk_key_column
+    else:
+        head = primary_key[0]
     fields = {f.name: f for f in schema.fields}
     if head not in fields:
         raise ValueError(f"split column {head!r} not in table schema")

@@ -134,3 +134,11 @@ def test_choose_split_column():
         choose_split_column(schema, ["missing"])
     with pytest.raises(ValueError, match="non-chunkable"):
         choose_split_column(schema, ["payload"])
+    # scan.incremental.snapshot.chunk.key-column parity: the user override
+    # wins, but only PK components are accepted
+    assert (
+        choose_split_column(schema, ["id", "name"], chunk_key_column="name")
+        == "name"
+    )
+    with pytest.raises(ValueError, match="must be one of the primary key"):
+        choose_split_column(schema, ["id"], chunk_key_column="name")

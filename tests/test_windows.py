@@ -147,6 +147,42 @@ def test_fill_values_edges_stay_null(spark):
     assert [r["v_interp"] for r in out] == [1.0, 3.0, 5.0]
 
 
+def test_cumulate_streaming_twin(spark, tmp_path):
+    """The CUMULATE assignment works as a streaming aggregation: the
+    explode is stateless, the groupBy(window_end) is a standard stateful
+    agg — early-firing cumulative totals per hour, Flink-style."""
+    import time
+
+    src_dir = str(tmp_path / "src")
+    df = _ts_df(spark, [(10, 1.0), (910, 1.0), (1810, 1.0)])
+    df.write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(df.schema).parquet(src_dir)
+    agg = (
+        cumulate_window(stream, "ts", 900, 3600)
+        .groupBy("window_start", "window_end")
+        .count()
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("cum_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT window_end, count FROM cum_stream ORDER BY window_end"
+        ).collect()
+    finally:
+        q.stop()
+    got = {
+        int(r["window_end"].timestamp()): r["count"] for r in rows
+    }
+    # running totals: prefix ending 900 has 1 event, 1800 has 2, ...
+    assert got == {900: 1, 1800: 2, 2700: 3, 3600: 3}
+
+
 def test_window_tvf_plans_bounded(spark, sf_dir):
     """Window assignment is a map-side explode: one aggregation shuffle
     (plus the ordered-limit exchange) — no join, no cartesian."""
