@@ -59,11 +59,20 @@ class ChangelogAggregate:
         minmax_cols: Sequence[str] = (),
         distinct_cols: Sequence[str] = (),
         n_buckets: int = 64,
+        derive=None,
     ) -> None:
         self.table = table
         self.physical = physical
         self.key = key
         self.group_cols = list(group_cols)
+        #: optional DataFrame→DataFrame projection applied to parsed
+        #: change rows BEFORE state/grouping — lets ``group_cols`` name
+        #: DERIVED columns (e.g. ``time_bucket(3600, "ts")``), which turns
+        #: this view into a TimescaleDB-style CONTINUOUS AGGREGATE
+        #: maintained by the CDC stream: an update that moves a row
+        #: across buckets touches both buckets (the before-image carries
+        #: the old derived value), so both recompute exactly.
+        self.derive = derive
         self.sum_cols = list(sum_cols)
         self.minmax_cols = list(minmax_cols)
         # COUNT(DISTINCT col) per group: exact under retraction for free —
@@ -105,11 +114,12 @@ class ChangelogAggregate:
     def process_batch(self, raw_batch: DataFrame, epoch_id: int) -> None:
         spark = raw_batch.sparkSession
         table_of = F.get_json_object(F.col("value"), "$.source.table")
-        rows = offset_sort_columns(
-            parse_debezium(
-                raw_batch.filter(table_of == self.table), self.physical
-            )
-        ).localCheckpoint(eager=True)
+        parsed = parse_debezium(
+            raw_batch.filter(table_of == self.table), self.physical
+        )
+        if self.derive is not None:
+            parsed = self.derive(parsed)
+        rows = offset_sort_columns(parsed).localCheckpoint(eager=True)
 
         # 1. keep the fact state current (feeds min/max recompute and
         #    replayed-epoch recovery)
@@ -180,6 +190,7 @@ def materialize_aggregate(
     minmax_cols: Sequence[str] = (),
     distinct_cols: Sequence[str] = (),
     n_buckets: int = 64,
+    derive=None,
 ):
     """Continuously-maintained GROUP BY view over a raw CDC stream.
     Returns the ``DataStreamWriter``; read back with
@@ -187,7 +198,7 @@ def materialize_aggregate(
     agg = ChangelogAggregate(
         table, physical, key, group_cols, output_path,
         sum_cols=sum_cols, minmax_cols=minmax_cols,
-        distinct_cols=distinct_cols, n_buckets=n_buckets,
+        distinct_cols=distinct_cols, n_buckets=n_buckets, derive=derive,
     )
     return (
         raw_stream.writeStream.foreachBatch(agg.process_batch)

@@ -204,3 +204,78 @@ def test_distinct_count_retracts_exactly(spark, tmp_path):
         epoch_id=2,
     )
     assert dcnt() == {1: 1}
+
+
+def test_continuous_aggregate_time_bucket_view(spark, tmp_path):
+    """TimescaleDB-style continuous aggregate maintained by the CDC
+    stream: the view groups on a DERIVED hourly bucket of the fact's own
+    timestamp (the `derive` hook).  An update that moves a fact across
+    buckets retracts from the old bucket and lands in the new one; a
+    bucket emptied by a delete leaves the view."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    METRICS = T.StructType(
+        [
+            T.StructField("m_id", T.LongType()),
+            T.StructField("ts_s", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+
+    def derive(df):
+        return df.withColumn(
+            "bucket", (F.col("ts_s") - F.pmod(F.col("ts_s"), F.lit(3600)))
+        )
+
+    agg = ChangelogAggregate(
+        "metrics", METRICS, key="m_id", group_cols=["bucket"],
+        output_path=str(tmp_path / "ca"), sum_cols=["v"], derive=derive,
+    )
+
+    def menv(op, after=None, before=None, pos=0):
+        import json as _json
+
+        return _json.dumps(
+            {
+                "before": before, "after": after, "op": op,
+                "ts_ms": 1000 + pos,
+                "source": {"db": "d", "table": "metrics", "ts_ms": 1000 + pos,
+                           "file": "f.0", "pos": pos},
+            }
+        )
+
+    def cview():
+        df = agg.read_view(spark)
+        if df is None:
+            return {}
+        return {r["bucket"]: (r["cnt"], r["sum_v"]) for r in df.collect()}
+
+    agg.process_batch(
+        raw_df(spark, [
+            menv("c", {"m_id": 1, "ts_s": 100, "v": 5.0}, pos=0),
+            menv("c", {"m_id": 2, "ts_s": 200, "v": 7.0}, pos=1),
+            menv("c", {"m_id": 3, "ts_s": 4000, "v": 3.0}, pos=2),
+        ]),
+        epoch_id=0,
+    )
+    assert cview() == {0: (2, 12.0), 3600: (1, 3.0)}
+
+    # cross-bucket move: m_id=2's timestamp shifts into hour 2
+    agg.process_batch(
+        raw_df(spark, [
+            menv("u", {"m_id": 2, "ts_s": 7300, "v": 7.0},
+                 before={"m_id": 2, "ts_s": 200, "v": 7.0}, pos=3),
+        ]),
+        epoch_id=1,
+    )
+    assert cview() == {0: (1, 5.0), 3600: (1, 3.0), 7200: (1, 7.0)}
+
+    # delete empties hour 1 → its bucket row tombstones out of the view
+    agg.process_batch(
+        raw_df(spark, [
+            menv("d", before={"m_id": 3, "ts_s": 4000, "v": 3.0}, pos=4),
+        ]),
+        epoch_id=2,
+    )
+    assert cview() == {0: (1, 5.0), 7200: (1, 7.0)}

@@ -177,6 +177,50 @@ def test_temporal_join_replay_idempotent(spark, tmp_path):
     assert view(spark, tj) == {1: (5, 10.0), 2: (6, 20.0)}
 
 
+def test_temporal_join_streaming_end_to_end_with_restart(spark, tmp_path):
+    """materialize_temporal_join over the cdclog source, including a
+    restart from the checkpoint: buffered facts survive and flush once
+    the dim watermark reaches them after the restart."""
+    from flink_cdc_log_connectors_spark.sources.datasource import register
+    from flink_cdc_log_connectors_spark.streaming.temporal_join import (
+        materialize_temporal_join,
+    )
+
+    log_dir = tmp_path / "log"
+    log_dir.mkdir()
+    with open(log_dir / "log-000001.jsonl", "w") as fh:
+        fh.write(env("prices", "c", {"sym": "A", "px": 10.0}, pos=0, ts=100) + "\n")
+        fh.write(env("trades", "c", {"t_id": 1, "sym": "A", "qty": 5}, pos=1, ts=100) + "\n")
+        fh.write(env("trades", "c", {"t_id": 2, "sym": "A", "qty": 6}, pos=2, ts=500) + "\n")
+
+    register(spark)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+
+    def run_once():
+        raw = spark.readStream.format("cdclog").option("path", str(log_dir)).load()
+        q = (
+            materialize_temporal_join(raw, FACT, DIM, out, ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    tj = TemporalJoin(FACT, DIM, out)
+    # trade 1 emitted at wm=100; trade 2 (ts=500) still buffered
+    assert view(spark, tj) == {1: (5, 10.0)}
+
+    with open(log_dir / "log-000002.jsonl", "w") as fh:
+        fh.write(env("prices", "u", {"sym": "A", "px": 20.0},
+                     before={"sym": "A", "px": 10.0}, pos=3, ts=400) + "\n")
+        fh.write(env("prices", "h", pos=4, ts=600) + "\n")
+    run_once()
+    # restart consumed only the new file; trade 2 flushed against the
+    # version valid at 500 (px=20 from ts=400)
+    assert view(spark, tj) == {1: (5, 10.0), 2: (6, 20.0)}
+
+
 def test_temporal_join_update_before_image_not_a_version(spark, tmp_path):
     # an update's before-image must not open a version: a fact between the
     # create and the update sees the CREATE value, and a fact after the
