@@ -607,6 +607,68 @@ ORDER BY user_id, event_id LIMIT 1000
 
 
 # --------------------------------------------------------------------------
+# Top event paths (sequence-mining lite: frequent consecutive k-step paths)
+# --------------------------------------------------------------------------
+
+
+def top_paths(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    type_col: str,
+    steps: int = 3,
+    order_tie: Sequence[str] = (),
+) -> DataFrame:
+    """Most frequent length-``steps`` CONSECUTIVE event-type paths across
+    all keys — the "common user journeys" report of event analytics.
+    One window pass materializes ``lag`` columns (same single-shuffle
+    shape as the CEP matcher), then a path-string aggregation whose key
+    cardinality is at most |event types|^steps — tiny at any event
+    volume.
+    """
+    w = Window.partitionBy(key).orderBy(ts_col, *order_tie)
+    cur = df
+    # __s0 is the oldest step (lag steps-1) … __s{steps-2} = lag(1); the
+    # current row is the last step — all lags share one Window sort
+    for i in range(steps - 1):
+        cur = cur.withColumn(
+            f"__s{i}", F.lag(F.col(type_col), steps - 1 - i).over(w)
+        )
+    parts = [F.col(f"__s{i}") for i in range(steps - 1)] + [F.col(type_col)]
+    cur = cur.withColumn("path", F.concat_ws(">", *parts))
+    complete = cur.filter(F.col("__s0").isNotNull())
+    return (
+        complete.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def top_paths_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        top_paths(events, key="user_id", ts_col="ts", type_col="event_type",
+                  steps=3, order_tie=["event_id"])
+        .orderBy(F.desc("n"), "path")
+        .limit(25)
+    )
+
+
+TOP_PATHS_SQL = """
+WITH lagged AS (
+  SELECT LAG(event_type, 2) OVER w AS s0,
+         LAG(event_type, 1) OVER w AS s1,
+         event_type AS s2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT s0 || '>' || s1 || '>' || s2 AS path,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lagged WHERE s0 IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, path LIMIT 25
+"""
+
+
+# --------------------------------------------------------------------------
 # Time-series anomaly flags (per-key z-score over bucket aggregates)
 # --------------------------------------------------------------------------
 
@@ -715,4 +777,5 @@ TEMPORAL_QUERIES = {
     "events_retention": (retention_query, RETENTION_SQL),
     "events_cep_adjacent": (cep_adjacent_query, CEP_ADJACENT_SQL),
     "events_anomaly_zscore": (anomaly_query, ANOMALY_SQL),
+    "events_top_paths": (top_paths_query, TOP_PATHS_SQL),
 }

@@ -1046,3 +1046,115 @@ ORDER BY doc_id
 
 
 TEXT_QUERIES["corpus_importance_sample"] = (importance_sample_query, IMPORTANCE_SQL)
+
+
+# --------------------------------------------------------------------------
+# Composed quality filter — the keep/drop verdict table
+# --------------------------------------------------------------------------
+
+#: fixed flag order defines the reasons string; thresholds compare exact
+#: IEEE ratios, so verdicts are engine-deterministic with no tolerance
+QUALITY_RULES = (
+    ("short", "n_tokens < 20"),
+    ("low_stop", "stop_ratio < 0.05"),
+    ("low_ttr", "ttr < 0.30"),
+    ("top_bigram", "top_bi_share > 0.18"),
+    ("dup_trigram", "dup_tri_ratio > 0.30"),
+)
+
+
+def quality_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED quality-filter user story: every heuristic signal the
+    engine computes (token/stopword/type-token stats + Gopher repetition
+    stats) folded into one per-document keep/drop verdict with the firing
+    rules named — the audit table a corpus-cleaning run ships with.
+
+    Plan: two map-only passes (token stats are pure Catalyst, repetition
+    is Arrow mapInPandas) joined once on doc_id; the verdict is a
+    codegen'd CASE chain.  Nothing here re-scans text a third time.
+    """
+    stats = token_stats(load_table(spark, sf_dir, "documents"))
+    rep = repetition_stats_query(spark, sf_dir).select(
+        "doc_id", "top_bi_share", "dup_tri_ratio"
+    )
+    j = stats.join(rep, "doc_id")
+    flags = {
+        name: F.coalesce(F.expr(cond), F.lit(False))
+        for name, cond in QUALITY_RULES
+    }
+    reasons = F.concat_ws(
+        ",", *[F.when(flags[name], F.lit(name)) for name, _ in QUALITY_RULES]
+    )
+    dropped = F.lit(False)
+    for name, _ in QUALITY_RULES:
+        dropped = dropped | flags[name]
+    return (
+        j.select(
+            "doc_id",
+            (~dropped).alias("keep"),
+            reasons.alias("reasons"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _quality_filter_sql() -> str:
+    flag_cases = ",\n       ".join(
+        f"COALESCE({cond}, FALSE) AS f_{name}" for name, cond in QUALITY_RULES
+    )
+    reasons = ", ".join(
+        f"CASE WHEN f_{name} THEN '{name}' END" for name, _ in QUALITY_RULES
+    )
+    any_flag = " OR ".join(f"f_{name}" for name, _ in QUALITY_RULES)
+    return f"""
+WITH toks AS (SELECT doc_id, text, {_T} AS t FROM documents),
+stats AS (
+  SELECT doc_id,
+         CAST(len(t) AS INT) AS n_tokens,
+         CAST({_STOP_CNT_SQL} AS DOUBLE) / len(t) AS stop_ratio,
+         CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr
+  FROM toks
+),
+bi AS (
+  SELECT doc_id, unnest(list_transform(
+    generate_series(1, greatest(len(t) - 1, 0)), i -> t[i] || ' ' || t[i+1]))
+    AS g
+  FROM toks
+),
+bic AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g),
+bis AS (
+  SELECT doc_id, sum(c) AS n_bi, max(c) AS top_bi FROM bic GROUP BY doc_id
+),
+tri AS (
+  SELECT doc_id, unnest(list_transform(
+    generate_series(1, greatest(len(t) - 2, 0)),
+    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+  FROM toks
+),
+tric AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY doc_id, g),
+tris AS (
+  SELECT doc_id, sum(c) AS n_tri,
+         sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_tri
+  FROM tric GROUP BY doc_id
+),
+joined AS (
+  SELECT s.doc_id, n_tokens, stop_ratio, ttr,
+         CASE WHEN COALESCE(n_bi, 0) > 0
+              THEN CAST(top_bi AS DOUBLE) / n_bi END AS top_bi_share,
+         CASE WHEN COALESCE(n_tri, 0) > 0
+              THEN CAST(dup_tri AS DOUBLE) / n_tri END AS dup_tri_ratio
+  FROM stats s LEFT JOIN bis ON s.doc_id = bis.doc_id
+               LEFT JOIN tris ON s.doc_id = tris.doc_id
+),
+flagged AS (
+  SELECT doc_id,
+       {flag_cases}
+  FROM joined
+)
+SELECT doc_id, NOT ({any_flag}) AS keep,
+       concat_ws(',', {reasons}) AS reasons
+FROM flagged ORDER BY doc_id
+"""
+
+
+TEXT_QUERIES["corpus_quality_filter"] = (quality_filter_query, _quality_filter_sql())

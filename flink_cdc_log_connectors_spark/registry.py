@@ -146,6 +146,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "q24_local_supplier_volume",
     "events_anomaly_zscore",
     "emb_outlier_dist",
+    "corpus_quality_filter",
+    "events_top_paths",
     # (b) red at least once before their r2 oracle fixes
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

@@ -166,3 +166,35 @@ def test_adjacent_pattern_strictly_consecutive(spark):
     ).collect()
     got = {(r["user_id"], r["end_ts"], r["start_ts"]) for r in out}
     assert got == {(1, 30.0, 10.0), (3, 30.0, 10.0)}
+
+
+def test_top_paths_respects_key_boundaries(spark):
+    from flink_cdc_log_connectors_spark.operators.temporal import top_paths
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, "a"), (1, 2, "b"), (1, 3, "c"),   # user 1: a>b>c
+            (2, 4, "x"), (2, 5, "y"), (2, 6, "z"),   # user 2: x>y>z
+            (3, 7, "q"),                              # too short: no path
+        ],
+        "u int, t long, e string",
+    )
+    got = {
+        r["path"]: r["n"]
+        for r in top_paths(df, key="u", ts_col="t", type_col="e").collect()
+    }
+    # no path crosses users (no 'c>x>y'), short keys emit nothing
+    assert got == {"a>b>c": 1, "x>y>z": 1}
+
+
+def test_top_paths_overlapping_windows_count_each(spark):
+    from flink_cdc_log_connectors_spark.operators.temporal import top_paths
+
+    df = spark.createDataFrame(
+        [(1, i, "a") for i in range(5)], "u int, t long, e string"
+    )
+    got = {
+        r["path"]: r["n"]
+        for r in top_paths(df, key="u", ts_col="t", type_col="e").collect()
+    }
+    assert got == {"a>a>a": 3}  # sliding positions 0-2, 1-3, 2-4
