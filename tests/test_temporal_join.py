@@ -238,3 +238,78 @@ def test_temporal_join_update_before_image_not_a_version(spark, tmp_path):
         epoch_id=0,
     )
     assert view(spark, tj)[1] == (1, 20.0)
+
+
+import pytest
+
+
+@pytest.mark.parametrize("seed", [3, 11, 42])
+def test_temporal_join_randomized_matches_naive_asof(spark, tmp_path, seed):
+    """Random interleavings of dim creates/updates/deletes and facts across
+    random batch boundaries: the maintained view must equal the naive
+    as-of computation (latest dim version at-or-before each fact's ts,
+    delete = no value), for every fact the final watermark covers."""
+    import random
+
+    rng = random.Random(seed)
+    syms = ["A", "B"]
+    events = []  # (kind, payload)
+    ts = 100
+    px = {s: None for s in syms}  # current dim value or None
+    ver = []  # (sym, ts, pos, op, px) dim version log
+    pos = 0
+    for _ in range(40):
+        ts += rng.randint(1, 50)
+        if rng.random() < 0.5:
+            s = rng.choice(syms)
+            r = rng.random()
+            if px[s] is None or r < 0.5:
+                px[s] = float(rng.randint(1, 99))
+                events.append(env("prices", "c", {"sym": s, "px": px[s]},
+                                  pos=pos, ts=ts))
+                ver.append((s, ts, pos, "c", px[s]))
+            elif r < 0.8:
+                old = px[s]
+                px[s] = float(rng.randint(1, 99))
+                events.append(env("prices", "u", {"sym": s, "px": px[s]},
+                                  before={"sym": s, "px": old}, pos=pos, ts=ts))
+                ver.append((s, ts, pos, "u", px[s]))
+            else:
+                events.append(env("prices", "d",
+                                  before={"sym": s, "px": px[s]}, pos=pos, ts=ts))
+                ver.append((s, ts, pos, "d", None))
+                px[s] = None
+        else:
+            t_id = 1000 + pos
+            s = rng.choice(syms)
+            events.append(env("trades", "c",
+                              {"t_id": t_id, "sym": s, "qty": pos}, pos=pos, ts=ts))
+        pos += 1
+    # final heartbeat flushes every buffered fact
+    events.append(env("prices", "h", pos=pos, ts=ts + 1000))
+
+    tj = TemporalJoin(FACT, DIM, str(tmp_path / "tj"), how="inner")
+    i, epoch = 0, 0
+    while i < len(events):
+        n = rng.randint(1, 7)
+        tj.process_batch(raw_df(spark, events[i : i + n]), epoch_id=epoch)
+        i += n
+        epoch += 1
+
+    # naive as-of oracle
+    import json as _json
+
+    expect = {}
+    for e in events:
+        d = _json.loads(e)
+        if d["source"]["table"] != "trades" or d["op"] != "c":
+            continue
+        f = d["after"]
+        cand = [v for v in ver
+                if v[0] == f["sym"] and (v[1], v[2]) <= (d["ts_ms"], 10**9)
+                and v[1] <= d["ts_ms"]]
+        if cand:
+            best = max(cand, key=lambda v: (v[1], v[2]))
+            if best[3] != "d":
+                expect[f["t_id"]] = (f["qty"], best[4])
+    assert view(spark, tj) == expect
