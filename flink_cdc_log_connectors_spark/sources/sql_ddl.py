@@ -1,0 +1,284 @@
+"""Flink-SQL DDL front end: ``CREATE TABLE ... WITH ('connector'=...)``.
+
+SURVEY §3.1's lifecycle is the reference's primary user surface: declare a
+CDC table in SQL DDL, then ``SELECT`` from it.  This module gives a user
+switching to this engine the same two steps:
+
+    df = create_table(spark, \"\"\"
+        CREATE TABLE orders (
+          order_id BIGINT,
+          price DOUBLE,
+          db STRING METADATA FROM 'database_name' VIRTUAL,
+          PRIMARY KEY (order_id) NOT ENFORCED
+        ) WITH (
+          'connector' = 'cdclog',
+          'path' = '/data/log',
+          'scan.startup.mode' = 'initial'
+        )\"\"\")
+    spark.sql("SELECT ... FROM orders")   # view registered under the name
+
+What it does, mapped onto the engine:
+
+- column defs (Flink SQL types, §1.2 matrix) → the declared ``StructType``
+  handed to ``parse_debezium`` — same fixed, user-declared type contract
+  as the reference's DDL schema;
+- ``METADATA [FROM '<key>'] VIRTUAL`` columns → ``with_metadata_columns``
+  projections (§1.3);
+- reference ``WITH`` option keys (``scan.startup.mode``,
+  ``scan.incremental.snapshot.chunk.size``, ``heartbeat.interval``, ...)
+  → the Spark source's ``.option`` surface;
+- the connector name picks the dialect: ``cdclog`` (file),
+  ``sqlite-cdc-log``/``cdcsqlite`` (live sqlite trigger log),
+  ``mongodb-cdc-log`` (mongo change-stream files).  The reference's
+  network connectors (``mysql-cdc-log``, ``postgres-cdc-log``, ...) have
+  no client drivers in this environment and raise an actionable error
+  naming the dialect SPI to plug instead (COVERAGE S1/S4-S6 stance).
+
+The parser intentionally covers the reference's documented DDL subset —
+column defs, one PRIMARY KEY clause, METADATA columns, the WITH map — not
+full SQL; anything outside it raises with the offending fragment.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+#: Flink SQL type → Spark type (fixed declared contract, SURVEY §1.2)
+_TYPE_MAP: dict[str, T.DataType] = {
+    "TINYINT": T.ByteType(),
+    "SMALLINT": T.ShortType(),
+    "INT": T.IntegerType(),
+    "INTEGER": T.IntegerType(),
+    "BIGINT": T.LongType(),
+    "FLOAT": T.FloatType(),
+    "DOUBLE": T.DoubleType(),
+    "BOOLEAN": T.BooleanType(),
+    "STRING": T.StringType(),
+    "BYTES": T.BinaryType(),
+    "DATE": T.DateType(),
+}
+
+
+def _parse_type(tok: str) -> T.DataType:
+    t = tok.strip().upper()
+    m = re.match(r"^(VARCHAR|CHAR)\s*(\(\s*\d+\s*\))?$", t)
+    if m:
+        return T.StringType()
+    m = re.match(r"^(VARBINARY|BINARY)\s*(\(\s*\d+\s*\))?$", t)
+    if m:
+        return T.BinaryType()
+    m = re.match(r"^DECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)$", t)
+    if m:
+        return T.DecimalType(int(m.group(1)), int(m.group(2)))
+    m = re.match(r"^TIMESTAMP(_LTZ)?\s*(\(\s*\d\s*\))?$", t)
+    if m:
+        # wall-clock contract (RecordUtils zeroes snapshot ts): NTZ
+        return T.TimestampNTZType()
+    if t in _TYPE_MAP:
+        return _TYPE_MAP[t]
+    raise ValueError(f"unsupported Flink SQL type: {tok!r}")
+
+
+@dataclass
+class TableSpec:
+    name: str
+    physical: T.StructType
+    primary_key: list[str]
+    metadata_cols: list[tuple[str, str]]  # (output name, _src key)
+    options: dict[str, str] = field(default_factory=dict)
+
+
+def _split_top_level(body: str) -> list[str]:
+    """Split column-def body on top-level commas (parens nest)."""
+    parts, depth, cur = [], 0, []
+    for ch in body:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def parse_ddl(ddl: str) -> TableSpec:
+    m = re.match(
+        r"\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*\((.*)\)\s*"
+        r"WITH\s*\((.*)\)\s*;?\s*$",
+        ddl,
+        re.S | re.I,
+    )
+    if not m:
+        raise ValueError("not a CREATE TABLE ... ( ... ) WITH ( ... ) statement")
+    name, body, with_body = m.group(1), m.group(2), m.group(3)
+
+    fields: list[T.StructField] = []
+    pk: list[str] = []
+    meta: list[tuple[str, str]] = []
+    for item in _split_top_level(body):
+        pk_m = re.match(
+            r"^PRIMARY\s+KEY\s*\(([^)]*)\)(\s+NOT\s+ENFORCED)?$", item, re.I
+        )
+        if pk_m:
+            if pk:
+                raise ValueError("multiple PRIMARY KEY clauses")
+            pk = [c.strip().strip("`") for c in pk_m.group(1).split(",")]
+            continue
+        if re.match(r"^(CONSTRAINT|WATERMARK)\b", item, re.I):
+            raise ValueError(f"unsupported table clause: {item!r}")
+        col_m = re.match(
+            r"^`?([A-Za-z_]\w*)`?\s+(.+?)"
+            r"(?:\s+METADATA(?:\s+FROM\s+'([^']+)')?(?:\s+VIRTUAL)?)?$",
+            item,
+            re.I,
+        )
+        if not col_m:
+            raise ValueError(f"cannot parse column definition: {item!r}")
+        col, type_tok, meta_key = col_m.groups()
+        is_meta = re.search(r"\bMETADATA\b", item, re.I) is not None
+        if is_meta:
+            meta.append((col, meta_key or col))
+        else:
+            fields.append(T.StructField(col, _parse_type(type_tok)))
+
+    options: dict[str, str] = {}
+    for opt_m in re.finditer(r"'([^']+)'\s*=\s*'([^']*)'", with_body):
+        options[opt_m.group(1)] = opt_m.group(2)
+    if "connector" not in options:
+        raise ValueError("WITH clause must set 'connector'")
+    return TableSpec(name, T.StructType(fields), pk, meta, options)
+
+
+#: reference WITH keys → this engine's .option names (per dialect surface)
+_OPTION_MAP = {
+    "scan.incremental.snapshot.chunk.size": "chunkSize",
+    "scan.incremental.snapshot.chunk.key-column": "keyColumn",
+    "chunk-meta.group.size": "chunkMetaGroupSize",
+    "heartbeat.interval": "heartbeatInterval",
+    "connect.timeout": "connectTimeout",
+    "connect.max-retries": "connectMaxRetries",
+    "connection.pool.size": "connectionPoolSize",
+    "path": "path",
+    "snapshot-path": "snapshotPath",
+    "table-name": "table",
+    "database-name": "database",
+    "collection-name": "collection",
+    "copy.existing": "copyExisting",
+    "copy.existing.path": "existingPath",
+    "scan.max-lines-per-batch": "maxLinesPerBatch",
+    "scan.max-events-per-batch": "maxEventsPerBatch",
+}
+
+_CONNECTOR_FORMATS = {
+    "cdclog": "cdclog",
+    "filesystem-cdc-log": "cdclog",
+    "sqlite-cdc-log": "cdcsqlite",
+    "cdcsqlite": "cdcsqlite",
+    "mongodb-cdc-log": "mongocdc",
+    "mongocdc": "mongocdc",
+}
+
+#: reference connectors whose log clients are deployment plugins here
+_DRIVERLESS = {
+    "mysql-cdc-log", "postgres-cdc-log", "oracle-cdc-log",
+    "sqlserver-cdc-log", "oceanbase-cdc-log", "mongodb-cdc-log-live",
+}
+
+
+def _startup_offsets(options: dict[str, str]) -> str | None:
+    mode = options.get("scan.startup.mode")
+    if mode is None:
+        return None
+    mode = mode.strip().lower()
+    if mode in ("initial", "earliest-offset", "latest-offset"):
+        return {"initial": "initial",
+                "earliest-offset": "earliest",
+                "latest-offset": "latest"}[mode]
+    if mode == "timestamp":
+        ts = options.get("scan.startup.timestamp-millis")
+        if ts is None:
+            raise ValueError(
+                "scan.startup.mode=timestamp requires "
+                "scan.startup.timestamp-millis"
+            )
+        return f"timestamp:{ts}"
+    if mode == "specific-offset":
+        f = options.get("scan.startup.specific-offset.file")
+        p = options.get("scan.startup.specific-offset.pos")
+        if f is None or p is None:
+            raise ValueError(
+                "scan.startup.mode=specific-offset requires "
+                "scan.startup.specific-offset.file and .pos"
+            )
+        return f"file:{f}:{p}"
+    raise ValueError(f"unsupported scan.startup.mode: {mode!r}")
+
+
+def source_options(spec: TableSpec) -> tuple[str, dict[str, str]]:
+    """(format, .option map) for a parsed DDL — raises for connectors whose
+    live log clients aren't shippable in this environment."""
+    conn = spec.options["connector"].strip().lower()
+    if conn in _DRIVERLESS:
+        raise ValueError(
+            f"connector {conn!r}: no client driver in this environment — "
+            "the snapshot→log protocol is implemented behind the dialect "
+            "SPI (see sources/sqlite_dialect.py and COVERAGE S1/S4-S6); "
+            "plug a dialect with log_position/read_log_between, or use "
+            "'cdclog' over a replicated log path"
+        )
+    fmt = _CONNECTOR_FORMATS.get(conn)
+    if fmt is None:
+        raise ValueError(f"unknown connector: {conn!r}")
+    out: dict[str, str] = {}
+    so = _startup_offsets(spec.options)
+    if so is not None:
+        out["startingOffsets"] = so
+    for k, v in spec.options.items():
+        if k == "connector" or k.startswith("scan.startup."):
+            continue
+        mapped = _OPTION_MAP.get(k)
+        if mapped is None:
+            raise ValueError(f"unsupported WITH option: {k!r}")
+        out[mapped] = v
+    return fmt, out
+
+
+def create_table(
+    spark: SparkSession,
+    ddl: str,
+    streaming: bool = True,
+    register_view: bool = True,
+) -> DataFrame:
+    """Execute a Flink-style CREATE TABLE: build the configured source,
+    parse envelopes against the declared schema, project metadata
+    columns, and (by default) register the result as a temp view under
+    the table's name so ``spark.sql`` queries it directly."""
+    from ..operators.changelog import with_metadata_columns
+    from .debezium import parse_debezium
+
+    spec = parse_ddl(ddl)
+    fmt, opts = source_options(spec)
+    reader = spark.readStream if streaming else spark.read
+    raw = reader.format(fmt).options(**opts).load()
+    if fmt == "mongocdc":
+        from .mongo import parse_mongo_changestream
+
+        df = parse_mongo_changestream(raw, spec.physical)
+    else:
+        df = parse_debezium(raw, spec.physical)
+    for out_name, key in spec.metadata_cols:
+        df = with_metadata_columns(df, keys=[key])
+        if key != out_name:
+            df = df.withColumnRenamed(key, out_name)
+    if register_view:
+        df.createOrReplaceTempView(spec.name)
+    return df

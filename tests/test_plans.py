@@ -214,3 +214,76 @@ def test_hypertable_additions_no_cartesian(spark, sf_dir):
         plan = executed_plan(q(spark, sf_dir))
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoop" not in plan
+
+
+def test_q24_dims_broadcast_single_fact_shuffle(spark, sf_dir):
+    """TPC-H Q5 shape: every dim side broadcasts; lineitem crosses one
+    shuffle (the orders join) plus the aggregation exchange."""
+    from flink_cdc_log_connectors_spark.operators.relational import q24
+    from flink_cdc_log_connectors_spark.plans.inspect import (
+        executed_plan,
+        uses_broadcast_join,
+    )
+
+    df = q24(spark, sf_dir)
+    assert uses_broadcast_join(df)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_anomaly_stats_broadcast(spark, sf_dir):
+    """The per-key stats table joins back onto bucket rows as a broadcast
+    — never a shuffle of the bucket side for a tiny stats table."""
+    from flink_cdc_log_connectors_spark.operators.temporal import anomaly_query
+    from flink_cdc_log_connectors_spark.plans.inspect import uses_broadcast_join
+
+    assert uses_broadcast_join(anomaly_query(spark, sf_dir))
+
+
+def test_top_paths_single_window_shuffle(spark, sf_dir):
+    """All lag slots share one Window sort; only the tiny path aggregation
+    and the top-k remain."""
+    from flink_cdc_log_connectors_spark.operators.temporal import top_paths_query
+    from flink_cdc_log_connectors_spark.plans.inspect import (
+        count_exchanges,
+        uses_top_k,
+    )
+
+    df = top_paths_query(spark, sf_dir)
+    assert count_exchanges(df) <= 3
+    assert uses_top_k(df)
+
+
+def test_quality_filter_two_passes_one_join(spark, sf_dir):
+    """Token stats (Catalyst) + repetition (mapInPandas) join once on
+    doc_id; no third scan of the text column."""
+    from flink_cdc_log_connectors_spark.operators.text import (
+        quality_filter_query,
+    )
+    from flink_cdc_log_connectors_spark.plans.inspect import executed_plan
+
+    plan = executed_plan(quality_filter_query(spark, sf_dir))
+    assert plan.count("Scan parquet") <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_importance_sample_no_shuffle(spark, sf_dir):
+    """Deterministic Bernoulli keep is map-only: zero exchanges before
+    the ordered output."""
+    from flink_cdc_log_connectors_spark.operators.text import (
+        importance_sample_query,
+    )
+    from flink_cdc_log_connectors_spark.plans.inspect import count_exchanges
+
+    assert count_exchanges(importance_sample_query(spark, sf_dir)) <= 1
+
+
+def test_emb_outlier_centroids_broadcast(spark, sf_dir):
+    """The O(cells × dim) centroid table broadcasts back onto component
+    rows — the vector side never shuffles for the join."""
+    from flink_cdc_log_connectors_spark.operators.similarity import (
+        emb_outlier_query,
+    )
+    from flink_cdc_log_connectors_spark.plans.inspect import uses_broadcast_join
+
+    assert uses_broadcast_join(emb_outlier_query(spark, sf_dir))

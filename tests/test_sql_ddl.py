@@ -1,0 +1,146 @@
+"""Flink-SQL DDL front end (sources/sql_ddl.py): schema/PK/metadata/WITH
+parsing, option mapping, and the full §3.1 lifecycle — DDL → view →
+spark.sql query."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import types as T
+
+from flink_cdc_log_connectors_spark.sources.sql_ddl import (
+    create_table,
+    parse_ddl,
+    source_options,
+)
+
+DDL = """
+CREATE TABLE orders (
+  order_id BIGINT,
+  price DECIMAL(10,2),
+  note VARCHAR(255),
+  created TIMESTAMP(3),
+  db STRING METADATA FROM 'database_name' VIRTUAL,
+  PRIMARY KEY (order_id) NOT ENFORCED
+) WITH (
+  'connector' = 'cdclog',
+  'path' = '/data/log',
+  'scan.startup.mode' = 'initial',
+  'scan.incremental.snapshot.chunk.size' = '4096'
+)
+"""
+
+
+def test_parse_ddl_schema_pk_metadata():
+    spec = parse_ddl(DDL)
+    assert spec.name == "orders"
+    assert spec.primary_key == ["order_id"]
+    assert spec.metadata_cols == [("db", "database_name")]
+    by = {f.name: f.dataType for f in spec.physical.fields}
+    assert by["order_id"] == T.LongType()
+    assert by["price"] == T.DecimalType(10, 2)
+    assert by["note"] == T.StringType()
+    assert by["created"] == T.TimestampNTZType()
+    assert "db" not in by  # metadata columns are not physical
+
+
+def test_option_mapping_and_startup_modes():
+    spec = parse_ddl(DDL)
+    fmt, opts = source_options(spec)
+    assert fmt == "cdclog"
+    assert opts["path"] == "/data/log"
+    assert opts["startingOffsets"] == "initial"
+    assert opts["chunkSize"] == "4096"
+
+    ts_ddl = DDL.replace("'initial'", "'timestamp'").replace(
+        "'connector' = 'cdclog',",
+        "'connector' = 'cdclog', 'scan.startup.timestamp-millis' = '123',",
+    )
+    _, opts = source_options(parse_ddl(ts_ddl))
+    assert opts["startingOffsets"] == "timestamp:123"
+
+    so_ddl = DDL.replace("'initial'", "'specific-offset'").replace(
+        "'connector' = 'cdclog',",
+        "'connector' = 'cdclog', "
+        "'scan.startup.specific-offset.file' = 'log-1', "
+        "'scan.startup.specific-offset.pos' = '7',",
+    )
+    _, opts = source_options(parse_ddl(so_ddl))
+    assert opts["startingOffsets"] == "file:log-1:7"
+
+
+def test_driverless_connectors_raise_actionable():
+    ddl = DDL.replace("'cdclog'", "'mysql-cdc-log'")
+    with pytest.raises(ValueError, match="dialect SPI"):
+        source_options(parse_ddl(ddl))
+
+
+def test_unknown_option_rejected():
+    ddl = DDL.replace(
+        "'path' = '/data/log',", "'path' = '/x', 'server-id' = '5400',"
+    )
+    with pytest.raises(ValueError, match="unsupported WITH option"):
+        source_options(parse_ddl(ddl))
+
+
+def test_full_lifecycle_ddl_to_sql_query(spark, tmp_path):
+    """§3.1 end-to-end: CREATE TABLE over a change log, then SELECT
+    through spark.sql against the registered view (batch mode)."""
+    from flink_cdc_log_connectors_spark.sources.datasource import register
+
+    log_dir = tmp_path / "log"
+    log_dir.mkdir()
+
+    def env(op, after, pos):
+        return json.dumps(
+            {
+                "before": None, "after": after, "op": op, "ts_ms": 1000 + pos,
+                "source": {"db": "shop", "table": "orders",
+                           "ts_ms": 1000 + pos, "file": "f.0", "pos": pos},
+            }
+        )
+
+    with open(log_dir / "log-000001.jsonl", "w") as fh:
+        fh.write(env("c", {"order_id": 1, "price": "10.50", "note": "a",
+                           "created": "2024-01-01 00:00:00"}, 0) + "\n")
+        fh.write(env("c", {"order_id": 2, "price": "20.00", "note": "b",
+                           "created": "2024-01-02 00:00:00"}, 1) + "\n")
+
+    register(spark)
+    ddl = DDL.replace("'/data/log'", f"'{log_dir}'")
+    create_table(spark, ddl, streaming=False)
+    rows = spark.sql(
+        "SELECT order_id, price, db, op FROM orders ORDER BY order_id"
+    ).collect()
+    assert [(r["order_id"], str(r["price"]), r["db"], r["op"]) for r in rows] == [
+        (1, "10.50", "shop", "c"),
+        (2, "20.00", "shop", "c"),
+    ]
+
+
+def test_streaming_ddl_lifecycle(spark, tmp_path):
+    from flink_cdc_log_connectors_spark.sources.datasource import register
+
+    log_dir = tmp_path / "slog"
+    log_dir.mkdir()
+    with open(log_dir / "log-000001.jsonl", "w") as fh:
+        fh.write(json.dumps({
+            "before": None, "after": {"order_id": 5, "price": "1.00",
+                                      "note": "x", "created": None},
+            "op": "c", "ts_ms": 1,
+            "source": {"db": "d", "table": "t", "ts_ms": 1,
+                       "file": "f.0", "pos": 0},
+        }) + "\n")
+    register(spark)
+    ddl = DDL.replace("'/data/log'", f"'{log_dir}'")
+    df = create_table(spark, ddl, streaming=True, register_view=False)
+    assert df.isStreaming
+    q = (
+        df.writeStream.format("memory").queryName("ddl_stream")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT order_id FROM ddl_stream").collect()
+    assert [r["order_id"] for r in got] == [5]
