@@ -90,6 +90,9 @@ class TableSpec:
     primary_key: list[str]
     metadata_cols: list[tuple[str, str]]  # (output name, _src key)
     options: dict[str, str] = field(default_factory=dict)
+    computed_cols: list[tuple[str, str]] = field(default_factory=list)
+    #: (event-time column, delay) from WATERMARK FOR c AS c - INTERVAL ...
+    watermark: tuple[str, str] | None = None
 
 
 def _split_top_level(body: str) -> list[str]:
@@ -124,6 +127,8 @@ def parse_ddl(ddl: str) -> TableSpec:
     fields: list[T.StructField] = []
     pk: list[str] = []
     meta: list[tuple[str, str]] = []
+    computed: list[tuple[str, str]] = []
+    watermark: tuple[str, str] | None = None
     for item in _split_top_level(body):
         pk_m = re.match(
             r"^PRIMARY\s+KEY\s*\(([^)]*)\)(\s+NOT\s+ENFORCED)?$", item, re.I
@@ -133,8 +138,26 @@ def parse_ddl(ddl: str) -> TableSpec:
                 raise ValueError("multiple PRIMARY KEY clauses")
             pk = [c.strip().strip("`") for c in pk_m.group(1).split(",")]
             continue
+        wm_m = re.match(
+            r"^WATERMARK\s+FOR\s+`?(\w+)`?\s+AS\s+`?(\w+)`?\s*-\s*"
+            r"INTERVAL\s+'(\d+)'\s+(SECOND|MINUTE|HOUR|DAY)S?$",
+            item,
+            re.I,
+        )
+        if wm_m:
+            col, expr_col, n, unit = wm_m.groups()
+            if col != expr_col:
+                raise ValueError(
+                    "WATERMARK expression must be over the same column"
+                )
+            watermark = (col, f"{n} {unit.lower()}s")
+            continue
         if re.match(r"^(CONSTRAINT|WATERMARK)\b", item, re.I):
             raise ValueError(f"unsupported table clause: {item!r}")
+        comp_m = re.match(r"^`?(\w+)`?\s+AS\s+(.+)$", item, re.I)
+        if comp_m and not re.search(r"\bMETADATA\b", item, re.I):
+            computed.append((comp_m.group(1), comp_m.group(2).strip()))
+            continue
         col_m = re.match(
             r"^`?([A-Za-z_]\w*)`?\s+(.+?)"
             r"(?:\s+METADATA(?:\s+FROM\s+'([^']+)')?(?:\s+VIRTUAL)?)?$",
@@ -155,7 +178,10 @@ def parse_ddl(ddl: str) -> TableSpec:
         options[opt_m.group(1)] = opt_m.group(2)
     if "connector" not in options:
         raise ValueError("WITH clause must set 'connector'")
-    return TableSpec(name, T.StructType(fields), pk, meta, options)
+    return TableSpec(
+        name, T.StructType(fields), pk, meta, options,
+        computed_cols=computed, watermark=watermark,
+    )
 
 
 #: reference WITH keys → this engine's .option names (per dialect surface)
@@ -267,6 +293,12 @@ def create_table(
 
     spec = parse_ddl(ddl)
     fmt, opts = source_options(spec)
+    if fmt == "mongocdc" and not streaming:
+        raise ValueError(
+            "mongodb-cdc-log is a change-STREAM connector (batch read has "
+            "no resume-token semantics); use streaming=True, or read the "
+            "copy.existing snapshot path directly"
+        )
     reader = spark.readStream if streaming else spark.read
     raw = reader.format(fmt).options(**opts).load()
     if fmt == "mongocdc":
@@ -279,6 +311,24 @@ def create_table(
         df = with_metadata_columns(df, keys=[key])
         if key != out_name:
             df = df.withColumnRenamed(key, out_name)
+    for out_name, expr in spec.computed_cols:
+        # Flink computed columns (`total AS price * quantity`): SQL
+        # expressions evaluate over the physical + metadata columns
+        from pyspark.sql import functions as F
+
+        df = df.withColumn(out_name, F.expr(expr))
+    if spec.watermark is not None and streaming:
+        # Spark event time must be TIMESTAMP (LTZ); the declared column is
+        # wall-clock NTZ (§1.2 contract).  Derive Flink's rowtime
+        # attribute as `_rowtime`: a cast through the session zone shifts
+        # every event equally, so lateness/window semantics are unchanged,
+        # and windowed aggs downstream use `_rowtime` exactly like
+        # Flink SQL uses the WATERMARK column.
+        from pyspark.sql import functions as F
+
+        col, delay = spec.watermark
+        df = df.withColumn("_rowtime", F.col(col).cast("timestamp"))
+        df = df.withWatermark("_rowtime", delay)
     if register_view:
         df.createOrReplaceTempView(spec.name)
     return df

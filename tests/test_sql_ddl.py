@@ -144,3 +144,94 @@ def test_streaming_ddl_lifecycle(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT order_id FROM ddl_stream").collect()
     assert [r["order_id"] for r in got] == [5]
+
+
+def test_watermark_and_computed_columns(spark, tmp_path):
+    from flink_cdc_log_connectors_spark.sources.datasource import register
+    from flink_cdc_log_connectors_spark.sources.sql_ddl import parse_ddl
+
+    ddl = """
+CREATE TABLE trades (
+  t_id BIGINT,
+  qty BIGINT,
+  px DOUBLE,
+  notional AS qty * px,
+  created TIMESTAMP(3),
+  WATERMARK FOR created AS created - INTERVAL '5' SECOND,
+  PRIMARY KEY (t_id) NOT ENFORCED
+) WITH ('connector' = 'cdclog', 'path' = '{path}')
+"""
+    spec = parse_ddl(ddl.format(path="/x"))
+    assert spec.computed_cols == [("notional", "qty * px")]
+    assert spec.watermark == ("created", "5 seconds")
+    assert [f.name for f in spec.physical.fields] == [
+        "t_id", "qty", "px", "created"
+    ]
+
+    log_dir = tmp_path / "wlog"
+    log_dir.mkdir()
+    with open(log_dir / "log-000001.jsonl", "w") as fh:
+        fh.write(json.dumps({
+            "before": None,
+            "after": {"t_id": 1, "qty": 3, "px": 2.5,
+                      "created": "2024-01-01 00:00:00"},
+            "op": "c", "ts_ms": 1,
+            "source": {"db": "d", "table": "t", "ts_ms": 1,
+                       "file": "f.0", "pos": 0},
+        }) + "\n")
+    register(spark)
+    # batch: computed column evaluates, watermark clause ignored (no-op)
+    df = create_table(spark, ddl.format(path=log_dir), streaming=False)
+    row = spark.sql("SELECT notional FROM trades").collect()[0]
+    assert row["notional"] == 7.5
+    # streaming: the watermark lands in the analyzed plan
+    sdf = create_table(
+        spark, ddl.format(path=log_dir), streaming=True, register_view=False
+    )
+    assert "_rowtime" in sdf.columns
+    plan = sdf._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" in plan
+
+
+def test_mongo_connector_ddl(spark, tmp_path):
+    """The mongodb-cdc-log connector maps to the mongocdc source and the
+    BSON changestream parser."""
+    from flink_cdc_log_connectors_spark.sources.mongo import MongoCdcDataSource
+
+    db_dir = tmp_path / "mdb"
+    db_dir.mkdir(parents=True)
+    with open(db_dir / "stream-000001.jsonl", "w") as fh:
+        fh.write(json.dumps({
+            "_id": {"_data": "r1"},
+            "operationType": "insert",
+            "clusterTime": 1,
+            "ns": {"db": "shop", "coll": "items"},
+            "documentKey": {"_id": 1},
+            "fullDocument": {"_id": 1, "name": "widget"},
+        }) + "\n")
+    spark.dataSource.register(MongoCdcDataSource)
+    ddl = f"""
+CREATE TABLE items (
+  _id BIGINT,
+  name STRING,
+  PRIMARY KEY (_id) NOT ENFORCED
+) WITH (
+  'connector' = 'mongodb-cdc-log',
+  'path' = '{tmp_path / "mdb"}',
+  'database-name' = 'shop',
+  'collection-name' = 'items'
+)
+"""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="change-STREAM"):
+        create_table(spark, ddl, streaming=False)
+    df = create_table(spark, ddl, streaming=True, register_view=False)
+    q = (
+        df.writeStream.format("memory").queryName("mongo_ddl")
+        .option("checkpointLocation", str(tmp_path / "mck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT _id, name, op FROM mongo_ddl").collect()
+    assert [(r["_id"], r["name"], r["op"]) for r in rows] == [(1, "widget", "c")]
