@@ -573,6 +573,58 @@ FROM filled ORDER BY bucket, event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Per-bucket value histograms (distribution-shape rollup)
+# --------------------------------------------------------------------------
+
+HIST_BIN_W = 50.0
+HIST_BINS = 10
+
+
+def bucket_histogram(
+    events: DataFrame,
+    width_seconds: int = COARSE_S,
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Fixed-bin value histogram per (time bucket, key) — the
+    distribution-shape companion of the sum/min/max rollup (latency
+    heatmaps, SLO burn charts).  Bin = ``min(floor(v / w), bins-1)`` in
+    plain IEEE arithmetic — deterministic across engines, no
+    width_bucket edge-semantics dependence.  Same single (bucket, key)
+    aggregation shuffle as every rollup; output cardinality is
+    buckets × keys × bins."""
+    b = time_bucket(width_seconds, "ts")
+    bin_c = F.least(
+        F.floor(F.col(value_col) / F.lit(HIST_BIN_W)).cast("int"),
+        F.lit(HIST_BINS - 1),
+    )
+    return (
+        events.withColumn("bucket", b)
+        .withColumn("bin", bin_c)
+        .groupBy("bucket", key_col, "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def histogram_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        bucket_histogram(events)
+        .orderBy("bucket", "event_type", "bin")
+        .limit(4000)
+    )
+
+
+HISTOGRAM_SQL = f"""
+SELECT {_bucket_sql(COARSE_S, "ts")} AS bucket, event_type,
+       CAST(least(floor(value / {HIST_BIN_W}), {HIST_BINS - 1}) AS INT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2, 3
+ORDER BY bucket, event_type, bin LIMIT 4000
+"""
+
+
 HYPERTABLE_QUERIES = {
     "hypertable_rollup": (hypertable_rollup_query, HYPERTABLE_ROLLUP_SQL),
     "hypertable_gapfill": (gapfill_query, GAPFILL_SQL),
@@ -580,4 +632,5 @@ HYPERTABLE_QUERIES = {
     "hypertable_delta": (delta_query, DELTA_SQL),
     "hypertable_downsample": (downsample_query, _downsample_sql()),
     "hypertable_fill_values": (fill_values_query, FILL_VALUES_SQL),
+    "hypertable_histogram": (histogram_query, HISTOGRAM_SQL),
 }

@@ -148,6 +148,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "emb_outlier_dist",
     "corpus_quality_filter",
     "events_top_paths",
+    "dedup_containment",
+    "text_ngram_novelty",
+    "hypertable_histogram",
     # (b) red at least once before their r2 oracle fixes
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

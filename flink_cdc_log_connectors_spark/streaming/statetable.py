@@ -54,12 +54,28 @@ _DATA = "_data"
 
 
 class PartitionedStateTable:
-    """Upsert target for changelog materialization (see module docstring)."""
+    """Upsert target for changelog materialization (see module docstring).
 
-    def __init__(self, path: str, keys: Sequence[str], n_buckets: int = 64):
+    ``retain_versions > 0`` enables TIME-TRAVEL reads: each commit also
+    appends its full manifest to ``_history.json`` (write-tmp +
+    ``os.replace``, same crash discipline), :meth:`read_at` reconstructs
+    the view AS OF any retained epoch, and garbage collection only
+    removes bucket versions no retained manifest references.  With the
+    default ``0`` nothing extra is written and GC is immediate — the
+    original behavior, byte for byte.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        keys: Sequence[str],
+        n_buckets: int = 64,
+        retain_versions: int = 0,
+    ):
         self.path = path
         self.keys = list(keys)
         self.n_buckets = n_buckets
+        self.retain_versions = retain_versions
 
     # -- layout -----------------------------------------------------------
     def _bucket(self) -> F.Column:
@@ -83,6 +99,47 @@ class PartitionedStateTable:
                 return json.load(f)
         except FileNotFoundError:
             return {}
+
+    # -- time travel (retain_versions > 0) --------------------------------
+    def _history_path(self) -> str:
+        return os.path.join(self.path, "_history.json")
+
+    def load_history(self) -> list[dict]:
+        """Retained commits, oldest→newest: [{"epoch": e, "manifest": {...}}]."""
+        try:
+            with open(self._history_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return []
+
+    def _store_history(self, entries: list[dict]) -> None:
+        tmp = self._history_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(entries, f)
+        os.replace(tmp, self._history_path())
+
+    def read_at(self, spark: SparkSession, epoch_id: int) -> DataFrame | None:
+        """State AS OF ``epoch_id``: the view the latest retained commit
+        with ``epoch <= epoch_id`` produced.  Raises if that epoch has
+        fallen out of the retention window (never silently serves a
+        newer view)."""
+        history = self.load_history()
+        eligible = [h for h in history if h["epoch"] <= epoch_id]
+        if not eligible:
+            if history:
+                raise ValueError(
+                    f"epoch {epoch_id} predates the retention window "
+                    f"(oldest retained: {history[0]['epoch']})"
+                )
+            raise ValueError(
+                "no retained history — construct the table with "
+                "retain_versions > 0"
+            )
+        manifest = eligible[-1]["manifest"]
+        if not manifest:
+            return None
+        paths = [self._bucket_dir(v, int(b)) for b, v in manifest.items()]
+        return spark.read.option("mergeSchema", "true").parquet(*paths)
 
     # -- read -------------------------------------------------------------
     # mergeSchema: after an L6 schema widening, buckets written before
@@ -174,10 +231,54 @@ class PartitionedStateTable:
             with open(tmp, "w") as f:
                 json.dump(new_manifest, f)
             os.replace(tmp, self._manifest_path())  # the atomic commit point
-            # GC superseded bucket versions — best-effort, post-commit
-            for b in touched:
-                old = manifest.get(str(b))
-                if old is not None and old != epoch_id:
+            # retention history: replace-or-append this epoch's manifest
+            # (replace = a replayed epoch stays idempotent), trimmed to
+            # the retention window
+            retained_refs: set[tuple[int, str]] = set()
+            if self.retain_versions > 0:
+                history = [
+                    h for h in self.load_history() if h["epoch"] != epoch_id
+                ]
+                history.append({"epoch": epoch_id, "manifest": new_manifest})
+                history = history[-(self.retain_versions + 1):]
+                self._store_history(history)
+                retained_refs = {
+                    (v, b)
+                    for h in history
+                    for b, v in h["manifest"].items()
+                }
+            # GC superseded bucket versions — best-effort, post-commit;
+            # with retention on, a directory sweep removes every bucket
+            # version no retained manifest references (O(version dirs)
+            # listdir per commit — trivial beside the bucket writes)
+            if self.retain_versions > 0:
+                # full sweep: with a history window, versions superseded
+                # MORE than one commit ago can expire too — delete every
+                # bucket dir no retained manifest references (single
+                # writer: foreachBatch commits sequentially)
+                data_root = os.path.join(self.path, _DATA)
+                for vdir in os.listdir(data_root):
+                    if not vdir.startswith("v="):
+                        continue
+                    v = int(vdir.split("=", 1)[1])
+                    vpath = os.path.join(data_root, vdir)
+                    for bdir in os.listdir(vpath):
+                        if not bdir.startswith("__bucket="):
+                            continue
+                        b = bdir.split("=", 1)[1]
+                        if (v, b) not in retained_refs:
+                            shutil.rmtree(
+                                os.path.join(vpath, bdir), ignore_errors=True
+                            )
+                    try:
+                        os.rmdir(vpath)
+                    except OSError:
+                        pass
+            else:
+                for b in touched:
+                    old = manifest.get(str(b))
+                    if old is None or old == epoch_id:
+                        continue
                     shutil.rmtree(self._bucket_dir(old, b), ignore_errors=True)
                     try:
                         os.rmdir(os.path.join(self.path, _DATA, f"v={old}"))

@@ -421,3 +421,85 @@ def test_streaming_minhash_dedup_across_batches(spark, tmp_path):
     got2 = {(r["d1"], r["d2"]) for r in read_dedup_pairs(spark, idx).collect()}
     assert (9, 1) in got2 and (9, 3) in got2
     assert (9, 2) not in got2 and (1, 2) not in got1
+
+
+def test_state_table_time_travel_reads(spark, tmp_path):
+    """retain_versions > 0: read_at reconstructs the view AS OF any
+    retained commit; expired epochs raise instead of silently serving a
+    newer view; GC never deletes a bucket version a retained manifest
+    still references."""
+    import pytest
+
+    from flink_cdc_log_connectors_spark.streaming.statetable import (
+        PartitionedStateTable,
+    )
+
+    t = PartitionedStateTable(
+        str(tmp_path / "tt"), ["id"], n_buckets=4, retain_versions=2
+    )
+
+    def put(rows, epoch):
+        t.upsert(
+            spark.createDataFrame(rows, "id int, v double, op string"),
+            order_by=["v"],
+            epoch_id=epoch,
+        )
+
+    put([(1, 1.0, "c"), (2, 2.0, "c")], 0)
+    put([(1, 10.0, "u")], 1)
+    put([(2, None, "d"), (3, 3.0, "c")], 2)
+
+    def snap(df):
+        return {} if df is None else {r["id"]: r["v"] for r in df.collect()}
+
+    assert snap(t.read_at(spark, 0)) == {1: 1.0, 2: 2.0}
+    assert snap(t.read_at(spark, 1)) == {1: 10.0, 2: 2.0}
+    assert snap(t.read_at(spark, 2)) == snap(t.read(spark)) == {1: 10.0, 3: 3.0}
+    # an epoch between commits resolves to the latest at-or-before commit
+    put([(4, 4.0, "c")], 5)
+    assert snap(t.read_at(spark, 4)) == {1: 10.0, 3: 3.0}
+    # retention window is 2 past commits: epoch 0 has expired
+    with pytest.raises(ValueError, match="retention window"):
+        t.read_at(spark, 0)
+
+
+def test_state_table_time_travel_replay_idempotent(spark, tmp_path):
+    from flink_cdc_log_connectors_spark.streaming.statetable import (
+        PartitionedStateTable,
+    )
+
+    t = PartitionedStateTable(
+        str(tmp_path / "ttr"), ["id"], n_buckets=4, retain_versions=3
+    )
+
+    def put(rows, epoch):
+        t.upsert(
+            spark.createDataFrame(rows, "id int, v double, op string"),
+            order_by=["v"],
+            epoch_id=epoch,
+        )
+
+    put([(1, 1.0, "c")], 0)
+    put([(1, 2.0, "u")], 1)
+    put([(1, 2.0, "u")], 1)  # crash-retry replay of the same epoch
+    hist = t.load_history()
+    assert [h["epoch"] for h in hist] == [0, 1]  # no duplicate entry
+    assert {r["id"]: r["v"] for r in t.read_at(spark, 0).collect()} == {1: 1.0}
+    assert {r["id"]: r["v"] for r in t.read(spark).collect()} == {1: 2.0}
+
+
+def test_state_table_no_retention_unchanged(spark, tmp_path):
+    """Default retain_versions=0 writes no history file at all."""
+    import os
+
+    from flink_cdc_log_connectors_spark.streaming.statetable import (
+        PartitionedStateTable,
+    )
+
+    t = PartitionedStateTable(str(tmp_path / "nr"), ["id"], n_buckets=4)
+    t.upsert(
+        spark.createDataFrame([(1, 1.0, "c")], "id int, v double, op string"),
+        order_by=["v"],
+        epoch_id=0,
+    )
+    assert not os.path.exists(str(tmp_path / "nr" / "_history.json"))
