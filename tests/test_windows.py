@@ -201,3 +201,35 @@ def test_window_tvf_plans_bounded(spark, sf_dir):
         assert "CartesianProduct" not in plan
         assert "Join" not in plan
         assert count_exchanges(df) <= 3
+
+
+def test_hop_cumulate_match_naive_assignment(spark):
+    """Property: for random event times, HOP/CUMULATE assignment equals
+    the brute-force window enumeration (every aligned window containing
+    the event / every prefix end after it)."""
+    import random
+
+    rng = random.Random(7)
+    secs = [rng.randint(-5000, 50000) for _ in range(60)]
+    df = _ts_df(spark, [(s, 1.0) for s in secs])
+
+    hop = hop_window(df, "ts", 900, 3600)
+    got_hop = {}
+    for r in hop.select("s", "window_start").collect():
+        ws = int(r["window_start"].timestamp())
+        got_hop.setdefault(r["s"], set()).add(ws)
+    for s in secs:
+        aligned = s - (s % 900)
+        want = {ws for ws in range(aligned - 2700, aligned + 1, 900)}
+        assert got_hop[s] == want, s
+
+    cum = cumulate_window(df, "ts", 900, 3600)
+    got_cum = {}
+    for r in cum.select("s", "window_end").collect():
+        we = int(r["window_end"].timestamp())
+        got_cum.setdefault(r["s"], set()).add(we)
+    for s in secs:
+        wstart = s - (s % 3600)
+        first_end = s - (s % 900) + 900
+        want = set(range(first_end, wstart + 3600 + 1, 900))
+        assert got_cum[s] == want, s
