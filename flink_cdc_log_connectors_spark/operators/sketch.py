@@ -40,12 +40,14 @@ def heavy_hitters(
     df: DataFrame, key_col: str, min_share: float
 ) -> DataFrame:
     """Exact keys appearing in at least ``min_share`` of all rows.  One
-    aggregation (partial combine first), threshold derived from the same
-    aggregate via a single-row window — no second scan of the input."""
+    aggregation (partial combine first); the grand total is a 1-row
+    re-aggregation of the counts broadcast back onto them — an
+    unpartitioned window here would funnel every distinct key through ONE
+    reducer, the classic global-window scale trap."""
     counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
-    total = F.sum("cnt").over(Window.partitionBy())
+    total = counts.agg(F.sum("cnt").alias("__total"))
     return (
-        counts.withColumn("__total", total)
+        counts.crossJoin(F.broadcast(total))
         .filter(F.col("cnt") >= F.col("__total") * F.lit(min_share))
         .select(
             key_col,

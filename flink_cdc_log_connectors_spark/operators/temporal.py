@@ -726,6 +726,10 @@ def bucket_anomalies(
     )
     return (
         b.join(F.broadcast(stats.select(key_col, "m", "msq")), key_col)
+        # zero-variance keys (a single bucket, or constant sums) have no
+        # meaningful z — and engines disagree on NaN ordering, so the
+        # degenerate case must never reach the comparison
+        .filter(F.col("msq") - F.col("m") * F.col("m") > 0)
         .withColumn("z", z)
         .filter(F.abs(F.col("z")) > F.lit(z_threshold))
         .select(
@@ -761,7 +765,8 @@ stats AS (
 SELECT bucket, b.event_type, v_sum,
        ROUND((v_sum - m) / sqrt(msq - m * m), 6) AS z_r
 FROM b JOIN stats USING (event_type)
-WHERE ABS((v_sum - m) / sqrt(msq - m * m)) > 2.0
+WHERE msq - m * m > 0
+  AND ABS((v_sum - m) / sqrt(msq - m * m)) > 2.0
 ORDER BY bucket, event_type LIMIT 2000
 """
 
