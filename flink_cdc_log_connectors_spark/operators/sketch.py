@@ -156,6 +156,91 @@ ORDER BY user_id LIMIT 2000
 """
 
 
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — deterministic, oracle-checkable
+# --------------------------------------------------------------------------
+
+KMV_K = 64
+
+
+def kmv_distinct(
+    df: DataFrame, group_col: str, value_col: str, k: int = KMV_K
+) -> DataFrame:
+    """Approximate COUNT(DISTINCT value) per group via the k minimum md5
+    hash values — the mergeable distinct sketch whose estimate
+    ``(k-1) / kth_min_normalized`` is DETERMINISTIC (md5 order has no
+    RNG, no engine-specific HLL register layout), so unlike HLL the
+    whole sketch carries a full cross-engine value oracle.  Groups with
+    fewer than k distinct values report exactly.
+
+    Plan: distinct (group, value) → one ranking window per group keyed
+    by the hash (k rows survive per group) → one tiny aggregation.  The
+    sketches merge by keeping the k smallest of a union — the same
+    property HLL offers, with the estimate checkable to the last bit.
+    """
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+        )
+        .cast("long")
+    )
+    distinct = df.select(group_col, value_col).distinct().withColumn("__h", h)
+    w = Window.partitionBy(group_col).orderBy("__h")
+    kept = distinct.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    agg = kept.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.max("__h").alias("__kth"),
+    )
+    est = F.when(F.col("n_kept") < k, F.col("n_kept").cast("double")).otherwise(
+        F.lit(float(k - 1))
+        / (F.col("__kth").cast("double") / F.lit(float(1 << 60)))
+    )
+    return agg.select(
+        group_col, "n_kept", F.round(est, 4).alias("est_distinct")
+    )
+
+
+def kmv_distinct_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event type, value-checked (the
+    deterministic counterpart of q04b's rows-only HLL)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        kmv_distinct(events, "event_type", "user_id")
+        .orderBy("event_type")
+    )
+
+
+KMV_SQL = f"""
+WITH d AS (
+  SELECT DISTINCT event_type, user_id FROM events
+),
+h AS (
+  SELECT event_type,
+         ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+           AS hv
+  FROM d
+),
+kept AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+  FROM h
+),
+agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept, max(hv) AS kth
+  FROM kept WHERE rn <= {KMV_K} GROUP BY event_type
+)
+SELECT event_type, n_kept,
+       ROUND(CASE WHEN n_kept < {KMV_K} THEN CAST(n_kept AS DOUBLE)
+                  ELSE CAST({KMV_K - 1} AS DOUBLE)
+                       / (CAST(kth AS DOUBLE) / 1152921504606846976.0)
+             END, 4) AS est_distinct
+FROM agg ORDER BY event_type
+"""
+
+
 SKETCH_QUERIES = {
     "agg_heavy_hitters": (heavy_hitters_query, HEAVY_HITTERS_SQL),
+    "agg_kmv_distinct": (kmv_distinct_query, KMV_SQL),
 }

@@ -771,6 +771,212 @@ ORDER BY bucket, event_type LIMIT 2000
 """
 
 
+# --------------------------------------------------------------------------
+# Markov transition matrix + DAU/WAU engagement
+# --------------------------------------------------------------------------
+
+
+def markov_transitions(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    type_col: str,
+    order_tie: Sequence[str] = (),
+) -> DataFrame:
+    """First-order behavior model: P(next event type | current) from
+    consecutive per-key event pairs.  One lag window (single shuffle on
+    the key), a |types|² aggregation, and a broadcast of the per-state
+    totals — probabilities are one IEEE division, rounded for the
+    oracle."""
+    w = Window.partitionBy(key).orderBy(ts_col, *order_tie)
+    pairs = (
+        df.withColumn("__next", F.lead(F.col(type_col)).over(w))
+        .filter(F.col("__next").isNotNull())
+        .groupBy(F.col(type_col).alias("cur"), F.col("__next").alias("nxt"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    totals = pairs.groupBy("cur").agg(F.sum("n").alias("__tot"))
+    return (
+        pairs.join(F.broadcast(totals), "cur")
+        .select(
+            "cur", "nxt", "n",
+            F.round(F.col("n").cast("double") / F.col("__tot"), 6).alias(
+                "p_r"
+            ),
+        )
+    )
+
+
+def markov_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        markov_transitions(
+            events, key="user_id", ts_col="ts", type_col="event_type",
+            order_tie=["event_id"],
+        )
+        .orderBy("cur", "nxt")
+    )
+
+
+MARKOV_SQL = """
+WITH pairs AS (
+  SELECT event_type AS cur,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+cnt AS (
+  SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+  FROM pairs WHERE nxt IS NOT NULL GROUP BY cur, nxt
+),
+tot AS (SELECT cur, sum(n) AS t FROM cnt GROUP BY cur)
+SELECT cnt.cur AS cur, nxt, n, ROUND(CAST(n AS DOUBLE) / t, 6) AS p_r
+FROM cnt JOIN tot ON cnt.cur = tot.cur
+ORDER BY cnt.cur, nxt
+"""
+
+
+def key_distribution_gini(df: DataFrame, key: str) -> DataFrame:
+    """Gini coefficient of the per-key row distribution — the scalar that
+    quantifies how skewed a join/aggregation key is BEFORE choosing a
+    mitigation (salting, AQE skew thresholds, broadcast cutoffs).
+
+    Exact rank formulation ``G = (2·Σ(rank·cnt))/(n·Σcnt) − (n+1)/n``
+    computed WITHOUT ranking individual keys: keys with equal counts
+    occupy a contiguous rank run whose Σrank·cnt has the closed form
+    ``cnt·(m·r0 + m(m−1)/2)``, so the ranking window runs over the
+    HISTOGRAM of count values (a handful of rows at any corpus size) —
+    never a global sort of the key table.  All arithmetic is integer
+    until the final fixed-order double expression: bit-exact oracle.
+    """
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+    hist = counts.groupBy("cnt").agg(F.count(F.lit(1)).alias("m"))
+    w = Window.orderBy("cnt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    with_r0 = hist.withColumn(
+        "__r0", F.sum("m").over(w) - F.col("m") + F.lit(1)
+    )
+    # integer throughout (div, not /): the Σrank·cnt sum stays exact in
+    # DECIMAL and both engines round it to double identically at the end
+    contrib = F.col("cnt") * (
+        F.col("m") * F.col("__r0")
+        + F.expr("(m * (m - 1)) div 2")
+    )
+    return with_r0.agg(
+        F.sum("m").cast("long").alias("n_keys"),
+        F.sum(F.col("cnt") * F.col("m")).cast("long").alias("n_rows"),
+        F.round(
+            (F.lit(2.0) * F.sum(contrib.cast("decimal(38,0)")).cast("double"))
+            / (
+                F.sum("m").cast("double")
+                * F.sum(F.col("cnt") * F.col("m")).cast("double")
+            )
+            - (F.sum("m").cast("double") + F.lit(1.0))
+            / F.sum("m").cast("double"),
+            6,
+        ).alias("gini_r"),
+    )
+
+
+def gini_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return key_distribution_gini(events, "user_id")
+
+
+GINI_SQL = """
+WITH counts AS (
+  SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+),
+hist AS (
+  SELECT cnt, count(*) AS m FROM counts GROUP BY cnt
+),
+runs AS (
+  SELECT cnt, m,
+         SUM(m) OVER (ORDER BY cnt
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - m + 1 AS r0
+  FROM hist
+)
+SELECT CAST(sum(m) AS BIGINT) AS n_keys,
+       CAST(sum(cnt * m) AS BIGINT) AS n_rows,
+       ROUND((2.0 * CAST(sum(cnt * (m * r0 + (m * (m - 1)) // 2)) AS DOUBLE))
+             / (CAST(sum(m) AS DOUBLE) * CAST(sum(cnt * m) AS DOUBLE))
+             - (CAST(sum(m) AS DOUBLE) + 1.0) / CAST(sum(m) AS DOUBLE), 6)
+         AS gini_r
+FROM runs
+"""
+
+
+def dau_wau(df: DataFrame, key: str, ts_col: str) -> DataFrame:
+    """Weekly engagement: WAU, average DAU, and the DAU/WAU stickiness
+    ratio per Monday-aligned week.  Weeks are pure integer day
+    arithmetic (``(epoch_days + 3) // 7`` — engine-identical, no
+    date_trunc('week') timezone/locale dependence).  Two distinct
+    aggregations keyed by (day, user) / (week, user); output
+    cardinality is O(weeks)."""
+    day = F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01").cast("date"))
+    daily = df.select(key, day.alias("__day")).distinct()
+    wk = F.floor((F.col("__day") + 3) / 7).cast("long")
+    dau = (
+        daily.groupBy("__day")
+        .agg(F.count(F.lit(1)).alias("dau"))
+        .withColumn("wk", wk)
+        .groupBy("wk")
+        .agg(
+            (
+                F.sum("dau").cast("double") / F.count(F.lit(1))
+            ).alias("avg_dau")
+        )
+    )
+    wau = (
+        daily.withColumn("wk", wk)
+        .select("wk", key)
+        .distinct()
+        .groupBy("wk")
+        .agg(F.count(F.lit(1)).cast("long").alias("wau"))
+    )
+    return (
+        wau.join(dau, "wk")
+        .select(
+            "wk", "wau",
+            F.round(F.col("avg_dau"), 4).alias("avg_dau_r"),
+            F.round(F.col("avg_dau") / F.col("wau"), 6).alias("stickiness_r"),
+        )
+    )
+
+
+def dau_wau_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return dau_wau(events, key="user_id", ts_col="ts").orderBy("wk")
+
+
+DAU_WAU_SQL = """
+WITH daily AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+  FROM events
+),
+dau AS (
+  SELECT d, count(*) AS dau FROM daily GROUP BY d
+),
+wdau AS (
+  SELECT CAST((d + 3) // 7 AS BIGINT) AS wk,
+         CAST(SUM(dau) AS DOUBLE) / COUNT(*) AS avg_dau
+  FROM dau GROUP BY 1
+),
+wau AS (
+  SELECT CAST((d + 3) // 7 AS BIGINT) AS wk,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+  FROM daily GROUP BY 1
+)
+SELECT wau.wk AS wk, wau, ROUND(avg_dau, 4) AS avg_dau_r,
+       ROUND(avg_dau / wau, 6) AS stickiness_r
+FROM wau JOIN wdau ON wau.wk = wdau.wk
+ORDER BY wau.wk
+"""
+
+
 TEMPORAL_QUERIES = {
     "cdc_asof_join": (asof_query, ASOF_SQL),
     "cdc_scd2_history": (scd2_query, SCD2_SQL),
@@ -783,4 +989,7 @@ TEMPORAL_QUERIES = {
     "events_cep_adjacent": (cep_adjacent_query, CEP_ADJACENT_SQL),
     "events_anomaly_zscore": (anomaly_query, ANOMALY_SQL),
     "events_top_paths": (top_paths_query, TOP_PATHS_SQL),
+    "events_markov_transitions": (markov_query, MARKOV_SQL),
+    "events_dau_wau": (dau_wau_query, DAU_WAU_SQL),
+    "events_key_gini": (gini_query, GINI_SQL),
 }

@@ -1158,3 +1158,41 @@ FROM flagged ORDER BY doc_id
 
 
 TEXT_QUERIES["corpus_quality_filter"] = (quality_filter_query, _quality_filter_sql())
+
+
+def length_quartiles_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length quartiles — the distribution check a
+    corpus-mixing step runs before setting per-source truncation/packing
+    budgets.  Exact interpolated percentiles (same Spark
+    `percentile` ↔ DuckDB `quantile_cont` pairing q20 proves), one
+    aggregation per language."""
+    docs = load_table(spark, sf_dir, "documents")
+    pct = F.percentile(
+        F.col("n_chars").cast("double"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    )
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(pct.getItem(0), 4).alias("p25"),
+            F.round(pct.getItem(1), 4).alias("med"),
+            F.round(pct.getItem(2), 4).alias("p75"),
+            F.min("n_chars").cast("long").alias("lo"),
+            F.max("n_chars").cast("long").alias("hi"),
+        )
+        .orderBy("lang")
+    )
+
+
+LENGTH_QUARTILES_SQL = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       round(quantile_cont(CAST(n_chars AS DOUBLE), 0.25), 4) AS p25,
+       round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 4) AS med,
+       round(quantile_cont(CAST(n_chars AS DOUBLE), 0.75), 4) AS p75,
+       CAST(min(n_chars) AS BIGINT) AS lo,
+       CAST(max(n_chars) AS BIGINT) AS hi
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+TEXT_QUERIES["text_length_quartiles"] = (length_quartiles_query, LENGTH_QUARTILES_SQL)

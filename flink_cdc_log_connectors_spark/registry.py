@@ -151,6 +151,12 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_containment",
     "text_ngram_novelty",
     "hypertable_histogram",
+    "agg_kmv_distinct",
+    "events_markov_transitions",
+    "events_dau_wau",
+    "dedup_family_sizes",
+    "events_key_gini",
+    "text_length_quartiles",
     # (b) red at least once before their r2 oracle fixes
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
