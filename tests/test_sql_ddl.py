@@ -235,3 +235,70 @@ CREATE TABLE items (
     q.awaitTermination(120)
     rows = spark.sql("SELECT _id, name, op FROM mongo_ddl").collect()
     assert [(r["_id"], r["name"], r["op"]) for r in rows] == [(1, "widget", "c")]
+
+
+def test_live_sqlite_connector_ddl(spark, tmp_path):
+    """The sqlite-cdc-log connector end-to-end: DDL → the LIVE trigger-log
+    dialect → materialized table state through spark.sql — the §3.1
+    lifecycle against a real mutating database."""
+    import sqlite3
+
+    from tests.test_sqlite_live import install_cdc
+
+    db = str(tmp_path / "ddl.db")
+    conn = sqlite3.connect(db)
+    conn.execute(
+        "CREATE TABLE items (id INTEGER PRIMARY KEY, name TEXT, qty REAL)"
+    )
+    conn.executemany(
+        "INSERT INTO items VALUES (?, ?, ?)",
+        [(i, f"item-{i}", float(i)) for i in range(1, 31)],
+    )
+    conn.commit()
+    conn.close()
+    install_cdc(db, "items")
+    conn = sqlite3.connect(db)
+    conn.execute("UPDATE items SET qty = 99.0 WHERE id = 7")
+    conn.execute("DELETE FROM items WHERE id = 13")
+    conn.commit()
+    conn.close()
+
+    from flink_cdc_log_connectors_spark.sources.sqlite_dialect import (
+        register as register_sqlite,
+    )
+
+    register_sqlite(spark)
+    ddl = f"""
+CREATE TABLE items (
+  id BIGINT,
+  name STRING,
+  qty DOUBLE,
+  PRIMARY KEY (id) NOT ENFORCED
+) WITH (
+  'connector' = 'sqlite-cdc-log',
+  'path' = '{db}',
+  'table-name' = 'items',
+  'scan.incremental.snapshot.chunk.size' = '10'
+)
+"""
+    df = create_table(spark, ddl, streaming=True, register_view=False)
+    q = (
+        df.writeStream.format("memory").queryName("sqlite_ddl")
+        .option("checkpointLocation", str(tmp_path / "sck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    # materialize: latest image per key, deletes drop out
+    rows = spark.sql(
+        """
+        SELECT id, qty FROM (
+          SELECT id, qty, op,
+                 row_number() OVER (PARTITION BY id ORDER BY
+                   _src.file DESC, _src.pos DESC, _src.img_seq DESC) AS rn
+          FROM sqlite_ddl
+        ) WHERE rn = 1 AND op <> 'd'
+        ORDER BY id
+        """
+    ).collect()
+    got = {r["id"]: r["qty"] for r in rows}
+    assert len(got) == 29 and 13 not in got and got[7] == 99.0
