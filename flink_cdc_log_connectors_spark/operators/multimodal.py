@@ -337,3 +337,85 @@ FROM g ORDER BY asset_id
 
 
 MULTIMODAL_QUERIES["mm_resize"] = (mm_resize_query, _mm_resize_sql())
+
+
+# --------------------------------------------------------------------------
+# Audio: windowed RMS loudness over (stub-)decoded PCM
+# --------------------------------------------------------------------------
+
+PCM_WIN = 256  #: samples per loudness window
+
+
+def audio_window_rms(assets: DataFrame, win: int = PCM_WIN) -> DataFrame:
+    """Per-window RMS loudness of an audio payload — the
+    silence-trim / clipping-detect pass of an audio training pipeline.
+    The codec stub treats payload bytes as unsigned 8-bit PCM centered
+    at 128 (deterministic; swap for a real decoder at deployment — the
+    windowing, fan-out schema, and Arrow batch shape are the real
+    thing).  1→many fan-out like frame sampling; vectorized numpy per
+    asset; RMS = sqrt(Σs²/n) is exact-integer sums under one IEEE
+    sqrt — byte-exact oracle."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, wins, ns, rms = [], [], [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                buf = b"" if payload is None else bytes(payload)
+                if not buf:
+                    continue
+                s = np.frombuffer(buf, dtype=np.uint8).astype(np.int64) - 128
+                for w in range(0, (len(s) + win - 1) // win):
+                    seg = s[w * win : (w + 1) * win]
+                    ids.append(int(aid))
+                    wins.append(w)
+                    ns.append(len(seg))
+                    rms.append(
+                        round(float(np.sqrt((seg * seg).sum() / len(seg))), 6)
+                    )
+            yield pd.DataFrame(
+                {"asset_id": ids, "win": wins, "n_samples": ns, "rms_r": rms}
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        op, "asset_id long, win int, n_samples int, rms_r double"
+    )
+
+
+def mm_audio_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_window_rms(attach_binary_payload(docs)).orderBy(
+        "asset_id", "win"
+    )
+
+
+def _mm_audio_sql() -> str:
+    return f"""
+WITH h AS (
+  SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents WHERE octet_length(encode(text)) > 0
+),
+w AS (
+  SELECT asset_id, hx, n,
+         unnest(range(0, (n + {PCM_WIN - 1}) // {PCM_WIN})) AS win
+  FROM h
+),
+seg AS (
+  SELECT asset_id, CAST(win AS INT) AS win,
+         CAST(least(n, (win + 1) * {PCM_WIN}) - win * {PCM_WIN} AS INT)
+           AS n_samples,
+         list_reduce(list_prepend(0, list_transform(
+           range(win * {PCM_WIN}, least(n, (win + 1) * {PCM_WIN})),
+           i -> (('0x' || substr(hx, 2*i + 1, 2))::BIGINT - 128)
+                * (('0x' || substr(hx, 2*i + 1, 2))::BIGINT - 128))),
+           (acc, x) -> acc + x) AS ss
+  FROM w
+)
+SELECT asset_id, win, n_samples,
+       round(sqrt(CAST(ss AS DOUBLE) / n_samples), 6) AS rms_r
+FROM seg ORDER BY asset_id, win
+"""
+
+
+MULTIMODAL_QUERIES["mm_audio_rms"] = (mm_audio_query, _mm_audio_sql())

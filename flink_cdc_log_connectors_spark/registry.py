@@ -157,6 +157,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_family_sizes",
     "events_key_gini",
     "text_length_quartiles",
+    "mm_audio_rms",
     # (b) red at least once before their r2 oracle fixes
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

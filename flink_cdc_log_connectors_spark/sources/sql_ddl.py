@@ -96,14 +96,19 @@ class TableSpec:
 
 
 def _split_top_level(body: str) -> list[str]:
-    """Split column-def body on top-level commas (parens nest)."""
-    parts, depth, cur = [], 0, []
+    """Split column-def body on top-level commas (parens nest; commas
+    inside single-quoted literals — e.g. a computed column's format
+    string — don't split)."""
+    parts, depth, cur, in_str = [], 0, [], False
     for ch in body:
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        if ch == "," and depth == 0:
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+        if ch == "," and depth == 0 and not in_str:
             parts.append("".join(cur))
             cur = []
         else:
