@@ -157,6 +157,11 @@ class TemporalJoin:
             self._store_watermark(wm)
 
         # ---- fact side: buffer ------------------------------------------
+        # 'r' (snapshot-read) facts carry the engine's epoch-0 snapshot
+        # rowtime, so they join dim versions as of time 0 — i.e. none.
+        # This mirrors Flink's stance (a snapshot row has no meaningful
+        # event time for a temporal join); feed the fact side from the
+        # log phase, or pre-stamp snapshot rows with a chosen rowtime.
         fact_parsed = parse_debezium(
             raw_batch.filter(table_of == self.fact.table), self.fact.physical
         )
