@@ -62,3 +62,33 @@ def test_streaming_end_to_end_exactly_once(spark, tmp_path):
     df = ExactlyOnceAppendSink(sink_path).read_committed(spark)
     vals = [r["value"] for r in df.select("value").collect()]
     assert len(vals) == len(set(vals)) >= 20  # no duplicates
+
+
+import pytest
+
+
+@pytest.mark.parametrize("seed", [2, 19])
+def test_randomized_replay_patterns_exactly_once(spark, tmp_path, seed):
+    """Random interleavings of fresh epochs and replays (including
+    replays of long-committed epochs) never duplicate or lose a row."""
+    import random
+
+    rng = random.Random(seed)
+    sink = ExactlyOnceAppendSink(str(tmp_path / f"out{seed}"))
+    batches = {e: [(e * 100 + i,) for i in range(rng.randint(1, 5))]
+               for e in range(8)}
+    submitted = []
+    for e in range(8):
+        submitted.append(e)
+        sink.process_batch(
+            spark.createDataFrame(batches[e], "x long"), epoch_id=e
+        )
+        # random replays of any already-committed epoch
+        for _ in range(rng.randint(0, 2)):
+            r = rng.choice(submitted)
+            sink.process_batch(
+                spark.createDataFrame(batches[r], "x long"), epoch_id=r
+            )
+    got = sorted(r["x"] for r in sink.read_committed(spark).collect())
+    want = sorted(x for rows in batches.values() for (x,) in rows)
+    assert got == want
