@@ -604,3 +604,50 @@ def test_reinstall_capture_loses_no_events_under_writer(tmp_path):
         f"{log_inserts} captured"
     )
     assert len(written) > 10  # the writer actually ran concurrently
+
+
+def test_huge_split_count_exactly_once(spark, tmp_path):
+    """Reference `testBigTableWithHugeSplits` analog: hundreds of tiny
+    chunks (chunkSize=2 over 400 rows → 200 snapshot chunks) with a
+    mutation landing mid-snapshot — chunk merge, per-chunk watermarks,
+    and the log handoff stay exactly-once at split counts two orders of
+    magnitude above the default, and the offset stays serializable."""
+    import json as _json
+
+    db = make_db(str(tmp_path / "huge.db"), n=400)
+    reader = SqliteCdcStreamReader(
+        {"path": db, "table": "items", "chunksize": "2",
+         "maxeventsperbatch": "50"}
+    )
+    rows = []
+    cur = reader.initialOffset()
+    mutated = False
+    while cur.get("phase") == "snapshot":
+        batch, cur = reader.read(cur)
+        rows.extend(batch)
+        if not mutated and len(rows) >= 120:
+            # mid-snapshot mutation: already-read chunk 1's key changes
+            conn = sqlite3.connect(db)
+            conn.execute("UPDATE items SET qty = 777.0 WHERE id = 1")
+            conn.execute("DELETE FROM items WHERE id = 399")
+            conn.commit()
+            conn.close()
+            mutated = True
+    assert mutated, "snapshot finished before the mutation landed"
+    # the plan really had ~200 chunks and the offset stays serializable
+    # (chunk-meta grouping may compact the plan; highs list when explicit)
+    highs = cur.get("chunk_highs")
+    if highs is not None:
+        assert len(highs) >= 190
+    _json.dumps(cur)
+    while True:
+        batch, cur = reader.read(cur)
+        batch = list(batch)
+        rows.extend(batch)
+        if not batch:
+            break
+    state = materialize(spark, rows)
+    assert state == db_state(db)
+    assert state[1][1] == 777.0 and 399 not in state
+    log_positions = [r[2] for r in rows if json.loads(r[0])["op"] != "r"]
+    assert len(log_positions) == len(set(log_positions))
