@@ -287,3 +287,24 @@ def test_emb_outlier_centroids_broadcast(spark, sf_dir):
     from flink_cdc_log_connectors_spark.plans.inspect import uses_broadcast_join
 
     assert uses_broadcast_join(emb_outlier_query(spark, sf_dir))
+
+
+def test_audio_rms_map_only(spark, sf_dir):
+    """Audio windowing is a pure mapInPandas fan-out: no shuffle before
+    the ordered output."""
+    from flink_cdc_log_connectors_spark.operators.multimodal import (
+        mm_audio_query,
+    )
+    from flink_cdc_log_connectors_spark.plans.inspect import count_exchanges
+
+    assert count_exchanges(mm_audio_query(spark, sf_dir)) <= 1
+
+
+def test_gini_histogram_window_is_tiny(spark, sf_dir):
+    """The Gini rank window runs over the count HISTOGRAM (a handful of
+    rows), never the key table: total exchanges stay minimal and no
+    per-key global sort appears."""
+    from flink_cdc_log_connectors_spark.operators.temporal import gini_query
+    from flink_cdc_log_connectors_spark.plans.inspect import count_exchanges
+
+    assert count_exchanges(gini_query(spark, sf_dir)) <= 4
