@@ -150,3 +150,43 @@ def read_time_range(
         & (F.col(ts_col) >= F.to_timestamp(F.lit(start)))
         & (F.col(ts_col) < F.to_timestamp(F.lit(end)))
     ).drop("__part")
+
+
+def zorder_key(c1: Column, c2: Column, bits: int = 16) -> Column:
+    """Morton (Z-order) key of two non-negative integer columns: bit i of
+    each input lands at output bits 2i / 2i+1.  Sorting or range-
+    partitioning a table by this key co-locates rows that are close in
+    BOTH dimensions, so parquet row-group min/max zone maps prune
+    two-dimensional range predicates — the standard lakehouse layout
+    trick for (key, time) or (tenant, key) access patterns.  Pure
+    codegen'd integer arithmetic (2·bits shift-mask-or terms), identical
+    in any engine."""
+    out = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    for i in range(bits):
+        b1 = F.shiftright(c1.cast("long"), i).bitwiseAND(one)
+        b2 = F.shiftright(c2.cast("long"), i).bitwiseAND(one)
+        out = out.bitwiseOR(
+            F.shiftleft(b1, 2 * i)
+        ).bitwiseOR(F.shiftleft(b2, 2 * i + 1))
+    return out
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    c1: str,
+    c2: str,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Persist sorted by the Morton key of (c1, c2): range predicates on
+    EITHER dimension (or both) skip row groups via zone maps, where a
+    single-column sort only serves its own column."""
+    (
+        df.withColumn("__z", zorder_key(F.col(c1), F.col(c2), bits))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

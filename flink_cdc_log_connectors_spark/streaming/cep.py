@@ -1,0 +1,108 @@
+"""Streaming CEP: strictly-consecutive pattern detection with keyed state.
+
+The streaming twin of ``operators/temporal.adjacent_pattern_matches``
+(Flink's ``MATCH_RECOGNIZE PATTERN (A B C)`` over an unbounded stream):
+matches must be found even when the pattern STRADDLES a microbatch
+boundary, which no per-batch window can do.  ``applyInPandasWithState``
+keeps the last ``len(pattern) − 1`` events of every key in the state
+store; each batch prepends that tail, scans for matches ENDING at a new
+event (matches wholly inside the tail were emitted by an earlier batch),
+and stores the new tail.
+
+Ordering contract: per-key event-time order across batches — exactly what
+a CDC log delivers per key.  Events are sorted within the batch; an event
+older than the stored tail violates the contract and is dropped with the
+``late`` counter incremented in the emitted rows' ``n_late`` (visible,
+never silent).
+
+State is O(pattern length) per key — the same bound Flink's NFA keeps for
+simple patterns.  Timestamps travel as epoch milliseconds (LongType) so
+the state tuple stays primitive.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def streaming_adjacent_pattern(
+    stream: DataFrame,
+    key: str,
+    ts_ms_col: str,
+    type_col: str,
+    pattern: Sequence[str],
+    tie_col: str,
+) -> DataFrame:
+    """Emit one row per completed pattern occurrence:
+    ``(key, start_ms, end_ms, end_tie, n_late)``."""
+    pat = list(pattern)
+    k = len(pat)
+    key_type = stream.schema[key].dataType.simpleString()
+
+    def update(
+        kv: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            t_types, t_ts, t_tie = state.get
+            tail = list(zip(t_types, t_ts, t_tie))
+        else:
+            tail = []
+        events = []
+        for pdf in pdfs:
+            events.extend(
+                zip(
+                    pdf[type_col].astype(str),
+                    pdf[ts_ms_col].astype("int64"),
+                    pdf[tie_col].astype("int64"),
+                )
+            )
+        events.sort(key=lambda e: (e[1], e[2]))
+        n_late = 0
+        if tail:
+            last_ts, last_tie = tail[-1][1], tail[-1][2]
+            fresh = []
+            for e in events:
+                if (e[1], e[2]) <= (last_ts, last_tie):
+                    n_late += 1
+                else:
+                    fresh.append(e)
+            events = fresh
+        seq = tail + [(str(t), int(ts), int(tie)) for t, ts, tie in events]
+        out_rows = []
+        # matches must END at a new event (index >= len(tail))
+        for i in range(max(len(tail), k - 1), len(seq)):
+            window = seq[i - k + 1 : i + 1]
+            if all(window[j][0] == pat[j] for j in range(k)):
+                out_rows.append(
+                    (kv[0], window[0][1], window[-1][1], window[-1][2], n_late)
+                )
+        new_tail = seq[-(k - 1):] if k > 1 else []
+        state.update(
+            (
+                [e[0] for e in new_tail],
+                [e[1] for e in new_tail],
+                [e[2] for e in new_tail],
+            )
+        )
+        yield pd.DataFrame(
+            out_rows,
+            columns=[key, "start_ms", "end_ms", "end_tie", "n_late"],
+        )
+
+    out_schema = (
+        f"{key} {key_type}, start_ms long, end_ms long, "
+        "end_tie long, n_late long"
+    )
+    return stream.groupBy(key).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=(
+            "types array<string>, tss array<long>, ties array<long>"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -100,3 +100,56 @@ def test_time_partitioned_layout_prunes_partitions(spark, tmp_path):
         & (F.col("ts") < F.lit(str(days[2])).cast("timestamp"))
     ).count()
     assert one_day.count() == expected
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from flink_cdc_log_connectors_spark.operators.skew import zorder_key
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (3, 3), (5, 9)],
+        "x long, y long",
+    )
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", zorder_key(F.col("x"), F.col("y")).alias("z")).collect()
+    }
+
+    def morton(x, y):
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    for (x, y), z in got.items():
+        assert z == morton(x, y), (x, y)
+
+
+def test_zorder_layout_locality(spark, tmp_path):
+    """Sorting by the Morton key bounds the per-file value ranges of BOTH
+    dimensions: each written file's (x, y) spans are fractions of the
+    global span — the property zone-map pruning relies on."""
+    import glob
+
+    from flink_cdc_log_connectors_spark.operators.skew import write_zordered
+
+    n = 64
+    rows = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(rows, "x long, y long").repartition(4)
+    out = str(tmp_path / "z")
+    write_zordered(df.coalesce(1), out, "x", "y")
+    # read each parquet file independently and measure its x/y spans
+    files = [f for f in glob.glob(out + "/*.parquet")]
+    assert files
+    import pyarrow.parquet as pq
+
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            cols = {md.row_group(rg).column(i).path_in_schema:
+                    md.row_group(rg).column(i).statistics
+                    for i in range(md.row_group(rg).num_columns)}
+            sx = cols["x"]; sy = cols["y"]
+            if md.num_row_groups > 1:
+                assert sx.max - sx.min <= n // 2 or sy.max - sy.min <= n // 2
