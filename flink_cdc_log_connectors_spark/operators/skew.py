@@ -190,3 +190,47 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def zorder_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton keys over (l_partkey, l_suppkey) with the per-key range
+    a Z-ordered file would advertise: the layout computation itself,
+    oracle-checked bit for bit."""
+    from ..io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    z = zorder_key(
+        F.pmod(F.col("l_partkey"), F.lit(1 << 16)),
+        F.pmod(F.col("l_suppkey"), F.lit(1 << 16)),
+    )
+    return (
+        li.select(
+            "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            z.alias("zkey"),
+        )
+        .orderBy("zkey", "l_orderkey", "l_linenumber")
+        .limit(2000)
+    )
+
+
+def _zorder_sql() -> str:
+    terms = " | ".join(
+        f"(((p >> {i}) & 1) << {2 * i}) | (((s >> {i}) & 1) << {2 * i + 1})"
+        for i in range(16)
+    )
+    return f"""
+WITH b AS (
+  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         ((l_partkey % 65536) + 65536) % 65536 AS p,
+         ((l_suppkey % 65536) + 65536) % 65536 AS s
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       CAST({terms} AS BIGINT) AS zkey
+FROM b ORDER BY zkey, l_orderkey, l_linenumber LIMIT 2000
+"""
+
+
+SKEW_QUERIES = {
+    "layout_zorder_key": (zorder_query, _zorder_sql()),
+}

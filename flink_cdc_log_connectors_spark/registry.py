@@ -93,6 +93,12 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         out.update(SKETCH_QUERIES)
     except ImportError:
         pass
+    try:
+        from .operators.skew import SKEW_QUERIES
+
+        out.update(SKEW_QUERIES)
+    except ImportError:
+        pass
     return _driver_window_order(out)
 
 
@@ -158,6 +164,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "events_key_gini",
     "text_length_quartiles",
     "mm_audio_rms",
+    "layout_zorder_key",
     # (b) red at least once before their r2 oracle fixes
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
