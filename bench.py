@@ -48,7 +48,7 @@ def main() -> None:
 
     if os.environ.get("SPARK_GRAFT_NO_CACHE", "") != "1":
         # Pin the workload tables in memory — the steady-state posture of a
-        # warehouse running a 37-query workload over shared tables.
+        # warehouse running a multi-query workload over shared tables.
         from flink_cdc_log_connectors_spark.io import cache_tables
 
         cache_tables(spark, sf_dir)
