@@ -235,6 +235,77 @@ ORDER BY query_id, rk
 """
 
 
+# --------------------------------------------------------------------------
+# Per-document keyword extraction (tf-idf top terms)
+# --------------------------------------------------------------------------
+
+KEYWORDS_TOPK = 3
+
+
+def tfidf_keywords(
+    docs: DataFrame, topk: int = KEYWORDS_TOPK, text_col: str = "text"
+) -> DataFrame:
+    """Top-``topk`` characteristic terms per document by tf·idf — the
+    metadata-enrichment pass (search facets, topic tags) next to BM25's
+    per-QUERY retrieval.  Same determinism discipline: the rational idf
+    surrogate ``(N-df+0.5)/(df+0.5)`` keeps every arithmetic step
+    exactly-rounded IEEE, scores round to 6, ties break on the term.
+
+    Pure Catalyst: one token explode → tf aggregation (keyed by doc,
+    term), df aggregation (keyed by term), a hash join on the term, and
+    a per-doc ranking window over ≤ |distinct terms per doc| rows."""
+    from ..functions.text import tokens
+
+    spark = docs.sparkSession
+    n_docs = docs.count()
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("t")
+    )
+    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    df_tab = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    idf = (
+        F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)
+    ) / (F.col("df") + F.lit(0.5))
+    scored = tf.join(df_tab, "t").select(
+        "doc_id", "t", F.round(F.col("tf") * idf, 6).alias("score")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("t").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= topk)
+        .select("doc_id", "t", "score", "rk")
+    )
+
+
+def keywords_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_keywords(docs).orderBy("doc_id", "rk")
+
+
+def _keywords_sql(topk: int = KEYWORDS_TOPK) -> str:
+    toks = TOKENS_SQL.format(col="text")
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({toks}) AS t FROM documents),
+tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY doc_id, t),
+dfx AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, tf.t AS t,
+         round(tf * ((CAST(n_docs AS DOUBLE) - df + CAST(0.5 AS DOUBLE))
+                     / (df + CAST(0.5 AS DOUBLE))), 6) AS score
+  FROM tf JOIN dfx ON tf.t = dfx.t, n
+)
+SELECT doc_id, t, score,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, t ASC) AS INT) AS rk
+FROM scored QUALIFY rk <= {topk}
+ORDER BY doc_id, rk
+"""
+
+
 SEARCH_QUERIES = {
     "text_bm25_topk": (bm25_query, _bm25_sql()),
+    "text_keywords": (keywords_query, _keywords_sql()),
 }

@@ -113,6 +113,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # newest first: these have neither a driver row NOR a judge re-check
     # yet (the older never-recorded entries below at least have the
     # latter from r2), so they outrank everything for the bounded window
+    "text_keywords",
     "layout_zorder_key",
     "mm_audio_rms",
     "text_length_quartiles",
