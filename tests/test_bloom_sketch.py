@@ -101,3 +101,17 @@ def test_exact_heavy_hitters_matches_naive(spark):
     df = spark.createDataFrame(rows, "item string")
     got = {r["item"]: r["cnt"] for r in heavy_hitters(df, "item", 0.1).collect()}
     assert got == {"a": 50, "b": 30}
+
+
+def test_kmv_estimate_accuracy(spark):
+    """KMV with k=64: relative error on a 5000-distinct group stays well
+    inside the ~3/sqrt(k) (≈ 37%) envelope, and groups under k report
+    exactly."""
+    from flink_cdc_log_connectors_spark.operators.sketch import kmv_distinct
+
+    rows = [("big", i) for i in range(5000)] + [("small", i) for i in range(40)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r["g"]: r for r in kmv_distinct(df, "g", "v").collect()}
+    assert got["small"]["est_distinct"] == 40.0  # < k → exact
+    est = got["big"]["est_distinct"]
+    assert abs(est - 5000) / 5000 < 0.37, est
