@@ -87,17 +87,30 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.2f}s rows={rows[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    record = {
+        "metric": "total_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(record))
+    # The driver records only a bounded TAIL of stdout; r3's BENCH file lost
+    # the JSON head (~34 per-query entries).  Also write the complete record
+    # to a committed file so the full per-query history survives (VERDICT r3
+    # next-round #6).  Overridable for ad-hoc runs.
+    local_out = os.environ.get(
+        "SPARK_GRAFT_BENCH_LOCAL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_LOCAL.json"),
     )
+    if local_out:
+        try:
+            with open(local_out, "w") as f:
+                json.dump(record, f, indent=1, sort_keys=True)
+                f.write("\n")
+        except OSError as e:  # never let record-keeping fail the bench
+            print(f"# BENCH_LOCAL write failed: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

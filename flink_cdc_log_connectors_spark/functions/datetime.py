@@ -29,6 +29,23 @@ def epoch_seconds(col: str | Column) -> Column:
     return F.expr(f"timestampdiff(SECOND, {_EPOCH}, {c})")
 
 
+def epoch_micros(col: str | Column) -> Column:
+    """Microseconds since epoch of a TIMESTAMP_NTZ wall-clock value — EXACT
+    (timestamps are microsecond-resolution, so no truncation occurs).
+
+    Use this — never :func:`epoch_seconds` — whenever the value feeds a
+    threshold/band comparison (session gaps, range-join bands): the
+    whole-second truncation of ``timestampdiff(SECOND, ...)`` diverges from
+    a fractional oracle (DuckDB ``epoch()`` returns DOUBLE) exactly at
+    boundary gaps like 1800.886 s.  ``epoch_seconds`` remains correct for
+    BUCKETING (floor-division by an integral width commutes with
+    truncation)."""
+    c = col if isinstance(col, str) else None
+    if c is None:
+        raise TypeError("epoch_micros requires a column name string")
+    return F.expr(f"timestampdiff(MICROSECOND, {_EPOCH}, {c})")
+
+
 def date_trunc_ntz(unit: str, col: str | Column) -> Column:
     """Truncate a TIMESTAMP_NTZ column without session-timezone effects.
 

@@ -7,8 +7,9 @@ build side that is too big to broadcast EXACTLY but whose key-membership
 fits in a few hundred KB of bloom bits:
 
 1. build: one distributed aggregation folds the build side's join keys
-   into an m-bit bloom (k md5-derived hash functions, ``bit_or`` over
-   64-bit words) — output size is O(m), INDEPENDENT of build cardinality;
+   into an m-bit bloom (k Murmur3-derived hash positions — ``F.hash``
+   with a mixed-in function index — ``bit_or`` over 64-bit words) —
+   output size is O(m), INDEPENDENT of build cardinality;
 2. prune: the bloom words broadcast as ONE row (a 1-row broadcast
    nested-loop join is a map-only operator) and the probe side filters on
    the k bit tests in whole-stage codegen — no shuffle, no Python;

@@ -1,0 +1,183 @@
+"""§3.1 lifecycle as the USER runs it: Flink-SQL DDL → view → spark.sql.
+
+The reference's primary entry point is two steps — declare a CDC table in
+SQL DDL (``CREATE TABLE ... WITH ('connector'=...)``), then query it with
+plain SQL (reference ``README.md:40-60``; SURVEY §3.1).  The other
+registry entries exercise the engine's pieces individually; this one runs
+the COMPOSED user path end-to-end, oracle-checked:
+
+1. a deterministic change log (create/update/delete envelopes derived
+   from the orders table) is materialized once per (process, sf_dir);
+2. ``create_table`` parses the DDL — physical schema, a METADATA VIRTUAL
+   column, a computed column, PRIMARY KEY — builds the ``cdclog`` batch
+   source, and registers the result as a temp view;
+3. ``spark.sql`` materializes the latest state per key (changelog
+   semantics over the envelope offsets) and aggregates over the
+   DDL-declared metadata + computed columns — so the driver-checked plan
+   contains them, not just the parser tests.
+
+The DuckDB oracle replays the same mutations arithmetically on the plain
+``orders`` view — the engine must reconstruct exactly that state from the
+envelope log.
+
+Scale: fixture generation is one distributed ``to_json`` write; the query
+itself is one hash shuffle (window by key) + one aggregation — identical
+shape to q14_changelog_materialize, which is the scalable changelog-
+materialization formulation.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+#: mutation classes keyed off o_orderkey (disjoint: 51 is odd, updates even)
+_UPDATED = "o_orderkey % 10 = 0"
+_DELETED = "o_orderkey % 100 = 51"
+
+
+def _fixture_dir(sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return os.path.join("/tmp", f"spark_graft_ddl_fixture_{tag}")
+
+
+def ensure_changelog_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the orders change log (idempotent, atomic).
+
+    Every order arrives as a ``c`` envelope at pos 2·key; updated keys
+    (key % 10 = 0) get a ``u`` envelope at pos 2·key+1 raising
+    o_totalprice by 1; deleted keys (key % 100 = 51) get a ``d`` envelope
+    at pos 2·key+1.  Envelope offsets — not file layout — define the
+    per-key order, so the distributed text write needs no coordination.
+    """
+    root = _fixture_dir(sf_dir)
+    done = os.path.join(root, "_SUCCESS")
+    if os.path.exists(done):
+        return root
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+
+    def env(op: str, before, after, pos):
+        return F.to_json(
+            F.struct(
+                before.alias("before"),
+                after.alias("after"),
+                F.lit(op).alias("op"),
+                F.struct(
+                    F.lit("tpch").alias("db"),
+                    F.lit("orders").alias("table"),
+                    (F.col("o_orderkey") + F.lit(1_700_000_000_000)).alias(
+                        "ts_ms"
+                    ),
+                    F.lit("000").alias("file"),
+                    pos.alias("pos"),
+                ).alias("source"),
+            )
+        )
+
+    row = F.struct("o_orderkey", "o_custkey", "o_orderpriority",
+                   "o_totalprice")
+    row_updated = F.struct(
+        F.col("o_orderkey"), F.col("o_custkey"), F.col("o_orderpriority"),
+        (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+    )
+    null_row = F.lit(None).cast(orders.select(row.alias("r")).schema["r"].dataType)
+    k2 = F.col("o_orderkey") * 2
+    creates = orders.select(env("c", null_row, row, k2).alias("value"))
+    updates = orders.filter(_UPDATED).select(
+        env("u", row, row_updated, k2 + 1).alias("value")
+    )
+    deletes = orders.filter(_DELETED).select(
+        env("d", row, null_row, k2 + 1).alias("value")
+    )
+    staging = root + ".staging"
+    (
+        creates.unionAll(updates).unionAll(deletes)
+        .write.mode("overwrite").text(os.path.join(staging, "log"))
+    )
+    # the cdclog reader serves *.jsonl — rename the text parts
+    log_dir = os.path.join(staging, "log")
+    for f in os.listdir(log_dir):
+        if f.startswith("part-") and f.endswith(".txt"):
+            os.rename(os.path.join(log_dir, f),
+                      os.path.join(log_dir, f[:-4] + ".jsonl"))
+    open(os.path.join(staging, "_SUCCESS"), "w").close()
+    try:
+        os.replace(staging, root)  # atomic publish; loser keeps staging
+    except OSError:
+        import shutil
+
+        if not os.path.exists(done):
+            raise
+        shutil.rmtree(staging, ignore_errors=True)
+    return root
+
+
+_DDL = """
+CREATE TABLE orders_cdc (
+  o_orderkey BIGINT,
+  o_custkey BIGINT,
+  o_orderpriority STRING,
+  o_totalprice DOUBLE,
+  db STRING METADATA FROM 'database_name' VIRTUAL,
+  double_price AS o_totalprice * 2,
+  PRIMARY KEY (o_orderkey) NOT ENFORCED
+) WITH (
+  'connector' = 'cdclog',
+  'path' = '{path}'
+)
+"""
+
+
+def ddl_lifecycle_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDL → view → SQL, materializing the changelog's latest state and
+    aggregating over the DDL-declared metadata + computed columns."""
+    from ..sources.datasource import register
+    from ..sources.sql_ddl import create_table
+
+    path = ensure_changelog_fixture(spark, sf_dir)
+    register(spark)
+    create_table(spark, _DDL.format(path=path), streaming=False)
+    return spark.sql(
+        """
+        WITH ranked AS (
+          SELECT o_orderkey, o_orderpriority, db, double_price, op,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY o_orderkey
+                   ORDER BY _src.pos DESC, _src.img_seq DESC) AS rn
+          FROM orders_cdc
+        )
+        SELECT o_orderpriority, db,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(double_price AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_double_price
+        FROM ranked
+        WHERE rn = 1 AND op <> 'd'
+        GROUP BY o_orderpriority, db
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+#: replay the same mutations arithmetically on the plain table
+DDL_LIFECYCLE_SQL = """
+SELECT o_orderpriority, 'tpch' AS db,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(CASE WHEN o_orderkey % 10 = 0
+                          THEN (o_totalprice + 1) * 2
+                          ELSE o_totalprice * 2 END
+                     AS DECIMAL(18,2))) AS DOUBLE) AS sum_double_price
+FROM orders
+WHERE o_orderkey % 100 <> 51
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+LIFECYCLE_QUERIES = {
+    "ddl_sql_lifecycle": (ddl_lifecycle_query, DDL_LIFECYCLE_SQL),
+}

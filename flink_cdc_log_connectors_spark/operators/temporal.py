@@ -233,14 +233,19 @@ def sessionize(
 ) -> DataFrame:
     """Batch sessionization: a new session starts when the gap to the
     previous event of the same key exceeds ``gap_seconds`` (lag + running
-    sum of session-start flags).  One hash shuffle on the key."""
-    from ..functions.datetime import epoch_seconds
+    sum of session-start flags).  One hash shuffle on the key.
 
-    epoch = epoch_seconds(ts_col)
+    The gap predicate is microsecond-exact: whole-second truncation would
+    mis-classify fractional boundary gaps (e.g. 1800.886 s vs a 1800 s
+    threshold) relative to any engine comparing fractional epochs."""
+    from ..functions.datetime import epoch_micros
+
+    epoch = epoch_micros(ts_col)
+    gap_us = int(gap_seconds) * 1_000_000
     w = Window.partitionBy(key).orderBy(ts_col, *order_tie)
     prev_epoch = F.lag(epoch).over(w)
     is_new = (
-        prev_epoch.isNull() | (epoch - prev_epoch > gap_seconds)
+        prev_epoch.isNull() | (epoch - prev_epoch > gap_us)
     ).cast("bigint")
     return df.withColumn(
         "session_id",
@@ -271,7 +276,7 @@ SESSIONIZE_SQL = """
 WITH flagged AS (
   SELECT user_id, ts, event_id,
          CASE WHEN LAG(ts) OVER w IS NULL
-                   OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                   OR date_diff('microsecond', LAG(ts) OVER w, ts) > 1800000000
               THEN 1 ELSE 0 END AS is_new
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
@@ -306,10 +311,16 @@ def range_join(
     the exact range filter — candidate pairs are bounded by bucket
     populations (never the full per-key cross product), and the join is a
     plain hash join Catalyst can plan.  (Spark would otherwise plan an
-    inequality join as a nested-loop.)"""
-    from ..functions.datetime import epoch_seconds
+    inequality join as a nested-loop.)
+
+    Bucketing uses whole-second epochs (safe: floor-division by an integral
+    width commutes with truncation); the EXACT band predicate uses
+    microsecond epochs so boundary pairs (gap 3599.9 s vs a 3600 s window)
+    classify identically to a fractional-epoch oracle."""
+    from ..functions.datetime import epoch_micros, epoch_seconds
 
     win = F.lit(window_seconds)
+    win_us = F.lit(int(window_seconds) * 1_000_000)
     lb = left.withColumn(
         "__b", F.floor(epoch_seconds(left_time) / win).cast("long")
     )
@@ -321,7 +332,7 @@ def range_join(
     )
     return joined.filter(
         (F.col(right_time) >= F.col(left_time))
-        & (epoch_seconds(right_time) < epoch_seconds(left_time) + win)
+        & (epoch_micros(right_time) < epoch_micros(left_time) + win_us)
     ).drop("__b", "__rb")
 
 
@@ -355,7 +366,7 @@ RANGE_JOIN_SQL = """
 SELECT p.event_id AS p_event, COUNT(*) AS n_following
 FROM events p JOIN events e
   ON e.user_id = p.user_id
- AND e.ts >= p.ts AND epoch(e.ts) < epoch(p.ts) + 3600
+ AND e.ts >= p.ts AND date_diff('microsecond', p.ts, e.ts) < 3600000000
  AND e.event_id != p.event_id
 WHERE p.event_type = 'purchase'
 GROUP BY p.event_id ORDER BY p_event LIMIT 1000

@@ -218,6 +218,27 @@ _CONNECTOR_FORMATS = {
     "mongocdc": "mongocdc",
 }
 
+#: Spark-side option names each connector actually CONSUMES (mirrors the
+#: ``options.get`` surface of its reader class).  A WITH key that maps via
+#: _OPTION_MAP but lands outside the chosen connector's set is a user
+#: error (e.g. ``collection-name`` on sqlite) and must fail loudly like an
+#: unknown key does — silent acceptance hides misconfiguration (ADVICE r3).
+_CONNECTOR_OPTION_ALLOWLIST: dict[str, set[str]] = {
+    # sources/datasource.py (file log reader)
+    "cdclog": {"path", "snapshotPath", "maxLinesPerBatch",
+               "startingOffsets"},
+    # sources/sqlite_dialect.py (live trigger-log dialect)
+    "cdcsqlite": {"path", "table", "keyColumn", "chunkSize",
+                  "chunkMetaGroupSize", "maxEventsPerBatch",
+                  "heartbeatInterval", "connectTimeout",
+                  "connectMaxRetries", "connectionPoolSize",
+                  "startingOffsets"},
+    # sources/mongo.py (change-stream reader, extends the file reader)
+    "mongocdc": {"path", "snapshotPath", "existingPath", "copyExisting",
+                 "database", "collection", "maxLinesPerBatch",
+                 "startingOffsets"},
+}
+
 #: reference connectors whose log clients are deployment plugins here
 _DRIVERLESS = {
     "mysql-cdc-log", "postgres-cdc-log", "oracle-cdc-log",
@@ -273,12 +294,18 @@ def source_options(spec: TableSpec) -> tuple[str, dict[str, str]]:
     so = _startup_offsets(spec.options)
     if so is not None:
         out["startingOffsets"] = so
+    allowed = _CONNECTOR_OPTION_ALLOWLIST[fmt]
     for k, v in spec.options.items():
         if k == "connector" or k.startswith("scan.startup."):
             continue
         mapped = _OPTION_MAP.get(k)
         if mapped is None:
             raise ValueError(f"unsupported WITH option: {k!r}")
+        if mapped not in allowed:
+            raise ValueError(
+                f"WITH option {k!r} is not consumed by connector {conn!r} "
+                f"(valid here: {sorted(_k for _k, _v in _OPTION_MAP.items() if _v in allowed)})"
+            )
         out[mapped] = v
     return fmt, out
 

@@ -13,7 +13,9 @@ Ordering contract: per-key event-time order across batches — exactly what
 a CDC log delivers per key.  Events are sorted within the batch; an event
 older than the stored tail violates the contract and is dropped with the
 ``late`` counter incremented in the emitted rows' ``n_late`` (visible,
-never silent).
+never silent).  Late drops in a batch that finds NO matches accumulate in
+the keyed state (``pending_late``) and ride out on the key's next emitted
+row, so every drop is eventually observable (ADVICE r3).
 
 State is O(pattern length) per key — the same bound Flink's NFA keeps for
 simple patterns.  Timestamps travel as epoch milliseconds (LongType) so
@@ -38,7 +40,8 @@ def streaming_adjacent_pattern(
     tie_col: str,
 ) -> DataFrame:
     """Emit one row per completed pattern occurrence:
-    ``(key, start_ms, end_ms, end_tie, n_late)``."""
+    ``(key, start_ms, end_ms, end_tie, n_late)`` where ``n_late`` is the
+    key's late-drop count accumulated since its last emitted match."""
     pat = list(pattern)
     k = len(pat)
     key_type = stream.schema[key].dataType.simpleString()
@@ -47,10 +50,11 @@ def streaming_adjacent_pattern(
         kv: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
         if state.exists:
-            t_types, t_ts, t_tie = state.get
+            t_types, t_ts, t_tie, pending_late = state.get
             tail = list(zip(t_types, t_ts, t_tie))
         else:
             tail = []
+            pending_late = 0
         events = []
         for pdf in pdfs:
             events.extend(
@@ -73,19 +77,26 @@ def streaming_adjacent_pattern(
             events = fresh
         seq = tail + [(str(t), int(ts), int(tie)) for t, ts, tie in events]
         out_rows = []
+        # cumulative late count for this key, including batches that
+        # dropped events but emitted nothing (carried in pending_late)
+        n_late_total = int(pending_late) + n_late
         # matches must END at a new event (index >= len(tail))
         for i in range(max(len(tail), k - 1), len(seq)):
             window = seq[i - k + 1 : i + 1]
             if all(window[j][0] == pat[j] for j in range(k)):
                 out_rows.append(
-                    (kv[0], window[0][1], window[-1][1], window[-1][2], n_late)
+                    (kv[0], window[0][1], window[-1][1], window[-1][2],
+                     n_late_total)
                 )
         new_tail = seq[-(k - 1):] if k > 1 else []
+        # late counts reported on an emitted row are drained; otherwise
+        # they stay pending so the next match surfaces them
         state.update(
             (
                 [e[0] for e in new_tail],
                 [e[1] for e in new_tail],
                 [e[2] for e in new_tail],
+                0 if out_rows else n_late_total,
             )
         )
         yield pd.DataFrame(
@@ -101,7 +112,8 @@ def streaming_adjacent_pattern(
         update,
         outputStructType=out_schema,
         stateStructType=(
-            "types array<string>, tss array<long>, ties array<long>"
+            "types array<string>, tss array<long>, ties array<long>, "
+            "pending_late long"
         ),
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

@@ -83,7 +83,12 @@ class ExactlyOnceAppendSink:
         for name in os.listdir(data_root):
             if not name.startswith("epoch="):
                 continue
-            eid = int(name.split("=", 1)[1])
+            suffix = name.split("=", 1)[1]
+            if not suffix.isdigit():
+                # stray non-epoch entry (temp suffix, manual copy) — skip it
+                # rather than abort the whole sweep (ADVICE r3)
+                continue
+            eid = int(suffix)
             if eid not in committed:
                 shutil.rmtree(os.path.join(data_root, name), ignore_errors=True)
                 removed.append(eid)

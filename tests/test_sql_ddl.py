@@ -27,7 +27,7 @@ CREATE TABLE orders (
   'connector' = 'cdclog',
   'path' = '/data/log',
   'scan.startup.mode' = 'initial',
-  'scan.incremental.snapshot.chunk.size' = '4096'
+  'scan.max-lines-per-batch' = '4096'
 )
 """
 
@@ -51,7 +51,15 @@ def test_option_mapping_and_startup_modes():
     assert fmt == "cdclog"
     assert opts["path"] == "/data/log"
     assert opts["startingOffsets"] == "initial"
-    assert opts["chunkSize"] == "4096"
+    assert opts["maxLinesPerBatch"] == "4096"
+    # chunk options belong to the live incremental dialects, not the file
+    # log reader — they no longer pass through silently (ADVICE r3)
+    chunked = DDL.replace(
+        "'scan.max-lines-per-batch' = '4096'",
+        "'scan.incremental.snapshot.chunk.size' = '4096'",
+    )
+    with pytest.raises(ValueError, match="chunk.size.*not consumed"):
+        source_options(parse_ddl(chunked))
 
     ts_ddl = DDL.replace("'initial'", "'timestamp'").replace(
         "'connector' = 'cdclog',",
@@ -302,3 +310,66 @@ CREATE TABLE items (
     ).collect()
     got = {r["id"]: r["qty"] for r in rows}
     assert len(got) == 29 and 13 not in got and got[7] == 99.0
+
+
+def test_with_option_wrong_connector_fails_loudly():
+    """ADVICE r3: a mapped option the chosen connector does not consume
+    (collection-name on sqlite) must raise like an unknown key does."""
+    import pytest
+
+    from flink_cdc_log_connectors_spark.sources.sql_ddl import (
+        parse_ddl, source_options,
+    )
+
+    ddl = """
+    CREATE TABLE t (id BIGINT, PRIMARY KEY (id) NOT ENFORCED) WITH (
+      'connector' = 'sqlite-cdc-log',
+      'path' = '/tmp/x.db',
+      'table-name' = 't',
+      'collection-name' = 'oops'
+    )"""
+    with pytest.raises(ValueError, match="collection-name.*not consumed"):
+        source_options(parse_ddl(ddl))
+
+
+def test_with_option_chunk_key_on_cdclog_fails_loudly():
+    import pytest
+
+    from flink_cdc_log_connectors_spark.sources.sql_ddl import (
+        parse_ddl, source_options,
+    )
+
+    ddl = """
+    CREATE TABLE t (id BIGINT) WITH (
+      'connector' = 'cdclog',
+      'path' = '/tmp/log',
+      'scan.incremental.snapshot.chunk.key-column' = 'id'
+    )"""
+    with pytest.raises(ValueError, match="chunk.key-column.*not consumed"):
+        source_options(parse_ddl(ddl))
+
+
+def test_ddl_lifecycle_registry_entry(spark, sf_dir):
+    """VERDICT r4 item 7: the composed §3.1 path (DDL -> view -> spark.sql)
+    as a registry entry — plan carries the DDL-declared metadata and
+    computed columns, repeated calls reuse the cached fixture."""
+    import time
+
+    from flink_cdc_log_connectors_spark.operators.lifecycle import (
+        ddl_lifecycle_query,
+    )
+
+    out = ddl_lifecycle_query(spark, sf_dir)
+    assert out.columns == ["o_orderpriority", "db", "n_orders",
+                           "sum_double_price"]
+    rows = out.collect()
+    assert len(rows) == 5
+    assert all(r["db"] == "tpch" for r in rows)
+    # the view exposes DDL metadata + computed columns to plain SQL
+    view_cols = spark.sql("SELECT * FROM orders_cdc LIMIT 1").columns
+    assert "db" in view_cols and "double_price" in view_cols
+    # second call hits the _SUCCESS-guarded fixture (no rewrite)
+    t0 = time.time()
+    again = ddl_lifecycle_query(spark, sf_dir).collect()
+    assert again == rows
+    assert time.time() - t0 < 30

@@ -117,3 +117,36 @@ def test_late_events_counted_not_silent(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["n_late"] == 1
     assert (rows[0]["start_ms"], rows[0]["end_ms"]) == (100, 300)
+
+
+def test_late_drops_with_no_match_carry_to_next_emission(spark, tmp_path):
+    """ADVICE r3: a batch that drops late events but finds no matches must
+    not lose the count — it accumulates in keyed state and rides out on
+    the key's next emitted row."""
+    src = str(tmp_path / "s5")
+    ckpt = str(tmp_path / "ck5")
+    _write_batch(spark, src, [
+        (3, 100, "view", 1), (3, 200, "click", 2),
+    ])
+    out = str(tmp_path / "out5")
+    _run(spark, src, ckpt, out)
+    # batch 2: TWO late events, NO match completed -> nothing emitted
+    _write_batch(spark, src, [
+        (3, 10, "view", 3), (3, 20, "click", 4),
+    ])
+    _run(spark, src, ckpt, out)
+    assert len(_read(spark, out)) == 0
+    # batch 3: pattern completes; the pending late count surfaces here
+    _write_batch(spark, src, [(3, 300, "purchase", 5)])
+    _run(spark, src, ckpt, out)
+    rows = _read(spark, out)
+    assert len(rows) == 1
+    assert rows[0]["n_late"] == 2
+    # batch 4: another full match, pending was drained by the emission
+    _write_batch(spark, src, [
+        (3, 400, "view", 6), (3, 500, "click", 7), (3, 600, "purchase", 8),
+    ])
+    _run(spark, src, ckpt, out)
+    rows = sorted(_read(spark, out), key=lambda r: r["end_ms"])
+    assert len(rows) == 2
+    assert rows[1]["n_late"] == 0

@@ -570,3 +570,34 @@ def test_unigram_cross_entropy_hand_computed(spark):
     assert out[2]["bits_per_token"] == round(-math.log2(1 / 4), 6) == 2.0
     # the rare-token doc is the "surprising" one
     assert out[2]["bits_per_token"] > out[1]["bits_per_token"]
+
+
+def test_kmeans_loose_tol_quality_bound(spark, sf_dir):
+    """ADVICE r3: kmeans_query runs with tol=1e-2 (vs the 1e-6 default) on
+    a rows-only registry entry, so no oracle can catch assignment
+    regressions.  Pin the tradeoff: on the real embeddings table the loose
+    tolerance must agree with the tight one on >=90% of assignments and
+    give up <=2% total inertia (boundary oscillators only)."""
+    from flink_cdc_log_connectors_spark.io import load_table
+    from flink_cdc_log_connectors_spark.operators.clustering import (
+        kmeans_assign,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    loose = {
+        r["vec_id"]: (r["cluster"], r["dist2"])
+        for r in kmeans_assign(emb, k=10, max_iter=10, tol=1e-2).collect()
+    }
+    tight = {
+        r["vec_id"]: (r["cluster"], r["dist2"])
+        for r in kmeans_assign(emb, k=10, max_iter=10, tol=1e-6).collect()
+    }
+    assert set(loose) == set(tight)
+    n = len(loose)
+    agree = sum(1 for k in loose if loose[k][0] == tight[k][0])
+    assert agree / n >= 0.90, f"agreement {agree / n:.3f} < 0.90"
+    inertia_loose = sum(v[1] for v in loose.values())
+    inertia_tight = sum(v[1] for v in tight.values())
+    assert inertia_loose <= inertia_tight * 1.02, (
+        f"inertia ratio {inertia_loose / inertia_tight:.4f} > 1.02"
+    )
