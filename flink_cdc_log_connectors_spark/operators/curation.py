@@ -1,0 +1,281 @@
+"""Corpus curation operators: cross-source overlap, quality bucketing,
+token-budget mix planning.
+
+The decisions a training-data pipeline makes ABOVE the document level:
+how much two crawls/sources duplicate each other (contamination and
+mix-deduplication budgeting), which quality stratum each document falls
+in (CCNet-style head/middle/tail by LM-score proxy), and what per-source
+sampling rates hit a global token budget.  All pure-Catalyst or
+sketch-level plans; every entry carries a full DuckDB value oracle.
+
+Scale notes per operator are inline; the common discipline: per-source
+state is SKETCHES (k hashes) or SCALARS (token counts), so the
+cross-source stages touch O(sources²·k) rows regardless of corpus size —
+only the first pass scans the corpus, map-side-combined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import load_table
+
+# --------------------------------------------------------------------------
+# Pairwise source overlap via KMV sketches (contamination estimation)
+# --------------------------------------------------------------------------
+
+OVERLAP_K = 64
+
+#: 2^60 as double — md5-60 hash-space size for KMV normalization
+_HASH_SPACE = float(1 << 60)
+
+
+def source_overlap_kmv(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = OVERLAP_K,
+) -> DataFrame:
+    """Estimated pairwise content overlap between sources via KMV set
+    sketches over document-content hashes (md5-60 of the text).
+
+    For each source pair the k smallest hashes of the UNION give the
+    union-cardinality estimate ``(k-1)/kth_min_normalized``; the fraction
+    of those union-k hashes present in BOTH sources estimates Jaccard;
+    their product estimates ``|A ∩ B|`` — the standard KMV set-operation
+    estimators (Beyer et al., "On Synopses for Distinct-Value Estimation
+    Under Multiset Operations", SIGMOD'07), fully deterministic here
+    (md5 order, no RNG) and therefore value-oracle-checkable.
+
+    Scale: one corpus scan builds per-source sketches (ranking window on
+    uniform hash keys, k rows survive per source); everything after
+    touches k·sources rows — the pairwise stage is sketch-level, never
+    corpus-level, so 100 TB and 100 MB cost the same past the first scan.
+    The sketch join is a documented tiny-broadcast (k·sources rows).
+    """
+    hv = (
+        F.conv(F.substring(F.md5(F.col(text_col)), 1, 15), 16, 10)
+        .cast("long")
+        .alias("hv")
+    )
+    d = df.select(F.col(group_col).alias("s"), hv).distinct()
+    w = Window.partitionBy("s").orderBy("hv")
+    kept = (
+        d.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("s", "hv")
+    )
+    srcs = kept.select("s").distinct()
+    pairs = (
+        srcs.select(F.col("s").alias("sa"))
+        .join(srcs.select(F.col("s").alias("sb")), F.col("sa") < F.col("sb"))
+    )
+    merged = pairs.join(
+        F.broadcast(kept),
+        (F.col("s") == F.col("sa")) | (F.col("s") == F.col("sb")),
+    )
+    per_hv = merged.groupBy("sa", "sb", "hv").agg(
+        F.count(F.lit(1)).alias("ns")  # kept rows are distinct per source
+    )
+    w2 = Window.partitionBy("sa", "sb").orderBy("hv")
+    union_k = per_hv.withColumn("__rn", F.row_number().over(w2)).filter(
+        F.col("__rn") <= k
+    )
+    agg = union_k.groupBy("sa", "sb").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.max("hv").alias("__kth"),
+        F.sum(F.when(F.col("ns") == 2, 1).otherwise(0))
+        .cast("long").alias("matches"),
+    )
+    est_union = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) / (F.col("__kth").cast("double") / F.lit(_HASH_SPACE))
+    )
+    est_j = F.col("matches").cast("double") / F.col("n_kept")
+    return agg.select(
+        F.col("sa").alias("source_a"),
+        F.col("sb").alias("source_b"),
+        "n_kept",
+        "matches",
+        F.round(est_j, 6).alias("est_jaccard"),
+        F.round(est_j * est_union, 4).alias("est_common_docs"),
+    )
+
+
+def source_overlap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return source_overlap_kmv(docs).orderBy("source_a", "source_b")
+
+
+OVERLAP_SQL = f"""
+WITH d AS (
+  SELECT DISTINCT source AS s,
+         ('0x' || substring(md5(text), 1, 15))::BIGINT AS hv
+  FROM documents
+),
+kept AS (
+  SELECT s, hv FROM (
+    SELECT s, hv, row_number() OVER (PARTITION BY s ORDER BY hv) AS rn
+    FROM d) WHERE rn <= {OVERLAP_K}
+),
+srcs AS (SELECT DISTINCT s FROM kept),
+pairs AS (
+  SELECT a.s AS sa, b.s AS sb FROM srcs a JOIN srcs b ON a.s < b.s
+),
+merged AS (
+  SELECT p.sa, p.sb, k.hv, count(*) AS ns
+  FROM pairs p JOIN kept k ON k.s = p.sa OR k.s = p.sb
+  GROUP BY p.sa, p.sb, k.hv
+),
+union_k AS (
+  SELECT sa, sb, hv, ns FROM (
+    SELECT sa, sb, hv, ns,
+           row_number() OVER (PARTITION BY sa, sb ORDER BY hv) AS rn
+    FROM merged) WHERE rn <= {OVERLAP_K}
+),
+agg AS (
+  SELECT sa, sb, CAST(count(*) AS BIGINT) AS n_kept, max(hv) AS kth,
+         CAST(sum(CASE WHEN ns = 2 THEN 1 ELSE 0 END) AS BIGINT) AS matches
+  FROM union_k GROUP BY sa, sb
+)
+SELECT sa AS source_a, sb AS source_b, n_kept, matches,
+       round(CAST(matches AS DOUBLE) / n_kept, 6) AS est_jaccard,
+       round((CAST(matches AS DOUBLE) / n_kept)
+             * (CASE WHEN n_kept < {OVERLAP_K} THEN CAST(n_kept AS DOUBLE)
+                     ELSE CAST({OVERLAP_K - 1} AS DOUBLE)
+                          / (CAST(kth AS DOUBLE) / 1152921504606846976.0)
+                END), 4) AS est_common_docs
+FROM agg ORDER BY source_a, source_b
+"""
+
+
+# --------------------------------------------------------------------------
+# CCNet-style quality buckets (head / middle / tail by LM-score proxy)
+# --------------------------------------------------------------------------
+
+
+def quality_buckets_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language head/middle/tail quality strata: ntile(3) over the
+    unigram cross-entropy score (the perplexity proxy CCNet buckets on),
+    deterministic tie-break by doc_id.
+
+    Scale: reuses the cross-entropy plan (one token-keyed shuffle + one
+    doc rollup), then ONE ranking window per language — the global sort
+    is per-language, which is the exact CCNet sharding."""
+    from .text import unigram_cross_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    xent = unigram_cross_entropy(docs)
+    j = docs.select("doc_id", "lang").join(xent, "doc_id")
+    w = Window.partitionBy("lang").orderBy("bits_per_token", "doc_id")
+    b = j.withColumn("bucket", F.ntile(3).over(w))
+    return (
+        b.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("bits_per_token"), 6).alias("avg_bits"),
+            F.round(F.min("bits_per_token"), 6).alias("min_bits"),
+            F.round(F.max("bits_per_token"), 6).alias("max_bits"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+def _quality_buckets_sql() -> str:
+    from ..functions.text import TOKENS_SQL
+
+    t = "unnest(" + TOKENS_SQL.format(col="text") + ")"
+    return f"""
+WITH tok AS (SELECT doc_id, {t} AS t FROM documents),
+freq AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+total AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok),
+xent AS (
+  SELECT doc_id,
+         round(avg(-log2(CAST(c AS DOUBLE) / (SELECT n FROM total))), 6)
+           AS bits_per_token
+  FROM tok JOIN freq USING (t) GROUP BY doc_id
+),
+b AS (
+  SELECT d.lang, x.bits_per_token,
+         CAST(ntile(3) OVER (PARTITION BY d.lang
+                             ORDER BY x.bits_per_token, x.doc_id) AS INT)
+           AS bucket
+  FROM xent x JOIN documents d USING (doc_id)
+)
+SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(bits_per_token), 6) AS avg_bits,
+       round(min(bits_per_token), 6) AS min_bits,
+       round(max(bits_per_token), 6) AS max_bits
+FROM b GROUP BY lang, bucket ORDER BY lang, bucket
+"""
+
+
+# --------------------------------------------------------------------------
+# Token-budget mix planning (per-source sampling rates for a target budget)
+# --------------------------------------------------------------------------
+
+
+def token_budget_mix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling plan for an equal-allocation token budget of
+    half the corpus: each source's target is ``total_tokens / 2 /
+    n_sources``; sources smaller than their target keep everything
+    (rate 1.0), larger ones sample down — the uniform-mix first cut a
+    data-mix pipeline starts from before importance reweighting.
+
+    Scale: one corpus scan with map-side token counting, one tiny
+    per-source aggregate, window totals over the (sources)-sized result.
+    """
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = (
+        docs.select("source", F.size(tokens(F.col("text"))).alias("nt"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy()
+    tot = F.sum("n_tokens").over(w)
+    n_src = F.count(F.lit(1)).over(w)
+    target = tot.cast("double") / 2.0 / n_src.cast("double")
+    rate = F.least(F.lit(1.0), target / F.col("n_tokens").cast("double"))
+    return per_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(rate, 6).alias("sample_rate"),
+        F.floor(rate * F.col("n_tokens").cast("double"))
+        .cast("long").alias("expected_tokens"),
+    ).orderBy("source")
+
+
+def _token_budget_sql() -> str:
+    from ..functions.text import TOKENS_SQL
+
+    t = TOKENS_SQL.format(col="text")
+    return f"""
+WITH per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({t})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+       round(least(1.0, (sum(n_tokens) OVER () / 2.0 / count(*) OVER ())
+                        / n_tokens), 6) AS sample_rate,
+       CAST(floor(least(1.0, (sum(n_tokens) OVER () / 2.0 / count(*) OVER ())
+                             / n_tokens) * n_tokens) AS BIGINT)
+         AS expected_tokens
+FROM per_src ORDER BY source
+"""
+
+
+CURATION_QUERIES = {
+    "corpus_overlap_kmv": (source_overlap_query, OVERLAP_SQL),
+    "corpus_quality_buckets": (quality_buckets_query, _quality_buckets_sql()),
+    "corpus_token_budget_mix": (token_budget_mix_query, _token_budget_sql()),
+}

@@ -486,6 +486,94 @@ FROM s{last} GROUP BY user_id ORDER BY user_id LIMIT 1000
 """
 
 
+def session_funnel_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel completion WITHIN sessions: how many 30-minute sessions
+    reach each stage of signup → view → click → purchase, with the
+    ordering constraint evaluated inside the session (the composition of
+    ``sessionize`` and ``funnel_stages`` a product-analytics engine runs
+    as one query).
+
+    Plan shape: one hash shuffle keyed by user (sessionize window), then
+    the funnel's single window pass keyed by (user, session) — the second
+    partitioning refines the first, so AQE plans them back to back — then
+    a 1-row global rollup.  Counts are integers: exact cross-engine."""
+    events = load_table(spark, sf_dir, "events")
+    s = sessionize(events, key="user_id", ts_col="ts", gap_seconds=1800,
+                   order_tie=["event_id"])
+    s = s.withColumn(
+        "skey", F.concat_ws(":", F.col("user_id"), F.col("session_id"))
+    )
+    f = funnel_stages(s, key="skey", ts_col="ts", type_col="event_type",
+                      order_tie=["event_id"])
+    return f.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        *[
+            F.sum((F.col("stage_reached") >= i + 1).cast("long"))
+            .cast("long").alias(f"n_{st}")
+            for i, st in enumerate(FUNNEL_STAGES)
+        ],
+    )
+
+
+def _session_funnel_sql(stages: Sequence[str] = FUNNEL_STAGES) -> str:
+    # sessionize CTEs (microsecond-exact gap — same arithmetic as
+    # SESSIONIZE_SQL), then the staged funnel chain partitioned by
+    # (user_id, session_id)
+    win = (
+        "WINDOW w AS (PARTITION BY user_id, session_id ORDER BY ts, event_id\n"
+        "             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    ctes = [
+        """flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(ts) OVER sw IS NULL
+                   OR date_diff('microsecond', LAG(ts) OVER sw, ts) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW sw AS (PARTITION BY user_id ORDER BY ts, event_id)
+)""",
+        """sessions AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+)""",
+        f"""s0 AS (
+  SELECT user_id, session_id, ts, event_id, event_type,
+         CASE WHEN event_type = '{stages[0]}' THEN ts END AS q0,
+         MIN(CASE WHEN event_type = '{stages[0]}' THEN ts END) OVER w AS r0
+  FROM sessions {win}
+)""",
+    ]
+    for i, st in enumerate(stages[1:], start=1):
+        prev_q = ", ".join(f"q{j}" for j in range(i))
+        q = f"CASE WHEN event_type = '{st}' AND ts > r{i - 1} THEN ts END"
+        ctes.append(
+            f"s{i} AS (\n  SELECT user_id, session_id, ts, event_id,"
+            f" event_type, {prev_q},\n         {q} AS q{i},\n"
+            f"         MIN({q}) OVER w AS r{i}\n  FROM s{i - 1} {win}\n)"
+        )
+    last = len(stages) - 1
+    reach_cases = ", ".join(
+        "CAST(CASE WHEN "
+        + " AND ".join(f"MIN(q{j}) IS NOT NULL" for j in range(i + 1))
+        + f" THEN 1 ELSE 0 END AS BIGINT) AS c_{st}"
+        for i, st in enumerate(stages)
+    )
+    n_cols = ", ".join(
+        f"CAST(sum(c_{st}) AS BIGINT) AS n_{st}" for st in stages
+    )
+    return f"""
+WITH {", ".join(ctes)},
+per_session AS (
+  SELECT user_id, session_id, {reach_cases}
+  FROM s{last} GROUP BY user_id, session_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_sessions, {n_cols}
+FROM per_session
+"""
+
+
 # --------------------------------------------------------------------------
 # Cohort retention (first-seen cohort × day offset)
 # --------------------------------------------------------------------------
@@ -996,6 +1084,7 @@ TEMPORAL_QUERIES = {
     "sessionize_events": (sessionize_query, SESSIONIZE_SQL),
     "range_join_events": (range_join_query, RANGE_JOIN_SQL),
     "events_funnel": (funnel_query, _funnel_sql()),
+    "events_session_funnel": (session_funnel_query, _session_funnel_sql()),
     "events_retention": (retention_query, RETENTION_SQL),
     "events_cep_adjacent": (cep_adjacent_query, CEP_ADJACENT_SQL),
     "events_anomaly_zscore": (anomaly_query, ANOMALY_SQL),

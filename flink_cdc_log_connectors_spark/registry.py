@@ -105,6 +105,12 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         out.update(LIFECYCLE_QUERIES)
     except ImportError:
         pass
+    try:
+        from .operators.curation import CURATION_QUERIES
+
+        out.update(CURATION_QUERIES)
+    except ImportError:
+        pass
     return _driver_window_order(out)
 
 
@@ -131,6 +137,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "range_join_events",
     # (c) new in r4 — unproven until their first driver row
     "ddl_sql_lifecycle",
+    "corpus_overlap_kmv",
+    "corpus_quality_buckets",
+    "corpus_token_budget_mix",
+    "dedup_minhash_accuracy",
+    "events_session_funnel",
     # (d) last driver row is r1/r2 — stalest evidence first
     "q01_project_scalar",
     "q02_filter",
