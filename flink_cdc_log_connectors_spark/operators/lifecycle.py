@@ -178,6 +178,97 @@ GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
 
+def canal_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canal-JSON ingestion end-to-end, driver-checked: orders → canal
+    envelopes (same c/u/d mutation classes as the DDL fixture, generated
+    with ``to_json`` in-plan — no disk round trip) → ``parse_canal_json``
+    → ``apply_changelog`` materialization → aggregate.  The oracle
+    replays the mutations arithmetically, so a parser regression (op
+    mapping, old-overlay before-images, image explosion order) flips the
+    hash.
+
+    Plan: one codegen'd JSON encode + decode pass (map-only), one key
+    window, one aggregation — q14's materialization shape with the
+    format parser in the measured path."""
+    from ..sources.formats import parse_canal_json
+    from .changelog import apply_changelog
+    from pyspark.sql import types as T
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+
+    def env(typ: str, data, old, es):
+        return F.to_json(
+            F.struct(
+                F.array(data).alias("data"),
+                (F.array(old) if old is not None
+                 else F.lit(None).cast("array<struct<o_totalprice:double>>"))
+                .alias("old"),
+                F.lit(typ).alias("type"),
+                F.lit("tpch").alias("database"),
+                F.lit("orders").alias("table"),
+                es.alias("es"),
+                (es + 1).alias("ts"),
+            )
+        ).alias("value")
+
+    row = F.struct("o_orderkey", "o_custkey", "o_orderpriority",
+                   "o_totalprice")
+    row_updated = F.struct(
+        F.col("o_orderkey"), F.col("o_custkey"), F.col("o_orderpriority"),
+        (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+    )
+    k2 = (F.col("o_orderkey") * 2).cast("long")
+    lines = (
+        orders.select(env("INSERT", row, None, k2))
+        .unionAll(
+            orders.filter(_UPDATED).select(
+                env("UPDATE", row_updated,
+                    F.struct(F.col("o_totalprice")), k2 + 1)
+            )
+        )
+        .unionAll(
+            orders.filter(_DELETED).select(env("DELETE", row, None, k2 + 1))
+        )
+    )
+    physical = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderpriority", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    parsed = parse_canal_json(lines, physical)
+    latest = apply_changelog(
+        parsed, keys=["o_orderkey"],
+        order_by=["_src.op_ts_ms", "_src.img_seq"],
+    )
+    return (
+        latest.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+CANAL_ROUNDTRIP_SQL = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1
+                          ELSE o_totalprice END AS DECIMAL(18,2)))
+            AS DOUBLE) AS sum_price
+FROM orders
+WHERE o_orderkey % 100 <> 51
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
 LIFECYCLE_QUERIES = {
     "ddl_sql_lifecycle": (ddl_lifecycle_query, DDL_LIFECYCLE_SQL),
+    "cdc_canal_roundtrip": (canal_roundtrip_query, CANAL_ROUNDTRIP_SQL),
 }

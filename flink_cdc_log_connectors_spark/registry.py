@@ -142,6 +142,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "corpus_token_budget_mix",
     "dedup_minhash_accuracy",
     "events_session_funnel",
+    "cdc_canal_roundtrip",
     # (d) last driver row is r1/r2 — stalest evidence first
     "q01_project_scalar",
     "q02_filter",

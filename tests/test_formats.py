@@ -1,0 +1,136 @@
+"""Canal-JSON / Maxwell-JSON format parsers (sources/formats.py):
+op mapping, partial-old before-image reconstruction, metadata struct,
+and format-agnostic downstream composition (apply_changelog)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import types as T
+
+from flink_cdc_log_connectors_spark.sources.formats import (
+    parse_canal_json,
+    parse_maxwell_json,
+)
+
+PHYS = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("qty", T.LongType()),
+    ]
+)
+
+
+def _df(spark, lines):
+    return spark.createDataFrame([(l,) for l in lines], "value string")
+
+
+def test_canal_insert_update_delete(spark):
+    lines = [
+        json.dumps({
+            "data": [{"id": 1, "name": "a", "qty": 5},
+                     {"id": 2, "name": "b", "qty": 7}],
+            "old": None, "type": "INSERT",
+            "database": "shop", "table": "items",
+            "es": 1000, "ts": 1001, "pkNames": ["id"],
+        }),
+        # update: old carries ONLY the changed field (qty)
+        json.dumps({
+            "data": [{"id": 1, "name": "a", "qty": 9}],
+            "old": [{"qty": 5}], "type": "UPDATE",
+            "database": "shop", "table": "items",
+            "es": 2000, "ts": 2001, "pkNames": ["id"],
+        }),
+        json.dumps({
+            "data": [{"id": 2, "name": "b", "qty": 7}],
+            "old": None, "type": "DELETE",
+            "database": "shop", "table": "items",
+            "es": 3000, "ts": 3001, "pkNames": ["id"],
+        }),
+    ]
+    out = parse_canal_json(_df(spark, lines), PHYS).collect()
+    rows = [(r["id"], r["name"], r["qty"], r["op"]) for r in out]
+    # insert fans out the data array; update emits before THEN after;
+    # delete emits the before image with op 'd'
+    assert (1, "a", 5, "c") in rows and (2, "b", 7, "c") in rows
+    assert (1, "a", 5, "u") in rows      # before: data overlaid with old.qty
+    assert (1, "a", 9, "u") in rows      # after
+    assert (2, "b", 7, "d") in rows
+    assert len(rows) == 5
+    upd = [r for r in out if r["op"] == "u"]
+    by_seq = {r["_src"]["img_seq"]: r for r in upd}
+    assert by_seq[0]["qty"] == 5 and by_seq[1]["qty"] == 9
+    assert all(r["_src"]["database_name"] == "shop" for r in out)
+    assert all(r["_src"]["table_name"] == "items" for r in out)
+    # canal 'es' (source event time, ms) is the op timestamp
+    assert {r["_src"]["op_ts_ms"] for r in out} == {1000, 2000, 3000}
+
+
+def test_canal_multi_row_update_aligns_old_by_index(spark):
+    line = json.dumps({
+        "data": [{"id": 1, "name": "a", "qty": 10},
+                 {"id": 2, "name": "b", "qty": 20}],
+        "old": [{"qty": 1}, {"qty": 2}], "type": "UPDATE",
+        "database": "d", "table": "t", "es": 1, "ts": 2, "pkNames": ["id"],
+    })
+    out = parse_canal_json(_df(spark, [line]), PHYS).collect()
+    befores = {(r["id"], r["qty"]) for r in out if r["_src"]["img_seq"] == 0}
+    afters = {(r["id"], r["qty"]) for r in out if r["_src"]["img_seq"] == 1}
+    assert befores == {(1, 1), (2, 2)}
+    assert afters == {(1, 10), (2, 20)}
+
+
+def test_maxwell_insert_update_delete(spark):
+    lines = [
+        json.dumps({"database": "shop", "table": "items", "type": "insert",
+                    "ts": 10, "xid": 100, "position": "binlog.1:4",
+                    "data": {"id": 1, "name": "a", "qty": 5}, "old": None}),
+        json.dumps({"database": "shop", "table": "items", "type": "update",
+                    "ts": 20, "xid": 101, "position": "binlog.1:9",
+                    "data": {"id": 1, "name": "a2", "qty": 5},
+                    "old": {"name": "a"}}),
+        json.dumps({"database": "shop", "table": "items", "type": "delete",
+                    "ts": 30, "xid": 102, "position": "binlog.1:14",
+                    "data": {"id": 1, "name": "a2", "qty": 5}, "old": None}),
+    ]
+    out = parse_maxwell_json(_df(spark, lines), PHYS).collect()
+    rows = [(r["id"], r["name"], r["qty"], r["op"]) for r in out]
+    assert (1, "a", 5, "c") in rows
+    assert (1, "a", 5, "u") in rows and (1, "a2", 5, "u") in rows
+    assert (1, "a2", 5, "d") in rows
+    assert len(rows) == 4
+    # maxwell ts is SECONDS; _src normalizes to ms
+    assert {r["_src"]["op_ts_ms"] for r in out} == {10000, 20000, 30000}
+    assert out[0]["_src"]["file"].startswith("binlog.1")
+
+
+def test_formats_compose_with_apply_changelog(spark):
+    """Format-agnostic downstream: canal rows materialize to the latest
+    state exactly like debezium rows (P7 upsert normalization)."""
+    from flink_cdc_log_connectors_spark.operators.changelog import (
+        apply_changelog,
+    )
+
+    lines = [
+        json.dumps({"data": [{"id": 1, "name": "x", "qty": 1}], "old": None,
+                    "type": "INSERT", "database": "d", "table": "t",
+                    "es": 1, "ts": 1, "pkNames": ["id"]}),
+        json.dumps({"data": [{"id": 1, "name": "x", "qty": 2}],
+                    "old": [{"qty": 1}],
+                    "type": "UPDATE", "database": "d", "table": "t",
+                    "es": 2, "ts": 2, "pkNames": ["id"]}),
+        json.dumps({"data": [{"id": 2, "name": "y", "qty": 9}], "old": None,
+                    "type": "INSERT", "database": "d", "table": "t",
+                    "es": 3, "ts": 3, "pkNames": ["id"]}),
+        json.dumps({"data": [{"id": 2, "name": "y", "qty": 9}], "old": None,
+                    "type": "DELETE", "database": "d", "table": "t",
+                    "es": 4, "ts": 4, "pkNames": ["id"]}),
+    ]
+    parsed = parse_canal_json(_df(spark, lines), PHYS)
+    latest = apply_changelog(
+        parsed, keys=["id"],
+        order_by=["_src.op_ts_ms", "_src.img_seq"],
+    )
+    rows = {(r["id"], r["qty"]) for r in latest.collect()}
+    assert rows == {(1, 2)}  # id 2 deleted; id 1 at its after-image
