@@ -1,15 +1,17 @@
-"""Canal-JSON and Maxwell-JSON change-event formats.
+"""Canal-JSON, Maxwell-JSON and OGG-JSON change-event formats.
 
-Flink's CDC ecosystem reads three wire formats interchangeably —
-``debezium-json`` (this engine's ``sources/debezium.py``), ``canal-json``
-and ``maxwell-json`` (Flink ``flink-formats/flink-json``:
-``CanalJsonDeserializationSchema`` / ``MaxwellJsonDeserializationSchema``)
-— because MySQL shops replay Canal/Maxwell dumps from object storage as
-often as Debezium topics.  This module gives the same interchangeability:
-both parsers produce the ENGINE'S append-only contract (physical columns,
-``op`` code, ``_src`` metadata struct — identical to ``parse_debezium``),
-so everything downstream (``apply_changelog``, metadata projection,
-``shouldEmit``) is format-agnostic.
+Flink's CDC ecosystem reads four wire formats interchangeably —
+``debezium-json`` (this engine's ``sources/debezium.py``), ``canal-json``,
+``maxwell-json`` and ``ogg-json`` (Flink ``flink-formats/flink-json``:
+``CanalJsonDeserializationSchema`` / ``MaxwellJsonDeserializationSchema``
+/ ``OggJsonDeserializationSchema``) — because MySQL shops replay
+Canal/Maxwell dumps and Oracle shops GoldenGate trails from object
+storage as often as Debezium topics.  This module gives the same
+interchangeability: every parser produces the ENGINE'S append-only
+contract (physical columns, ``op`` code, ``_src`` metadata struct —
+identical to ``parse_debezium``), so everything downstream
+(``apply_changelog``, metadata projection, ``shouldEmit``) is
+format-agnostic.
 
 Format semantics implemented (public format docs):
 
@@ -20,6 +22,9 @@ Format semantics implemented (public format docs):
   UPDATE_BEFORE reconstruction.
 - **Maxwell**: one row per message (``data``); for update, ``old`` again
   holds only changed fields.
+- **OGG**: full ``before``/``after`` images, ``op_type`` I/U/D,
+  ``table`` as ``DB.TABLE``, ``op_ts``/``current_ts`` as
+  ``yyyy-MM-dd HH:mm:ss.SSSSSS`` wall-clock strings.
 
 Op mapping follows the reference deserializer's append-only rewrite
 (D1): insert → after image ``c``; update → before image then after image
@@ -207,3 +212,61 @@ def parse_maxwell_json(
         env2["position"], env2["xid"], ts_ms,
     )
     return _explode_images(parsed, before, after, F.col("__op"), src, physical)
+
+
+def ogg_schema(physical: T.StructType) -> T.StructType:
+    p = _nullable(physical)
+    return T.StructType(
+        [
+            T.StructField("before", p, True),
+            T.StructField("after", p, True),
+            T.StructField("op_type", T.StringType(), True),
+            T.StructField("op_ts", T.StringType(), True),
+            T.StructField("current_ts", T.StringType(), True),
+            T.StructField("table", T.StringType(), True),  # "DB.TABLE"
+            T.StructField("primary_keys", T.ArrayType(T.StringType()), True),
+            T.StructField("pos", T.StringType(), True),
+        ]
+    )
+
+
+def parse_ogg_json(
+    df: DataFrame, physical: T.StructType, json_col: str = "value"
+) -> DataFrame:
+    """OGG-JSON (GoldenGate trail) messages → append-only change rows.
+    Full before/after images; ``op_type`` I/U/D; ``table`` splits into
+    the metadata struct's database/table slots."""
+    base = df.select(
+        F.from_json(F.col(json_col), ogg_schema(physical)).alias("__env")
+    )
+    env = F.col("__env")
+    t = F.upper(env["op_type"])
+    op = (
+        F.when(t == "I", F.lit(OP_CREATE))
+        .when(t == "U", F.lit(OP_UPDATE))
+        .when(t == "D", F.lit(OP_DELETE))
+    )
+    parsed = base.select(op.alias("__op"), env.alias("__env2"))
+    env2 = F.col("__env2")
+    after = env2["after"]
+    # OGG carries FULL before images (unlike canal/maxwell's partial old);
+    # deletes put the row in `before` with an absent `after`
+    before = F.coalesce(env2["before"], after)
+    after_or_before = F.coalesce(after, env2["before"])
+    # wall-clock trail timestamps: parse as NTZ then take epoch micros of
+    # the NTZ fields directly (no session-zone dependence)
+    op_ts_ms = F.expr(
+        "CAST(timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', "
+        "to_timestamp_ntz(__env2.op_ts)) / 1000 AS LONG)"
+    )
+    emit_ts_ms = F.expr(
+        "CAST(timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', "
+        "to_timestamp_ntz(__env2.current_ts)) / 1000 AS LONG)"
+    )
+    db = F.split(env2["table"], r"\.").getItem(0)
+    tbl = F.split(env2["table"], r"\.").getItem(1)
+    src = _src_meta(db, tbl, op_ts_ms, env2["pos"],
+                    F.lit(None).cast("long"), emit_ts_ms)
+    return _explode_images(
+        parsed, before, after_or_before, F.col("__op"), src, physical
+    )

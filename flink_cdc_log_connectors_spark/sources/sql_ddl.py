@@ -207,7 +207,12 @@ _OPTION_MAP = {
     "copy.existing.path": "existingPath",
     "scan.max-lines-per-batch": "maxLinesPerBatch",
     "scan.max-events-per-batch": "maxEventsPerBatch",
+    "format": "format",
 }
+
+#: DDL 'format' values → envelope parser (Flink flink-formats parity);
+#: None routes to the default debezium-json parser
+_FORMAT_PARSERS = {"debezium-json", "canal-json", "maxwell-json", "ogg-json"}
 
 _CONNECTOR_FORMATS = {
     "cdclog": "cdclog",
@@ -224,9 +229,10 @@ _CONNECTOR_FORMATS = {
 #: error (e.g. ``collection-name`` on sqlite) and must fail loudly like an
 #: unknown key does — silent acceptance hides misconfiguration (ADVICE r3).
 _CONNECTOR_OPTION_ALLOWLIST: dict[str, set[str]] = {
-    # sources/datasource.py (file log reader)
+    # sources/datasource.py (file log reader); 'format' consumed by
+    # create_table's parser dispatch, not the reader itself
     "cdclog": {"path", "snapshotPath", "maxLinesPerBatch",
-               "startingOffsets"},
+               "startingOffsets", "format"},
     # sources/sqlite_dialect.py (live trigger-log dialect)
     "cdcsqlite": {"path", "table", "keyColumn", "chunkSize",
                   "chunkMetaGroupSize", "maxEventsPerBatch",
@@ -331,12 +337,43 @@ def create_table(
             "no resume-token semantics); use streaming=True, or read the "
             "copy.existing snapshot path directly"
         )
+    # NOT popped: the reader's preflight validator reads it to pick the
+    # envelope discriminator for its first-line sample check
+    wire_format = opts.get("format", "debezium-json")
+    if wire_format not in _FORMAT_PARSERS:
+        raise ValueError(
+            f"unsupported 'format': {wire_format!r} "
+            f"(supported: {sorted(_FORMAT_PARSERS)})"
+        )
+    if wire_format != "debezium-json" and fmt != "cdclog":
+        raise ValueError(
+            f"'format'={wire_format!r} applies to log-replay connectors "
+            f"('cdclog'), not {spec.options['connector']!r}"
+        )
+    if wire_format != "debezium-json" and opts.get("snapshotPath"):
+        raise ValueError(
+            "snapshot-path wraps initial-load rows as debezium snapshot "
+            "envelopes; a canal/maxwell/ogg log cannot mix with it — "
+            "replay the full log instead ('scan.startup.mode'='earliest-offset')"
+        )
     reader = spark.readStream if streaming else spark.read
     raw = reader.format(fmt).options(**opts).load()
     if fmt == "mongocdc":
         from .mongo import parse_mongo_changestream
 
         df = parse_mongo_changestream(raw, spec.physical)
+    elif wire_format == "canal-json":
+        from .formats import parse_canal_json
+
+        df = parse_canal_json(raw, spec.physical)
+    elif wire_format == "maxwell-json":
+        from .formats import parse_maxwell_json
+
+        df = parse_maxwell_json(raw, spec.physical)
+    elif wire_format == "ogg-json":
+        from .formats import parse_ogg_json
+
+        df = parse_ogg_json(raw, spec.physical)
     else:
         df = parse_debezium(raw, spec.physical)
     for out_name, key in spec.metadata_cols:

@@ -73,8 +73,17 @@ def validate_file_dialect(options: dict[str, str]) -> None:
                 )
         except ValueError:
             problems.append(f"maxLinesPerBatch must be an integer, got {max_lines!r}")
-    # sample the first log line: catching a non-Debezium file at submit
-    # time beats a NULL-row surprise three stages downstream
+    # sample the first log line: catching a wrong-format file at submit
+    # time beats a NULL-row surprise three stages downstream.  The
+    # discriminator key depends on the declared wire format (Flink
+    # 'format' DDL key, default debezium-json).
+    fmt = (options.get("format") or "debezium-json").lower()
+    discriminator = {
+        "debezium-json": "op",
+        "canal-json": "type",
+        "maxwell-json": "type",
+        "ogg-json": "op_type",
+    }.get(fmt, "op")
     if path and os.path.isdir(path):
         log_dir = os.path.join(path, "log")
         if not os.path.isdir(log_dir):
@@ -87,10 +96,11 @@ def validate_file_dialect(options: dict[str, str]) -> None:
             if line:
                 try:
                     env = json.loads(line)
-                    if not isinstance(env, dict) or "op" not in env:
+                    if not isinstance(env, dict) or discriminator not in env:
                         problems.append(
-                            f"first line of {fname} is not a Debezium envelope "
-                            "(missing 'op'); is this directory really a CDC log?"
+                            f"first line of {fname} is not a {fmt} envelope "
+                            f"(missing {discriminator!r}); is this directory "
+                            "really a CDC log in the declared format?"
                         )
                 except json.JSONDecodeError:
                     problems.append(

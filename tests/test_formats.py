@@ -1,6 +1,7 @@
-"""Canal-JSON / Maxwell-JSON format parsers (sources/formats.py):
-op mapping, partial-old before-image reconstruction, metadata struct,
-and format-agnostic downstream composition (apply_changelog)."""
+"""Canal-JSON / Maxwell-JSON / OGG-JSON format parsers
+(sources/formats.py): op mapping, partial-old before-image
+reconstruction, metadata struct, timestamp normalization, and
+format-agnostic downstream composition (apply_changelog)."""
 
 from __future__ import annotations
 
@@ -134,3 +135,64 @@ def test_formats_compose_with_apply_changelog(spark):
     )
     rows = {(r["id"], r["qty"]) for r in latest.collect()}
     assert rows == {(1, 2)}  # id 2 deleted; id 1 at its after-image
+
+
+def test_ogg_insert_update_delete(spark):
+    from flink_cdc_log_connectors_spark.sources.formats import parse_ogg_json
+
+    lines = [
+        json.dumps({"table": "SHOP.ITEMS", "op_type": "I",
+                    "op_ts": "2020-05-13 15:40:06.000000",
+                    "current_ts": "2020-05-13 15:40:07.000000",
+                    "pos": "00000000000000000001",
+                    "primary_keys": ["id"],
+                    "before": None,
+                    "after": {"id": 1, "name": "a", "qty": 5}}),
+        json.dumps({"table": "SHOP.ITEMS", "op_type": "U",
+                    "op_ts": "2020-05-13 15:41:06.000000",
+                    "current_ts": "2020-05-13 15:41:07.000000",
+                    "pos": "00000000000000000002",
+                    "primary_keys": ["id"],
+                    "before": {"id": 1, "name": "a", "qty": 5},
+                    "after": {"id": 1, "name": "a", "qty": 8}}),
+        json.dumps({"table": "SHOP.ITEMS", "op_type": "D",
+                    "op_ts": "2020-05-13 15:42:06.000000",
+                    "current_ts": "2020-05-13 15:42:07.000000",
+                    "pos": "00000000000000000003",
+                    "primary_keys": ["id"],
+                    "before": {"id": 1, "name": "a", "qty": 8},
+                    "after": None}),
+    ]
+    out = parse_ogg_json(_df(spark, lines), PHYS).collect()
+    rows = [(r["id"], r["qty"], r["op"]) for r in out]
+    assert (1, 5, "c") in rows
+    assert (1, 5, "u") in rows and (1, 8, "u") in rows
+    assert (1, 8, "d") in rows
+    assert len(rows) == 4
+    # "DB.TABLE" splits into the metadata slots
+    assert all(r["_src"]["database_name"] == "SHOP" for r in out)
+    assert all(r["_src"]["table_name"] == "ITEMS" for r in out)
+    # wall-clock trail timestamps parse as NTZ epoch ms (no session zone)
+    ins = [r for r in out if r["op"] == "c"][0]
+    assert ins["_src"]["op_ts_ms"] == 1589384406000
+    assert ins["_src"]["emit_ts_ms"] == 1589384407000
+
+
+def test_ogg_timestamps_session_zone_independent(spark):
+    """The op_ts parse must not route through the session timezone —
+    a trail replayed under a non-UTC driver must produce the same ms."""
+    from flink_cdc_log_connectors_spark.sources.formats import parse_ogg_json
+
+    line = json.dumps({"table": "D.T", "op_type": "I",
+                       "op_ts": "2020-01-01 00:00:00.000000",
+                       "current_ts": "2020-01-01 00:00:00.000000",
+                       "pos": "p", "primary_keys": ["id"],
+                       "before": None,
+                       "after": {"id": 1, "name": "x", "qty": 1}})
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kathmandu")
+        out = parse_ogg_json(_df(spark, [line]), PHYS).collect()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert out[0]["_src"]["op_ts_ms"] == 1577836800000

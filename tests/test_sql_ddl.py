@@ -373,3 +373,45 @@ def test_ddl_lifecycle_registry_entry(spark, sf_dir):
     again = ddl_lifecycle_query(spark, sf_dir).collect()
     assert again == rows
     assert time.time() - t0 < 30
+
+
+def test_ddl_format_canal_json(spark, tmp_path):
+    """Flink 'format' WITH key: the same DDL surface reads canal-json
+    logs through the cdclog connector."""
+    from flink_cdc_log_connectors_spark.sources.datasource import register
+
+    log_dir = tmp_path / "canal_log"
+    log_dir.mkdir()
+    with open(log_dir / "log-000001.jsonl", "w") as fh:
+        fh.write(json.dumps({
+            "data": [{"order_id": 7, "price": "3.50", "note": "n",
+                      "created": "2024-01-01 00:00:00"}],
+            "old": None, "type": "INSERT", "database": "shop",
+            "table": "orders", "es": 5, "ts": 6, "pkNames": ["order_id"],
+        }) + "\n")
+    register(spark)
+    ddl = DDL.replace("'/data/log'", f"'{log_dir}'").replace(
+        "'connector' = 'cdclog',",
+        "'connector' = 'cdclog', 'format' = 'canal-json',",
+    )
+    create_table(spark, ddl, streaming=False)
+    rows = spark.sql(
+        "SELECT order_id, price, db, op FROM orders"
+    ).collect()
+    assert [(r["order_id"], str(r["price"]), r["db"], r["op"])
+            for r in rows] == [(7, "3.50", "shop", "c")]
+
+
+def test_ddl_format_validation():
+    with pytest.raises(ValueError, match="unsupported 'format'"):
+        parse_and_opts = parse_ddl(DDL.replace(
+            "'connector' = 'cdclog',",
+            "'connector' = 'cdclog', 'format' = 'avro-confluent',",
+        ))
+        from flink_cdc_log_connectors_spark.sources.sql_ddl import (
+            create_table as _ct,
+        )
+        _ct(None, DDL.replace(
+            "'connector' = 'cdclog',",
+            "'connector' = 'cdclog', 'format' = 'avro-confluent',",
+        ), streaming=False)

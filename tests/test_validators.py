@@ -32,7 +32,7 @@ def test_file_dialect_rejects_non_envelope_log(tmp_path):
     (log / "a.jsonl").write_text('{"no_op_key": 1}\n')
     with pytest.raises(ValidationError) as e:
         validate_file_dialect({"path": str(tmp_path)})
-    assert "Debezium envelope" in str(e.value)
+    assert "debezium-json envelope" in str(e.value)
 
     (log / "a.jsonl").write_text("not json at all\n")
     with pytest.raises(ValidationError) as e:
