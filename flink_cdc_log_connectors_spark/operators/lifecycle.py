@@ -268,7 +268,124 @@ GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
 
+
+def ogg_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGG-JSON (GoldenGate trail) ingestion end-to-end, driver-checked:
+    orders → OGG envelopes generated in-plan (full before/after images,
+    ``DB.TABLE`` qualified name, wall-clock NTZ trail timestamps derived
+    from the key, zero-padded trail positions) → ``parse_ogg_json`` →
+    ``apply_changelog`` → aggregate.  The checked result carries the
+    PARSED metadata — ``table_name`` from the ``DB.TABLE`` split and
+    ``max(op_ts_ms)`` from the NTZ timestamp parse — so a regression in
+    either (not just the image explosion) flips the hash.
+
+    Plan: one codegen'd JSON encode + decode pass (map-only), one key
+    window, one aggregation — same shape as the canal roundtrip."""
+    from ..sources.formats import parse_ogg_json
+    from .changelog import apply_changelog
+    from pyspark.sql import types as T
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+
+    def ts_str(extra_s: int):
+        # deterministic per-key wall-clock trail time; updates land 60 s
+        # after the insert so the parsed op_ts is observable in the agg
+        return F.date_format(
+            F.expr(
+                "timestampadd(SECOND, CAST(o_orderkey % 86400 AS INT) + "
+                f"{extra_s}, timestamp_ntz'2020-01-01 00:00:00')"
+            ),
+            "yyyy-MM-dd HH:mm:ss.SSSSSS",
+        )
+
+    def env(op_type: str, before, after, pos, ts):
+        return F.to_json(
+            F.struct(
+                before.alias("before"),
+                after.alias("after"),
+                F.lit(op_type).alias("op_type"),
+                ts.alias("op_ts"),
+                ts.alias("current_ts"),
+                F.lit("TPCH.ORDERS").alias("table"),
+                F.array(F.lit("o_orderkey")).alias("primary_keys"),
+                pos.alias("pos"),
+            )
+        ).alias("value")
+
+    row = F.struct("o_orderkey", "o_custkey", "o_orderpriority",
+                   "o_totalprice")
+    row_updated = F.struct(
+        F.col("o_orderkey"), F.col("o_custkey"), F.col("o_orderpriority"),
+        (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+    )
+    null_row = F.lit(None).cast(
+        orders.select(row.alias("r")).schema["r"].dataType
+    )
+    # GoldenGate positions are strings; zero-pad so lexicographic order is
+    # the numeric trail order
+    def pos(expr):
+        return F.lpad(expr.cast("string"), 20, "0")
+
+    k2 = F.col("o_orderkey") * 2
+    lines = (
+        orders.select(env("I", null_row, row, pos(k2), ts_str(0)))
+        .unionAll(
+            orders.filter(_UPDATED).select(
+                env("U", row, row_updated, pos(k2 + 1), ts_str(60))
+            )
+        )
+        .unionAll(
+            orders.filter(_DELETED).select(
+                env("D", row, null_row, pos(k2 + 1), ts_str(60))
+            )
+        )
+    )
+    physical = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderpriority", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    parsed = parse_ogg_json(lines, physical)
+    # the OGG trail position string rides in _src.file (pos slot is the
+    # numeric binlog offset, null for trails)
+    latest = apply_changelog(
+        parsed, keys=["o_orderkey"], order_by=["_src.file", "_src.img_seq"]
+    )
+    return (
+        latest.groupBy("o_orderpriority", F.col("_src.table_name").alias("tbl"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("sum_price"),
+            F.max("_src.op_ts_ms").alias("max_op_ts_ms"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+OGG_ROUNDTRIP_SQL = """
+SELECT o_orderpriority,
+       'ORDERS' AS tbl,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1
+                          ELSE o_totalprice END AS DECIMAL(18,2)))
+            AS DOUBLE) AS sum_price,
+       MAX(1577836800000 + (o_orderkey % 86400) * 1000
+           + CASE WHEN o_orderkey % 10 = 0 THEN 60000 ELSE 0 END)
+         AS max_op_ts_ms
+FROM orders
+WHERE o_orderkey % 100 <> 51
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
 LIFECYCLE_QUERIES = {
     "ddl_sql_lifecycle": (ddl_lifecycle_query, DDL_LIFECYCLE_SQL),
     "cdc_canal_roundtrip": (canal_roundtrip_query, CANAL_ROUNDTRIP_SQL),
+    "cdc_ogg_roundtrip": (ogg_roundtrip_query, OGG_ROUNDTRIP_SQL),
 }

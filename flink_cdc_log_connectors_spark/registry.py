@@ -143,6 +143,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_minhash_accuracy",
     "events_session_funnel",
     "cdc_canal_roundtrip",
+    "cdc_ogg_roundtrip",
     # (d) last driver row is r1/r2 — stalest evidence first
     "q01_project_scalar",
     "q02_filter",
