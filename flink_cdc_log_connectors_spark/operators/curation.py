@@ -279,3 +279,113 @@ CURATION_QUERIES = {
     "corpus_quality_buckets": (quality_buckets_query, _quality_buckets_sql()),
     "corpus_token_budget_mix": (token_budget_mix_query, _token_budget_sql()),
 }
+
+
+# --------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk training batch layout)
+# --------------------------------------------------------------------------
+
+PACK_CAP = 512  #: tokens per packed training sequence
+PACK_SHARDS = 8  #: independent packing streams
+
+
+def pack_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing plan: documents are concatenated
+    in deterministic order and chunked into fixed ``PACK_CAP``-token
+    training sequences (the standard GPT-style packing layout, where a
+    document may span a sequence boundary).  Packing is per-SHARD
+    (``doc_id % PACK_SHARDS``) — the 100 TB formulation, since a single
+    global concatenation order would serialize the cumulative sum; shards
+    pack independently and in parallel.
+
+    Output per shard: documents, tokens, packed sequences, how many
+    documents straddle a sequence boundary and the padding wasted in the
+    final partial sequence — the numbers a training-data engineer checks
+    before writing shards.
+
+    Scale: one map-only token count, one window cumulative sum
+    PARTITIONED BY shard (each shard's running sum is an independent
+    stream — with more shards than cores this is embarrassingly
+    parallel), one 8-row aggregation.  Nothing global, nothing quadratic.
+    """
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(tokens(F.col("text"))).alias("n_tok"),
+    ).filter(F.col("n_tok") > 0)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = per_doc.select(
+        "shard",
+        "n_tok",
+        (F.sum("n_tok").over(w) - F.col("n_tok")).alias("offset"),
+    ).select(
+        "shard",
+        "n_tok",
+        F.floor(F.col("offset") / PACK_CAP).alias("start_seq"),
+        F.floor((F.col("offset") + F.col("n_tok") - 1) / PACK_CAP).alias(
+            "end_seq"
+        ),
+    )
+    return (
+        placed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            (F.max("end_seq") + 1).cast("long").alias("n_seqs"),
+            F.sum((F.col("end_seq") > F.col("start_seq")).cast("long"))
+            .cast("long")
+            .alias("n_spanning"),
+            ((F.max("end_seq") + 1) * PACK_CAP - F.sum("n_tok"))
+            .cast("long")
+            .alias("pad_tokens"),
+        )
+        .orderBy("shard")
+    )
+
+
+def _pack_sequences_sql() -> str:
+    from ..functions.text import TOKENS_SQL
+
+    t = TOKENS_SQL.format(col="text")
+    cap, shards = PACK_CAP, PACK_SHARDS
+    return f"""
+WITH per_doc AS (
+  SELECT doc_id, doc_id % {shards} AS shard, len({t}) AS n_tok
+  FROM documents
+  WHERE len({t}) > 0
+),
+placed AS (
+  SELECT shard, n_tok,
+         sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tok AS off
+  FROM per_doc
+),
+seqd AS (
+  SELECT shard, n_tok,
+         CAST(floor(off / {cap}) AS BIGINT) AS start_seq,
+         CAST(floor((off + n_tok - 1) / {cap}) AS BIGINT) AS end_seq
+  FROM placed
+)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(max(end_seq) + 1 AS BIGINT) AS n_seqs,
+       CAST(sum(CASE WHEN end_seq > start_seq THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_spanning,
+       CAST((max(end_seq) + 1) * {cap} - sum(n_tok) AS BIGINT) AS pad_tokens
+FROM seqd GROUP BY shard ORDER BY shard
+"""
+
+
+CURATION_QUERIES["corpus_pack_sequences"] = (
+    pack_sequences_query,
+    _pack_sequences_sql(),
+)

