@@ -847,6 +847,77 @@ ORDER BY revenue DESC, n_name
 """
 
 
+def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): revenue flowing between two nations,
+    per (supplier nation, customer nation, ship year), both directions.
+
+    Plan shape: fact-side lineitem→orders shuffle join; supplier and the
+    customer→nation side both collapse to broadcast maps (supplier and
+    customer are dims at any scale relative to lineitem); the nation-pair
+    predicate is applied AFTER both nation keys are attached (4 rows of
+    name pairs would broadcast, but the filter on two attached columns is
+    free).  One final 3-key hash aggregation."""
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    pair = ("NATION_1", "NATION_2")
+    n = nation.filter(F.col("n_name").isin(*pair)).select(
+        "n_nationkey", "n_name"
+    )
+    s = supplier.join(
+        F.broadcast(n), supplier.s_nationkey == n.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    c = customer.join(
+        F.broadcast(n), customer.c_nationkey == n.n_nationkey
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    cut_lo = F.lit("1995-01-01 00:00:00").cast("timestamp")
+    cut_hi = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    volume = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= cut_lo) & (F.col("l_shipdate") < cut_hi)
+        )
+        .select("l_orderkey", "l_suppkey", "l_shipdate",
+                "l_extendedprice", "l_discount")
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.sum(volume).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q25_SQL = """
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+  AND cn.n_name IN ('NATION_1', 'NATION_2')
+  AND sn.n_name <> cn.n_name
+  AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
 #: name -> (query builder, oracle SQL)
 RELATIONAL_QUERIES = {
     "q01_project_scalar": (q1, Q1_SQL),
@@ -882,4 +953,5 @@ RELATIONAL_QUERIES = {
     "q22_grouping_sets": (q22, Q22_SQL),
     "q23_shipping_priority": (q23, Q23_SQL),
     "q24_local_supplier_volume": (q24, Q24_SQL),
+    "q25_volume_shipping": (q25, Q25_SQL),
 }

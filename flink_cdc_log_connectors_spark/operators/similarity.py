@@ -1045,6 +1045,83 @@ FROM dist ORDER BY vec_id
 """
 
 
+
+
+# --------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (deterministic sign matrix)
+# --------------------------------------------------------------------------
+
+RP_OUT = 16  #: projected dimensionality
+
+
+def _rp_signs() -> list[list[int]]:
+    """Deterministic JL sign matrix: ±1 from the first md5 byte of
+    ``rp:{i}:{j}`` — reproducible anywhere (Achlioptas 2003 database-
+    friendly projections use exactly iid ±1 entries), so the SAME literal
+    matrix is embedded in the oracle SQL and the operator is value-exact
+    across engines."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"rp:{i}:{j}".encode()).digest()[0] % 2 == 0 else -1
+            for i in range(DIM)
+        ]
+        for j in range(RP_OUT)
+    ]
+
+
+def random_projection_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection 64 → 16 dims: the cheap-ANN preprocessing
+    step (project once, bucket/search in the small space; pairwise
+    distances are preserved within 1±ε).  Signs are a fixed ±1 matrix
+    (``_rp_signs``), scale 1/√16 = 0.25 (exact binary, no rounding
+    drift); each output dim is the established sequential ``zip_with`` +
+    ``aggregate`` fold so the double arithmetic matches the oracle's
+    ``list_reduce`` term for term.
+
+    Scale: map-only — no shuffle, no driver state beyond the 1 KB sign
+    matrix folded into the plan as literals; at 100 TB this is a pure
+    scan-transform pass, and the 4× narrower output is what downstream
+    ANN shuffles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    signs = _rp_signs()
+    cols = [
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.array(*[F.lit(float(s)) for s in signs[j]]),
+                    lambda x, s: x.cast("double") * s,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            * F.lit(0.25),
+            6,
+        ).alias(f"p{j:02d}")
+        for j in range(RP_OUT)
+    ]
+    return emb.select("vec_id", *cols).orderBy("vec_id")
+
+
+def _rp_sql() -> str:
+    signs = _rp_signs()
+    cols = []
+    for j, row in enumerate(signs):
+        arr = "[" + ", ".join(f"{s}.0" for s in row) + "]"
+        fold = (
+            f"list_reduce(list_transform(generate_series(1, {DIM}), "
+            f"i -> embedding[i]::DOUBLE * ({arr}::DOUBLE[])[i]), "
+            "(acc, x) -> acc + x)"
+        )
+        cols.append(f"round({fold} * 0.25, 6) AS p{j:02d}")
+    return (
+        "SELECT vec_id, " + ", ".join(cols)
+        + " FROM embeddings ORDER BY vec_id"
+    )
+
+
 SIMILARITY_QUERIES = {
     "ann_cosine_topk": (ann_topk_query, ANN_TOPK_SQL),
     "ann_ivf_label": (ann_ivf_query, ANN_IVF_SQL),
@@ -1056,4 +1133,5 @@ SIMILARITY_QUERIES = {
     "ann_hamming_topk": (ann_hamming_query, _hamming_sql()),
     "ann_ivf_pq": (ann_ivf_pq_query, _ivf_pq_sql()),
     "emb_outlier_dist": (emb_outlier_query, EMB_OUTLIER_SQL),
+    "emb_random_projection": (random_projection_query, _rp_sql()),
 }

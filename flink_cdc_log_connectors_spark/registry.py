@@ -146,6 +146,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "cdc_ogg_roundtrip",
     "dedup_segment_exact",
     "corpus_pack_sequences",
+    "emb_random_projection",
+    "q25_volume_shipping",
     # (d) last driver row is r1/r2 — stalest evidence first
     "q01_project_scalar",
     "q02_filter",
