@@ -278,17 +278,51 @@ class CdcLogBatchReader(DataSourceReader):
         )
         return parts or [_FilePartition("empty", "", None)]
 
-    def read(self, partition: _FilePartition) -> Iterator[Tuple]:
+    #: lines per Arrow batch handed to the JVM
+    _ARROW_BATCH = 1 << 16
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        """Yield ``pyarrow.RecordBatch``es, not row tuples: the Python
+        data-source row path pickles tuple-at-a-time, Arrow batches move
+        the same lines in one columnar buffer (~10× on wide logs).  JSON
+        decoding still happens JVM-side (``from_json``) — Python only
+        ships raw lines."""
         if partition.kind == "empty":
             return
+        import pyarrow as pa
+
+        snapshot = partition.kind == "snapshot"
+
+        def batch(vals, fnames, idxs):
+            return pa.record_batch(
+                [
+                    pa.array(vals, type=pa.string()),
+                    pa.array(fnames, type=pa.string()),
+                    pa.array(idxs, type=pa.int64()),
+                ],
+                names=["value", "file", "pos"],
+            )
+
+        vals: list[str] = []
+        fnames: list[str | None] = []
+        idxs: list[int | None] = []
         with open(partition.path) as fh:
             for i, line in enumerate(fh):
                 if not line.strip():
                     continue
-                if partition.kind == "snapshot":
-                    yield (self._wrap_snapshot_row(line), None, None)
+                if snapshot:
+                    vals.append(self._wrap_snapshot_row(line))
+                    fnames.append(None)
+                    idxs.append(None)
                 else:
-                    yield (line.rstrip("\n"), partition.fname, i)
+                    vals.append(line.rstrip("\n"))
+                    fnames.append(partition.fname)
+                    idxs.append(i)
+                if len(vals) >= self._ARROW_BATCH:
+                    yield batch(vals, fnames, idxs)
+                    vals, fnames, idxs = [], [], []
+        if vals:
+            yield batch(vals, fnames, idxs)
 
 
 class CdcLogDataSource(DataSource):
