@@ -196,3 +196,120 @@ def test_ogg_timestamps_session_zone_independent(spark):
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
     assert out[0]["_src"]["op_ts_ms"] == 1577836800000
+
+
+# --------------------------------------------------------------------------
+# Property: any valid change sequence encoded as canal / maxwell / ogg
+# must materialize (parse ∘ apply_changelog) to the dict-replay state.
+# --------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_OPS = st.lists(
+    st.tuples(
+        st.sampled_from(["c", "u", "d"]),
+        st.integers(1, 4),
+        st.integers(0, 99),
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+def _normalize(raw):
+    """Turn an arbitrary op list into a VALID history (u/d need an
+    existing row) plus the expected final state."""
+    state, hist = {}, []
+    for op, key, qty in raw:
+        if op == "u" and key not in state:
+            op = "c"
+        if op == "c" and key in state:
+            op = "u"
+        if op == "d" and key not in state:
+            continue
+        before = state.get(key)
+        if op == "d":
+            del state[key]
+            hist.append(("d", key, before, None))
+        else:
+            state[key] = qty
+            hist.append((op, key, before, qty))
+    return hist, state
+
+
+def _row(key, qty):
+    return {"id": key, "name": f"n{key}", "qty": qty}
+
+
+@given(raw=_OPS)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_formats_agree_with_dict_replay(spark, raw):
+    from flink_cdc_log_connectors_spark.operators.changelog import (
+        apply_changelog,
+    )
+    from flink_cdc_log_connectors_spark.sources.formats import (
+        parse_canal_json,
+        parse_maxwell_json,
+        parse_ogg_json,
+    )
+
+    hist, state = _normalize(raw)
+    if not hist:
+        return
+    canal, maxwell, ogg = [], [], []
+    for i, (op, key, before, after) in enumerate(hist):
+        if op == "c":
+            canal.append({"data": [_row(key, after)], "old": None,
+                          "type": "INSERT", "database": "d", "table": "t",
+                          "es": i, "ts": i, "pkNames": ["id"]})
+            maxwell.append({"database": "d", "table": "t", "type": "insert",
+                            "data": _row(key, after), "old": None, "ts": i,
+                            "xid": i, "position": str(i)})
+            ogg.append({"table": "D.T", "op_type": "I",
+                        "op_ts": "2020-01-01 00:00:00.000000",
+                        "current_ts": "2020-01-01 00:00:00.000000",
+                        "pos": f"{i:020d}", "primary_keys": ["id"],
+                        "before": None, "after": _row(key, after)})
+        elif op == "u":
+            canal.append({"data": [_row(key, after)],
+                          "old": [{"qty": before}],
+                          "type": "UPDATE", "database": "d", "table": "t",
+                          "es": i, "ts": i, "pkNames": ["id"]})
+            maxwell.append({"database": "d", "table": "t", "type": "update",
+                            "data": _row(key, after), "old": {"qty": before},
+                            "ts": i, "xid": i, "position": str(i)})
+            ogg.append({"table": "D.T", "op_type": "U",
+                        "op_ts": "2020-01-01 00:00:00.000000",
+                        "current_ts": "2020-01-01 00:00:00.000000",
+                        "pos": f"{i:020d}", "primary_keys": ["id"],
+                        "before": _row(key, before),
+                        "after": _row(key, after)})
+        else:
+            canal.append({"data": [_row(key, before)], "old": None,
+                          "type": "DELETE", "database": "d", "table": "t",
+                          "es": i, "ts": i, "pkNames": ["id"]})
+            maxwell.append({"database": "d", "table": "t", "type": "delete",
+                            "data": _row(key, before), "old": None, "ts": i,
+                            "xid": i, "position": str(i)})
+            ogg.append({"table": "D.T", "op_type": "D",
+                        "op_ts": "2020-01-01 00:00:00.000000",
+                        "current_ts": "2020-01-01 00:00:00.000000",
+                        "pos": f"{i:020d}", "primary_keys": ["id"],
+                        "before": _row(key, before), "after": None})
+
+    expected = {(k, q) for k, q in state.items()}
+    parses = [
+        (parse_canal_json, canal, ["_src.op_ts_ms", "_src.img_seq"]),
+        (parse_maxwell_json, maxwell, ["_src.op_ts_ms", "_src.img_seq"]),
+        (parse_ogg_json, ogg, ["_src.file", "_src.img_seq"]),
+    ]
+    for parse, lines, order in parses:
+        parsed = parse(_df(spark, [json.dumps(e) for e in lines]), PHYS)
+        latest = apply_changelog(parsed, keys=["id"], order_by=order)
+        got = {(r["id"], r["qty"]) for r in latest.collect()}
+        assert got == expected, f"{parse.__name__}: {got} != {expected}"

@@ -415,3 +415,47 @@ def test_ddl_format_validation():
             "'connector' = 'cdclog',",
             "'connector' = 'cdclog', 'format' = 'avro-confluent',",
         ), streaming=False)
+
+
+def test_ddl_format_canal_json_streaming(spark, tmp_path):
+    """'format'='canal-json' routes the STREAMING read through the canal
+    parser too (same DDL, readStream path)."""
+    from flink_cdc_log_connectors_spark.sources.datasource import register
+
+    log_dir = tmp_path / "canal_stream"
+    log_dir.mkdir()
+    with open(log_dir / "log-000001.jsonl", "w") as fh:
+        fh.write(json.dumps({
+            "data": [{"order_id": 9, "price": "1.25", "note": None,
+                      "created": "2024-01-01 00:00:00"}],
+            "old": None, "type": "INSERT", "database": "shop",
+            "table": "orders", "es": 5, "ts": 6, "pkNames": ["order_id"],
+        }) + "\n")
+        fh.write(json.dumps({
+            "data": [{"order_id": 9, "price": "2.25", "note": None,
+                      "created": "2024-01-01 00:00:00"}],
+            "old": [{"price": "1.25"}], "type": "UPDATE",
+            "database": "shop", "table": "orders", "es": 7, "ts": 8,
+            "pkNames": ["order_id"],
+        }) + "\n")
+    register(spark)
+    ddl = DDL.replace("'/data/log'", f"'{log_dir}'").replace(
+        "'connector' = 'cdclog',",
+        "'connector' = 'cdclog', 'format' = 'canal-json',",
+    )
+    df = create_table(spark, ddl, streaming=True, register_view=False)
+    assert df.isStreaming
+    q = (
+        df.writeStream.format("memory").queryName("canal_stream")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT order_id, CAST(price AS STRING) AS price, op "
+        "FROM canal_stream ORDER BY op"
+    ).collect()
+    # insert + update's two images (before 1.25, after 2.25)
+    assert [(r["order_id"], r["price"], r["op"]) for r in got] == [
+        (9, "1.25", "c"), (9, "1.25", "u"), (9, "2.25", "u"),
+    ]
