@@ -240,7 +240,117 @@ FROM agg ORDER BY event_type
 """
 
 
+
+
+# --------------------------------------------------------------------------
+# Histogram quantile estimation (the 100 TB quantile path)
+# --------------------------------------------------------------------------
+
+HIST_BINS = 256
+HIST_QS = (0.5, 0.9, 0.99)
+
+
+def histogram_quantiles_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantile ESTIMATES from a fixed-bin histogram — the
+    mergeable, bounded-state formulation that replaces an exact global
+    sort at scale (q20 is the exact twin; error here is ≤ one bin width,
+    (hi-lo)/256).  Estimate = the upper edge of the first bin whose
+    cumulative count reaches ceil(q·n).
+
+    Two aggregations, both map-side combined: (1) per-group min/max/count
+    (one row per group, broadcast back), (2) per-(group, bin) counts —
+    the shuffle carries ≤ groups×256 rows regardless of corpus size.
+    The quantile selection runs on the histogram only (a window over ≤256
+    rows per group plus a 3-row broadcast of the q list).  Bin index and
+    edges use the identical double expression order in both engines, so
+    the estimates are value-exact across engines."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    stats = li.groupBy("l_returnflag").agg(
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(HIST_BINS))
+    binned = li.join(F.broadcast(stats), "l_returnflag").select(
+        "l_returnflag",
+        "n",
+        "lo",
+        "hi",
+        F.least(
+            F.lit(HIST_BINS - 1),
+            F.floor((F.col("l_extendedprice") - F.col("lo")) / width).cast(
+                "int"
+            ),
+        ).alias("b"),
+    )
+    hist = binned.groupBy("l_returnflag", "n", "lo", "hi", "b").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    qdf = spark.createDataFrame(
+        [(q,) for q in HIST_QS], "q double"
+    )
+    hit = cum.join(F.broadcast(qdf)).filter(
+        F.col("cum") >= F.ceil(F.col("q") * F.col("n"))
+    )
+    picked = hit.groupBy("l_returnflag", "q", "lo", "hi", "n").agg(
+        F.min("b").alias("b")
+    )
+    est = F.col("lo") + (F.col("b") + 1) * (
+        (F.col("hi") - F.col("lo")) / F.lit(float(HIST_BINS))
+    )
+    return picked.select(
+        "l_returnflag",
+        "q",
+        F.round(est, 6).alias("est"),
+        F.col("n").cast("long").alias("n"),
+    ).orderBy("l_returnflag", "q")
+
+
+HIST_QUANTILES_SQL = f"""
+WITH stats AS (
+  SELECT l_returnflag, min(l_extendedprice) AS lo, max(l_extendedprice) AS hi,
+         count(*) AS n
+  FROM lineitem GROUP BY l_returnflag
+),
+binned AS (
+  SELECT li.l_returnflag, n, lo, hi,
+         least({HIST_BINS - 1}, CAST(floor((l_extendedprice - lo)
+               / ((hi - lo) / {float(HIST_BINS)})) AS INT)) AS b
+  FROM lineitem li JOIN stats USING (l_returnflag)
+),
+hist AS (
+  SELECT l_returnflag, n, lo, hi, b, count(*) AS cnt
+  FROM binned GROUP BY l_returnflag, n, lo, hi, b
+),
+cum AS (
+  SELECT *, sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY b
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS cum
+  FROM hist
+),
+hit AS (
+  SELECT l_returnflag, q, lo, hi, n, min(b) AS b
+  FROM cum CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS q) qs
+  WHERE cum >= ceil(q * n)
+  GROUP BY l_returnflag, q, lo, hi, n
+)
+SELECT l_returnflag, q,
+       round(lo + (b + 1) * ((hi - lo) / {float(HIST_BINS)}), 6) AS est,
+       CAST(n AS BIGINT) AS n
+FROM hit ORDER BY l_returnflag, q
+"""
+
+
 SKETCH_QUERIES = {
     "agg_heavy_hitters": (heavy_hitters_query, HEAVY_HITTERS_SQL),
     "agg_kmv_distinct": (kmv_distinct_query, KMV_SQL),
+    "agg_histogram_quantiles": (histogram_quantiles_query, HIST_QUANTILES_SQL),
 }

@@ -148,6 +148,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "corpus_pack_sequences",
     "emb_random_projection",
     "q25_volume_shipping",
+    "agg_histogram_quantiles",
     # (d) last driver row is r1/r2 — stalest evidence first
     "q01_project_scalar",
     "q02_filter",

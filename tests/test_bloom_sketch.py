@@ -115,3 +115,36 @@ def test_kmv_estimate_accuracy(spark):
     assert got["small"]["est_distinct"] == 40.0  # < k → exact
     est = got["big"]["est_distinct"]
     assert abs(est - 5000) / 5000 < 0.37, est
+
+
+def test_histogram_quantiles_within_bin_width(spark, sf_dir):
+    """The histogram estimate must sit within one bin width of the exact
+    quantile (the sketch's stated error bound)."""
+    from flink_cdc_log_connectors_spark.io import load_table
+    from flink_cdc_log_connectors_spark.operators.sketch import (
+        HIST_BINS,
+        histogram_quantiles_query,
+    )
+    from pyspark.sql import functions as F
+
+    est = {
+        (r["l_returnflag"], r["q"]): r["est"]
+        for r in histogram_quantiles_query(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "percentile(l_extendedprice, array(0.5, 0.9, 0.99))"
+        ).alias("p"),
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    ).collect()
+    assert est
+    for r in exact:
+        width = (r["hi"] - r["lo"]) / HIST_BINS
+        for q, ex in zip((0.5, 0.9, 0.99), r["p"]):
+            e = est[(r["l_returnflag"], q)]
+            assert abs(e - ex) <= width + 1e-9, (
+                f"{r['l_returnflag']} q={q}: est {e} vs exact {ex}, "
+                f"width {width}"
+            )
