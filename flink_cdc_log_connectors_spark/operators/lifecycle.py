@@ -187,31 +187,26 @@ def canal_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapping, old-overlay before-images, image explosion order) flips the
     hash.
 
-    Plan: one codegen'd JSON encode + decode pass (map-only), one key
-    window, one aggregation — q14's materialization shape with the
-    format parser in the measured path."""
+    Plan: ONE scan of orders — each row emits its envelope variants via
+    a 3-slot array explode (insert always; update/delete when its
+    mutation class matches) instead of a 3-branch union, so the JSON
+    encode/decode pipeline is compiled and run once, not three times
+    (unions re-generate the whole codegen'd pipeline per branch —
+    measured ~1 s of pure janino per extra branch at sf0.1).  Then the
+    key window + aggregation — q14's materialization shape with the
+    format parser in the measured path.  The early round-robin
+    repartition spreads the encode+parse pipeline across all cores (the
+    sf parquet is a single split; at real scale the scan has native
+    parallelism and the repartition is a no-op to remove)."""
     from ..sources.formats import parse_canal_json
     from .changelog import apply_changelog
     from pyspark.sql import types as T
 
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+        .repartition(spark.sparkContext.defaultParallelism)
     )
-
-    def env(typ: str, data, old, es):
-        return F.to_json(
-            F.struct(
-                F.array(data).alias("data"),
-                (F.array(old) if old is not None
-                 else F.lit(None).cast("array<struct<o_totalprice:double>>"))
-                .alias("old"),
-                F.lit(typ).alias("type"),
-                F.lit("tpch").alias("database"),
-                F.lit("orders").alias("table"),
-                es.alias("es"),
-                (es + 1).alias("ts"),
-            )
-        ).alias("value")
 
     row = F.struct("o_orderkey", "o_custkey", "o_orderpriority",
                    "o_totalprice")
@@ -219,17 +214,43 @@ def canal_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey"), F.col("o_custkey"), F.col("o_orderpriority"),
         (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
     )
+    old_t = "array<struct<o_totalprice:double>>"
     k2 = (F.col("o_orderkey") * 2).cast("long")
-    lines = (
-        orders.select(env("INSERT", row, None, k2))
-        .unionAll(
-            orders.filter(_UPDATED).select(
-                env("UPDATE", row_updated,
-                    F.struct(F.col("o_totalprice")), k2 + 1)
-            )
+
+    def variant(typ: str, data, old, es):
+        return F.struct(
+            F.lit(typ).alias("typ"),
+            data.alias("data"),
+            old.alias("old"),
+            es.alias("es"),
         )
-        .unionAll(
-            orders.filter(_DELETED).select(env("DELETE", row, None, k2 + 1))
+
+    null_old = F.lit(None).cast(old_t)
+    variants = F.array(
+        variant("INSERT", row, null_old, k2),
+        F.when(
+            F.expr(_UPDATED),
+            variant("UPDATE", row_updated,
+                    F.array(F.struct(F.col("o_totalprice"))), k2 + 1),
+        ),
+        F.when(F.expr(_DELETED), variant("DELETE", row, null_old, k2 + 1)),
+    )
+    v = F.col("v")
+    lines = (
+        orders.select(F.explode(variants).alias("v"))
+        .filter(v.isNotNull())
+        .select(
+            F.to_json(
+                F.struct(
+                    F.array(v["data"]).alias("data"),
+                    v["old"].alias("old"),
+                    v["typ"].alias("type"),
+                    F.lit("tpch").alias("database"),
+                    F.lit("orders").alias("table"),
+                    v["es"].alias("es"),
+                    (v["es"] + 1).alias("ts"),
+                )
+            ).alias("value")
         )
     )
     physical = T.StructType(
@@ -279,14 +300,17 @@ def ogg_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``max(op_ts_ms)`` from the NTZ timestamp parse — so a regression in
     either (not just the image explosion) flips the hash.
 
-    Plan: one codegen'd JSON encode + decode pass (map-only), one key
-    window, one aggregation — same shape as the canal roundtrip."""
+    Plan: ONE scan of orders with the same 3-slot variant-array explode
+    as the canal roundtrip (single codegen'd encode/decode pipeline, no
+    per-branch recompilation), one key window, one aggregation."""
     from ..sources.formats import parse_ogg_json
     from .changelog import apply_changelog
     from pyspark.sql import types as T
 
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def ts_str(extra_s: int):
@@ -299,20 +323,6 @@ def ogg_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "yyyy-MM-dd HH:mm:ss.SSSSSS",
         )
-
-    def env(op_type: str, before, after, pos, ts):
-        return F.to_json(
-            F.struct(
-                before.alias("before"),
-                after.alias("after"),
-                F.lit(op_type).alias("op_type"),
-                ts.alias("op_ts"),
-                ts.alias("current_ts"),
-                F.lit("TPCH.ORDERS").alias("table"),
-                F.array(F.lit("o_orderkey")).alias("primary_keys"),
-                pos.alias("pos"),
-            )
-        ).alias("value")
 
     row = F.struct("o_orderkey", "o_custkey", "o_orderpriority",
                    "o_totalprice")
@@ -329,17 +339,44 @@ def ogg_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.lpad(expr.cast("string"), 20, "0")
 
     k2 = F.col("o_orderkey") * 2
-    lines = (
-        orders.select(env("I", null_row, row, pos(k2), ts_str(0)))
-        .unionAll(
-            orders.filter(_UPDATED).select(
-                env("U", row, row_updated, pos(k2 + 1), ts_str(60))
-            )
+
+    def variant(op_type: str, before, after, p, ts):
+        return F.struct(
+            F.lit(op_type).alias("typ"),
+            before.alias("before"),
+            after.alias("after"),
+            p.alias("pos"),
+            ts.alias("ts"),
         )
-        .unionAll(
-            orders.filter(_DELETED).select(
-                env("D", row, null_row, pos(k2 + 1), ts_str(60))
-            )
+
+    variants = F.array(
+        variant("I", null_row, row, pos(k2), ts_str(0)),
+        F.when(
+            F.expr(_UPDATED),
+            variant("U", row, row_updated, pos(k2 + 1), ts_str(60)),
+        ),
+        F.when(
+            F.expr(_DELETED),
+            variant("D", row, null_row, pos(k2 + 1), ts_str(60)),
+        ),
+    )
+    v = F.col("v")
+    lines = (
+        orders.select(F.explode(variants).alias("v"))
+        .filter(v.isNotNull())
+        .select(
+            F.to_json(
+                F.struct(
+                    v["before"].alias("before"),
+                    v["after"].alias("after"),
+                    v["typ"].alias("op_type"),
+                    v["ts"].alias("op_ts"),
+                    v["ts"].alias("current_ts"),
+                    F.lit("TPCH.ORDERS").alias("table"),
+                    F.array(F.lit("o_orderkey")).alias("primary_keys"),
+                    v["pos"].alias("pos"),
+                )
+            ).alias("value")
         )
     )
     physical = T.StructType(
