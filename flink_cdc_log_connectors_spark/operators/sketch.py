@@ -250,68 +250,81 @@ HIST_BINS = 256
 HIST_QS = (0.5, 0.9, 0.99)
 
 
-def histogram_quantiles_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+def histogram_quantiles(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    qs: tuple[float, ...] = HIST_QS,
+    bins: int = HIST_BINS,
+) -> DataFrame:
     """Per-group quantile ESTIMATES from a fixed-bin histogram — the
     mergeable, bounded-state formulation that replaces an exact global
-    sort at scale (q20 is the exact twin; error here is ≤ one bin width,
-    (hi-lo)/256).  Estimate = the upper edge of the first bin whose
+    sort at scale (q20 is the exact twin; error is ≤ one bin width,
+    (hi-lo)/bins).  Estimate = the upper edge of the first bin whose
     cumulative count reaches ceil(q·n).
 
     Two aggregations, both map-side combined: (1) per-group min/max/count
     (one row per group, broadcast back), (2) per-(group, bin) counts —
-    the shuffle carries ≤ groups×256 rows regardless of corpus size.
-    The quantile selection runs on the histogram only (a window over ≤256
-    rows per group plus a 3-row broadcast of the q list).  Bin index and
+    the shuffle carries ≤ groups×bins rows regardless of corpus size.
+    The quantile selection runs on the histogram only (a window over
+    ≤bins rows per group plus a |qs|-row broadcast).  Bin index and
     edges use the identical double expression order in both engines, so
-    the estimates are value-exact across engines."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag", "l_extendedprice"
-    )
-    stats = li.groupBy("l_returnflag").agg(
-        F.min("l_extendedprice").alias("lo"),
-        F.max("l_extendedprice").alias("hi"),
+    the estimates are value-exact across engines.  A degenerate group
+    (hi == lo, zero-width bins) short-circuits to bin 0 / estimate lo on
+    both sides rather than dividing by zero."""
+    spark = df.sparkSession
+    src = df.select(group_col, val_col)
+    stats = src.groupBy(group_col).agg(
+        F.min(val_col).alias("lo"),
+        F.max(val_col).alias("hi"),
         F.count(F.lit(1)).alias("n"),
     )
-    width = (F.col("hi") - F.col("lo")) / F.lit(float(HIST_BINS))
-    binned = li.join(F.broadcast(stats), "l_returnflag").select(
-        "l_returnflag",
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(bins))
+    binned = src.join(F.broadcast(stats), group_col).select(
+        group_col,
         "n",
         "lo",
         "hi",
-        F.least(
-            F.lit(HIST_BINS - 1),
-            F.floor((F.col("l_extendedprice") - F.col("lo")) / width).cast(
-                "int"
-            ),
-        ).alias("b"),
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(bins - 1),
+                F.floor((F.col(val_col) - F.col("lo")) / width).cast("int"),
+            )
+        )
+        .alias("b"),
     )
-    hist = binned.groupBy("l_returnflag", "n", "lo", "hi", "b").agg(
+    hist = binned.groupBy(group_col, "n", "lo", "hi", "b").agg(
         F.count(F.lit(1)).alias("cnt")
     )
     w = (
-        Window.partitionBy("l_returnflag")
+        Window.partitionBy(group_col)
         .orderBy("b")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = hist.withColumn("cum", F.sum("cnt").over(w))
-    qdf = spark.createDataFrame(
-        [(q,) for q in HIST_QS], "q double"
-    )
+    qdf = spark.createDataFrame([(q,) for q in qs], "q double")
     hit = cum.join(F.broadcast(qdf)).filter(
         F.col("cum") >= F.ceil(F.col("q") * F.col("n"))
     )
-    picked = hit.groupBy("l_returnflag", "q", "lo", "hi", "n").agg(
+    picked = hit.groupBy(group_col, "q", "lo", "hi", "n").agg(
         F.min("b").alias("b")
     )
-    est = F.col("lo") + (F.col("b") + 1) * (
-        (F.col("hi") - F.col("lo")) / F.lit(float(HIST_BINS))
+    est = F.when(F.col("hi") == F.col("lo"), F.col("lo")).otherwise(
+        F.col("lo")
+        + (F.col("b") + 1) * ((F.col("hi") - F.col("lo")) / F.lit(float(bins)))
     )
     return picked.select(
-        "l_returnflag",
+        group_col,
         "q",
         F.round(est, 6).alias("est"),
         F.col("n").cast("long").alias("n"),
-    ).orderBy("l_returnflag", "q")
+    ).orderBy(group_col, "q")
+
+
+def histogram_quantiles_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return histogram_quantiles(li, "l_returnflag", "l_extendedprice")
 
 
 HIST_QUANTILES_SQL = f"""
@@ -322,8 +335,9 @@ WITH stats AS (
 ),
 binned AS (
   SELECT li.l_returnflag, n, lo, hi,
-         least({HIST_BINS - 1}, CAST(floor((l_extendedprice - lo)
-               / ((hi - lo) / {float(HIST_BINS)})) AS INT)) AS b
+         CASE WHEN hi = lo THEN 0
+              ELSE least({HIST_BINS - 1}, CAST(floor((l_extendedprice - lo)
+                   / ((hi - lo) / {float(HIST_BINS)})) AS INT)) END AS b
   FROM lineitem li JOIN stats USING (l_returnflag)
 ),
 hist AS (
@@ -343,7 +357,9 @@ hit AS (
   GROUP BY l_returnflag, q, lo, hi, n
 )
 SELECT l_returnflag, q,
-       round(lo + (b + 1) * ((hi - lo) / {float(HIST_BINS)}), 6) AS est,
+       round(CASE WHEN hi = lo THEN lo
+                  ELSE lo + (b + 1) * ((hi - lo) / {float(HIST_BINS)}) END,
+             6) AS est,
        CAST(n AS BIGINT) AS n
 FROM hit ORDER BY l_returnflag, q
 """

@@ -148,3 +148,24 @@ def test_histogram_quantiles_within_bin_width(spark, sf_dir):
                 f"{r['l_returnflag']} q={q}: est {e} vs exact {ex}, "
                 f"width {width}"
             )
+
+
+def test_histogram_quantiles_degenerate_group(spark):
+    """A single-valued group (hi == lo) must report the value itself for
+    every quantile instead of dividing by zero bin width."""
+    from flink_cdc_log_connectors_spark.operators.sketch import (
+        histogram_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [("flat", 5.0)] * 7 + [("spread", float(v)) for v in range(1, 101)],
+        "g string, x double",
+    )
+    rows = {
+        (r["g"], r["q"]): r["est"]
+        for r in histogram_quantiles(df, "g", "x").collect()
+    }
+    assert rows[("flat", 0.5)] == 5.0
+    assert rows[("flat", 0.99)] == 5.0
+    assert 50.0 <= rows[("spread", 0.5)] <= 52.0
+    assert rows[("spread", 0.99)] >= 99.0
