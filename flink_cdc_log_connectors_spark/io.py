@@ -30,6 +30,15 @@ def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
     DuckDB applies).  Footer-only inspection — no data read."""
     import pyarrow.parquet as pq
 
+    if os.path.isdir(path):
+        # directory-backed table (the normal layout outside the synthetic
+        # single-file testdata): any one part file carries the schema
+        parts = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet")
+        )
+        if not parts:
+            return ()
+        path = os.path.join(path, parts[0])
     schema = pq.read_schema(path)
     return tuple(
         f.name
