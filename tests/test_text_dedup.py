@@ -643,3 +643,19 @@ def test_pack_sequences_invariants(spark, sf_dir):
         # a cap-token sequence holds multiple ~60-token docs, so some doc
         # must straddle a boundary in every shard at this corpus shape
         assert r["n_seqs"] >= 1
+
+
+def test_random_projection_paths_agree(spark, sf_dir):
+    """The Arrow np.add.accumulate path must be BIT-identical to the
+    Catalyst sequential-fold twin (same summation order, same Catalyst
+    rounding) — the equivalence the oracle check rides on."""
+    from flink_cdc_log_connectors_spark.io import load_table
+    from flink_cdc_log_connectors_spark.operators.similarity import (
+        random_projection_fold,
+        random_projection_query,
+    )
+
+    fast = [tuple(r) for r in random_projection_query(spark, sf_dir).collect()]
+    emb = load_table(spark, sf_dir, "embeddings")
+    ref = [tuple(r) for r in random_projection_fold(emb).collect()]
+    assert fast == ref
