@@ -41,8 +41,39 @@ _DELETED = "o_orderkey % 100 = 51"
 
 
 def _fixture_dir(sf_dir: str) -> str:
+    import hashlib
+
+    # basename for readability + full-path hash for identity: two corpora
+    # that share a directory name (/a/sf0.1 vs /b/sf0.1) must not share a
+    # fixture
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    return os.path.join("/tmp", f"spark_graft_ddl_fixture_{tag}")
+    digest = hashlib.md5(
+        os.path.abspath(sf_dir).encode()
+    ).hexdigest()[:8]
+    return os.path.join("/tmp", f"spark_graft_ddl_fixture_{tag}_{digest}")
+
+
+def _orders_mutation_base(spark, sf_dir: str, repartition: bool = False):
+    """Shared scaffolding for the three changelog generators (file
+    fixture, canal roundtrip, OGG roundtrip): the projected orders scan
+    and the row/updated-row/null-row structs keyed to the _UPDATED /
+    _DELETED mutation classes.  One definition, so a schema or
+    mutation-class change is a single edit (plus the oracle SQLs)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    if repartition:
+        orders = orders.repartition(spark.sparkContext.defaultParallelism)
+    row = F.struct("o_orderkey", "o_custkey", "o_orderpriority",
+                   "o_totalprice")
+    row_updated = F.struct(
+        F.col("o_orderkey"), F.col("o_custkey"), F.col("o_orderpriority"),
+        (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+    )
+    null_row = F.lit(None).cast(
+        orders.select(row.alias("r")).schema["r"].dataType
+    )
+    return orders, row, row_updated, null_row
 
 
 def ensure_changelog_fixture(spark: SparkSession, sf_dir: str) -> str:
@@ -58,9 +89,7 @@ def ensure_changelog_fixture(spark: SparkSession, sf_dir: str) -> str:
     done = os.path.join(root, "_SUCCESS")
     if os.path.exists(done):
         return root
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
-    )
+    orders, row, row_updated, null_row = _orders_mutation_base(spark, sf_dir)
 
     def env(op: str, before, after, pos):
         return F.to_json(
@@ -80,13 +109,6 @@ def ensure_changelog_fixture(spark: SparkSession, sf_dir: str) -> str:
             )
         )
 
-    row = F.struct("o_orderkey", "o_custkey", "o_orderpriority",
-                   "o_totalprice")
-    row_updated = F.struct(
-        F.col("o_orderkey"), F.col("o_custkey"), F.col("o_orderpriority"),
-        (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
-    )
-    null_row = F.lit(None).cast(orders.select(row.alias("r")).schema["r"].dataType)
     k2 = F.col("o_orderkey") * 2
     creates = orders.select(env("c", null_row, row, k2).alias("value"))
     updates = orders.filter(_UPDATED).select(
@@ -202,17 +224,8 @@ def canal_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .changelog import apply_changelog
     from pyspark.sql import types as T
 
-    orders = (
-        load_table(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
-
-    row = F.struct("o_orderkey", "o_custkey", "o_orderpriority",
-                   "o_totalprice")
-    row_updated = F.struct(
-        F.col("o_orderkey"), F.col("o_custkey"), F.col("o_orderpriority"),
-        (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+    orders, row, row_updated, _ = _orders_mutation_base(
+        spark, sf_dir, repartition=True
     )
     old_t = "array<struct<o_totalprice:double>>"
     k2 = (F.col("o_orderkey") * 2).cast("long")
@@ -307,10 +320,8 @@ def ogg_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .changelog import apply_changelog
     from pyspark.sql import types as T
 
-    orders = (
-        load_table(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
-        .repartition(spark.sparkContext.defaultParallelism)
+    orders, row, row_updated, null_row = _orders_mutation_base(
+        spark, sf_dir, repartition=True
     )
 
     def ts_str(extra_s: int):
@@ -324,15 +335,6 @@ def ogg_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             "yyyy-MM-dd HH:mm:ss.SSSSSS",
         )
 
-    row = F.struct("o_orderkey", "o_custkey", "o_orderpriority",
-                   "o_totalprice")
-    row_updated = F.struct(
-        F.col("o_orderkey"), F.col("o_custkey"), F.col("o_orderpriority"),
-        (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
-    )
-    null_row = F.lit(None).cast(
-        orders.select(row.alias("r")).schema["r"].dataType
-    )
     # GoldenGate positions are strings; zero-pad so lexicographic order is
     # the numeric trail order
     def pos(expr):

@@ -271,9 +271,11 @@ def histogram_quantiles(
     edges use the identical double expression order in both engines, so
     the estimates are value-exact across engines.  A degenerate group
     (hi == lo, zero-width bins) short-circuits to bin 0 / estimate lo on
-    both sides rather than dividing by zero."""
+    both sides rather than dividing by zero.  NULL values are excluded
+    up front (quantiles are over the non-null population; counting NULLs
+    in n while binning them nowhere would skew every rank)."""
     spark = df.sparkSession
-    src = df.select(group_col, val_col)
+    src = df.select(group_col, val_col).filter(F.col(val_col).isNotNull())
     stats = src.groupBy(group_col).agg(
         F.min(val_col).alias("lo"),
         F.max(val_col).alias("hi"),
@@ -331,7 +333,7 @@ HIST_QUANTILES_SQL = f"""
 WITH stats AS (
   SELECT l_returnflag, min(l_extendedprice) AS lo, max(l_extendedprice) AS hi,
          count(*) AS n
-  FROM lineitem GROUP BY l_returnflag
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY l_returnflag
 ),
 binned AS (
   SELECT li.l_returnflag, n, lo, hi,
@@ -339,6 +341,7 @@ binned AS (
               ELSE least({HIST_BINS - 1}, CAST(floor((l_extendedprice - lo)
                    / ((hi - lo) / {float(HIST_BINS)})) AS INT)) END AS b
   FROM lineitem li JOIN stats USING (l_returnflag)
+  WHERE l_extendedprice IS NOT NULL
 ),
 hist AS (
   SELECT l_returnflag, n, lo, hi, b, count(*) AS cnt

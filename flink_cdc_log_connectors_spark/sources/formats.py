@@ -91,11 +91,17 @@ def _explode_images(
 
 
 def _op_from_type(type_col: Column) -> Column:
+    """c/u/d for the three DML types; any OTHER type (Maxwell
+    bootstrap-insert/bootstrap-start, table-create DDL messages, ...)
+    keeps its raw type string as the op — same contract as the debezium
+    parser, so unmapped events stay visible downstream instead of
+    becoming NULL-op rows that a ``op != 'd'`` filter silently drops."""
     t = F.upper(type_col)
     return (
         F.when(t == "INSERT", F.lit(OP_CREATE))
         .when(t == "UPDATE", F.lit(OP_UPDATE))
         .when(t == "DELETE", F.lit(OP_DELETE))
+        .otherwise(type_col)
     )
 
 
@@ -151,17 +157,35 @@ def _src_meta(
 
 
 def parse_canal_json(
-    df: DataFrame, physical: T.StructType, json_col: str = "value"
+    df: DataFrame,
+    physical: T.StructType,
+    json_col: str = "value",
+    file_col: str = "file",
+    pos_col: str = "pos",
 ) -> DataFrame:
     """Canal-JSON messages → append-only change rows.
 
-    A message's ``data`` array fans out with ``posexplode`` (the row
-    index also lands in ``_src.pos`` alongside any reader offset the
-    caller tracks); UPDATE before-images are ``data[i]`` overlaid with
-    ``old[i]``.  Pure Catalyst: one ``from_json`` + one generator — no
-    Python in the row path."""
+    A message's ``data`` array fans out with ``posexplode``; UPDATE
+    before-images are ``data[i]`` overlaid with ``old[i]``.  Pure
+    Catalyst: one ``from_json`` + one generator — no Python in the row
+    path.
+
+    Ordering: if the input carries the log reader's offset columns
+    (``file``/``pos``, as the ``cdclog`` source emits), they land in
+    ``_src.file``/``_src.pos`` so the engine's changelog total order
+    (file, pos, img_seq) works across messages — canal's ``es`` is
+    millisecond-granular and TIES for same-ms events.  Without reader
+    offsets, ``_src.pos`` falls back to the intra-message ``data`` index
+    (order within one message only)."""
+    has_off = file_col in df.columns and pos_col in df.columns
+    off_cols = (
+        [F.col(file_col).alias("__file"), F.col(pos_col).alias("__pos")]
+        if has_off
+        else []
+    )
     base = df.select(
-        F.from_json(F.col(json_col), canal_schema(physical)).alias("__env")
+        F.from_json(F.col(json_col), canal_schema(physical)).alias("__env"),
+        *off_cols,
     )
     env = F.col("__env")
     op = _op_from_type(env["type"])
@@ -173,6 +197,7 @@ def parse_canal_json(
         env["table"].alias("__table"),
         env["es"].alias("__es"),
         env["ts"].alias("__ts"),
+        *([F.col("__file"), F.col("__pos")] if has_off else []),
     )
     after = F.col("__after")
     old_i = F.get(F.col("__olds"), F.col("__i"))
@@ -182,23 +207,45 @@ def parse_canal_json(
     ).otherwise(after)  # DELETE: canal carries the full row in data
     src = _src_meta(
         F.col("__db"), F.col("__table"), F.col("__es"),
-        F.lit(None).cast("string"), F.col("__i").cast("long"), F.col("__ts"),
+        F.col("__file") if has_off else F.lit(None).cast("string"),
+        (F.col("__pos") if has_off else F.col("__i")).cast("long"),
+        F.col("__ts"),
     )
     return _explode_images(parsed, before, after, F.col("__op"), src, physical)
 
 
 def parse_maxwell_json(
-    df: DataFrame, physical: T.StructType, json_col: str = "value"
+    df: DataFrame,
+    physical: T.StructType,
+    json_col: str = "value",
+    file_col: str = "file",
+    pos_col: str = "pos",
 ) -> DataFrame:
     """Maxwell-JSON messages → append-only change rows.  ``ts`` is
     SECONDS in Maxwell; ``_src.op_ts_ms`` is normalized to ms so metadata
-    projection is format-agnostic."""
+    projection is format-agnostic.
+
+    Ordering: with the log reader's ``file``/``pos`` columns present
+    they define ``_src.file``/``_src.pos`` (the engine's total order);
+    otherwise Maxwell's own ``position`` string rides in ``_src.file``
+    for provenance — note it is NOT totally ordered as a string
+    ("binlog.1:14" < "binlog.1:9" lexicographically), so order replays
+    on ``op_ts_ms``/``xid`` in that mode."""
+    has_off = file_col in df.columns and pos_col in df.columns
+    off_cols = (
+        [F.col(file_col).alias("__file"), F.col(pos_col).alias("__pos")]
+        if has_off
+        else []
+    )
     base = df.select(
-        F.from_json(F.col(json_col), maxwell_schema(physical)).alias("__env")
+        F.from_json(F.col(json_col), maxwell_schema(physical)).alias("__env"),
+        *off_cols,
     )
     env = F.col("__env")
     parsed = base.select(
-        _op_from_type(env["type"]).alias("__op"), env.alias("__env2")
+        _op_from_type(env["type"]).alias("__op"),
+        env.alias("__env2"),
+        *([F.col("__file"), F.col("__pos")] if has_off else []),
     )
     env2 = F.col("__env2")
     after = env2["data"]
@@ -209,7 +256,9 @@ def parse_maxwell_json(
     ts_ms = (env2["ts"] * F.lit(1000)).cast("long")
     src = _src_meta(
         env2["database"], env2["table"], ts_ms,
-        env2["position"], env2["xid"], ts_ms,
+        F.col("__file") if has_off else env2["position"],
+        (F.col("__pos").cast("long") if has_off else env2["xid"]),
+        ts_ms,
     )
     return _explode_images(parsed, before, after, F.col("__op"), src, physical)
 
@@ -231,13 +280,23 @@ def ogg_schema(physical: T.StructType) -> T.StructType:
 
 
 def parse_ogg_json(
-    df: DataFrame, physical: T.StructType, json_col: str = "value"
+    df: DataFrame,
+    physical: T.StructType,
+    json_col: str = "value",
+    file_col: str = "file",
+    pos_col: str = "pos",
 ) -> DataFrame:
     """OGG-JSON (GoldenGate trail) messages → append-only change rows.
-    Full before/after images; ``op_type`` I/U/D; ``table`` splits into
-    the metadata struct's database/table slots."""
+    Full before/after images; ``op_type`` I/U/D (any other op_type keeps
+    its raw string, debezium-parser parity); ``table`` splits into the
+    metadata struct's database/table slots.  The trail's own position
+    string rides in ``_src.file`` (GoldenGate positions are fixed-width
+    strings, lexicographic = trail order); the log reader's numeric
+    ``pos`` lands in ``_src.pos`` when its columns are present."""
+    has_off = file_col in df.columns and pos_col in df.columns
     base = df.select(
-        F.from_json(F.col(json_col), ogg_schema(physical)).alias("__env")
+        F.from_json(F.col(json_col), ogg_schema(physical)).alias("__env"),
+        *([F.col(pos_col).alias("__pos")] if has_off else []),
     )
     env = F.col("__env")
     t = F.upper(env["op_type"])
@@ -245,8 +304,13 @@ def parse_ogg_json(
         F.when(t == "I", F.lit(OP_CREATE))
         .when(t == "U", F.lit(OP_UPDATE))
         .when(t == "D", F.lit(OP_DELETE))
+        .otherwise(env["op_type"])
     )
-    parsed = base.select(op.alias("__op"), env.alias("__env2"))
+    parsed = base.select(
+        op.alias("__op"),
+        env.alias("__env2"),
+        *([F.col("__pos")] if has_off else []),
+    )
     env2 = F.col("__env2")
     after = env2["after"]
     # OGG carries FULL before images (unlike canal/maxwell's partial old);
@@ -265,8 +329,12 @@ def parse_ogg_json(
     )
     db = F.split(env2["table"], r"\.").getItem(0)
     tbl = F.split(env2["table"], r"\.").getItem(1)
-    src = _src_meta(db, tbl, op_ts_ms, env2["pos"],
-                    F.lit(None).cast("long"), emit_ts_ms)
+    src = _src_meta(
+        db, tbl, op_ts_ms, env2["pos"],
+        (F.col("__pos").cast("long") if has_off
+         else F.lit(None).cast("long")),
+        emit_ts_ms,
+    )
     return _explode_images(
         parsed, before, after_or_before, F.col("__op"), src, physical
     )

@@ -345,11 +345,9 @@ def create_table(
             f"unsupported 'format': {wire_format!r} "
             f"(supported: {sorted(_FORMAT_PARSERS)})"
         )
-    if wire_format != "debezium-json" and fmt != "cdclog":
-        raise ValueError(
-            f"'format'={wire_format!r} applies to log-replay connectors "
-            f"('cdclog'), not {spec.options['connector']!r}"
-        )
+    # 'format' on a non-cdclog connector never reaches here: only the
+    # cdclog allowlist contains it, so source_options already raised the
+    # not-consumed-by-connector error with the valid-key list.
     if wire_format != "debezium-json" and opts.get("snapshotPath"):
         raise ValueError(
             "snapshot-path wraps initial-load rows as debezium snapshot "

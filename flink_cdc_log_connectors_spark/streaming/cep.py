@@ -20,6 +20,13 @@ row, so every drop is eventually observable (ADVICE r3).
 State is O(pattern length) per key — the same bound Flink's NFA keeps for
 simple patterns.  Timestamps travel as epoch milliseconds (LongType) so
 the state tuple stays primitive.
+
+State-schema version: adding ``pending_late`` (r4) widened the state
+tuple 3 → 4 fields.  Spark's state store pins the schema per checkpoint,
+so a query checkpointed under the 3-field layout will not restart
+against this build (StateSchemaNotCompatible) — start it with a fresh
+checkpoint directory, the standard Spark procedure for stateful-operator
+schema changes (there is no in-place state migration API to hook).
 """
 
 from __future__ import annotations

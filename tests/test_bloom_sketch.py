@@ -169,3 +169,20 @@ def test_histogram_quantiles_degenerate_group(spark):
     assert rows[("flat", 0.99)] == 5.0
     assert 50.0 <= rows[("spread", 0.5)] <= 52.0
     assert rows[("spread", 0.99)] >= 99.0
+
+
+def test_histogram_quantiles_ignores_nulls(spark):
+    """NULL values must be excluded from both n and the bins — a NULL
+    bin would skew every rank and diverge across engines' NULL sort
+    orders."""
+    from flink_cdc_log_connectors_spark.operators.sketch import (
+        histogram_quantiles,
+    )
+
+    rows = [("g", float(v)) for v in range(1, 51)] + [("g", None)] * 50
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = {r["q"]: (r["est"], r["n"])
+           for r in histogram_quantiles(df, "g", "x").collect()}
+    assert out[0.5][1] == 50          # n counts non-null only
+    assert 25.0 <= out[0.5][0] <= 26.5
+    assert out[0.99][0] >= 49.0

@@ -313,3 +313,74 @@ def test_formats_agree_with_dict_replay(spark, raw):
         latest = apply_changelog(parsed, keys=["id"], order_by=order)
         got = {(r["id"], r["qty"]) for r in latest.collect()}
         assert got == expected, f"{parse.__name__}: {got} != {expected}"
+
+
+def test_unknown_event_types_keep_raw_op(spark):
+    """Maxwell bootstrap/DDL message types must stay VISIBLE (raw type
+    string as op, debezium-parser parity), not become NULL-op rows that
+    a downstream op != 'd' filter silently drops."""
+    from flink_cdc_log_connectors_spark.sources.formats import (
+        parse_canal_json,
+        parse_maxwell_json,
+        parse_ogg_json,
+    )
+
+    mx = json.dumps({"database": "d", "table": "t",
+                     "type": "bootstrap-insert",
+                     "data": {"id": 1, "name": "a", "qty": 2},
+                     "old": None, "ts": 5, "xid": 1, "position": "p"})
+    out = parse_maxwell_json(_df(spark, [mx]), PHYS).collect()
+    assert [(r["id"], r["op"]) for r in out] == [(1, "bootstrap-insert")]
+
+    ca = json.dumps({"data": [{"id": 2, "name": "b", "qty": 3}],
+                     "old": None, "type": "CREATE", "database": "d",
+                     "table": "t", "es": 5, "ts": 6, "pkNames": ["id"]})
+    out = parse_canal_json(_df(spark, [ca]), PHYS).collect()
+    assert [(r["id"], r["op"]) for r in out] == [(2, "CREATE")]
+
+    og = json.dumps({"table": "D.T", "op_type": "T",
+                     "op_ts": "2020-01-01 00:00:00.000000",
+                     "current_ts": "2020-01-01 00:00:00.000000",
+                     "pos": "p", "primary_keys": ["id"],
+                     "before": None,
+                     "after": {"id": 3, "name": "c", "qty": 4}})
+    out = parse_ogg_json(_df(spark, [og]), PHYS).collect()
+    assert [(r["id"], r["op"]) for r in out] == [(3, "T")]
+
+
+def test_reader_offsets_flow_into_src(spark):
+    """When the cdclog reader's file/pos columns are present, they define
+    _src.file/_src.pos — the engine's changelog total order works across
+    messages even when the format's own timestamp ties (canal 'es' is
+    ms-granular)."""
+    from flink_cdc_log_connectors_spark.sources.formats import (
+        parse_canal_json,
+        parse_maxwell_json,
+    )
+
+    def env(qty, es):
+        return json.dumps({"data": [{"id": 1, "name": "a", "qty": qty}],
+                           "old": None, "type": "INSERT", "database": "d",
+                           "table": "t", "es": es, "ts": es,
+                           "pkNames": ["id"]})
+
+    # two messages for the same key in the SAME millisecond
+    df = spark.createDataFrame(
+        [(env(10, 5), "log-1.jsonl", 0), (env(20, 5), "log-1.jsonl", 1)],
+        "value string, file string, pos long",
+    )
+    out = parse_canal_json(df, PHYS).collect()
+    by_pos = {r["_src"]["pos"]: (r["_src"]["file"], r["qty"]) for r in out}
+    assert by_pos == {0: ("log-1.jsonl", 10), 1: ("log-1.jsonl", 20)}
+
+    mx = json.dumps({"database": "d", "table": "t", "type": "insert",
+                     "data": {"id": 1, "name": "a", "qty": 7},
+                     "old": None, "ts": 5, "xid": 9, "position": "b.1:9"})
+    df = spark.createDataFrame(
+        [(mx, "log-2.jsonl", 3)], "value string, file string, pos long"
+    )
+    r = parse_maxwell_json(df, PHYS).collect()[0]
+    assert r["_src"]["file"] == "log-2.jsonl" and r["_src"]["pos"] == 3
+    # without reader columns, maxwell's own position string is provenance
+    r = parse_maxwell_json(_df(spark, [mx]), PHYS).collect()[0]
+    assert r["_src"]["file"] == "b.1:9" and r["_src"]["pos"] == 9
