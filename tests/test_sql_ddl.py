@@ -459,3 +459,41 @@ def test_ddl_format_canal_json_streaming(spark, tmp_path):
     assert [(r["order_id"], r["price"], r["op"]) for r in got] == [
         (9, "1.25", "c"), (9, "1.25", "u"), (9, "2.25", "u"),
     ]
+
+
+def test_ddl_format_maxwell_and_ogg(spark, tmp_path):
+    """The 'format' WITH key routes maxwell-json and ogg-json logs
+    through the same DDL surface (batch path, one insert each)."""
+    from flink_cdc_log_connectors_spark.sources.datasource import register
+
+    register(spark)
+    cases = {
+        "maxwell-json": json.dumps({
+            "database": "shop", "table": "orders", "type": "insert",
+            "data": {"order_id": 11, "price": "4.50", "note": None,
+                     "created": "2024-01-01 00:00:00"},
+            "old": None, "ts": 5, "xid": 1, "position": "b.1:5",
+        }),
+        "ogg-json": json.dumps({
+            "table": "SHOP.ORDERS", "op_type": "I",
+            "op_ts": "2024-01-01 00:00:00.000000",
+            "current_ts": "2024-01-01 00:00:01.000000",
+            "pos": "00000000000000000001", "primary_keys": ["order_id"],
+            "before": None,
+            "after": {"order_id": 11, "price": "4.50", "note": None,
+                      "created": "2024-01-01 00:00:00"},
+        }),
+    }
+    for fmt, line in cases.items():
+        log_dir = tmp_path / fmt.replace("-", "_")
+        log_dir.mkdir()
+        (log_dir / "log-000001.jsonl").write_text(line + "\n")
+        ddl = DDL.replace("'/data/log'", f"'{log_dir}'").replace(
+            "'connector' = 'cdclog',",
+            f"'connector' = 'cdclog', 'format' = '{fmt}',",
+        ).replace("orders", f"orders_{fmt[:3]}")
+        create_table(spark, ddl, streaming=False)
+        rows = spark.sql(
+            f"SELECT order_id, op FROM orders_{fmt[:3]}"
+        ).collect()
+        assert [(r["order_id"], r["op"]) for r in rows] == [(11, "c")], fmt

@@ -155,3 +155,30 @@ def test_sqlite_connection_pooling(tmp_path):
     c3 = _connect(db)
     assert c3._conn is not c1._conn
     close_pool(db)
+
+
+def test_file_dialect_format_aware_discriminator(tmp_path):
+    """The preflight first-line sample keys its envelope discriminator to
+    the declared wire format: a canal log passes under format=canal-json
+    and fails under the debezium default."""
+    import json as _json
+
+    log = tmp_path / "log"
+    log.mkdir()
+    canal_line = _json.dumps({
+        "data": [{"id": 1}], "old": None, "type": "INSERT",
+        "database": "d", "table": "t", "es": 1, "ts": 2, "pkNames": ["id"],
+    })
+    (log / "a.jsonl").write_text(canal_line + "\n")
+    validate_file_dialect({"path": str(tmp_path), "format": "canal-json"})
+    with pytest.raises(ValidationError, match="debezium-json envelope"):
+        validate_file_dialect({"path": str(tmp_path)})
+    ogg_line = _json.dumps({
+        "table": "D.T", "op_type": "I", "op_ts": "x", "current_ts": "x",
+        "pos": "1", "before": None, "after": {"id": 1},
+    })
+    (log / "a.jsonl").write_text(ogg_line + "\n")
+    validate_file_dialect({"path": str(tmp_path), "format": "ogg-json"})
+    with pytest.raises(ValidationError, match="canal-json envelope"):
+        validate_file_dialect({"path": str(tmp_path),
+                               "format": "canal-json"})
