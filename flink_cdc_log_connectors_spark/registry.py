@@ -149,6 +149,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "emb_random_projection",
     "q25_volume_shipping",
     "agg_histogram_quantiles",
+    "emb_semdedup",
     # (d) last driver row is r1/r2 — stalest evidence first
     "q01_project_scalar",
     "q02_filter",
