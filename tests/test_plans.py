@@ -308,3 +308,44 @@ def test_gini_histogram_window_is_tiny(spark, sf_dir):
     from flink_cdc_log_connectors_spark.plans.inspect import count_exchanges
 
     assert count_exchanges(gini_query(spark, sf_dir)) <= 4
+
+
+def test_r4_new_operator_plan_shapes(spark, sf_dir):
+    """Pin the r4 additions' physical shapes: bounded exchange counts, a
+    single scan where the operator is single-pass, and the pushed filter
+    on q25's fact side."""
+    from flink_cdc_log_connectors_spark.operators.curation import (
+        pack_sequences_query,
+    )
+    from flink_cdc_log_connectors_spark.operators.dedup import (
+        segment_dedup_query,
+        semdedup_query,
+    )
+    from flink_cdc_log_connectors_spark.operators.relational import q25
+    from flink_cdc_log_connectors_spark.operators.sketch import (
+        histogram_quantiles_query,
+    )
+    from flink_cdc_log_connectors_spark.operators.similarity import (
+        random_projection_query,
+    )
+
+    # q25: pushed ship-date filter, broadcast dims, agg + sort exchanges only
+    df = q25(spark, sf_dir)
+    assert has_pushed_filters(df)
+    assert uses_broadcast_join(df)
+    assert count_exchanges(df) <= 2
+
+    # segment dedup: token agg + seg-key window + doc agg + order — 4 keyed
+    assert count_exchanges(segment_dedup_query(spark, sf_dir)) <= 4
+
+    # packing: one per-shard window partitioning + 8-row agg/sort
+    assert count_exchanges(pack_sequences_query(spark, sf_dir)) <= 3
+
+    # histogram quantiles: stats agg + bin agg + tiny histogram-side work
+    assert count_exchanges(histogram_quantiles_query(spark, sf_dir)) <= 5
+
+    # random projection: map-only scan + final order — no data shuffle
+    assert count_exchanges(random_projection_query(spark, sf_dir)) <= 1
+
+    # semdedup: cell-blocked pairs + domination agg + join back + order
+    assert count_exchanges(semdedup_query(spark, sf_dir)) <= 5
