@@ -918,6 +918,106 @@ ORDER BY supp_nation, cust_nation, l_year
 """
 
 
+def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): top 20 customers by revenue
+    lost to returned items in a quarter.
+
+    Plan shape: the returnflag + order-date filters push into the two
+    fact scans; customer→nation collapses to a broadcast; lineitem⋈orders
+    is the only real shuffle; the top 20 compiles to
+    TakeOrderedAndProject (no global sort)."""
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    c = customer.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        customer.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey", "c_name", "c_acctbal", "n_name")
+    cut_lo = F.lit("1995-01-01 00:00:00").cast("timestamp")
+    cut_hi = F.lit("1995-04-01 00:00:00").cast("timestamp")
+    o = orders.filter(
+        (F.col("o_orderdate") >= cut_lo) & (F.col("o_orderdate") < cut_hi)
+    ).select("o_orderkey", "o_custkey")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    return (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+Q26_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): share of a month's revenue from
+    PROMO-type parts.  Part side broadcasts; the single-row percentage is
+    computed as one double division of two exact decimal sums, rounded to
+    6 — identical expression order in the oracle."""
+    part = load_table(spark, sf_dir, "part")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cut_lo = F.lit("1995-09-01 00:00:00").cast("timestamp")
+    cut_hi = F.lit("1995-10-01 00:00:00").cast("timestamp")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    joined = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= cut_lo) & (F.col("l_shipdate") < cut_hi)
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+        .join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+    )
+    agg = joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", revenue).otherwise(
+            F.lit(0).cast(DEC)
+        )).alias("promo"),
+        F.sum(revenue).alias("total"),
+    )
+    return agg.select(
+        F.round(
+            F.lit(100.0) * F.col("promo").cast("double")
+            / F.col("total").cast("double"),
+            6,
+        ).alias("promo_revenue_pct")
+    )
+
+
+Q27_SQL = """
+SELECT round(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+              AS DOUBLE), 6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'
+"""
+
+
 #: name -> (query builder, oracle SQL)
 RELATIONAL_QUERIES = {
     "q01_project_scalar": (q1, Q1_SQL),
@@ -954,4 +1054,6 @@ RELATIONAL_QUERIES = {
     "q23_shipping_priority": (q23, Q23_SQL),
     "q24_local_supplier_volume": (q24, Q24_SQL),
     "q25_volume_shipping": (q25, Q25_SQL),
+    "q26_returned_items": (q26, Q26_SQL),
+    "q27_promo_effect": (q27, Q27_SQL),
 }

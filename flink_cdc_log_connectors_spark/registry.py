@@ -150,6 +150,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "q25_volume_shipping",
     "agg_histogram_quantiles",
     "emb_semdedup",
+    "q26_returned_items",
+    "q27_promo_effect",
     # (d) last driver row is r1/r2 — stalest evidence first
     "q01_project_scalar",
     "q02_filter",
