@@ -1018,6 +1018,45 @@ WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
 """
 
 
+def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): how many customers placed k
+    orders, including the zero bucket (LEFT join).
+
+    Plan shape: one shuffle join on custkey (orders side projected to one
+    column), per-customer count (re-uses the join partitioning — no
+    second exchange for the first groupBy), then a tiny second hash agg
+    over ≤ max-order-count rows."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.select("c_custkey")
+        .join(
+            orders.select("o_custkey", "o_orderkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q28_SQL = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
 #: name -> (query builder, oracle SQL)
 RELATIONAL_QUERIES = {
     "q01_project_scalar": (q1, Q1_SQL),
@@ -1056,4 +1095,5 @@ RELATIONAL_QUERIES = {
     "q25_volume_shipping": (q25, Q25_SQL),
     "q26_returned_items": (q26, Q26_SQL),
     "q27_promo_effect": (q27, Q27_SQL),
+    "q28_customer_distribution": (q28, Q28_SQL),
 }

@@ -152,6 +152,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "emb_semdedup",
     "q26_returned_items",
     "q27_promo_effect",
+    "q28_customer_distribution",
     # (d) last driver row is r1/r2 — stalest evidence first
     "q01_project_scalar",
     "q02_filter",
