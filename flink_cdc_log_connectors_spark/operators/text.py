@@ -1196,3 +1196,174 @@ FROM documents GROUP BY lang ORDER BY lang
 
 
 TEXT_QUERIES["text_length_quartiles"] = (length_quartiles_query, LENGTH_QUARTILES_SQL)
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer TRAINING (multi-round merge learning at corpus scale)
+# --------------------------------------------------------------------------
+
+BPE_TRAIN_ROUNDS = 8
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    rounds: int = BPE_TRAIN_ROUNDS,
+    text_col: str = "text",
+    vocab_partitions: int = 1,
+) -> DataFrame:
+    """Learn the first ``rounds`` BPE merges over the corpus — the actual
+    tokenizer-training loop, not just round-1 candidates
+    (``bpe_merge_candidates``).
+
+    Structure (the BPE-at-scale design): the corpus collapses ONCE to a
+    word-frequency table (the only corpus-sized shuffle); every round
+    then runs on the distinct-vocabulary table only — count adjacent
+    symbol pairs weighted by word frequency, pick the max (ties broken
+    on the pair strings, deterministic), and apply the merge to every
+    vocabulary word.  At 100 TB the vocab is ~10⁻⁶ of the corpus, so the
+    per-round cost is millions of rows regardless of corpus size; the
+    chosen pair is a 1-row driver collect per round (same class as the
+    k-means codebook).  ``localCheckpoint`` pins each round's vocab so
+    lineage stays O(1) across rounds.
+
+    Merge application is a left-to-right non-overlapping string
+    ``replace`` over SPACE-SEPARATED symbol strings (``'a a a'`` +
+    merge(a,a) → ``'aa a'``) — exactly greedy BPE, and exactly the
+    semantics of ``replace`` in BOTH engines, which is what makes the
+    whole training trajectory value-oracle-checkable: the oracle unrolls
+    the same rounds in SQL and must pick the same pair with the same
+    count every round.
+
+    Returns one row per learned merge: (round, left, right, merged, cnt).
+    """
+    spark = df.sparkSession
+    tok = df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    # 'hello' -> 'h e l l o'.  The vocab is orders of magnitude smaller
+    # than the corpus; size its partitioning to the VOCAB (default 1 —
+    # right for ≤ millions of words; raise for a 100 TB corpus's
+    # multi-million-row vocab) so the per-round jobs don't pay
+    # 32-partition scheduling overhead on tiny data (measured: 11 s → 4 s
+    # for 8 rounds at sf0.01).
+    vocab = (
+        vocab.select(
+            F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")).alias("sym"),
+            "freq",
+        )
+        .coalesce(vocab_partitions)
+        .localCheckpoint()
+    )
+
+    # One Spark job per round, ONE codegen compile for all rounds: the
+    # accumulated merges are applied by folding a FIXED-ARITY array of
+    # (pattern, replacement) literals over the symbol string
+    # (``aggregate`` + ``replace``; unused slots hold a pattern that
+    # cannot match).  Because only the literal VALUES change between
+    # rounds — they live in the codegen references array, not the
+    # generated source — every round reuses the same compiled plan,
+    # where a growing replace-expression chain recompiled ~1 s of janino
+    # per round (measured: 12 s → ~4 s for 8 rounds at sf0.01).  The
+    # fold re-executes k replaces on round k — linear, map-only work
+    # over the vocab-sized table.
+    never = "\x00"  # a space-delimited token can never contain NUL
+    merges = []
+    for r in range(1, rounds + 1):
+        slots = []
+        for i in range(rounds):
+            if i < len(merges):
+                _, l0, r0, _m, _c = merges[i]
+                slots.append((f" {l0} {r0} ", f" {l0}{r0} "))
+            else:
+                slots.append((f" {never} ", " "))
+        merge_arr = F.array(
+            *[
+                F.struct(F.lit(pat).alias("pat"), F.lit(rep).alias("rep"))
+                for pat, rep in slots
+            ]
+        )
+        sym = F.trim(
+            F.aggregate(
+                merge_arr,
+                F.concat(F.lit(" "), F.col("sym"), F.lit(" ")),
+                lambda acc, m: F.replace(acc, m["pat"], m["rep"]),
+            )
+        )
+        cur = vocab.select(sym.alias("sym"), "freq")
+        pairs = F.when(
+            F.size(F.split(F.col("sym"), " ")) >= 2,
+            F.expr(
+                "transform(sequence(0, size(split(sym, ' ')) - 2), "
+                "i -> struct(split(sym, ' ')[i] AS l, "
+                "split(sym, ' ')[i + 1] AS r))"
+            ),
+        ).otherwise(F.expr("array()").cast("array<struct<l:string,r:string>>"))
+        best = (
+            cur.select(F.explode(pairs).alias("p"), "freq")
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, rr, cnt = best[0]["l"], best[0]["r"], best[0]["cnt"]
+        merges.append((r, l, rr, l + rr, cnt))
+    return spark.createDataFrame(
+        merges, "round int, left string, right string, merged string, cnt long"
+    ).orderBy("round")
+
+
+def bpe_train_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train_merges(docs)
+
+
+def _bpe_train_sql(rounds: int = BPE_TRAIN_ROUNDS) -> str:
+    """Unrolled SQL replay of the training loop: the oracle must choose
+    the identical merge with the identical count every round."""
+    parts = [
+        f"""WITH tok AS (SELECT unnest({_T}) AS w FROM documents),
+wf AS (SELECT w, count(*) AS freq FROM tok GROUP BY w),
+vocab0 AS MATERIALIZED (
+  SELECT array_to_string(
+           list_transform(generate_series(1, length(w)),
+                          i -> substring(w, i, 1)), ' ') AS sym,
+         freq
+  FROM wf
+)"""
+    ]
+    for k in range(1, rounds + 1):
+        prev = f"vocab{k - 1}"
+        parts.append(
+            f""",
+pairs{k} AS MATERIALIZED (
+  SELECT s[i] AS l, s[i + 1] AS r, freq
+  FROM (SELECT string_split(sym, ' ') AS s, freq FROM {prev}),
+       unnest(range(1, greatest(len(s), 1))) AS u(i)
+),
+best{k} AS MATERIALIZED (
+  SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM pairs{k} GROUP BY l, r
+  ORDER BY cnt DESC, l, r LIMIT 1
+),
+vocab{k} AS MATERIALIZED (
+  SELECT trim(replace(' ' || sym || ' ',
+                      ' ' || (SELECT l FROM best{k}) || ' '
+                          || (SELECT r FROM best{k}) || ' ',
+                      ' ' || (SELECT l FROM best{k})
+                          || (SELECT r FROM best{k}) || ' ')) AS sym,
+         freq
+  FROM {prev}
+)"""
+        )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {k} AS round, l AS left, r AS right, l || r AS merged, cnt "
+        f"FROM best{k}"
+        for k in range(1, rounds + 1)
+    )
+    parts.append(f"\nSELECT * FROM (\n{selects}\n) ORDER BY round")
+    return "".join(parts)
+
+
+TEXT_QUERIES["bpe_train_merges"] = (bpe_train_query, _bpe_train_sql())

@@ -153,6 +153,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "q26_returned_items",
     "q27_promo_effect",
     "q28_customer_distribution",
+    "bpe_train_merges",
     # (d) last driver row is r1/r2 — stalest evidence first
     "q01_project_scalar",
     "q02_filter",

@@ -659,3 +659,25 @@ def test_random_projection_paths_agree(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     ref = [tuple(r) for r in random_projection_fold(emb).collect()]
     assert fast == ref
+
+
+def test_bpe_train_merges_greedy_semantics(spark):
+    """Hand-computed trajectory on a tiny corpus: merges must follow
+    frequency-then-lexicographic choice and LEFT-GREEDY application
+    ('a a a b' + merge(a,a) -> 'aa a b', not 'a aa b')."""
+    from flink_cdc_log_connectors_spark.operators.text import (
+        bpe_train_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aaab"), (2, "aaab"), (3, "ab")], "doc_id long, text string"
+    )
+    got = [
+        (r["round"], r["left"], r["right"], r["merged"], r["cnt"])
+        for r in bpe_train_merges(docs, rounds=3).collect()
+    ]
+    assert got == [
+        (1, "a", "a", "aa", 4),
+        (2, "a", "b", "ab", 3),
+        (3, "aa", "ab", "aaab", 2),
+    ]
