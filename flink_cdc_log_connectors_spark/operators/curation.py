@@ -389,3 +389,153 @@ CURATION_QUERIES["corpus_pack_sequences"] = (
     pack_sequences_query,
     _pack_sequences_sql(),
 )
+
+
+# --------------------------------------------------------------------------
+# Train/val split leakage audit (near-dup contamination across the split)
+# --------------------------------------------------------------------------
+
+
+def split_leakage_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train/val split + NEAR-DUP leakage audit: a
+    random split leaks whenever two near-duplicate documents land on
+    opposite sides — the val half of such a pair is effectively training
+    data, and dedup-after-split cannot fix it.  This is the check a
+    pipeline runs BEFORE freezing a split.
+
+    Split assignment is the engine's standard md5-bucket rule (stable
+    across engines and runs); near-dup pairs come from the shared
+    process-cached exact-Jaccard pair set (same 1/5 threshold as the
+    dedup family reports).  Output per split: documents, within-split
+    near-dup pairs, cross-split (leaked) pairs, and how many of this
+    split's documents are contaminated (have a near-dup on the other
+    side).
+
+    Scale: pair generation is the cached inverted-index join (nothing
+    quadratic); the audit itself is two skinny joins keyed by doc_id and
+    per-split aggregations.  The cross-pair count is computed from the
+    per-side rows — no driver-side scalars, no 1-row cross joins."""
+    from .dedup import cached_ngram_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        % 10
+    )
+    assign = docs.select(
+        "doc_id",
+        F.when(bucket < 9, F.lit("train")).otherwise(F.lit("val")).alias(
+            "split"
+        ),
+    )
+    pairs = cached_ngram_pairs(spark, sf_dir).select("d1", "d2")
+    j = (
+        pairs.join(
+            assign.select(
+                F.col("doc_id").alias("d1"), F.col("split").alias("s1")
+            ),
+            "d1",
+        ).join(
+            assign.select(
+                F.col("doc_id").alias("d2"), F.col("split").alias("s2")
+            ),
+            "d2",
+        )
+    )
+    sides = j.select(
+        F.col("d1").alias("doc"), F.col("s1").alias("own"),
+        F.col("s2").alias("other"),
+    ).unionAll(
+        j.select(
+            F.col("d2").alias("doc"), F.col("s2").alias("own"),
+            F.col("s1").alias("other"),
+        )
+    )
+    n_docs = assign.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    within = (
+        j.filter(F.col("s1") == F.col("s2"))
+        .groupBy(F.col("s1").alias("split"))
+        .agg(F.count(F.lit(1)).cast("long").alias("pairs_within"))
+    )
+    cross = (
+        sides.filter(F.col("own") != F.col("other"))
+        .groupBy(F.col("own").alias("split"))
+        .agg(F.count(F.lit(1)).cast("long").alias("pairs_cross"))
+    )
+    contaminated = (
+        sides.filter(F.col("own") != F.col("other"))
+        .select("doc", "own")
+        .distinct()
+        .groupBy(F.col("own").alias("split"))
+        .agg(F.count(F.lit(1)).cast("long").alias("contaminated_docs"))
+    )
+    out = (
+        n_docs.join(within, "split", "left")
+        .join(cross, "split", "left")
+        .join(contaminated, "split", "left")
+        .na.fill(
+            {"pairs_within": 0, "pairs_cross": 0, "contaminated_docs": 0}
+        )
+    )
+    return out.orderBy("split")
+
+
+def _split_leakage_sql() -> str:
+    from .dedup import NGRAM_KEPT_CTE
+
+    return f"""
+WITH {NGRAM_KEPT_CTE},
+pairs AS (
+  SELECT d1, d2 FROM common
+  JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+  WHERE 5 * common >= (s1.n_sh + s2.n_sh - common)
+),
+assign AS (
+  SELECT doc_id,
+         CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 10 < 9
+              THEN 'train' ELSE 'val' END AS split
+  FROM documents
+),
+j AS (
+  SELECT p.d1, p.d2, a1.split AS s1, a2.split AS s2
+  FROM pairs p
+  JOIN assign a1 ON p.d1 = a1.doc_id
+  JOIN assign a2 ON p.d2 = a2.doc_id
+),
+sides AS (
+  SELECT d1 AS doc, s1 AS own, s2 AS other FROM j
+  UNION ALL
+  SELECT d2, s2, s1 FROM j
+),
+n_docs AS (SELECT split, CAST(count(*) AS BIGINT) AS n_docs
+           FROM assign GROUP BY split),
+within AS (SELECT s1 AS split, CAST(count(*) AS BIGINT) AS pairs_within
+           FROM j WHERE s1 = s2 GROUP BY s1),
+crossed AS (SELECT own AS split, CAST(count(*) AS BIGINT) AS pairs_cross
+            FROM sides WHERE own != other GROUP BY own),
+cont AS (
+  SELECT own AS split, CAST(count(*) AS BIGINT) AS contaminated_docs
+  FROM (SELECT DISTINCT doc, own FROM sides WHERE own != other)
+  GROUP BY own
+)
+SELECT n.split, n.n_docs,
+       COALESCE(w.pairs_within, 0) AS pairs_within,
+       COALESCE(c.pairs_cross, 0) AS pairs_cross,
+       COALESCE(ct.contaminated_docs, 0) AS contaminated_docs
+FROM n_docs n
+LEFT JOIN within w ON n.split = w.split
+LEFT JOIN crossed c ON n.split = c.split
+LEFT JOIN cont ct ON n.split = ct.split
+ORDER BY n.split
+"""
+
+
+CURATION_QUERIES["corpus_split_leakage"] = (
+    split_leakage_query,
+    _split_leakage_sql(),
+)

@@ -154,6 +154,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "q27_promo_effect",
     "q28_customer_distribution",
     "bpe_train_merges",
+    "corpus_split_leakage",
     # (d) last driver row is r1/r2 — stalest evidence first
     "q01_project_scalar",
     "q02_filter",
