@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..io import load_table
 
@@ -625,6 +626,229 @@ ORDER BY bucket, event_type, bin LIMIT 4000
 """
 
 
+# --------------------------------------------------------------------------
+# TimescaleDB toolkit parity: time_weight / counter_agg / state_agg
+# --------------------------------------------------------------------------
+
+DAY_S = 86400
+
+
+def time_weighted_average(
+    events: DataFrame,
+    width_seconds: int = DAY_S,
+    key_col: str = "event_type",
+) -> DataFrame:
+    """LOCF time-weighted average per (key, bucket) with EXACT segment
+    clipping (TimescaleDB ``time_weight('LOCF', ...)`` semantics).
+
+    Each observation holds its value until the key's next observation
+    (total order: ``ts, event_id`` — microsecond ties stay deterministic);
+    the held segment ``[ts, next_ts)`` is split across every bucket it
+    overlaps and clipped to the bucket boundaries, so a value that spans
+    midnight is weighted into both days by its actual microseconds in
+    each — not attributed wholesale to the segment's start bucket.
+
+    Scale shape: one window per key for the lead, then ``sequence`` +
+    ``explode`` fans each segment out only to the buckets it touches
+    (for gap-free streams this is ~1 row in, ~1 row out), and one keyed
+    aggregate.  No driver-side state, no global sort; weights are exact
+    integer microseconds and values exact decimals, so the final average
+    is ONE IEEE double division — reproducible across engines.
+    """
+    w = Window.partitionBy(key_col).orderBy("ts", "event_id")
+    seg = (
+        events.select(key_col, "ts", "value", "event_id")
+        .withColumn("t2", F.lead("ts").over(w))
+        .filter(F.col("t2") > F.col("ts"))
+    )
+    width_us = width_seconds * 1_000_000
+    seg = seg.select(
+        key_col,
+        "ts",
+        "t2",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        F.explode(
+            F.sequence(
+                time_bucket(width_seconds, "ts"),
+                # last bucket the half-open segment touches: bucket(t2 - 1µs)
+                time_bucket(
+                    width_seconds, "timestampadd(MICROSECOND, -1, t2)"
+                ),
+                F.expr(f"INTERVAL {width_seconds} SECOND"),
+            )
+        ).alias("bucket"),
+    )
+    clipped = seg.select(
+        key_col,
+        "bucket",
+        "v",
+        F.expr(
+            "timestampdiff(MICROSECOND, greatest(ts, bucket), "
+            f"least(t2, timestampadd(SECOND, {width_seconds}, bucket)))"
+        )
+        .cast("decimal(18,0)")
+        .alias("dur_us"),
+    )
+    agg = clipped.groupBy("bucket", key_col).agg(
+        F.sum(F.col("v") * F.col("dur_us")).alias("wsum"),
+        F.sum("dur_us").cast("long").alias("weight_us"),
+    )
+    return agg.select(
+        "bucket",
+        key_col,
+        (
+            F.col("wsum").cast("double") / F.col("weight_us").cast("double")
+        ).alias("twa"),
+        "weight_us",
+    )
+
+
+def time_weight_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return time_weighted_average(events).orderBy("bucket", "event_type")
+
+
+TIME_WEIGHT_SQL = f"""
+WITH seg AS (
+  SELECT event_type, ts, value,
+         LEAD(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS t2
+  FROM events
+),
+clipped AS (
+  SELECT event_type,
+         unnest(generate_series(
+           {_bucket_sql(DAY_S, "ts")},
+           {_bucket_sql(DAY_S, "t2 - INTERVAL 1 MICROSECOND")},
+           INTERVAL {DAY_S} SECOND)) AS bucket,
+         CAST(value AS DECIMAL(18,2)) AS v,
+         ts, t2
+  FROM seg WHERE t2 > ts
+)
+SELECT bucket, event_type,
+       CAST(SUM(v * CAST(date_diff('microsecond',
+                greatest(ts, bucket),
+                least(t2, bucket + INTERVAL {DAY_S} SECOND)) AS DECIMAL(18,0)))
+            AS DOUBLE)
+       / CAST(CAST(SUM(CAST(date_diff('microsecond',
+                greatest(ts, bucket),
+                least(t2, bucket + INTERVAL {DAY_S} SECOND)) AS DECIMAL(18,0)))
+              AS BIGINT) AS DOUBLE) AS twa,
+       CAST(SUM(CAST(date_diff('microsecond',
+                greatest(ts, bucket),
+                least(t2, bucket + INTERVAL {DAY_S} SECOND)) AS DECIMAL(18,0)))
+            AS BIGINT) AS weight_us
+FROM clipped
+GROUP BY bucket, event_type
+ORDER BY bucket, event_type
+"""
+
+
+def counter_delta(
+    events: DataFrame, key_col: str = "event_type"
+) -> DataFrame:
+    """TimescaleDB ``counter_agg`` semantics over ``value`` read as a
+    resetting counter: the per-key total increase counts ``v - prev``
+    for monotone steps and ``v`` after a reset (counter restarted from
+    zero), plus the reset count.  Distinct from :func:`bucket_delta`,
+    which differences BUCKET SUMS and has no reset model.
+
+    One window per key for the lag, one hash aggregate — both keyed, no
+    global state.  Exact decimal arithmetic end to end; doubles appear
+    only in the final cast."""
+    w = Window.partitionBy(key_col).orderBy("ts", "event_id")
+    v = F.col("value").cast("decimal(18,2)")
+    stepped = events.select(
+        key_col,
+        v.alias("v"),
+        F.lag(v).over(w).alias("prev"),
+    )
+    increase = F.when(F.col("prev").isNull(), F.lit(0).cast("decimal(18,2)")).otherwise(
+        F.when(F.col("v") >= F.col("prev"), F.col("v") - F.col("prev")).otherwise(
+            F.col("v")
+        )
+    )
+    is_reset = (F.col("prev").isNotNull() & (F.col("v") < F.col("prev"))).cast(
+        "long"
+    )
+    return (
+        stepped.groupBy(key_col)
+        .agg(
+            F.sum(increase).cast("double").alias("total_increase"),
+            F.sum(is_reset).alias("num_resets"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+    )
+
+
+def counter_delta_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return counter_delta(events).orderBy("event_type")
+
+
+COUNTER_DELTA_SQL = """
+WITH stepped AS (
+  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v,
+         LAG(CAST(value AS DECIMAL(18,2)))
+           OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT event_type,
+       CAST(SUM(CASE WHEN prev IS NULL THEN CAST(0 AS DECIMAL(18,2))
+                     WHEN v >= prev THEN v - prev
+                     ELSE v END) AS DOUBLE) AS total_increase,
+       CAST(SUM(CASE WHEN prev IS NOT NULL AND v < prev THEN 1 ELSE 0 END)
+            AS BIGINT) AS num_resets,
+       CAST(COUNT(*) AS BIGINT) AS n_points
+FROM stepped
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def state_durations(events: DataFrame) -> DataFrame:
+    """TimescaleDB ``state_agg`` shape: per user, time spent in each
+    state, where the state is the last event's type until the next event
+    (microsecond-exact; the user's final event has no successor and
+    contributes no duration — the open interval's end is unknown).
+
+    One window per user for the lead, one (user, state) aggregate — the
+    window partitioning is the natural even key (users), so no skew
+    hot-spot; durations are exact integer microseconds."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("t2", F.lead("ts").over(w))
+        .filter(F.col("t2").isNotNull())
+        .groupBy("user_id", F.col("event_type").alias("state"))
+        .agg(
+            F.sum(F.expr("timestampdiff(MICROSECOND, ts, t2)")).alias(
+                "state_us"
+            ),
+            F.count(F.lit(1)).alias("n_entries"),
+        )
+    )
+
+
+def state_durations_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return state_durations(events).orderBy("user_id", "state")
+
+
+STATE_DURATIONS_SQL = """
+WITH seg AS (
+  SELECT user_id, event_type, ts,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2
+  FROM events
+)
+SELECT user_id, event_type AS state,
+       CAST(SUM(date_diff('microsecond', ts, t2)) AS BIGINT) AS state_us,
+       CAST(COUNT(*) AS BIGINT) AS n_entries
+FROM seg WHERE t2 IS NOT NULL
+GROUP BY user_id, event_type
+ORDER BY user_id, state
+"""
+
+
 HYPERTABLE_QUERIES = {
     "hypertable_rollup": (hypertable_rollup_query, HYPERTABLE_ROLLUP_SQL),
     "hypertable_gapfill": (gapfill_query, GAPFILL_SQL),
@@ -633,4 +857,7 @@ HYPERTABLE_QUERIES = {
     "hypertable_downsample": (downsample_query, _downsample_sql()),
     "hypertable_fill_values": (fill_values_query, FILL_VALUES_SQL),
     "hypertable_histogram": (histogram_query, HISTOGRAM_SQL),
+    "hypertable_time_weight": (time_weight_query, TIME_WEIGHT_SQL),
+    "hypertable_counter_delta": (counter_delta_query, COUNTER_DELTA_SQL),
+    "hypertable_state_durations": (state_durations_query, STATE_DURATIONS_SQL),
 }

@@ -1057,6 +1057,241 @@ ORDER BY custdist DESC, c_count DESC
 """
 
 
+def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): revenue gain if discounts in
+    a band had been eliminated for small-quantity lineitems in one year.
+
+    Plan shape: the three predicates all push into the parquet scan
+    (shipdate range + quantity + discount band), one partial+final
+    aggregate, zero joins, zero wide exchanges — the canonical
+    scan-dominated query.  At 100 TB this is bounded by scan bandwidth
+    and the pushed filters skip whole row groups on shipdate min/max."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cut_lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    cut_hi = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= cut_lo)
+            & (F.col("l_shipdate") < cut_hi)
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+Q29_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): NATION_3 suppliers' share of
+    AMERICA-region customers' ECONOMY-part order volume, per order year.
+
+    Plan shape: part (type filter), supplier→nation, and
+    customer→nation→region all collapse to broadcasts; the only real
+    shuffles are lineitem⋈orders on orderkey and the final 2-row year
+    aggregate.  The share is one IEEE double division of two exact
+    decimal sums (identical expression order in the oracle)."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+
+    amer_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "AMERICA")),
+        nation.n_regionkey == F.col("r_regionkey"),
+    ).select("n_nationkey")
+    cust = customer.join(
+        F.broadcast(amer_nations),
+        customer.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey")
+    supp = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    econ_parts = part.filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    cut_lo = F.lit("1995-01-01 00:00:00").cast("timestamp")
+    cut_hi = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    o = orders.filter(
+        (F.col("o_orderdate") >= cut_lo) & (F.col("o_orderdate") < cut_hi)
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    volume = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    joined = (
+        lineitem.select(
+            "l_orderkey", "l_partkey", "l_suppkey",
+            "l_extendedprice", "l_discount",
+        )
+        .join(F.broadcast(econ_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"), "semi")
+    )
+    agg = joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(
+                F.lit(0).cast(DEC)
+            )
+        ).alias("nation_volume"),
+        F.sum(volume).alias("total_volume"),
+    )
+    return agg.select(
+        F.col("o_year").cast("int").alias("o_year"),
+        F.round(
+            F.col("nation_volume").cast("double")
+            / F.col("total_volume").cast("double"),
+            6,
+        ).alias("mkt_share"),
+    ).orderBy("o_year")
+
+
+Q30_SQL = """
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       round(CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE), 6) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_type = 'ECONOMY'
+  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND o_custkey IN (
+    SELECT c_custkey FROM customer
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region ON n1.n_regionkey = r_regionkey
+    WHERE r_name = 'AMERICA')
+GROUP BY year(o_orderdate)
+ORDER BY o_year
+"""
+
+
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): supplier(s) with the maximum revenue in
+    one quarter.
+
+    Plan shape: one shipdate-filtered scan → per-supplier decimal
+    aggregate; the scalar max re-aggregates the (already tiny)
+    supplier-grained result into ONE row that broadcasts back as an
+    equality join — no unpartitioned window over the revenue table, so
+    the pattern survives a supplier dimension of any size.  Decimal
+    equality is exact (no double compare at the max boundary)."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cut_lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    cut_hi = F.lit("1996-04-01 00:00:00").cast("timestamp")
+    revenue = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= cut_lo) & (F.col("l_shipdate") < cut_hi)
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+            ).alias("total_revenue")
+        )
+    )
+    top = revenue.agg(F.max("total_revenue").alias("total_revenue"))
+    return (
+        revenue.join(F.broadcast(top), "total_revenue")
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "s_suppkey", "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+Q31_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customer): orders whose total quantity
+    exceeds a threshold, with their customers, top 100 by price.
+
+    Plan shape: the HAVING filter runs on the per-order aggregate BEFORE
+    any join (orders-grained, heavily reduced), then joins orders and a
+    broadcast-joined customer dim; top-100 compiles to
+    TakeOrderedAndProject.  Quantities are integral doubles → the decimal
+    cast and sum are exact on both engines."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > F.lit(250).cast(DEC))
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_name")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice",
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+Q32_SQL = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       CAST(sum_qty AS DOUBLE) AS sum_qty
+FROM (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+) big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+
 #: name -> (query builder, oracle SQL)
 RELATIONAL_QUERIES = {
     "q01_project_scalar": (q1, Q1_SQL),
@@ -1096,4 +1331,8 @@ RELATIONAL_QUERIES = {
     "q26_returned_items": (q26, Q26_SQL),
     "q27_promo_effect": (q27, Q27_SQL),
     "q28_customer_distribution": (q28, Q28_SQL),
+    "q29_forecast_revenue": (q29, Q29_SQL),
+    "q30_market_share": (q30, Q30_SQL),
+    "q31_top_supplier": (q31, Q31_SQL),
+    "q32_large_volume_customer": (q32, Q32_SQL),
 }

@@ -155,6 +155,14 @@ _DRIVER_WINDOW_PRIORITY = [
     "q28_customer_distribution",
     "bpe_train_merges",
     "corpus_split_leakage",
+    "q29_forecast_revenue",
+    "q30_market_share",
+    "q31_top_supplier",
+    "q32_large_volume_customer",
+    "hypertable_time_weight",
+    "hypertable_counter_delta",
+    "hypertable_state_durations",
+    "cdc_maxwell_roundtrip",
     # (d) last driver row is r1/r2 — stalest evidence first
     "q01_project_scalar",
     "q02_filter",
