@@ -423,8 +423,120 @@ GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
 
+def maxwell_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maxwell-JSON ingestion end-to-end, driver-checked — completing the
+    measured-path trio with canal/OGG.  The Maxwell-specific surfaces are
+    in the CHECKED columns: ``max_op_ts_ms`` proves the seconds→ms
+    normalization (Maxwell ``ts`` is epoch SECONDS), and the update
+    envelopes carry changed-fields-only ``old`` (previous values), so the
+    before-image overlay is in the measured path; ordering replays on
+    ``xid`` (no log-reader offsets here — Maxwell's ``position`` strings
+    are not lexicographically ordered, the parser's documented fallback).
+
+    Plan: same single-scan 3-slot variant-array explode as the other
+    roundtrips (one codegen'd encode/decode pipeline), one key window,
+    one aggregation."""
+    from ..sources.formats import parse_maxwell_json
+    from .changelog import apply_changelog
+    from pyspark.sql import types as T
+
+    orders, row, row_updated, _ = _orders_mutation_base(
+        spark, sf_dir, repartition=True
+    )
+    old_t = "struct<o_totalprice:double>"
+    null_old = F.lit(None).cast(old_t)
+    k2 = (F.col("o_orderkey") * 2).cast("long")
+    base_ts = F.lit(1_700_000_000).cast("long") + (
+        F.col("o_orderkey") % 86400
+    ).cast("long")
+
+    def variant(typ: str, data, old, xid, ts):
+        return F.struct(
+            F.lit(typ).alias("typ"),
+            data.alias("data"),
+            old.alias("old"),
+            xid.alias("xid"),
+            ts.alias("ts"),
+        )
+
+    variants = F.array(
+        variant("insert", row, null_old, k2, base_ts),
+        F.when(
+            F.expr(_UPDATED),
+            variant(
+                "update", row_updated,
+                F.struct(F.col("o_totalprice")), k2 + 1, base_ts + 60,
+            ),
+        ),
+        F.when(
+            F.expr(_DELETED),
+            variant("delete", row, null_old, k2 + 1, base_ts + 60),
+        ),
+    )
+    v = F.col("v")
+    lines = (
+        orders.select(F.explode(variants).alias("v"))
+        .filter(v.isNotNull())
+        .select(
+            F.to_json(
+                F.struct(
+                    F.lit("tpch").alias("database"),
+                    F.lit("orders").alias("table"),
+                    v["typ"].alias("type"),
+                    v["ts"].alias("ts"),
+                    v["xid"].alias("xid"),
+                    F.lit("binlog.000001:4").alias("position"),
+                    v["data"].alias("data"),
+                    v["old"].alias("old"),
+                )
+            ).alias("value")
+        )
+    )
+    physical = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderpriority", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    parsed = parse_maxwell_json(lines, physical)
+    # no reader offsets → _src.pos carries Maxwell's xid (the documented
+    # fallback order); img_seq breaks the before/after tie within an update
+    latest = apply_changelog(
+        parsed, keys=["o_orderkey"], order_by=["_src.pos", "_src.img_seq"]
+    )
+    return (
+        latest.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("sum_price"),
+            F.max("_src.op_ts_ms").alias("max_op_ts_ms"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+MAXWELL_ROUNDTRIP_SQL = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1
+                          ELSE o_totalprice END AS DECIMAL(18,2)))
+            AS DOUBLE) AS sum_price,
+       MAX((1700000000 + o_orderkey % 86400
+            + CASE WHEN o_orderkey % 10 = 0 THEN 60 ELSE 0 END) * 1000)
+         AS max_op_ts_ms
+FROM orders
+WHERE o_orderkey % 100 <> 51
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 LIFECYCLE_QUERIES = {
     "ddl_sql_lifecycle": (ddl_lifecycle_query, DDL_LIFECYCLE_SQL),
     "cdc_canal_roundtrip": (canal_roundtrip_query, CANAL_ROUNDTRIP_SQL),
     "cdc_ogg_roundtrip": (ogg_roundtrip_query, OGG_ROUNDTRIP_SQL),
+    "cdc_maxwell_roundtrip": (maxwell_roundtrip_query, MAXWELL_ROUNDTRIP_SQL),
 }
