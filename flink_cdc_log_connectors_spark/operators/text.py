@@ -1237,6 +1237,21 @@ def bpe_train_merges(
     Returns one row per learned merge: (round, left, right, merged, cnt).
     """
     spark = df.sparkSession
+    merges = _train_merges_list(
+        df, rounds, text_col=text_col, vocab_partitions=vocab_partitions
+    )
+    return spark.createDataFrame(
+        merges, "round int, left string, right string, merged string, cnt long"
+    ).orderBy("round")
+
+
+def _train_merges_list(
+    df: DataFrame,
+    rounds: int = BPE_TRAIN_ROUNDS,
+    text_col: str = "text",
+    vocab_partitions: int = 1,
+) -> list[tuple]:
+    spark = df.sparkSession
     tok = df.select(F.explode(tokens(F.col(text_col))).alias("w"))
     vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
     # 'hello' -> 'h e l l o'.  The vocab is orders of magnitude smaller
@@ -1309,24 +1324,43 @@ def bpe_train_merges(
             break
         l, rr, cnt = best[0]["l"], best[0]["r"], best[0]["cnt"]
         merges.append((r, l, rr, l + rr, cnt))
+    return merges
+
+
+#: (sf_dir, rounds) → learned merges; the trainer is deterministic, so the
+#: train query and the corpus encoder share one training run per process
+#: (same class as the cached near-dup pair set / minhash signatures).
+_BPE_TRAINED: dict[tuple[str, int], list[tuple]] = {}
+
+
+def _trained_merges_cached(
+    spark: SparkSession, sf_dir: str, rounds: int = BPE_TRAIN_ROUNDS
+) -> list[tuple]:
+    key = (sf_dir, rounds)
+    if key not in _BPE_TRAINED:
+        docs = load_table(spark, sf_dir, "documents")
+        _BPE_TRAINED[key] = _train_merges_list(docs, rounds)
+    return _BPE_TRAINED[key]
+
+
+def bpe_train_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges = _trained_merges_cached(spark, sf_dir)
     return spark.createDataFrame(
         merges, "round int, left string, right string, merged string, cnt long"
     ).orderBy("round")
 
 
-def bpe_train_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return bpe_train_merges(docs)
-
-
-def _bpe_train_sql(rounds: int = BPE_TRAIN_ROUNDS) -> str:
-    """Unrolled SQL replay of the training loop: the oracle must choose
-    the identical merge with the identical count every round."""
+def _bpe_train_ctes(rounds: int = BPE_TRAIN_ROUNDS) -> str:
+    """Unrolled CTE replay of the training loop, shared by the trainer
+    oracle (reads ``best{k}``) and the corpus-encode oracle (reads the
+    final ``vocab{rounds}``, which is why every vocab table carries the
+    original word ``w`` — it does not affect pair counting)."""
     parts = [
         f"""WITH tok AS (SELECT unnest({_T}) AS w FROM documents),
 wf AS (SELECT w, count(*) AS freq FROM tok GROUP BY w),
 vocab0 AS MATERIALIZED (
-  SELECT array_to_string(
+  SELECT w,
+         array_to_string(
            list_transform(generate_series(1, length(w)),
                           i -> substring(w, i, 1)), ' ') AS sym,
          freq
@@ -1348,7 +1382,8 @@ best{k} AS MATERIALIZED (
   ORDER BY cnt DESC, l, r LIMIT 1
 ),
 vocab{k} AS MATERIALIZED (
-  SELECT trim(replace(' ' || sym || ' ',
+  SELECT w,
+         trim(replace(' ' || sym || ' ',
                       ' ' || (SELECT l FROM best{k}) || ' '
                           || (SELECT r FROM best{k}) || ' ',
                       ' ' || (SELECT l FROM best{k})
@@ -1357,13 +1392,115 @@ vocab{k} AS MATERIALIZED (
   FROM {prev}
 )"""
         )
+    return "".join(parts)
+
+
+def _bpe_train_sql(rounds: int = BPE_TRAIN_ROUNDS) -> str:
+    """The oracle must choose the identical merge with the identical
+    count every round."""
     selects = "\nUNION ALL\n".join(
         f"SELECT {k} AS round, l AS left, r AS right, l || r AS merged, cnt "
         f"FROM best{k}"
         for k in range(1, rounds + 1)
     )
-    parts.append(f"\nSELECT * FROM (\n{selects}\n) ORDER BY round")
-    return "".join(parts)
+    return (
+        _bpe_train_ctes(rounds)
+        + f"\nSELECT * FROM (\n{selects}\n) ORDER BY round"
+    )
+
+
+def bpe_encode_corpus(
+    df: DataFrame,
+    merges: list[tuple],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply trained BPE merges to the whole corpus — the pipeline step
+    the trainer exists for — and report per-document token accounting
+    (word count, BPE token count, tokens/word fertility).
+
+    Scale shape: the merge fold runs on the DISTINCT vocabulary only
+    (per-char work never touches the corpus — same discipline as
+    ``bpe_merge_candidates``); the corpus-sized side is reduced to
+    (doc, word) counts by a map-side-combining aggregate BEFORE the join
+    against the encoded vocab, so repeated words cost one row.  The fold
+    is the trainer's own fixed-arity literal-array ``aggregate`` +
+    ``replace`` — one compiled plan regardless of the merge count, and
+    left-to-right non-overlapping ``replace`` is exactly greedy BPE in
+    both engines, which keeps the encode value-oracle-checkable."""
+    toks = df.select(id_col, F.explode(tokens(F.col(text_col))).alias("w"))
+    spaced = F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 "))
+    never = "\x00"
+    slots = [(f" {l} {r} ", f" {l}{r} ") for (_rnd, l, r, _m, _c) in merges]
+    if not slots:
+        slots = [(f" {never} ", " ")]
+    merge_arr = F.array(
+        *[
+            F.struct(F.lit(pat).alias("pat"), F.lit(rep).alias("rep"))
+            for pat, rep in slots
+        ]
+    )
+    encoded = F.trim(
+        F.aggregate(
+            merge_arr,
+            F.concat(F.lit(" "), spaced, F.lit(" ")),
+            lambda acc, m: F.replace(acc, m["pat"], m["rep"]),
+        )
+    )
+    vocab = (
+        toks.select("w")
+        .distinct()
+        .select("w", F.size(F.split(encoded, " ")).alias("n_sym"))
+    )
+    per_word = toks.groupBy(id_col, "w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        per_word.join(vocab, "w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.sum(F.col("c") * F.col("n_sym")).cast("long").alias(
+                "n_bpe_tokens"
+            ),
+        )
+        .select(
+            id_col,
+            "n_words",
+            "n_bpe_tokens",
+            (
+                F.col("n_bpe_tokens").cast("double")
+                / F.col("n_words").cast("double")
+            ).alias("fertility"),
+        )
+    )
+
+
+def bpe_encode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    merges = _trained_merges_cached(spark, sf_dir)
+    return bpe_encode_corpus(docs, merges).orderBy("doc_id")
+
+
+def _bpe_encode_sql(rounds: int = BPE_TRAIN_ROUNDS) -> str:
+    return (
+        _bpe_train_ctes(rounds)
+        + f""",
+wcount AS (SELECT w, len(string_split(sym, ' ')) AS n_sym
+           FROM vocab{rounds}),
+tok2 AS (SELECT doc_id, unnest({_T}) AS w FROM documents),
+per_word AS (SELECT doc_id, w, count(*) AS c FROM tok2 GROUP BY doc_id, w)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_words,
+       CAST(sum(c * n_sym) AS BIGINT) AS n_bpe_tokens,
+       CAST(CAST(sum(c * n_sym) AS BIGINT) AS DOUBLE)
+         / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) AS fertility
+FROM per_word JOIN wcount USING (w)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+    )
 
 
 TEXT_QUERIES["bpe_train_merges"] = (bpe_train_query, _bpe_train_sql())
+TEXT_QUERIES["bpe_encode_corpus"] = (bpe_encode_query, _bpe_encode_sql())

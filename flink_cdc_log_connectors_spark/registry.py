@@ -163,6 +163,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "hypertable_counter_delta",
     "hypertable_state_durations",
     "cdc_maxwell_roundtrip",
+    "bpe_encode_corpus",
     # (d) last driver row is r1/r2 — stalest evidence first
     "q01_project_scalar",
     "q02_filter",

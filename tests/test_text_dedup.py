@@ -681,3 +681,26 @@ def test_bpe_train_merges_greedy_semantics(spark):
         (2, "a", "b", "ab", 3),
         (3, "aa", "ab", "aaab", 2),
     ]
+
+
+def test_bpe_encode_corpus_applies_merges_left_greedy(spark):
+    """Encode with a known merge list: 'aaab' collapses to one token
+    through the (a,a)(a,b)(aa,ab) ladder; an unmergeable word stays at
+    one symbol per char."""
+    from flink_cdc_log_connectors_spark.operators.text import (
+        bpe_encode_corpus,
+    )
+
+    merges = [
+        (1, "a", "a", "aa", 4),
+        (2, "a", "b", "ab", 3),
+        (3, "aa", "ab", "aaab", 2),
+    ]
+    docs = spark.createDataFrame(
+        [(1, "aaab ab"), (2, "xyz")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"], r["fertility"])
+        for r in bpe_encode_corpus(docs, merges).collect()
+    }
+    assert out == {1: (2, 2, 1.0), 2: (1, 3, 3.0)}
