@@ -343,8 +343,139 @@ ORDER BY c.doc_id
 """
 
 
+#: fixed-point scale for the PageRank iteration — 1e12 keeps six
+#: meaningful decimal digits after five damping multiplications while
+#: every intermediate stays far inside int64.
+PR_SCALE = 1_000_000_000_000
+PR_ROUNDS = 5
+
+
+def pagerank(
+    edges: DataFrame,
+    rounds: int = PR_ROUNDS,
+    src_col: str = "d1",
+    dst_col: str = "d2",
+) -> DataFrame:
+    """PageRank over the (symmetrized) near-dup graph in FIXED-POINT
+    integer arithmetic — fully deterministic, hence value-oracle-checkable,
+    unlike a floating-point power iteration whose partial-sum order
+    differs between engines.
+
+    Semantics: restricted to edge-touching nodes (isolated docs carry no
+    centrality signal and would make N corpus-sized for no information);
+    after symmetrization every node has deg ≥ 1, so there is no dangling
+    mass.  Per round, each node divides its integer rank evenly among
+    neighbors (floor division — the dropped remainder is the documented
+    fixed-point truncation, identical in both engines), and
+    ``p' = (0.15·SCALE)//N + (85·Σ incoming)//100``.
+
+    Scale shape: one keyed join + one map-side-combined sum per round
+    over the EDGE table (sparse, ≪ corpus); rank table localCheckpointed
+    per round so lineage stays O(1) — the same iterate/checkpoint loop as
+    :func:`connected_components`."""
+    e = edges.select(
+        F.col(src_col).cast("long").alias("a"),
+        F.col(dst_col).cast("long").alias("b"),
+    ).localCheckpoint(eager=True)
+    adj = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    n_edges = adj.count()
+    parts = max(1, min(adj.rdd.getNumPartitions(), n_edges // 1_000_000 + 1))
+    adj = adj.repartition(parts, "a").localCheckpoint(eager=True)
+
+    deg = adj.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    n_nodes = deg.count()  # driver scalar (same class as the CC round counts)
+    base = (15 * PR_SCALE // 100) // max(n_nodes, 1)
+    ptab = deg.select(
+        "node", "deg", F.lit(PR_SCALE // max(n_nodes, 1)).alias("p")
+    ).repartition(parts, "node").localCheckpoint(eager=True)
+    for _ in range(rounds):
+        inc = (
+            adj.join(ptab, adj.a == ptab.node)
+            .select("b", F.expr("p div deg").alias("contrib"))
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.sum("contrib").alias("inc"))
+        )
+        ptab = (
+            ptab.select("node", "deg")
+            .join(inc, "node", "left")
+            .select(
+                "node",
+                "deg",
+                (
+                    F.lit(base)
+                    + F.expr("85 * coalesce(inc, 0L) div 100")
+                ).cast("long").alias("p"),
+            )
+            .repartition(parts, "node")
+            .localCheckpoint(eager=True)
+        )
+    return ptab.select(
+        F.col("node").alias("doc_id"),
+        F.col("deg").cast("long").alias("deg"),
+        F.col("p").alias("pagerank_fp"),
+        (F.col("p").cast("double") / F.lit(float(PR_SCALE))).alias("pagerank"),
+    )
+
+
+def pagerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centrality over the exact n-gram Jaccard near-dup graph: which
+    documents sit at the heart of a duplication family (template pages,
+    boilerplate hubs) versus its periphery — the ranking signal used to
+    pick KEEP candidates beyond plain quality scores.  Reuses the
+    process-cached pair set shared with the rest of the dedup family."""
+    from .dedup import cached_ngram_pairs
+
+    pairs = cached_ngram_pairs(spark, sf_dir, n=3, threshold_num=1, threshold_den=5)
+    return pagerank(pairs.select("d1", "d2")).orderBy("doc_id")
+
+
+def _pagerank_sql(rounds: int = PR_ROUNDS) -> str:
+    from .dedup import NGRAM_KEPT_CTE
+
+    base = f"(150000000000 // (SELECT n FROM nn))"
+    parts = [
+        f"""
+WITH {NGRAM_KEPT_CTE},
+prpairs AS (
+  SELECT d1, d2 FROM common
+  JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+  WHERE 5 * common >= (s1.n_sh + s2.n_sh - common)
+),
+adj AS (SELECT d1 AS a, d2 AS b FROM prpairs
+        UNION SELECT d2, d1 FROM prpairs),
+deg AS (SELECT a AS node, count(*) AS deg FROM adj GROUP BY a),
+nn AS (SELECT count(*) AS n FROM deg),
+p0 AS (SELECT node, deg,
+              CAST({PR_SCALE} // (SELECT n FROM nn) AS BIGINT) AS p
+       FROM deg)"""
+    ]
+    for k in range(1, rounds + 1):
+        prev = f"p{k - 1}"
+        parts.append(
+            f""",
+p{k} AS (
+  SELECT d.node, d.deg,
+         CAST({base} + (85 * COALESCE(s.inc, 0)) // 100 AS BIGINT) AS p
+  FROM deg d LEFT JOIN (
+    SELECT adj.b AS node, CAST(sum({prev}.p // {prev}.deg) AS BIGINT) AS inc
+    FROM adj JOIN {prev} ON adj.a = {prev}.node GROUP BY adj.b
+  ) s ON d.node = s.node)"""
+        )
+    parts.append(
+        f"""
+SELECT node AS doc_id, CAST(deg AS BIGINT) AS deg, p AS pagerank_fp,
+       CAST(p AS DOUBLE) / {float(PR_SCALE)} AS pagerank
+FROM p{rounds} ORDER BY doc_id
+"""
+    )
+    return "".join(parts)
+
+
 GRAPH_QUERIES = {
     "dedup_clusters": (dedup_clusters_query, _clusters_sql()),
     "pipeline_dedup_corpus": (dedup_corpus_audit_query, _dedup_corpus_audit_sql()),
     "dedup_keep_best": (dedup_keep_best_query, _keep_best_sql()),
+    "dedup_pagerank_centrality": (pagerank_query, _pagerank_sql()),
 }

@@ -164,6 +164,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "hypertable_state_durations",
     "cdc_maxwell_roundtrip",
     "bpe_encode_corpus",
+    "dedup_pagerank_centrality",
     # (d) last driver row is r1/r2 — stalest evidence first
     "q01_project_scalar",
     "q02_filter",

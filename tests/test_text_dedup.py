@@ -704,3 +704,24 @@ def test_bpe_encode_corpus_applies_merges_left_greedy(spark):
         for r in bpe_encode_corpus(docs, merges).collect()
     }
     assert out == {1: (2, 2, 1.0), 2: (1, 3, 3.0)}
+
+
+def test_pagerank_fixed_point_hand_computed(spark):
+    """Path graph 1-2-3, one round: the center accumulates both ends'
+    full rank; floor-division truncation follows the documented
+    fixed-point arithmetic exactly."""
+    from flink_cdc_log_connectors_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "d1 long, d2 long")
+    out = {
+        r["doc_id"]: (r["deg"], r["pagerank_fp"])
+        for r in pagerank(edges, rounds=1).collect()
+    }
+    # N=3, p0 = 333333333333, base = 150000000000 // 3 = 50000000000
+    # ends: inc = p0 // 2 = 166666666666 -> 50e9 + 85*inc//100
+    # center: inc = 2 * (p0 // 1) ... ends contribute p0 each
+    assert out == {
+        1: (1, 191666666666),
+        2: (2, 616666666666),
+        3: (1, 191666666666),
+    }
