@@ -165,6 +165,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "cdc_maxwell_roundtrip",
     "bpe_encode_corpus",
     "dedup_pagerank_centrality",
+    "dedup_simhash_wide",
     # (d) last driver row is r1/r2 — stalest evidence first
     "q01_project_scalar",
     "q02_filter",

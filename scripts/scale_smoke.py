@@ -41,6 +41,7 @@ ENTRIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_simhash_wide",
     "dedup_substring_span",
     "dedup_segment_exact",
     "text_winnow_fingerprint",

@@ -725,3 +725,28 @@ def test_pagerank_fixed_point_hand_computed(spark):
         2: (2, 616666666666),
         3: (1, 191666666666),
     }
+
+
+def test_simhash_wide_single_token_equals_md5_halves(spark):
+    """One-token doc: the majority vote IS the token's bit pattern, so
+    both fingerprint halves must equal the md5-60 halves verbatim; exact
+    duplicates share a class and pair up."""
+    import hashlib
+
+    from flink_cdc_log_connectors_spark.operators.dedup import (
+        simhash_wide,
+        simhash_wide_dedup_verdict,
+    )
+
+    hexd = hashlib.md5(b"hello").hexdigest()
+    exp = (int(hexd[:15], 16), int(hexd[15:30], 16))
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, "hello")], "doc_id long, text string"
+    )
+    fps = {r["doc_id"]: (r["h1"], r["h2"]) for r in simhash_wide(docs).collect()}
+    assert fps[1] == exp and fps[2] == exp
+    verdict = {
+        r["doc_id"]: (r["keep_id"], r["n_near_dups"])
+        for r in simhash_wide_dedup_verdict(docs).collect()
+    }
+    assert verdict == {1: (1, 1), 2: (1, 1)}
