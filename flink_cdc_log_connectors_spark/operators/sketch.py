@@ -368,8 +368,117 @@ FROM hit ORDER BY l_returnflag, q
 """
 
 
+# --------------------------------------------------------------------------
+# Count-Min sketch (point-frequency estimation under bounded state)
+# --------------------------------------------------------------------------
+
+CMS_DEPTH = 3
+CMS_WIDTH_BITS = 10           #: 2^10 = 1024 counters per row
+_CMS_MASK = (1 << CMS_WIDTH_BITS) - 1
+
+
+def _cms_buckets_col(h):
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                F.shiftrightunsigned(h, CMS_WIDTH_BITS * r)
+                .bitwiseAND(F.lit(_CMS_MASK))
+                .alias("bucket"),
+            )
+            for r in range(CMS_DEPTH)
+        ]
+    )
+
+
+def count_min_sketch_tokens(
+    docs: DataFrame, topk: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Count-Min sketch over the corpus token stream, audited against
+    exact counts for the top-k tokens.
+
+    The sketch is DEPTH×WIDTH (3×1024) counters; each row's bucket is a
+    disjoint 10-bit field of the token's portable md5-60 (one hash
+    computed, three derived row functions — deterministic, which is what
+    makes the sketch value-oracle-checkable; independent salted hashes
+    would sharpen the union bound at deployment, at the cost of 3 md5
+    passes).  CMS guarantees ``estimate ≥ exact`` always, with
+    overcounts bounded by colliding mass / width per row.
+
+    Scale shape: the corpus collapses to the distinct vocabulary first
+    (one shuffle with map-side combine — the same discipline as every
+    text operator here), the 3072-cell table is built from the vocab,
+    and the top-k probe joins the broadcast cell table.  State is O(1)
+    regardless of corpus size — the point of a CMS."""
+    from ..functions.text import tokens
+
+    tok = docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    h = F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long")
+    hashed = vocab.withColumn("__h", h)
+    cells = (
+        hashed.select(F.explode(_cms_buckets_col(F.col("__h"))).alias("b"), "cnt")
+        .groupBy("b.r", "b.bucket")
+        .agg(F.sum("cnt").alias("cell"))
+    )
+    top = hashed.orderBy(F.col("cnt").desc(), "w").limit(topk)
+    probe = top.select(
+        "w", "cnt", F.explode(_cms_buckets_col(F.col("__h"))).alias("b")
+    ).select("w", "cnt", "b.r", "b.bucket")
+    return (
+        probe.join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy("w", "cnt")
+        .agg(F.min("cell").cast("long").alias("cms_est"))
+        .select(
+            F.col("w").alias("token"),
+            F.col("cnt").cast("long").alias("exact_cnt"),
+            "cms_est",
+            (F.col("cms_est") - F.col("cnt")).cast("long").alias("overcount"),
+        )
+        .orderBy(F.col("exact_cnt").desc(), "token")
+    )
+
+
+def count_min_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return count_min_sketch_tokens(docs)
+
+
+def _count_min_sql() -> str:
+    from ..functions.text import MD5_60_SQL, TOKENS_SQL
+
+    toks = TOKENS_SQL.format(col="text")
+    h = MD5_60_SQL.format(e="w")
+    bucket_union = "\n  UNION ALL ".join(
+        f"SELECT w, cnt, {r} AS r, "
+        f"(h >> {CMS_WIDTH_BITS * r}) & {_CMS_MASK} AS bucket FROM hashed"
+        for r in range(CMS_DEPTH)
+    )
+    return f"""
+WITH tok AS (SELECT unnest({toks}) AS w FROM documents),
+vocab AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+hashed AS (SELECT w, cnt, {h} AS h FROM vocab),
+buckets AS (
+  {bucket_union}
+),
+cells AS (SELECT r, bucket, sum(cnt) AS cell
+          FROM buckets GROUP BY r, bucket),
+top AS (SELECT w, cnt FROM vocab ORDER BY cnt DESC, w LIMIT 20)
+SELECT t.w AS token,
+       CAST(t.cnt AS BIGINT) AS exact_cnt,
+       CAST(min(c.cell) AS BIGINT) AS cms_est,
+       CAST(min(c.cell) - t.cnt AS BIGINT) AS overcount
+FROM top t
+JOIN buckets b ON b.w = t.w
+JOIN cells c ON c.r = b.r AND c.bucket = b.bucket
+GROUP BY t.w, t.cnt
+ORDER BY exact_cnt DESC, token
+"""
+
+
 SKETCH_QUERIES = {
     "agg_heavy_hitters": (heavy_hitters_query, HEAVY_HITTERS_SQL),
     "agg_kmv_distinct": (kmv_distinct_query, KMV_SQL),
     "agg_histogram_quantiles": (histogram_quantiles_query, HIST_QUANTILES_SQL),
+    "agg_count_min_sketch": (count_min_query, _count_min_sql()),
 }

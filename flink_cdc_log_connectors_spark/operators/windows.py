@@ -196,7 +196,73 @@ ORDER BY window_start, window_end, event_type LIMIT 4000
 """
 
 
+SESSION_GAP_S = 1800
+
+
+def session_window_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink SESSION window TVF via Spark's NATIVE ``session_window``
+    grouping (the engine's hand-rolled gaps-and-islands twin is
+    ``sessionize_events``; this entry proves the built-in operator agrees
+    with the same arithmetic oracle).  Semantics under test: windows
+    merge while each event starts strictly BEFORE the running window's
+    end (so a gap of exactly 30 min starts a new session — half-open
+    windows), and the final end is last-event + gap at full microsecond
+    precision.
+
+    Scale: one hash shuffle on the session key; Spark merges windows
+    with a per-key sort inside the aggregation — no self-join, no
+    driver state."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            "user_id",
+            F.session_window("ts", f"{SESSION_GAP_S} seconds"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("v_sum"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n",
+            "v_sum",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+SESSION_WINDOW_SQL = f"""
+WITH seq AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('microsecond', lag(ts) OVER w, ts)
+                   >= {SESSION_GAP_S} * 1000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+isl AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM seq
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL {SESSION_GAP_S} SECOND AS session_end,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v_sum
+FROM isl GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
 WINDOW_QUERIES = {
     "events_hop_window": (hop_query, _hop_sql()),
     "events_cumulate_window": (cumulate_query, _cumulate_sql()),
+    "events_session_window_tvf": (session_window_query, SESSION_WINDOW_SQL),
 }

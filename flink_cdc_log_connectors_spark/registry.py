@@ -166,6 +166,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "bpe_encode_corpus",
     "dedup_pagerank_centrality",
     "dedup_simhash_wide",
+    "events_session_window_tvf",
+    "agg_count_min_sketch",
     # (d) last driver row is r1/r2 — stalest evidence first
     "q01_project_scalar",
     "q02_filter",

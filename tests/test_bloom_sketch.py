@@ -186,3 +186,20 @@ def test_histogram_quantiles_ignores_nulls(spark):
     assert out[0.5][1] == 50          # n counts non-null only
     assert 25.0 <= out[0.5][0] <= 26.5
     assert out[0.99][0] >= 49.0
+
+
+def test_count_min_never_undercounts(spark, sf_dir):
+    """CMS guarantee: estimate >= exact for every probed token, and a
+    token whose three cells collide with nothing reports exactly."""
+    from flink_cdc_log_connectors_spark.operators.sketch import (
+        count_min_sketch_tokens,
+    )
+    from flink_cdc_log_connectors_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = count_min_sketch_tokens(docs, topk=50).collect()
+    # sf0.001's template vocabulary is tiny (~31 distinct tokens) — the
+    # probe returns min(topk, |vocab|) rows
+    assert 0 < len(rows) <= 50
+    assert all(r["cms_est"] >= r["exact_cnt"] for r in rows)
+    assert all(r["overcount"] == r["cms_est"] - r["exact_cnt"] for r in rows)
