@@ -1292,6 +1292,112 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
 """
 
 
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 adapted (small-quantity-order revenue): yearly revenue
+    lost if orders below 20% of a part's average quantity were not
+    filled.  Adapted: the brand filter stands in for TPC-H's
+    brand+container pair (no p_container column in this schema).
+
+    Determinism note: ``qty < 0.2·avg(qty)`` is evaluated MULTIPLIED
+    THROUGH as ``qty·5·cnt < sum_qty`` — exact decimal/integer
+    arithmetic on both engines, no engine-specific decimal-average
+    scale rules anywhere.  Plan: brand parts broadcast into the lineitem
+    scan, one per-part aggregate, one rejoin keyed on partkey."""
+    part = load_table(spark, sf_dir, "part")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    bp = part.filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    li = (
+        lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(bp), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "l_partkey",
+            _dec("l_quantity").alias("q"),
+            _dec("l_extendedprice").alias("ep"),
+        )
+    )
+    pa = li.groupBy("l_partkey").agg(
+        F.sum("q").alias("sq"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        li.join(pa, "l_partkey")
+        .filter(F.col("q") * F.lit(5) * F.col("cnt") < F.col("sq"))
+        .agg(
+            (F.sum("ep").cast("double") / F.lit(7.0)).alias("avg_yearly")
+        )
+    )
+
+
+Q33_SQL = """
+WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'),
+li AS (
+  SELECT l_partkey, CAST(l_quantity AS DECIMAL(18,2)) AS q,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS ep
+  FROM lineitem JOIN bp ON l_partkey = p_partkey
+),
+pa AS (SELECT l_partkey, SUM(q) AS sq, COUNT(*) AS cnt
+       FROM li GROUP BY l_partkey)
+SELECT CAST(SUM(li.ep) AS DOUBLE) / 7.0 AS avg_yearly
+FROM li JOIN pa USING (l_partkey)
+WHERE li.q * 5 * pa.cnt < pa.sq
+"""
+
+
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 adapted (global sales opportunity): wealthy idle
+    accounts — customers whose balance exceeds the average POSITIVE
+    balance and who have placed no order since 2000, grouped by nation.
+    Adapted: nation key stands in for TPC-H's phone country code (no
+    c_phone column), and "no recent order" for "no order ever" (every
+    synthetic customer has some order).
+
+    The average comparison is multiplied through (``bal·n > sum``) —
+    exact decimals, no division; the 1-row positive-balance aggregate
+    broadcasts (the documented 1-row crossJoin class), and the recency
+    check is a left-anti join against the date-filtered orders scan."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    pos = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(_dec("c_acctbal")).alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    rich = customer.crossJoin(F.broadcast(pos)).filter(
+        _dec("c_acctbal") * F.col("n") > F.col("s")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_custs"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_acctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+Q34_SQL = """
+WITH pos AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS s, COUNT(*) AS n
+  FROM customer WHERE c_acctbal > 0
+),
+rich AS (
+  SELECT c.* FROM customer c, pos
+  WHERE CAST(c_acctbal AS DECIMAL(18,2)) * pos.n > pos.s
+)
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_custs,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM rich r
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = r.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
 #: name -> (query builder, oracle SQL)
 RELATIONAL_QUERIES = {
     "q01_project_scalar": (q1, Q1_SQL),
@@ -1335,4 +1441,6 @@ RELATIONAL_QUERIES = {
     "q30_market_share": (q30, Q30_SQL),
     "q31_top_supplier": (q31, Q31_SQL),
     "q32_large_volume_customer": (q32, Q32_SQL),
+    "q33_small_qty_revenue": (q33, Q33_SQL),
+    "q34_sales_opportunity": (q34, Q34_SQL),
 }

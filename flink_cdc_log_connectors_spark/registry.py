@@ -168,6 +168,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_simhash_wide",
     "events_session_window_tvf",
     "agg_count_min_sketch",
+    "q33_small_qty_revenue",
+    "q34_sales_opportunity",
     # (d) last driver row is r1/r2 — stalest evidence first
     "q01_project_scalar",
     "q02_filter",
