@@ -126,62 +126,23 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
 #: every round by the committed scripts/selfcheck.py run
 #: (SELFCHECK_r{N}.json).
 _DRIVER_WINDOW_PRIORITY = [
-    # (a) never recorded by the driver in r1-r3 (judge-verified green in
-    # r3, but the driver record is the only builder-independent signal)
-    "dedup_family_sizes",
-    "events_dau_wau",
-    "events_key_gini",
-    # (b) gap/band arithmetic changed to microsecond-exact in r4
-    # (sessionize_events was r3's one red row; range_join same fix class)
+    # (b) code changed this round: sessionize_events reshaped limit-free
+    # (VERDICT r4 next-round #1 — the one red driver row; its full-output
+    # twin events_session_window_tvf proved the gap arithmetic green)
     "sessionize_events",
-    "range_join_events",
-    # (c) new in r4 — unproven until their first driver row
-    "ddl_sql_lifecycle",
-    "corpus_overlap_kmv",
-    "corpus_quality_buckets",
-    "corpus_token_budget_mix",
-    "dedup_minhash_accuracy",
-    "events_session_funnel",
-    "cdc_canal_roundtrip",
-    "cdc_ogg_roundtrip",
-    "dedup_segment_exact",
-    "corpus_pack_sequences",
-    "emb_random_projection",
-    "q25_volume_shipping",
-    "agg_histogram_quantiles",
-    "emb_semdedup",
-    "q26_returned_items",
-    "q27_promo_effect",
-    "q28_customer_distribution",
-    "bpe_train_merges",
-    "corpus_split_leakage",
-    "q29_forecast_revenue",
-    "q30_market_share",
-    "q31_top_supplier",
-    "q32_large_volume_customer",
-    "hypertable_time_weight",
-    "hypertable_counter_delta",
-    "hypertable_state_durations",
-    "cdc_maxwell_roundtrip",
-    "bpe_encode_corpus",
-    "dedup_pagerank_centrality",
-    "dedup_simhash_wide",
-    "events_session_window_tvf",
-    "agg_count_min_sketch",
-    "q33_small_qty_revenue",
-    "q34_sales_opportunity",
-    # (d) last driver row is r1/r2 — stalest evidence first
-    "q01_project_scalar",
-    "q02_filter",
-    "q03_group_agg",
-    "q04_count_distinct",
-    "q04b_approx_distinct",
-    "q05_join_agg",
-    "q06_multijoin_broadcast",
-    "q07a_outer_null",
-    "q07b_semi_join",
-    "q07c_anti_join",
-    "q08_wide_agg",
+    # (c) new in r5 — unproven until their first driver row (appended as
+    # the round progresses, kept ahead of the stale-refresh band)
+    "changelog_skew_hotkey",
+    "events_asof_join",
+    "dedup_suffix_array_anchor",
+    "text_perplexity_bucket",
+    "corpus_domain_mix_report",
+    "ann_ivf_opq_rotate",
+    "events_retention_cohorts",
+    "q35_order_priority_ck",
+    "q36_nation_volume",
+    # (d) stale-evidence refresh: every entry whose last driver row is
+    # r1/r2 (39 of them; the 50-row window holds priority (b)+(c)+39)
     "q09_rollup",
     "q09b_cube",
     "q10a_topk_window",
