@@ -19,19 +19,59 @@ from enum import Enum
 from typing import Any
 
 
-@dataclass(frozen=True, order=True)
+@dataclass(frozen=True)
 class LogOffset:
-    """Position in the change log: (file, pos), totally ordered."""
+    """Position in the change log: (file, pos), totally ordered.
+
+    The optional fields mirror the reference ``BinlogOffset.java``'s full
+    state (gtid set, events/rows-to-skip past a not-row-granular position,
+    and an offset ``kind`` discriminator) so a future live-MySQL dialect
+    can carry them WITHOUT an offset-format migration: they serialize only
+    when set, deserialize when present, and are excluded from ordering —
+    comparison stays (file, pos), exactly the reference's
+    ``BinlogOffset.compareTo`` fallback when gtid sets are absent."""
 
     file: str
     pos: int
+    gtid_set: str | None = None
+    events_to_skip: int = 0
+    rows_to_skip: int = 0
+    kind: str | None = None
+
+    def __lt__(self, other):  # type: ignore[override]
+        return (self.file, self.pos) < (other.file, other.pos)
+
+    def __le__(self, other):  # type: ignore[override]
+        return (self.file, self.pos) <= (other.file, other.pos)
+
+    def __gt__(self, other):  # type: ignore[override]
+        return (self.file, self.pos) > (other.file, other.pos)
+
+    def __ge__(self, other):  # type: ignore[override]
+        return (self.file, self.pos) >= (other.file, other.pos)
 
     def to_json(self) -> dict[str, Any]:
-        return {"file": self.file, "pos": self.pos}
+        d: dict[str, Any] = {"file": self.file, "pos": self.pos}
+        if self.gtid_set is not None:
+            d["gtid_set"] = self.gtid_set
+        if self.events_to_skip:
+            d["events_to_skip"] = self.events_to_skip
+        if self.rows_to_skip:
+            d["rows_to_skip"] = self.rows_to_skip
+        if self.kind is not None:
+            d["kind"] = self.kind
+        return d
 
     @staticmethod
     def from_json(d: dict[str, Any]) -> "LogOffset":
-        return LogOffset(file=d["file"], pos=int(d["pos"]))
+        return LogOffset(
+            file=d["file"],
+            pos=int(d["pos"]),
+            gtid_set=d.get("gtid_set"),
+            events_to_skip=int(d.get("events_to_skip", 0)),
+            rows_to_skip=int(d.get("rows_to_skip", 0)),
+            kind=d.get("kind"),
+        )
 
 
 #: sentinel offsets (BinlogOffset.INITIAL_OFFSET / NO_STOPPING_OFFSET analogues)

@@ -63,3 +63,33 @@ def test_snapshot_with_injected_stats_skips_probe(spark, derby_table):
     )
     assert result.df.count() == 1000
     assert result.low_watermark is None
+
+
+def test_offset_json_roundtrip_reserved_fields():
+    """Offset JSON round-trips with and without the reserved
+    gtid/skip/kind fields (reference BinlogOffset.java state), ordering
+    stays (file, pos) regardless of the extras, and the no-extras wire
+    form is byte-identical to the historical format."""
+    import json
+
+    plain = LogOffset("mysql-bin.000003", 4096)
+    assert plain.to_json() == {"file": "mysql-bin.000003", "pos": 4096}
+    assert LogOffset.from_json(plain.to_json()) == plain
+    # historical payloads (no reserved keys) still parse
+    assert LogOffset.from_json({"file": "f", "pos": "7"}) == LogOffset("f", 7)
+
+    rich = LogOffset(
+        "mysql-bin.000003",
+        4096,
+        gtid_set="24f0df4e-0:1-119",
+        events_to_skip=2,
+        rows_to_skip=10,
+        kind="specific",
+    )
+    wire = json.loads(json.dumps(rich.to_json()))
+    assert LogOffset.from_json(wire) == rich
+    # ordering ignores the reserved fields: same (file,pos) is neither <
+    # nor >, a later pos is greater even with a "smaller" gtid string
+    assert not rich < plain and not plain < rich
+    assert LogOffset("mysql-bin.000003", 5000) > rich
+    assert sorted([rich, LogOffset("mysql-bin.000002", 9)])[0].file.endswith("2")
