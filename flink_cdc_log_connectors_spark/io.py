@@ -32,13 +32,24 @@ def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
 
     if os.path.isdir(path):
         # directory-backed table (the normal layout outside the synthetic
-        # single-file testdata): any one part file carries the schema
+        # single-file testdata): any one part file carries the schema.
+        # Recurse — a hive-partitioned layout (key=.../part-*.parquet)
+        # keeps its parts in subdirectories, and silently skipping the
+        # coercion there would desync nanosecond handling from DuckDB.
+        import glob
+
         parts = sorted(
-            f for f in os.listdir(path) if f.endswith(".parquet")
+            glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
         )
         if not parts:
+            import warnings
+
+            warnings.warn(
+                f"no .parquet part found under {path}; "
+                "nanosecond-timestamp detection skipped"
+            )
             return ()
-        path = os.path.join(path, parts[0])
+        path = parts[0]
     schema = pq.read_schema(path)
     return tuple(
         f.name

@@ -117,7 +117,13 @@ def ensure_changelog_fixture(spark: SparkSession, sf_dir: str) -> str:
     deletes = orders.filter(_DELETED).select(
         env("d", row, null_row, k2 + 1).alias("value")
     )
-    staging = root + ".staging"
+    # staging is unique per writer (pid + random suffix): two concurrent
+    # processes that both miss the _SUCCESS check must not write into the
+    # same directory, or one can gut the other's files mid-publish and
+    # the corrupted fixture would then be cached forever by the marker
+    import uuid
+
+    staging = f"{root}.staging.{os.getpid()}.{uuid.uuid4().hex[:8]}"
     (
         creates.unionAll(updates).unionAll(deletes)
         .write.mode("overwrite").text(os.path.join(staging, "log"))

@@ -231,6 +231,62 @@ FROM b ORDER BY zkey, l_orderkey, l_linenumber LIMIT 2000
 """
 
 
+def changelog_skew_hotkey_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog materialization under a hot-key distribution — the
+    reference's huge-split / hot-row regime (its
+    ``testBigTableWithHugeSplits`` class of cases) exercised through the
+    AGGREGATION materialization path.
+
+    The events table is rebadged as a change log in which ONE key
+    (``k = -1``) receives every 10th event — 10% of the whole log — while
+    the rest spread over ~|users| keys; ``error`` events are deletes.
+    ``apply_changelog_agg`` (max_by) materializes latest state: partial
+    aggregation collapses the hot key to ONE candidate row per input
+    partition BEFORE the shuffle, so the exchange carries ~|keys| rows
+    and no reducer sees the 10% fan-in — the skew-safe twin of the
+    row_number window in ``apply_changelog`` (which would sort the whole
+    hot partition on one task).  Scale: measured in
+    ``scripts/scale_smoke.py``; SCALING.md has the 10× ratio."""
+    from ..io import load_table
+    from .changelog import apply_changelog_agg
+
+    events = load_table(spark, sf_dir, "events")
+    log = events.select(
+        F.when(F.col("event_id") % 10 == 0, F.lit(-1))
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "error", "d").otherwise("u").alias("op"),
+    )
+    latest = apply_changelog_agg(log, keys=["k"], order_by=["event_id"])
+    return latest.select(
+        "k",
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+    ).orderBy("k")
+
+
+CHANGELOG_SKEW_SQL = """
+WITH log AS (
+  SELECT CASE WHEN event_id % 10 = 0 THEN -1 ELSE user_id END AS k,
+         event_id, value,
+         CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op
+  FROM events
+),
+latest AS (
+  SELECT k,
+         MAX(event_id) AS last_event_id,
+         ARG_MAX(value, event_id) AS last_value,
+         ARG_MAX(op, event_id) AS last_op
+  FROM log GROUP BY k
+)
+SELECT k, last_event_id, last_value
+FROM latest WHERE last_op <> 'd' ORDER BY k
+"""
+
+
 SKEW_QUERIES = {
     "layout_zorder_key": (zorder_query, _zorder_sql()),
+    "changelog_skew_hotkey": (changelog_skew_hotkey_query, CHANGELOG_SKEW_SQL),
 }

@@ -1228,11 +1228,24 @@ def bpe_train_merges(
 
     Merge application is a left-to-right non-overlapping string
     ``replace`` over SPACE-SEPARATED symbol strings (``'a a a'`` +
-    merge(a,a) → ``'aa a'``) — exactly greedy BPE, and exactly the
-    semantics of ``replace`` in BOTH engines, which is what makes the
-    whole training trajectory value-oracle-checkable: the oracle unrolls
-    the same rounds in SQL and must pick the same pair with the same
-    count every round.
+    merge(a,a) → ``'aa a'``) — exactly the semantics of ``replace`` in
+    BOTH engines, which is what makes the whole training trajectory
+    value-oracle-checkable: the oracle unrolls the same rounds in SQL and
+    must pick the same pair with the same count every round.
+
+    KNOWN DIVERGENCE from textbook greedy BPE on repeated-symbol runs:
+    the replace pattern ``' a a '`` consumes its trailing separator
+    space, so in a run of four identical symbols only the first pair
+    merges in one application (``'a a a a'`` → ``'aa a a'``, where
+    reference greedy BPE re-scans and yields ``'aa aa'``).  Both engines
+    apply the merge identically (the oracle stays value-exact), but
+    learned pair counts and encode fertility can differ from standard
+    BPE trainers (e.g. the original Sennrich et al. implementation) on
+    texts with long same-symbol runs.  A fixpoint loop (repeat the
+    replace until the pattern is gone) would restore exact parity at the
+    cost of a data-dependent number of passes per merge; documented
+    instead because the single-pass form keeps one compiled expression
+    per round.
 
     Returns one row per learned merge: (round, left, right, merged, cnt).
     """
@@ -1426,8 +1439,10 @@ def bpe_encode_corpus(
     against the encoded vocab, so repeated words cost one row.  The fold
     is the trainer's own fixed-arity literal-array ``aggregate`` +
     ``replace`` — one compiled plan regardless of the merge count, and
-    left-to-right non-overlapping ``replace`` is exactly greedy BPE in
-    both engines, which keeps the encode value-oracle-checkable."""
+    left-to-right non-overlapping ``replace`` behaves identically in
+    both engines, which keeps the encode value-oracle-checkable (see the
+    repeated-symbol-run divergence note on ``bpe_train_merges`` — the
+    single-pass replace is NOT textbook-exact on runs like ``aaaa``)."""
     toks = df.select(id_col, F.explode(tokens(F.col(text_col))).alias("w"))
     spaced = F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 "))
     never = "\x00"

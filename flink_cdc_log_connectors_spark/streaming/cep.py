@@ -48,7 +48,10 @@ def streaming_adjacent_pattern(
 ) -> DataFrame:
     """Emit one row per completed pattern occurrence:
     ``(key, start_ms, end_ms, end_tie, n_late)`` where ``n_late`` is the
-    key's late-drop count accumulated since its last emitted match."""
+    key's late-drop count accumulated since its last emitted match,
+    carried on the FIRST match a batch emits (0 on any further matches in
+    the same batch) — so ``SUM(n_late)`` over all emitted rows is the
+    exact total of dropped events."""
     pat = list(pattern)
     k = len(pat)
     key_type = stream.schema[key].dataType.simpleString()
@@ -91,9 +94,12 @@ def streaming_adjacent_pattern(
         for i in range(max(len(tail), k - 1), len(seq)):
             window = seq[i - k + 1 : i + 1]
             if all(window[j][0] == pat[j] for j in range(k)):
+                # n_late is a per-key DELTA: carried on the batch's first
+                # emitted match only (0 on the rest), so summing n_late
+                # across all rows gives the exact total dropped count
                 out_rows.append(
                     (kv[0], window[0][1], window[-1][1], window[-1][2],
-                     n_late_total)
+                     n_late_total if not out_rows else 0)
                 )
         new_tail = seq[-(k - 1):] if k > 1 else []
         # late counts reported on an emitted row are drained; otherwise

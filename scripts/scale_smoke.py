@@ -50,6 +50,12 @@ ENTRIES = [
     "ann_ivf_pq",
     "corpus_pack_sequences",
     "agg_histogram_quantiles",
+    # r5 additions (VERDICT r4 next-round #8): the r4-late entries whose
+    # scale story was analytical only, plus the hot-key changelog stress
+    "bpe_encode_corpus",
+    "dedup_pagerank_centrality",
+    "events_session_window_tvf",
+    "changelog_skew_hotkey",
 ]
 
 
@@ -123,10 +129,34 @@ def synthesize(spark) -> None:
     eout.repartition(16).write.mode("overwrite").parquet(
         os.path.join(OUT, "embeddings.parquet")
     )
+    # events scales too (session/changelog entries): per-copy re-keyed
+    # event_id AND user_id, so per-user session structure is preserved
+    # within a copy while key cardinality and the hot-key fan-in
+    # (event_id % 10 = 0 → k=-1 in changelog_skew_hotkey) both grow 10×
+    ev = load_table(spark, BASE, "events")
+    n_events = ev.count()
+    max_user = ev.agg(F.max("user_id")).first()[0] + 1
+    ev_copies = [
+        ev.select(
+            (F.col("event_id") + F.lit(i * n_events)).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.lit(i * max_user)).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        for i in range(COPIES)
+    ]
+    evout = ev_copies[0]
+    for e in ev_copies[1:]:
+        evout = evout.unionAll(e)
+    evout.repartition(16).write.mode("overwrite").parquet(
+        os.path.join(OUT, "events.parquet")
+    )
     # the relational entries aren't part of the smoke; link the rest so
     # load_table resolves every name at the scaled dir
     for t in (
-        "region nation customer supplier part orders lineitem events"
+        "region nation customer supplier part orders lineitem"
     ).split():
         src = os.path.join(BASE, f"{t}.parquet")
         dst = os.path.join(OUT, f"{t}.parquet")

@@ -153,3 +153,33 @@ def test_zorder_layout_locality(spark, tmp_path):
             sx = cols["x"]; sy = cols["y"]
             if md.num_row_groups > 1:
                 assert sx.max - sx.min <= n // 2 or sy.max - sy.min <= n // 2
+
+
+def test_changelog_hotkey_agg_matches_window_and_is_partial(spark):
+    """The max_by materialization equals the row_number window on a
+    hot-key log (one key = 10% of events, deletes included), and its
+    physical plan carries a partial (map-side) aggregate so the hot key
+    collapses to one candidate per partition before the exchange."""
+    from flink_cdc_log_connectors_spark.operators.changelog import (
+        apply_changelog,
+        apply_changelog_agg,
+    )
+
+    rows = [(-1, i, float(i % 97), "u") for i in range(0, 5000, 10)]
+    rows += [(i % 37, i, float(i), "d" if i % 500 == 1 else "u")
+             for i in range(5000) if i % 10 != 0]
+    log = spark.createDataFrame(rows, "k int, seq long, v double, op string")
+    win = {
+        r["k"]: (r["seq"], r["v"])
+        for r in apply_changelog(log, ["k"], ["seq"]).collect()
+    }
+    agg = {
+        r["k"]: (r["seq"], r["v"])
+        for r in apply_changelog_agg(log, ["k"], ["seq"]).collect()
+    }
+    assert win == agg and -1 in agg
+    plan = (
+        apply_changelog_agg(log, ["k"], ["seq"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_max_by" in plan or "partial_maxby" in plan.lower()
