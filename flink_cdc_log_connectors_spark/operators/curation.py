@@ -539,3 +539,77 @@ CURATION_QUERIES["corpus_split_leakage"] = (
     split_leakage_query,
     _split_leakage_sql(),
 )
+
+
+# --------------------------------------------------------------------------
+# Deterministic weighted per-source reservoir (skew-proof two-phase top-k)
+# --------------------------------------------------------------------------
+
+RESERVOIR_K = 25  #: docs kept per source
+RESERVOIR_SALTS = 64  #: phase-1 fan-out per source
+
+
+def reservoir_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted k-sample per source — the reservoir-sampling
+    step of corpus assembly (pick k representative docs per source,
+    longer docs more likely), derandomized for oracle-exactness.
+
+    Priority = ``md5_60(text) // max(n_chars, 1)``: the hash plays the
+    uniform draw of Efraimidis–Spirtas A-Res weighted reservoir sampling
+    and the integer division by the length weight replaces the textbook
+    ``u^(1/w)`` key — monotone in the same direction, but PURE INTEGER
+    arithmetic, so both engines rank identically (a float ``pow``/``ln``
+    key could flip the k-th/k+1-th boundary on a last-ulp difference).
+
+    Skew-proof plan (per-group top-k at scale): top-k is mergeable, so
+    phase 1 ranks within (source, salt=doc_id mod 64) — 64-way spread of
+    even a single-source 100 TB corpus — and keeps ≤k per salt; phase 2
+    ranks the ≤64·k survivors per source.  Exactly equal to the naive
+    single window by source (the oracle's form), but no reducer ever
+    sees more than 1/64th of a hot source + 64·k rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    pr = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.expr(
+            "CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT) "
+            "div greatest(n_chars, 1)"
+        ).alias("priority"),
+    ).withColumn("__salt", F.pmod(F.col("doc_id"), F.lit(RESERVOIR_SALTS)))
+    w1 = Window.partitionBy("source", "__salt").orderBy("priority", "doc_id")
+    stage1 = (
+        pr.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= RESERVOIR_K)
+        .drop("__r1", "__salt")
+    )
+    w2 = Window.partitionBy("source").orderBy("priority", "doc_id")
+    return (
+        stage1.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= RESERVOIR_K)
+        .orderBy("source", "rank")
+    )
+
+
+RESERVOIR_SQL = f"""
+WITH pr AS (
+  SELECT source, doc_id, n_chars,
+         ('0x' || substring(md5(text), 1, 15))::BIGINT
+           // GREATEST(n_chars, 1) AS priority
+  FROM documents
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY source ORDER BY priority, doc_id) AS rank
+  FROM pr
+)
+SELECT source, doc_id, n_chars, priority, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {RESERVOIR_K}
+ORDER BY source, rank
+"""
+
+
+CURATION_QUERIES["corpus_reservoir_topk"] = (
+    reservoir_topk_query,
+    RESERVOIR_SQL,
+)

@@ -473,9 +473,151 @@ FROM p{rounds} ORDER BY doc_id
     return "".join(parts)
 
 
+def triangle_count(
+    edges: DataFrame, src_col: str = "d1", dst_col: str = "d2"
+) -> DataFrame:
+    """Global triangle census of the (undirected) near-dup graph: node /
+    edge / wedge / triangle counts and the global clustering coefficient
+    ``3·T / W`` — the standard boilerplate-web-structure signal (a
+    duplication family of templated pages is triangle-dense; chains of
+    incremental edits are not).
+
+    Scale formulation — DEGREE-ORDERED edge orientation (the
+    node-iterator++ / forward algorithm; Schank & Wagner's compact-forward,
+    also the shape of Suri & Vassilvitskii's MR-CF): every edge is
+    directed from its lower-(degree, id) endpoint to the higher, so each
+    wedge is generated at its LOWEST-degree apex exactly once and the
+    wedge join fans out O(Σ out_deg²) = O(m^{3/2}) worst-case instead of
+    Σ deg² — a hot hub (a million-page boilerplate family) contributes
+    out-edges only toward higher-degree nodes, never a deg² explosion.
+    Three keyed self-joins, no driver state.
+
+    The RESULT is orientation-invariant (wedge count uses undirected
+    degrees: Σ deg·(deg−1)/2), so the oracle may use the naive
+    a<b<c three-way join formulation; only the plan shape differs.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).cast("long").alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).cast("long").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    # orient by the total order (deg, node): rank struct comparisons are
+    # native Catalyst expressions, so the joins below stay hash joins
+    da, db = deg.alias("da"), deg.alias("db")
+    ranked = (
+        e.join(da, F.col("a") == F.col("da.node"))
+        .join(db, F.col("b") == F.col("db.node"))
+        .select(
+            F.col("a"), F.col("b"),
+            F.struct(
+                F.col("da.deg").alias("deg"), F.col("a").alias("node")
+            ).alias("ra"),
+            F.struct(
+                F.col("db.deg").alias("deg"), F.col("b").alias("node")
+            ).alias("rb"),
+        )
+    )
+    oriented = ranked.select(
+        F.when(F.col("ra") < F.col("rb"), F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(F.col("ra") < F.col("rb"), F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(F.col("ra") < F.col("rb"), F.col("rb")).otherwise(F.col("ra")).alias("rdst"),
+    ).localCheckpoint(eager=True)
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    # wedges at the minimum-rank apex; the closing edge is oriented
+    # lower-rank endpoint → higher by construction of the total order
+    wedges = e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.src"))
+        & (F.col("e1.rdst") < F.col("e2.rdst")),
+    ).select(
+        F.col("e1.dst").alias("u"), F.col("e2.dst").alias("v")
+    )
+    n_tri = wedges.join(
+        e3,
+        (F.col("u") == F.col("e3.src")) & (F.col("v") == F.col("e3.dst")),
+        "left_semi",
+    ).count()
+    stats = (
+        deg.agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum(F.expr("deg * (deg - 1) div 2")).cast("long").alias("n_wedges"),
+        )
+        .crossJoin(e.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
+    )
+    spark = edges.sparkSession
+    return stats.crossJoin(
+        spark.createDataFrame([(n_tri,)], "n_triangles long")
+    ).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        (
+            F.lit(3.0) * F.col("n_triangles").cast("double")
+            / F.when(F.col("n_wedges") > 0, F.col("n_wedges").cast("double"))
+        ).alias("clustering_coeff"),
+    )
+
+
+def triangle_count_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census over the exact n-gram Jaccard near-dup graph —
+    reuses the process-cached pair set shared with the dedup family."""
+    from .dedup import cached_ngram_pairs
+
+    pairs = cached_ngram_pairs(spark, sf_dir, n=3, threshold_num=1, threshold_den=5)
+    return triangle_count(pairs.select("d1", "d2"))
+
+
+def _triangle_sql() -> str:
+    from .dedup import NGRAM_KEPT_CTE
+
+    return f"""
+WITH {NGRAM_KEPT_CTE},
+tpairs AS (
+  SELECT d1, d2 FROM common
+  JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+  WHERE 5 * common >= (s1.n_sh + s2.n_sh - common)
+),
+te AS (SELECT LEAST(d1, d2) AS a, GREATEST(d1, d2) AS b
+       FROM tpairs WHERE d1 <> d2 GROUP BY 1, 2),
+tdeg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT a AS node FROM te UNION ALL SELECT b FROM te
+  ) GROUP BY node
+),
+tcnt AS (
+  SELECT COUNT(*) AS t FROM te e1
+  JOIN te e2 ON e2.a = e1.b
+  JOIN te e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+  FROM tdeg
+)
+SELECT n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM te) AS n_edges,
+       n_wedges,
+       (SELECT CAST(t AS BIGINT) FROM tcnt) AS n_triangles,
+       CASE WHEN n_wedges > 0
+            THEN 3.0 * (SELECT t FROM tcnt) / CAST(n_wedges AS DOUBLE)
+            END AS clustering_coeff
+FROM agg
+"""
+
+
 GRAPH_QUERIES = {
     "dedup_clusters": (dedup_clusters_query, _clusters_sql()),
     "pipeline_dedup_corpus": (dedup_corpus_audit_query, _dedup_corpus_audit_sql()),
     "dedup_keep_best": (dedup_keep_best_query, _keep_best_sql()),
     "dedup_pagerank_centrality": (pagerank_query, _pagerank_sql()),
+    "graph_triangle_count": (triangle_count_query, _triangle_sql()),
 }

@@ -1398,6 +1398,276 @@ ORDER BY c_nationkey
 """
 
 
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 adapted (order priority checking): orders placed in one
+    quarter that had at least one line shipped more than 60 days after
+    the order date, counted by priority.  Adapted: ``l_shipdate >
+    o_orderdate + 60 days`` stands in for TPC-H's ``l_commitdate <
+    l_receiptdate`` (no commit/receipt columns in this schema).
+
+    Plan: the date-filtered orders scan LEFT SEMI joins lineitem on
+    (orderkey, late-ship) — Catalyst plans the semi join with the equi
+    part as the join key and the interval comparison as a post-join
+    condition, so the shuffle is keyed, never a nested loop."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+    )
+    li = lineitem.select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q35_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 adapted (shipping modes / order priority): for lines
+    shipped in 1998, per line status (standing in for l_shipmode, which
+    this schema lacks) count lines of high-priority vs other orders.
+
+    Plan: one keyed join orders⋈lineitem (both sides shuffle on
+    orderkey — at scale this is THE join to co-bucket), then a two-row
+    conditional aggregate with map-side partials."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders.select("o_orderkey", "o_orderpriority"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long")
+            .alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+Q36_SQL = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 adapted (suppliers who kept orders waiting): suppliers
+    whose line was late on a finished multi-supplier order where NO
+    other supplier's line was late.  Adapted: "late" is ``l_shipdate >
+    o_orderdate + 90 days`` (no commit/receipt columns).
+
+    Plan: the late-line set is one orders⋈lineitem keyed join; the
+    exists / not-exists pair are a LEFT SEMI and a LEFT ANTI join on
+    orderkey with the supplier-inequality as join condition — all three
+    joins share the orderkey shuffle key (one co-partitioning at scale),
+    and the supplier dimension broadcasts."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    li = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+    fo = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    late = (
+        li.join(fo, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    other = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("o3_orderkey"),
+        F.col("l_suppkey").alias("o3_suppkey"),
+    )
+    waiting = (
+        late.join(
+            other,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (F.col("l_orderkey") == F.col("o3_orderkey"))
+            & (F.col("l_suppkey") != F.col("o3_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy("s_name")
+    )
+
+
+Q37_SQL = """
+WITH late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM late l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+ORDER BY s_name
+"""
+
+
+def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 adapted (discounted revenue, disjunctive predicates):
+    revenue over an OR of three (brand, size-range, quantity-range)
+    predicate triples.  Adapted: p_size ranges stand in for the
+    container lists (no p_container column).
+
+    Plan check (tests/test_plans.py class): the partkey equi-join stays
+    a hash join with the disjunction evaluated post-join — Catalyst must
+    NOT fall back to a nested loop because of the OR."""
+    part = load_table(spark, sf_dir, "part")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    j = lineitem.join(
+        F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    q = F.col("l_quantity")
+    triple = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+           & q.between(20, 30))
+    )
+    return j.filter(triple).agg(
+        F.sum(
+            _dec("l_extendedprice")
+            * (F.lit(1).cast(DEC) - _dec("l_discount"))
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+Q38_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 adapted (product-type profit by nation and year):
+    revenue from lines of color-named parts, grouped by the SUPPLIER's
+    nation and the order year.  Adapted: revenue only (this schema has
+    no partsupp/ps_supplycost to subtract), ``p_name LIKE '%red%'``.
+
+    Plan: part filter + supplier + nation broadcast into the lineitem
+    scan (three broadcast joins, zero fact shuffles before the agg);
+    orders joins keyed on orderkey; one grouped aggregate."""
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    red = part.filter(F.col("p_name").like("%red%")).select("p_partkey")
+    sn = supplier.select("s_suppkey", "s_nationkey").join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    return (
+        lineitem.join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            F.sum(
+                _dec("l_extendedprice")
+                * (F.lit(1).cast(DEC) - _dec("l_discount"))
+            )
+            .cast("double")
+            .alias("sum_profit")
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+Q39_SQL = """
+SELECT n_name AS nation,
+       CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+            (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, YEAR(o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
 #: name -> (query builder, oracle SQL)
 RELATIONAL_QUERIES = {
     "q01_project_scalar": (q1, Q1_SQL),
@@ -1443,4 +1713,9 @@ RELATIONAL_QUERIES = {
     "q32_large_volume_customer": (q32, Q32_SQL),
     "q33_small_qty_revenue": (q33, Q33_SQL),
     "q34_sales_opportunity": (q34, Q34_SQL),
+    "q35_order_priority_check": (q35, Q35_SQL),
+    "q36_shipmode_priority": (q36, Q36_SQL),
+    "q37_waiting_suppliers": (q37, Q37_SQL),
+    "q38_disjunctive_revenue": (q38, Q38_SQL),
+    "q39_nation_profit": (q39, Q39_SQL),
 }

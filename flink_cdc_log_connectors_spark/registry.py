@@ -111,6 +111,12 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         out.update(CURATION_QUERIES)
     except ImportError:
         pass
+    try:
+        from .operators.lm import LM_QUERIES
+
+        out.update(LM_QUERIES)
+    except ImportError:
+        pass
     return _driver_window_order(out)
 
 
@@ -133,14 +139,14 @@ _DRIVER_WINDOW_PRIORITY = [
     # (c) new in r5 — unproven until their first driver row (appended as
     # the round progresses, kept ahead of the stale-refresh band)
     "changelog_skew_hotkey",
-    "events_asof_join",
-    "dedup_suffix_array_anchor",
-    "text_perplexity_bucket",
-    "corpus_domain_mix_report",
-    "ann_ivf_opq_rotate",
-    "events_retention_cohorts",
-    "q35_order_priority_ck",
-    "q36_nation_volume",
+    "q35_order_priority_check",
+    "q36_shipmode_priority",
+    "q37_waiting_suppliers",
+    "q38_disjunctive_revenue",
+    "q39_nation_profit",
+    "graph_triangle_count",
+    "corpus_reservoir_topk",
+    "lm_bigram_train",
     # (d) stale-evidence refresh: every entry whose last driver row is
     # r1/r2 (39 of them; the 50-row window holds priority (b)+(c)+39)
     "q09_rollup",

@@ -1,0 +1,93 @@
+"""Unit tests for the r5 operators: triangle census, two-phase reservoir
+top-k, bigram LM estimation."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 plus a pendant edge: 4 triangles, wedges counted on undirected
+    degrees, coefficient = 3·4/13."""
+    from flink_cdc_log_connectors_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges = spark.createDataFrame(
+        k4 + [(3, 9), (9, 3), (2, 1)],  # dup + reversed dup must collapse
+        "d1 long, d2 long",
+    )
+    row = triangle_count(edges).first()
+    assert row["n_nodes"] == 5
+    assert row["n_edges"] == 7
+    # degrees: 3,3,3,4,1 → wedges 3+3+3+6+0 = 15
+    assert row["n_wedges"] == 15
+    assert row["n_triangles"] == 4
+    assert math.isclose(row["clustering_coeff"], 12 / 15)
+
+
+def test_triangle_count_no_triangles(spark):
+    from flink_cdc_log_connectors_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "d1 long, d2 long"
+    )
+    row = triangle_count(edges).first()
+    assert row["n_triangles"] == 0
+    assert row["clustering_coeff"] == 0.0
+
+
+def test_reservoir_two_phase_equals_naive(spark):
+    """The salted two-phase top-k must equal the single-window per-source
+    top-k on the real documents table."""
+    from flink_cdc_log_connectors_spark.operators.curation import (
+        RESERVOIR_K,
+        reservoir_topk_query,
+    )
+    from flink_cdc_log_connectors_spark.io import load_table
+    from pyspark.sql.window import Window
+
+    sf = "/root/testdata/sf0.001"
+    got = [
+        (r["source"], r["rank"], r["doc_id"])
+        for r in reservoir_topk_query(spark, sf).collect()
+    ]
+    docs = load_table(spark, sf, "documents")
+    pr = docs.select(
+        "source",
+        "doc_id",
+        F.expr(
+            "CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT) "
+            "div greatest(n_chars, 1)"
+        ).alias("priority"),
+    )
+    w = Window.partitionBy("source").orderBy("priority", "doc_id")
+    naive = [
+        (r["source"], r["rank"], r["doc_id"])
+        for r in pr.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= RESERVOIR_K)
+        .orderBy("source", "rank")
+        .collect()
+    ]
+    assert got == naive and len(got) > 0
+
+
+def test_bigram_lm_tiny_corpus(spark):
+    """Hand-checked counts and smoothing on a 3-doc corpus."""
+    from flink_cdc_log_connectors_spark.operators.lm import bigram_lm
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran"), (3, "a cat sat")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["w1"], r["w2"]): (r["c12"], r["c1"], r["p_smoothed"])
+        for r in bigram_lm(docs, min_count=1).collect()
+    }
+    # V = {the, cat, sat, ran, a} = 5; c(cat·)=3, c(the·)=2, c(a·)=1
+    assert rows[("the", "cat")] == (2, 2, (2 + 1) / (2 + 5))
+    assert rows[("cat", "sat")] == (2, 3, (2 + 1) / (3 + 5))
+    assert rows[("cat", "ran")] == (1, 3, (1 + 1) / (3 + 5))
+    assert rows[("a", "cat")] == (1, 1, (1 + 1) / (1 + 5))
+    assert len(rows) == 4
