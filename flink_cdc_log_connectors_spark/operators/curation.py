@@ -613,3 +613,103 @@ CURATION_QUERIES["corpus_reservoir_topk"] = (
     reservoir_topk_query,
     RESERVOIR_SQL,
 )
+
+
+# --------------------------------------------------------------------------
+# Overlapping token-window chunking (retrieval / embedding prep)
+# --------------------------------------------------------------------------
+
+CHUNK_SIZE = 64  #: tokens per chunk
+CHUNK_STRIDE = 32  #: tokens between chunk starts (50% overlap)
+
+
+def chunk_windows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = CHUNK_SIZE,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """Split every document into overlapping token windows — the
+    chunking pass in front of an embedding/retrieval index (fixed-size
+    windows, 50% overlap by default so no boundary sentence is lost).
+
+    Output: one row per chunk with (doc, chunk_id, start, n_tokens,
+    chunk_hash) where ``chunk_hash`` is the md5 of the space-joined
+    window — the compact value-checkable identity of the chunk text
+    (emitting the text itself would only bloat the checked payload).
+
+    Scale: map-only (tokenize → window transform → posexplode); no
+    shuffle at all, so throughput is scan-bound — the correct shape for
+    a 100 TB chunking pass.  A document shorter than ``size`` yields one
+    (shorter) chunk; chunk starts are 0, stride, 2·stride, … up to the
+    last start < n_tokens (the final window may be partial)."""
+    from ..functions.text import tokens
+
+    tk = tokens(F.col(text_col))
+    starts = F.expr(
+        f"sequence(0, greatest(size(__tk) - 1, 0), {int(stride)})"
+    )
+    return (
+        df.select(F.col(id_col), tk.alias("__tk"))
+        .filter(F.size("__tk") > 0)
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    starts,
+                    lambda s: F.md5(
+                        F.array_join(F.slice(F.col("__tk"), s + 1, size), " ")
+                    ),
+                )
+            ).alias("chunk_id", "chunk_hash"),
+            F.size("__tk").alias("__n"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            (F.col("chunk_id") * stride).cast("long").alias("start"),
+            F.least(
+                F.lit(size),
+                F.col("__n") - F.col("chunk_id") * stride
+            ).cast("long").alias("n_tokens"),
+            "chunk_hash",
+        )
+    )
+
+
+def chunk_windows_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        chunk_windows(docs)
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+def _chunk_windows_sql() -> str:
+    from ..functions.text import TOKENS_SQL
+
+    t = TOKENS_SQL.format(col="text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {t} AS tk FROM documents
+),
+starts AS (
+  SELECT doc_id, tk, len(tk) AS n,
+         unnest(range(0, greatest(len(tk), 1), {CHUNK_STRIDE})) AS s
+  FROM toks WHERE len(tk) > 0
+)
+SELECT doc_id,
+       CAST(s // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(s AS BIGINT) AS start,
+       CAST(LEAST({CHUNK_SIZE}, n - s) AS BIGINT) AS n_tokens,
+       md5(array_to_string(tk[s + 1 : s + {CHUNK_SIZE}], ' ')) AS chunk_hash
+FROM starts
+ORDER BY doc_id, chunk_id
+"""
+
+
+CURATION_QUERIES["corpus_chunk_windows"] = (
+    chunk_windows_query,
+    _chunk_windows_sql(),
+)

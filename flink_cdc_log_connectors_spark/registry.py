@@ -147,6 +147,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "graph_triangle_count",
     "corpus_reservoir_topk",
     "lm_bigram_train",
+    "corpus_chunk_windows",
     # (d) stale-evidence refresh: every entry whose last driver row is
     # r1/r2 (39 of them; the 50-row window holds priority (b)+(c)+39)
     "q09_rollup",

@@ -91,3 +91,37 @@ def test_bigram_lm_tiny_corpus(spark):
     assert rows[("cat", "ran")] == (1, 3, (1 + 1) / (3 + 5))
     assert rows[("a", "cat")] == (1, 1, (1 + 1) / (1 + 5))
     assert len(rows) == 4
+
+
+def test_chunk_windows_shapes(spark):
+    """Hand-checked chunking: strides, partial tail window, short doc,
+    empty doc dropped."""
+    from flink_cdc_log_connectors_spark.operators.curation import chunk_windows
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(150))),  # 150 tokens
+            (2, "only three tokens"),
+            (3, "   "),  # tokenizes to nothing -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    rows = chunk_windows(docs, size=64, stride=32).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["start"], r["n_tokens"])
+        )
+    # doc 1: starts 0,32,64,96,128 -> lengths 64,64,64,54,22
+    assert sorted(by_doc[1]) == [
+        (0, 0, 64), (1, 32, 64), (2, 64, 64), (3, 96, 54), (4, 128, 22)
+    ]
+    assert sorted(by_doc[2]) == [(0, 0, 3)]
+    assert 3 not in by_doc
+    # chunk hash is the md5 of the window text
+    import hashlib
+
+    first = next(r for r in rows if r["doc_id"] == 2)
+    assert first["chunk_hash"] == hashlib.md5(
+        b"only three tokens"
+    ).hexdigest()
