@@ -120,3 +120,106 @@ ORDER BY w1, w2
 LM_QUERIES = {
     "lm_bigram_train": (bigram_lm_query, _bigram_lm_sql()),
 }
+
+
+def doc_bigram_bits(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document bits-per-bigram under the corpus's add-one bigram LM
+    — the CONTEXTUAL quality score one step up from the unigram
+    cross-entropy proxy (``operators/text.unigram_cross_entropy``): a
+    doc of individually-common but incoherently-ordered tokens scores
+    high here and normal there, which is exactly the gibberish/spam
+    signature the unigram filter misses.
+
+    Plan: the bigram model table (vocabulary-sized: c12 enriched with
+    its context count and V) is built once; the corpus's per-doc bigram
+    stream joins it on the single bigram-string key — ONE corpus-sized
+    keyed shuffle, the same discipline as the unigram scorer.  Docs with
+    fewer than 2 tokens have no bigrams and are absent from the output
+    (documented; callers union them back with a sentinel if needed).
+
+    Float discipline: identical to the unigram scorer — ``log2`` has no
+    cross-engine correctly-rounded guarantee and the per-doc average
+    folds in nondeterministic order, so scores are rounded to 6
+    decimals (ulp noise is ~10 orders below the grain)."""
+    c12 = bigram_counts(df, text_col=text_col)
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .agg(F.count_distinct(F.col("w")).alias("v"))
+    )
+    model = (
+        c12.join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bg"),
+            (
+                (F.col("c12") + F.lit(1)).cast("double")
+                / (F.col("c1") + F.col("v")).cast("double")
+            ).alias("p"),
+        )
+    )
+    tk = tokens(F.col(text_col))
+    bigrams = F.expr(
+        "transform(sequence(0, greatest(size(__tk) - 2, -1), 1), "
+        "i -> concat(__tk[i], ' ', __tk[i + 1]))"
+    )
+    doc_bg = (
+        df.select(F.col(id_col), tk.alias("__tk"))
+        .filter(F.size("__tk") >= 2)
+        .select(id_col, F.explode(bigrams).alias("bg"))
+    )
+    bits = -F.log2(F.col("p"))
+    return (
+        doc_bg.join(model, "bg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.avg(bits), 6).alias("bits_per_bigram"),
+            F.round(F.max(bits), 6).alias("max_bits"),
+        )
+    )
+
+
+def doc_bigram_bits_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return doc_bigram_bits(docs).orderBy("doc_id")
+
+
+def _doc_bigram_bits_sql() -> str:
+    t = TOKENS_SQL.format(col="text")
+    return f"""
+WITH toks AS (SELECT doc_id, {t} AS tk FROM documents),
+bg AS (
+  SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS bg
+  FROM toks, UNNEST(range(1, len(tk))) AS u(i)
+),
+c12 AS (SELECT bg, COUNT(*) AS c12 FROM bg GROUP BY bg),
+c1 AS (
+  SELECT split_part(bg, ' ', 1) AS w1, SUM(c12) AS c1
+  FROM c12 GROUP BY 1
+),
+vocab AS (
+  SELECT COUNT(DISTINCT w) AS v
+  FROM (SELECT unnest({t}) AS w FROM documents)
+),
+model AS (
+  SELECT c12.bg,
+         CAST(c12.c12 + 1 AS DOUBLE) / CAST(c1.c1 + vocab.v AS DOUBLE) AS p
+  FROM c12 JOIN c1 ON split_part(c12.bg, ' ', 1) = c1.w1, vocab
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       round(avg(-log2(p)), 6) AS bits_per_bigram,
+       round(max(-log2(p)), 6) AS max_bits
+FROM bg JOIN model USING (bg)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+LM_QUERIES["lm_doc_bigram_bits"] = (
+    doc_bigram_bits_query,
+    _doc_bigram_bits_sql(),
+)

@@ -1178,3 +1178,95 @@ SIMILARITY_QUERIES = {
     "emb_outlier_dist": (emb_outlier_query, EMB_OUTLIER_SQL),
     "emb_random_projection": (random_projection_query, _rp_sql()),
 }
+
+
+def ann_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF probe against exact brute-force cosine —
+    the accuracy ledger for the ANN speed/quality trade (the similarity
+    twin of ``dedup_minhash_accuracy``): per query, how many of the true
+    top-10 neighbors the single-cell probe recovers.
+
+    At scale this is the measurement one runs on a sampled query set
+    before choosing nprobe/cell counts; both sides reuse the engine's
+    scoring operators (one broadcast-queries BLAS scan each), and the
+    comparison joins two k-row-per-query tables — negligible beyond the
+    scans themselves."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = brute_force_topk(queries, emb, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    probe = ivf_topk(queries, emb, k=10).select(
+        F.col("query_id").alias("p_query_id"),
+        F.col("neighbor_id").alias("p_neighbor_id"),
+    )
+    hits = exact.join(
+        probe,
+        (F.col("query_id") == F.col("p_query_id"))
+        & (F.col("neighbor_id") == F.col("p_neighbor_id")),
+        "left_semi",
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        .join(
+            hits.groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.col("n_exact").cast("double")
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+ANN_RECALL_SQL = f"""
+WITH n AS (SELECT vec_id, label, embedding, {_NORM} AS norm2 FROM embeddings),
+exact_scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round({_DOT_AB} / (sqrt(a.norm2) * sqrt(b.norm2)), 6) AS sim
+  FROM n a JOIN n b ON a.vec_id < 8 AND b.vec_id != a.vec_id
+),
+exact_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id) AS rk
+    FROM exact_scored) WHERE rk <= 10
+),
+probe_scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round({_DOT_AB} / (sqrt(a.norm2) * sqrt(b.norm2)), 6) AS sim
+  FROM n a JOIN n b
+    ON a.vec_id < 8 AND b.label = a.label AND b.vec_id != a.vec_id
+),
+probe_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id) AS rk
+    FROM probe_scored) WHERE rk <= 10
+)
+SELECT e.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       CAST(SUM(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) AS recall
+FROM exact_top e
+LEFT JOIN probe_top p
+  ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+"""
+
+
+SIMILARITY_QUERIES["ann_ivf_recall"] = (ann_recall_query, ANN_RECALL_SQL)

@@ -189,6 +189,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "text_decontaminate",
     "text_winnow_fingerprint",
     "pipeline_clean_corpus",
+    # past the 50-row driver window this round (selfcheck-covered; lead
+    # the r6 window): the two r5-late accuracy/scoring entries
+    "lm_doc_bigram_bits",
+    "ann_ivf_recall",
 ]
 
 
