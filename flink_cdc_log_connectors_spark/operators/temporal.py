@@ -1097,6 +1097,106 @@ ORDER BY wau.wk
 """
 
 
+def watermark_planning_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time disorder audit — the measurement that PICKS the
+    ``withWatermark`` delay instead of guessing it: per event, lateness
+    is how far its event time sits behind the running per-key event-time
+    high-water mark in ARRIVAL order (event_id — the log offset's role);
+    the output is the lateness histogram in whole-minute buckets with
+    the cumulative share, so "watermark = 5 minutes covers 99.7% of
+    events" is read directly off the result.
+
+    Per-key running max (one keyed window, scalable) rather than a
+    global one: CDC logs are per-key ordered across splits, so per-key
+    disorder is the component a watermark must absorb; a global running
+    max would need a single-partition window — the anti-pattern this
+    engine bans.  Integer arithmetic throughout: lateness in exact
+    microseconds, bucketed by integer division into minutes; the only
+    float is the final share division (exact integers, IEEE-identical
+    in both engines).
+
+    The synthetic events table is perfectly time-ordered (zero observed
+    disorder — verified), so arrival order is modeled as the log offset
+    plus a DETERMINISTIC fetch-jitter term (md5(event_id) mod 600
+    sequence slots — a parallel source's per-split network/fetch skew);
+    on a real ingest the arrival column is the processing sequence and
+    the jitter term is dropped."""
+    from ..functions.datetime import epoch_micros
+
+    events = load_table(spark, sf_dir, "events")
+    arrival = F.col("event_id") + F.expr(
+        "CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT) % 600"
+    )
+    ev = events.select("user_id", "ts", "event_id", arrival.alias("arrival"))
+    w = Window.partitionBy("user_id").orderBy("arrival", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    epoch = epoch_micros("ts")
+    late_us = F.max(epoch).over(w) - epoch
+    # the cumulative-share window below runs over the HISTOGRAM (bounded:
+    # one row per distinct lateness minute), so its single partition is a
+    # few hundred rows, not the corpus
+    buckets = ev.select(
+        (late_us.cast("long")).alias("late_us")
+    ).select(
+        F.expr("late_us div 60000000").cast("long").alias("late_minutes")
+    )
+    total = buckets.agg(F.count(F.lit(1)).alias("n_total"))
+    hist = buckets.groupBy("late_minutes").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    w_cum = Window.orderBy("late_minutes").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        hist.crossJoin(F.broadcast(total))
+        .withColumn("cum_events", F.sum("n_events").over(w_cum).cast("long"))
+        .select(
+            "late_minutes",
+            "n_events",
+            "cum_events",
+            (
+                F.col("cum_events").cast("double")
+                / F.col("n_total").cast("double")
+            ).alias("cum_share"),
+        )
+        .orderBy("late_minutes")
+    )
+
+
+WATERMARK_PLANNING_SQL = """
+WITH arr AS (
+  SELECT user_id, ts, event_id,
+         event_id + (('0x' || substring(md5(CAST(event_id AS VARCHAR)),
+                                        1, 15))::BIGINT % 600) AS arrival
+  FROM events
+),
+lat AS (
+  SELECT date_diff('microsecond', ts,
+           MAX(ts) OVER (PARTITION BY user_id ORDER BY arrival, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         AS late_us
+  FROM arr
+),
+hist AS (
+  SELECT late_us // 60000000 AS late_minutes,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM lat GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS n_total FROM hist)
+SELECT late_minutes, n_events,
+       CAST(SUM(n_events) OVER (ORDER BY late_minutes
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_events,
+       CAST(SUM(n_events) OVER (ORDER BY late_minutes
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / (SELECT n_total FROM tot) AS cum_share
+FROM hist
+ORDER BY late_minutes
+"""
+
+
 TEMPORAL_QUERIES = {
     "cdc_asof_join": (asof_query, ASOF_SQL),
     "cdc_scd2_history": (scd2_query, SCD2_SQL),
@@ -1113,4 +1213,8 @@ TEMPORAL_QUERIES = {
     "events_markov_transitions": (markov_query, MARKOV_SQL),
     "events_dau_wau": (dau_wau_query, DAU_WAU_SQL),
     "events_key_gini": (gini_query, GINI_SQL),
+    "events_watermark_planning": (
+        watermark_planning_query,
+        WATERMARK_PLANNING_SQL,
+    ),
 }

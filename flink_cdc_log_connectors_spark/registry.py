@@ -190,9 +190,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "text_winnow_fingerprint",
     "pipeline_clean_corpus",
     # past the 50-row driver window this round (selfcheck-covered; lead
-    # the r6 window): the two r5-late accuracy/scoring entries
+    # the r6 window): the r5-late entries
     "lm_doc_bigram_bits",
     "ann_ivf_recall",
+    "events_watermark_planning",
 ]
 
 
