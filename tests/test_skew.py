@@ -183,3 +183,32 @@ def test_changelog_hotkey_agg_matches_window_and_is_partial(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "partial_max_by" in plan or "partial_maxby" in plan.lower()
+
+
+def test_bucketed_changelog_has_no_exchange(spark):
+    """SCALING.md's claim for the CDC core: when the change log is
+    stored bucketed by its key, BOTH materialization paths (row_number
+    window and max_by aggregation) run with ZERO exchanges — the
+    storage-level answer to repeated changelog materialization."""
+    from flink_cdc_log_connectors_spark.operators.changelog import (
+        apply_changelog,
+        apply_changelog_agg,
+    )
+
+    df = spark.range(0, 10000).select(
+        (F.col("id") % 500).alias("k"),
+        F.col("id").alias("seq"),
+        (F.col("id") % 7).cast("double").alias("v"),
+        F.when(F.col("id") % 11 == 0, "d").otherwise("u").alias("op"),
+    )
+    write_bucketed(df, "bk_cl_log", ["k"], num_buckets=8)
+    t = spark.table("bk_cl_log")
+    for out in (apply_changelog(t, ["k"], ["seq"]),
+                apply_changelog_agg(t, ["k"], ["seq"])):
+        assert count_exchanges(out) == 0
+    # and the two paths agree on the bucketed input
+    a = sorted(map(tuple, apply_changelog(t, ["k"], ["seq"])
+                   .select("k", "seq", "v").collect()))
+    b = sorted(map(tuple, apply_changelog_agg(t, ["k"], ["seq"])
+                   .select("k", "seq", "v").collect()))
+    assert a == b
