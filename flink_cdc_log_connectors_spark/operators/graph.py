@@ -548,7 +548,11 @@ def triangle_count(
     stats = (
         deg.agg(
             F.count(F.lit(1)).cast("long").alias("n_nodes"),
-            F.sum(F.expr("deg * (deg - 1) div 2")).cast("long").alias("n_wedges"),
+            # coalesce: SUM over an empty degree table (edgeless input)
+            # must report 0 wedges, not NULL
+            F.coalesce(
+                F.sum(F.expr("deg * (deg - 1) div 2")), F.lit(0)
+            ).cast("long").alias("n_wedges"),
         )
         .crossJoin(e.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
     )
@@ -600,7 +604,7 @@ tcnt AS (
 ),
 agg AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
-         CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+         CAST(COALESCE(SUM(deg * (deg - 1) // 2), 0) AS BIGINT) AS n_wedges
   FROM tdeg
 )
 SELECT n_nodes,

@@ -287,3 +287,82 @@ def test_substring_span_matches_naive(spark, docs):
         for r in substring_span_coverage(df, n=n).collect()
     }
     assert got == expected
+
+
+@given(
+    edge_list=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)), max_size=40
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_triangle_count_matches_brute_force(spark, edge_list):
+    """Degree-ordered wedge counting equals brute-force triangle
+    enumeration on random small graphs (dups/reversed/self-loops
+    included in the input)."""
+    from itertools import combinations
+
+    from flink_cdc_log_connectors_spark.operators.graph import triangle_count
+
+    edges = {(min(a, b), max(a, b)) for a, b in edge_list if a != b}
+    nodes = sorted({n for e in edges for n in e})
+    adj = {n: set() for n in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    expected_t = sum(
+        1
+        for u, v, w in combinations(nodes, 3)
+        if v in adj[u] and w in adj[u] and w in adj[v]
+    )
+    expected_w = sum(len(adj[n]) * (len(adj[n]) - 1) // 2 for n in nodes)
+
+    edges_df = spark.createDataFrame(
+        list(edge_list) or [(0, 0)], "d1 long, d2 long"
+    )
+    row = triangle_count(edges_df).first()
+    assert row["n_triangles"] == expected_t
+    assert row["n_wedges"] == expected_w
+    assert row["n_edges"] == len(edges)
+    assert row["n_nodes"] == len(nodes)
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=40), max_size=6
+    ),
+    size=st.integers(1, 8),
+    stride=st.integers(1, 8),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_chunk_windows_cover_every_token(spark, texts, size, stride):
+    """Every chunking (any size/stride) yields windows whose starts are
+    exact stride multiples, whose lengths match the remaining tokens,
+    and which jointly COVER every token when stride <= size."""
+    from flink_cdc_log_connectors_spark.operators.curation import chunk_windows
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)) or [(0, "")], "doc_id long, text string"
+    )
+    rows = chunk_windows(docs, size=size, stride=stride).collect()
+    toks = {i: [t for t in txt.lower().split() if t] for i, txt in enumerate(texts)}
+    for r in rows:
+        n = len(toks[r["doc_id"]])
+        assert r["start"] == r["chunk_id"] * stride < n
+        assert r["n_tokens"] == min(size, n - r["start"])
+    if stride <= size:
+        for i, tl in toks.items():
+            covered = set()
+            for r in rows:
+                if r["doc_id"] == i:
+                    covered |= set(
+                        range(r["start"], r["start"] + r["n_tokens"])
+                    )
+            assert covered == set(range(len(tl)))
