@@ -349,3 +349,74 @@ def test_r4_new_operator_plan_shapes(spark, sf_dir):
 
     # semdedup: cell-blocked pairs + domination agg + join back + order
     assert count_exchanges(semdedup_query(spark, sf_dir)) <= 5
+
+
+def test_r5_queries_no_nested_loop_bounded_exchanges(spark, sf_dir):
+    """The r5 join-shape-sensitive queries: Q19's OR-of-triples and Q4's
+    interval condition must stay on hash joins (no BroadcastNestedLoop /
+    Cartesian), Q21's exists/not-exists pair shares the orderkey shuffle,
+    and the triangle wedge joins are all equi-joins."""
+    from flink_cdc_log_connectors_spark.operators.relational import (
+        q35,
+        q37,
+        q38,
+    )
+    from flink_cdc_log_connectors_spark.operators.graph import (
+        triangle_count_query,
+    )
+    from flink_cdc_log_connectors_spark.plans.inspect import executed_plan
+
+    for fn, max_ex in ((q35, 4), (q37, 6), (q38, 3)):
+        df = fn(spark, sf_dir)
+        plan = executed_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
+        assert count_exchanges(df) <= max_ex, fn.__name__
+    # triangle_count materializes the wedge joins eagerly (localCheckpoint
+    # + count), so the returned plan holds only the bounded stats joins:
+    # the documented 1-row scalar crossJoins (≤2 BNLJ) and nothing else
+    plan = executed_plan(triangle_count_query(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    # the wedge join's exact pattern — equi on src PLUS a struct-rank
+    # inequality — must still plan as a hash/sort-merge join with the
+    # inequality as a post-join condition, not degrade to a nested loop
+    from pyspark.sql import functions as F
+
+    o = spark.range(0, 50).select(
+        F.col("id").alias("src"),
+        ((F.col("id") * 7) % 50).alias("dst"),
+        F.struct(
+            (F.col("id") % 5).alias("deg"), F.col("id").alias("node")
+        ).alias("rdst"),
+    )
+    e1, e2 = o.alias("e1"), o.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.src"))
+        & (F.col("e1.rdst") < F.col("e2.rdst")),
+    )
+    pl = executed_plan(wedges)
+    assert "BroadcastNestedLoop" not in pl and "CartesianProduct" not in pl
+
+
+def test_lm_and_chunking_plan_shape(spark, sf_dir):
+    """lm_bigram_train: one corpus-sized token shuffle + vocab-sized
+    aggregates (the 1-row V aggregate broadcasts); corpus_chunk_windows:
+    map-only — ZERO exchanges before the output sort."""
+    from flink_cdc_log_connectors_spark.operators.curation import (
+        chunk_windows,
+    )
+    from flink_cdc_log_connectors_spark.operators.lm import bigram_lm_query
+    from flink_cdc_log_connectors_spark.io import load_table
+    from flink_cdc_log_connectors_spark.plans.inspect import executed_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert count_exchanges(chunk_windows(docs)) == 0
+    lm = bigram_lm_query(spark, sf_dir)
+    plan = executed_plan(lm)
+    assert "CartesianProduct" not in plan
+    # exactly one BNLJ: the documented 1-row vocabulary-size crossJoin;
+    # the count joins themselves are hash joins
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
