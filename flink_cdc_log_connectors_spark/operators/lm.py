@@ -36,11 +36,15 @@ def bigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     single token-keyed aggregation."""
     tk = tokens(F.col(text_col))
     bigrams = F.expr(
-        "transform(sequence(0, greatest(size(__tk) - 2, -1)), "
+        "transform(sequence(0, size(__tk) - 2), "
         "i -> concat(__tk[i], ' ', __tk[i + 1]))"
     )
     return (
         df.select(tk.alias("__tk"))
+        # docs with < 2 tokens have no bigrams; the guard also prevents
+        # sequence(0, -1) from generating a DESCENDING index list (Spark
+        # sequence semantics) and indexing out of bounds
+        .filter(F.size("__tk") >= 2)
         .select(F.explode(bigrams).alias("bg"))
         .select(
             F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
@@ -162,7 +166,7 @@ def doc_bigram_bits(
     )
     tk = tokens(F.col(text_col))
     bigrams = F.expr(
-        "transform(sequence(0, greatest(size(__tk) - 2, -1), 1), "
+        "transform(sequence(0, size(__tk) - 2), "
         "i -> concat(__tk[i], ' ', __tk[i + 1]))"
     )
     doc_bg = (
@@ -222,4 +226,193 @@ ORDER BY doc_id
 LM_QUERIES["lm_doc_bigram_bits"] = (
     doc_bigram_bits_query,
     _doc_bigram_bits_sql(),
+)
+
+
+# --------------------------------------------------------------------------
+# Stupid backoff (Brants et al. 2007) trigram scoring
+# --------------------------------------------------------------------------
+
+SB_ALPHA = 0.4  #: the paper's fixed backoff factor
+SB_TOP_UNIGRAMS = 15  #: candidate alphabet: top-N unigrams by count
+
+
+def stupid_backoff_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff trigram scores over a deterministic candidate set —
+    the actual web-scale LM scoring rule of Brants et al., "Large
+    Language Models in Machine Translation" (EMNLP 2007): relative
+    frequencies with a fixed 0.4 backoff instead of normalized
+    smoothing (the paper's point: at corpus scale the unnormalized
+    score works as well and needs no iterative discount estimation —
+    ideal for one-pass distributed counting).
+
+        S(w3|w1 w2) = c123/c12           if c123 > 0
+                    = 0.4 * S(w3|w2)     otherwise
+        S(w3|w2)    = c23/c2             if c23 > 0
+                    = 0.4 * c3/N         otherwise
+
+    Candidates are the cross product of the corpus's top-15 unigrams
+    (3375 trigrams — observed, partially-observed AND unseen combos, so
+    all three backoff tiers execute and are value-checked).  Scale:
+    n-gram counting is the same single-corpus-shuffle shape as
+    ``bigram_counts``; the candidate side is constant-sized (two
+    broadcast self-joins of a 15-row table).  Floats: each tier is one
+    IEEE division of exact integers, optionally times the 0.4 literal —
+    identical in both engines, no rounding needed."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    base = docs.select(tk.alias("__tk"))
+
+    def ngram_counts(n: int, cols: list[str], cnt: str) -> DataFrame:
+        # tokens are [a-z0-9]+ so the space join is unambiguous; the
+        # size guard keeps sequence() ascending (see bigram_counts)
+        expr = F.expr(
+            f"transform(sequence(0, size(__tk) - {n}), "
+            "i -> concat_ws(' ', "
+            + ", ".join(f"__tk[i + {j}]" for j in range(n))
+            + "))"
+        )
+        g = base.filter(F.size("__tk") >= n).select(
+            F.explode(expr).alias("g")
+        )
+        parts = [
+            F.split_part(F.col("g"), F.lit(" "), F.lit(j + 1)).alias(c)
+            for j, c in enumerate(cols)
+        ]
+        return g.select(*parts).groupBy(*cols).agg(
+            F.count(F.lit(1)).alias(cnt)
+        )
+
+    uni = ngram_counts(1, ["w"], "c1")
+    n_total = uni.agg(F.sum("c1").alias("n")).collect()[0]["n"]
+    bi = ngram_counts(2, ["a", "b"], "c2g")
+    tri = ngram_counts(3, ["a", "b", "c"], "c3g")
+    top = (
+        uni.orderBy(F.desc("c1"), F.asc("w"))
+        .limit(SB_TOP_UNIGRAMS)
+        .select("w")
+    )
+    cand = (
+        top.select(F.col("w").alias("w1"))
+        .crossJoin(F.broadcast(top.select(F.col("w").alias("w2"))))
+        .crossJoin(F.broadcast(top.select(F.col("w").alias("w3"))))
+    )
+    j = (
+        cand.join(
+            tri,
+            (F.col("w1") == F.col("a")) & (F.col("w2") == F.col("b"))
+            & (F.col("w3") == F.col("c")),
+            "left",
+        )
+        .drop("a", "b", "c")
+        .join(
+            bi.select(
+                F.col("a").alias("ba"), F.col("b").alias("bb"),
+                F.col("c2g").alias("c12"),
+            ),
+            (F.col("w1") == F.col("ba")) & (F.col("w2") == F.col("bb")),
+            "left",
+        )
+        .drop("ba", "bb")
+        .join(
+            bi.select(
+                F.col("a").alias("ca"), F.col("b").alias("cb"),
+                F.col("c2g").alias("c23"),
+            ),
+            (F.col("w2") == F.col("ca")) & (F.col("w3") == F.col("cb")),
+            "left",
+        )
+        .drop("ca", "cb")
+        .join(
+            uni.select(F.col("w").alias("u2"), F.col("c1").alias("c2u")),
+            F.col("w2") == F.col("u2"),
+            "left",
+        )
+        .drop("u2")
+        .join(
+            uni.select(F.col("w").alias("u3"), F.col("c1").alias("c3u")),
+            F.col("w3") == F.col("u3"),
+            "left",
+        )
+        .drop("u3")
+    )
+    s_bigram = F.when(
+        F.col("c23").isNotNull(),
+        F.col("c23").cast("double") / F.col("c2u").cast("double"),
+    ).otherwise(
+        F.lit(SB_ALPHA)
+        * F.coalesce(F.col("c3u"), F.lit(0)).cast("double")
+        / F.lit(float(n_total))
+    )
+    score = F.when(
+        F.col("c3g").isNotNull(),
+        F.col("c3g").cast("double") / F.col("c12").cast("double"),
+    ).otherwise(F.lit(SB_ALPHA) * s_bigram)
+    return (
+        j.select(
+            "w1",
+            "w2",
+            "w3",
+            F.coalesce(F.col("c3g"), F.lit(0)).cast("long").alias("c123"),
+            score.alias("score"),
+        )
+        .orderBy("w1", "w2", "w3")
+    )
+
+
+def _stupid_backoff_sql() -> str:
+    t = TOKENS_SQL.format(col="text")
+    return f"""
+WITH toks AS (SELECT {t} AS tk FROM documents),
+uni AS (
+  SELECT w, COUNT(*) AS c1 FROM (SELECT unnest(tk) AS w FROM toks)
+  GROUP BY w
+),
+nt AS (SELECT CAST(SUM(c1) AS DOUBLE) AS n FROM uni),
+bi AS (
+  SELECT tk[i] AS a, tk[i + 1] AS b, COUNT(*) AS c2g
+  FROM toks, UNNEST(range(1, len(tk))) AS u(i)
+  GROUP BY 1, 2
+),
+tri AS (
+  SELECT tk[i] AS a, tk[i + 1] AS b, tk[i + 2] AS c, COUNT(*) AS c3g
+  FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(i)
+  GROUP BY 1, 2, 3
+),
+top AS (
+  SELECT w FROM uni ORDER BY c1 DESC, w LIMIT {SB_TOP_UNIGRAMS}
+),
+cand AS (
+  SELECT t1.w AS w1, t2.w AS w2, t3.w AS w3
+  FROM top t1, top t2, top t3
+),
+j AS (
+  SELECT cand.w1, cand.w2, cand.w3, tri.c3g, b12.c2g AS c12,
+         b23.c2g AS c23, u2.c1 AS c2u, u3.c1 AS c3u
+  FROM cand
+  LEFT JOIN tri ON cand.w1 = tri.a AND cand.w2 = tri.b AND cand.w3 = tri.c
+  LEFT JOIN bi b12 ON cand.w1 = b12.a AND cand.w2 = b12.b
+  LEFT JOIN bi b23 ON cand.w2 = b23.a AND cand.w3 = b23.b
+  LEFT JOIN uni u2 ON cand.w2 = u2.w
+  LEFT JOIN uni u3 ON cand.w3 = u3.w
+)
+SELECT w1, w2, w3,
+       CAST(COALESCE(c3g, 0) AS BIGINT) AS c123,
+       CASE WHEN c3g IS NOT NULL
+            THEN CAST(c3g AS DOUBLE) / CAST(c12 AS DOUBLE)
+            ELSE {SB_ALPHA} * (
+              CASE WHEN c23 IS NOT NULL
+                   THEN CAST(c23 AS DOUBLE) / CAST(c2u AS DOUBLE)
+                   ELSE {SB_ALPHA} * CAST(COALESCE(c3u, 0) AS DOUBLE)
+                        / (SELECT n FROM nt)
+              END)
+       END AS score
+FROM j
+ORDER BY w1, w2, w3
+"""
+
+
+LM_QUERIES["lm_stupid_backoff"] = (
+    stupid_backoff_query,
+    _stupid_backoff_sql(),
 )

@@ -194,6 +194,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "lm_doc_bigram_bits",
     "ann_ivf_recall",
     "events_watermark_planning",
+    "lm_stupid_backoff",
 ]
 
 

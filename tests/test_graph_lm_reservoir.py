@@ -125,3 +125,49 @@ def test_chunk_windows_shapes(spark):
     assert first["chunk_hash"] == hashlib.md5(
         b"only three tokens"
     ).hexdigest()
+
+
+def test_bigram_counts_short_docs_no_crash(spark):
+    """Docs with 0 or 1 tokens must contribute nothing (regression: the
+    unguarded sequence(0, -1) generated a DESCENDING index list and
+    indexed out of bounds on 1-token docs)."""
+    from flink_cdc_log_connectors_spark.operators.lm import bigram_counts
+
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "   "), (4, "two tokens")],
+        "doc_id long, text string",
+    )
+    rows = {(r["w1"], r["w2"]): r["c12"] for r in bigram_counts(docs).collect()}
+    assert rows == {("two", "tokens"): 1}
+
+
+def test_stupid_backoff_tiers(spark):
+    """All three backoff tiers hand-checked on a tiny corpus."""
+    from flink_cdc_log_connectors_spark.operators.lm import (
+        SB_ALPHA,
+        stupid_backoff_query,
+    )
+    import flink_cdc_log_connectors_spark.operators.lm as lm
+    from unittest import mock
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d"), (3, "b c d")],
+        "doc_id long, text string",
+    )
+    with mock.patch.object(lm, "load_table", lambda s, d, n: docs), \
+         mock.patch.object(lm, "SB_TOP_UNIGRAMS", 4):
+        rows = {
+            (r["w1"], r["w2"], r["w3"]): (r["c123"], r["score"])
+            for r in stupid_backoff_query(spark, "unused").collect()
+        }
+    # tokens: a:2 b:3 c:2 d:2, N=9; bigrams: ab:2 bc:2 cd:1 bd:1
+    # trigram tier: c(abc)=1, c(ab)=2 -> 0.5
+    assert rows[("a", "b", "c")] == (1, 0.5)
+    # bigram tier: c(abd)... wait c(a b d)=1 observed; pick an unseen
+    # trigram with seen (w2,w3): (c, b, c): c(cbc)=0 -> 0.4*c(bc)/c(b)
+    assert rows[("c", "b", "c")] == (0, SB_ALPHA * 2 / 3)
+    # unigram tier: (a, a, a): c(aaa)=0, c(aa)=0 -> 0.4*(0.4*c(a)/N)
+    # (association mirrors the engine expression exactly: the outer
+    # alpha multiplies the already-computed bigram-tier score)
+    assert rows[("a", "a", "a")] == (0, SB_ALPHA * (SB_ALPHA * 2 / 9))
+    assert len(rows) == 64
