@@ -713,3 +713,114 @@ CURATION_QUERIES["corpus_chunk_windows"] = (
     chunk_windows_query,
     _chunk_windows_sql(),
 )
+
+
+# --------------------------------------------------------------------------
+# Snapshot diff (dataset versioning: what changed between crawl N and N+1)
+# --------------------------------------------------------------------------
+
+
+def snapshot_diff(
+    v1: DataFrame,
+    v2: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Diff two corpus snapshots: per (source, status) counts where
+    status ∈ added / removed / modified / unchanged, plus the net
+    character delta — the dataset-versioning ledger a training pipeline
+    keeps between crawl iterations (what must re-embed, what leaves the
+    index, how the corpus is drifting).
+
+    Content identity is md5(text) — compared, never materialized into
+    the shuffle wider than 32 chars/side.  Plan: ONE full outer join on
+    the id (co-partitioned; zero-exchange when both snapshots are stored
+    bucketed by id — the same storage contract as apply_changelog), then
+    a map-side-combined count by (source, status)."""
+    a = v1.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("src_a"),
+        F.md5(F.col(text_col)).alias("h_a"),
+        F.length(F.col(text_col)).cast("long").alias("len_a"),
+    )
+    b = v2.select(
+        F.col(id_col).alias("id_b"),
+        F.col(group_col).alias("src_b"),
+        F.md5(F.col(text_col)).alias("h_b"),
+        F.length(F.col(text_col)).cast("long").alias("len_b"),
+    )
+    j = a.join(b, F.col("id") == F.col("id_b"), "full_outer")
+    status = (
+        F.when(F.col("h_a").isNull(), "added")
+        .when(F.col("h_b").isNull(), "removed")
+        .when(F.col("h_a") != F.col("h_b"), "modified")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("src_b"), F.col("src_a")).alias("source"),
+            status.alias("status"),
+            (
+                F.coalesce(F.col("len_b"), F.lit(0))
+                - F.coalesce(F.col("len_a"), F.lit(0))
+            ).alias("char_delta"),
+        )
+        .groupBy("source", "status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("char_delta").cast("long").alias("chars_delta"),
+        )
+        .orderBy("source", "status")
+    )
+
+
+def snapshot_diff_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: two snapshots derived deterministically from the
+    documents table (the changelog-fixture pattern — mutation classes
+    keyed off doc_id, replayed arithmetically by the oracle): v2 ADDS
+    the docs with ``doc_id % 7 = 3`` (absent from v1), REMOVES
+    ``doc_id % 11 = 4``, and MODIFIES ``doc_id % 5 = 0`` (a marker
+    suffix); everything else is unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.filter(F.expr("doc_id % 7 != 3"))
+    v2 = docs.filter(F.expr("doc_id % 11 != 4")).withColumn(
+        "text",
+        F.when(
+            F.expr("doc_id % 5 = 0"), F.concat(F.col("text"), F.lit(" rev2"))
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(v1, v2)
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH v1 AS (
+  SELECT doc_id, source, text FROM documents WHERE doc_id % 7 != 3
+),
+v2 AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END AS text
+  FROM documents WHERE doc_id % 11 != 4
+),
+j AS (
+  SELECT COALESCE(b.source, a.source) AS source,
+         CASE WHEN a.doc_id IS NULL THEN 'added'
+              WHEN b.doc_id IS NULL THEN 'removed'
+              WHEN md5(a.text) != md5(b.text) THEN 'modified'
+              ELSE 'unchanged' END AS status,
+         COALESCE(length(b.text), 0) - COALESCE(length(a.text), 0)
+           AS char_delta
+  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+)
+SELECT source, status,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(char_delta) AS BIGINT) AS chars_delta
+FROM j GROUP BY source, status
+ORDER BY source, status
+"""
+
+
+CURATION_QUERIES["corpus_snapshot_diff"] = (
+    snapshot_diff_query,
+    SNAPSHOT_DIFF_SQL,
+)

@@ -195,6 +195,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "ann_ivf_recall",
     "events_watermark_planning",
     "lm_stupid_backoff",
+    "corpus_snapshot_diff",
 ]
 
 

@@ -163,11 +163,37 @@ def test_stupid_backoff_tiers(spark):
     # tokens: a:2 b:3 c:2 d:2, N=9; bigrams: ab:2 bc:2 cd:1 bd:1
     # trigram tier: c(abc)=1, c(ab)=2 -> 0.5
     assert rows[("a", "b", "c")] == (1, 0.5)
-    # bigram tier: c(abd)... wait c(a b d)=1 observed; pick an unseen
-    # trigram with seen (w2,w3): (c, b, c): c(cbc)=0 -> 0.4*c(bc)/c(b)
+    # bigram tier: an unseen trigram whose (w2,w3) bigram IS seen:
+    # (c, b, c): c(cbc)=0 -> 0.4 * c(bc)/c(b)
     assert rows[("c", "b", "c")] == (0, SB_ALPHA * 2 / 3)
     # unigram tier: (a, a, a): c(aaa)=0, c(aa)=0 -> 0.4*(0.4*c(a)/N)
     # (association mirrors the engine expression exactly: the outer
     # alpha multiplies the already-computed bigram-tier score)
     assert rows[("a", "a", "a")] == (0, SB_ALPHA * (SB_ALPHA * 2 / 9))
     assert len(rows) == 64
+
+
+def test_snapshot_diff_statuses(spark):
+    """Hand-checked diff ledger on a 5-doc pair of snapshots."""
+    from flink_cdc_log_connectors_spark.operators.curation import snapshot_diff
+
+    v1 = spark.createDataFrame(
+        [(1, "s", "alpha"), (2, "s", "beta"), (3, "t", "gamma"),
+         (4, "t", "delta")],
+        "doc_id long, source string, text string",
+    )
+    v2 = spark.createDataFrame(
+        [(1, "s", "alpha"), (2, "s", "beta CHANGED"), (4, "t", "delta"),
+         (5, "t", "epsilon")],
+        "doc_id long, source string, text string",
+    )
+    rows = {
+        (r["source"], r["status"]): (r["n_docs"], r["chars_delta"])
+        for r in snapshot_diff(v1, v2).collect()
+    }
+    assert rows[("s", "unchanged")] == (1, 0)
+    assert rows[("s", "modified")] == (1, len("beta CHANGED") - len("beta"))
+    assert rows[("t", "removed")] == (1, -len("gamma"))
+    assert rows[("t", "added")] == (1, len("epsilon"))
+    assert rows[("t", "unchanged")] == (1, 0)
+    assert len(rows) == 5
