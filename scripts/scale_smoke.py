@@ -56,6 +56,11 @@ ENTRIES = [
     "dedup_pagerank_centrality",
     "events_session_window_tvf",
     "changelog_skew_hotkey",
+    # r5-late: the corpus-shuffling LM entries and the map-only chunker
+    "lm_bigram_train",
+    "lm_doc_bigram_bits",
+    "corpus_chunk_windows",
+    "graph_triangle_count",
 ]
 
 
