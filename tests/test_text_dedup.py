@@ -750,3 +750,36 @@ def test_simhash_wide_single_token_equals_md5_halves(spark):
         for r in simhash_wide_dedup_verdict(docs).collect()
     }
     assert verdict == {1: (1, 1), 2: (1, 1)}
+
+
+def test_lsh_plan_matches_mmds_curve():
+    """(bands, rows) factorization tracks the (1/b)^(1/r) S-curve: the
+    canonical 0.5-threshold / 128-hash plan, monotonicity in the
+    threshold, and exact achieved-threshold arithmetic."""
+    from flink_cdc_log_connectors_spark.operators.dedup import lsh_plan
+
+    b, r, t = lsh_plan(0.5, 128)
+    assert b * r == 128
+    assert abs(t - 0.5) <= min(
+        abs((1.0 / bb) ** (1.0 / (128 // bb)) - 0.5)
+        for bb in (1, 2, 4, 8, 16, 32, 64, 128)
+    )
+    # lower threshold -> at least as many bands (more recall)
+    b_lo, _, _ = lsh_plan(0.2, 128)
+    b_hi, _, _ = lsh_plan(0.9, 128)
+    assert b_lo >= b and b >= b_hi
+    assert t == (1.0 / b) ** (1.0 / r)
+
+
+def test_simhash_band_bits_growth():
+    from flink_cdc_log_connectors_spark.operators.dedup import (
+        simhash_band_bits,
+    )
+
+    assert simhash_band_bits(1) == 8
+    assert simhash_band_bits(30_000) == 15  # the measured saturation point
+    assert simhash_band_bits(1_000_000) == 20
+    assert simhash_band_bits(10**18) == 60  # clamped
+    ns = [10**k for k in range(1, 12)]
+    widths = [simhash_band_bits(n) for n in ns]
+    assert widths == sorted(widths)
