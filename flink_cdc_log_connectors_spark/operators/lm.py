@@ -55,6 +55,34 @@ def bigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _bigram_model(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The shared add-one bigram model table: one row per observed
+    bigram with (w1, w2, c12, c1, p) where ``p = (c12+1)/(c1+V)`` — the
+    single definition both the trainer view (:func:`bigram_lm`) and the
+    per-doc scorer (:func:`doc_bigram_bits`) project from, so the
+    smoothing arithmetic and its float discipline live in ONE place."""
+    c12 = bigram_counts(df, text_col=text_col)
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .agg(F.count_distinct(F.col("w")).alias("v"))
+    )
+    return (
+        c12.join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            (
+                (F.col("c12") + F.lit(1)).cast("double")
+                / (F.col("c1") + F.col("v")).cast("double")
+            ).alias("p"),
+        )
+    )
+
+
 def bigram_lm(
     df: DataFrame, text_col: str = "text", min_count: int = MIN_BIGRAM_COUNT
 ) -> DataFrame:
@@ -67,25 +95,15 @@ def bigram_lm(
     sized) bigram-count table — never the corpus — and V is a 1-row
     aggregate broadcast into the final projection (the documented 1-row
     crossJoin class)."""
-    c12 = bigram_counts(df, text_col=text_col)
-    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    vocab = (
-        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
-        .agg(F.count_distinct(F.col("w")).alias("v"))
-    )
     return (
-        c12.filter(F.col("c12") >= min_count)
-        .join(c1, "w1")
-        .crossJoin(F.broadcast(vocab))
+        _bigram_model(df, text_col=text_col)
+        .filter(F.col("c12") >= min_count)
         .select(
             "w1",
             "w2",
             F.col("c12").cast("long").alias("c12"),
             F.col("c1").cast("long").alias("c1"),
-            (
-                (F.col("c12") + F.lit(1)).cast("double")
-                / (F.col("c1") + F.col("v")).cast("double")
-            ).alias("p_smoothed"),
+            F.col("p").alias("p_smoothed"),
         )
         .orderBy("w1", "w2")
     )
@@ -147,22 +165,8 @@ def doc_bigram_bits(
     cross-engine correctly-rounded guarantee and the per-doc average
     folds in nondeterministic order, so scores are rounded to 6
     decimals (ulp noise is ~10 orders below the grain)."""
-    c12 = bigram_counts(df, text_col=text_col)
-    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    vocab = (
-        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
-        .agg(F.count_distinct(F.col("w")).alias("v"))
-    )
-    model = (
-        c12.join(c1, "w1")
-        .crossJoin(F.broadcast(vocab))
-        .select(
-            F.concat_ws(" ", "w1", "w2").alias("bg"),
-            (
-                (F.col("c12") + F.lit(1)).cast("double")
-                / (F.col("c1") + F.col("v")).cast("double")
-            ).alias("p"),
-        )
+    model = _bigram_model(df, text_col=text_col).select(
+        F.concat_ws(" ", "w1", "w2").alias("bg"), "p"
     )
     tk = tokens(F.col(text_col))
     bigrams = F.expr(

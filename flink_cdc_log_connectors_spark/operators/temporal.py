@@ -1142,10 +1142,17 @@ def watermark_planning_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.expr("late_us div 60000000").cast("long").alias("late_minutes")
     )
-    total = buckets.agg(F.count(F.lit(1)).alias("n_total"))
-    hist = buckets.groupBy("late_minutes").agg(
-        F.count(F.lit(1)).cast("long").alias("n_events")
+    # the histogram is materialized ONCE (localCheckpoint — it is a
+    # few hundred rows): both consumers below (total + cumulative join)
+    # would otherwise each re-run the corpus-sized window lineage
+    hist = (
+        buckets.groupBy("late_minutes")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .localCheckpoint(eager=True)
     )
+    # total from the histogram — mirrors the oracle's
+    # ``tot AS (SELECT SUM(n_events) FROM hist)``
+    total = hist.agg(F.sum("n_events").alias("n_total"))
     w_cum = Window.orderBy("late_minutes").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

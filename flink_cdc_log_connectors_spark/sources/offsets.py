@@ -39,15 +39,23 @@ class LogOffset:
     kind: str | None = None
 
     def __lt__(self, other):  # type: ignore[override]
+        if not isinstance(other, LogOffset):
+            return NotImplemented
         return (self.file, self.pos) < (other.file, other.pos)
 
     def __le__(self, other):  # type: ignore[override]
+        if not isinstance(other, LogOffset):
+            return NotImplemented
         return (self.file, self.pos) <= (other.file, other.pos)
 
     def __gt__(self, other):  # type: ignore[override]
+        if not isinstance(other, LogOffset):
+            return NotImplemented
         return (self.file, self.pos) > (other.file, other.pos)
 
     def __ge__(self, other):  # type: ignore[override]
+        if not isinstance(other, LogOffset):
+            return NotImplemented
         return (self.file, self.pos) >= (other.file, other.pos)
 
     def to_json(self) -> dict[str, Any]:

@@ -34,6 +34,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 COPIES = 10
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT = "/tmp/spark_graft_scale10"
+#: synthesis-recipe version, stored inside the _SUCCESS marker: bump when
+#: the fixture construction changes so a cached dir from an older recipe
+#: (e.g. pre-r5, where events.parquet was a SYMLINK to the unscaled base)
+#: is rebuilt instead of silently measured as "10x" data
+RECIPE = "v2-scaled-events"
 
 #: the entries whose 100 TB story most depends on sub-quadratic candidate
 #: generation / bounded shuffles
@@ -69,8 +74,12 @@ def synthesize(spark) -> None:
 
     from flink_cdc_log_connectors_spark.io import load_table
 
-    if os.path.exists(os.path.join(OUT, "_SUCCESS")):
-        return
+    marker = os.path.join(OUT, "_SUCCESS")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read().strip() == RECIPE:
+                return
+        # stale fixture from an older synthesis recipe — rebuild
     shutil.rmtree(OUT, ignore_errors=True)
     os.makedirs(OUT, exist_ok=True)
     docs = load_table(spark, BASE, "documents")
@@ -167,7 +176,8 @@ def synthesize(spark) -> None:
         dst = os.path.join(OUT, f"{t}.parquet")
         if os.path.exists(src) and not os.path.exists(dst):
             os.symlink(src, dst)
-    open(os.path.join(OUT, "_SUCCESS"), "w").close()
+    with open(os.path.join(OUT, "_SUCCESS"), "w") as fh:
+        fh.write(RECIPE)
 
 
 def main() -> None:

@@ -201,14 +201,26 @@ def test_bucketed_changelog_has_no_exchange(spark):
         (F.col("id") % 7).cast("double").alias("v"),
         F.when(F.col("id") % 11 == 0, "d").otherwise("u").alias("op"),
     )
-    write_bucketed(df, "bk_cl_log", ["k"], num_buckets=8)
-    t = spark.table("bk_cl_log")
-    for out in (apply_changelog(t, ["k"], ["seq"]),
-                apply_changelog_agg(t, ["k"], ["seq"])):
-        assert count_exchanges(out) == 0
-    # and the two paths agree on the bucketed input
-    a = sorted(map(tuple, apply_changelog(t, ["k"], ["seq"])
-                   .select("k", "seq", "v").collect()))
-    b = sorted(map(tuple, apply_changelog_agg(t, ["k"], ["seq"])
-                   .select("k", "seq", "v").collect()))
-    assert a == b
+    # a prior session may have left the warehouse dir without a catalog
+    # entry (session catalogs are ephemeral; the directory is not), and
+    # saveAsTable refuses an existing location it doesn't know about
+    import os
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS bk_cl_log")
+    wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    shutil.rmtree(os.path.join(wh, "bk_cl_log"), ignore_errors=True)
+    try:
+        write_bucketed(df, "bk_cl_log", ["k"], num_buckets=8)
+        t = spark.table("bk_cl_log")
+        for out in (apply_changelog(t, ["k"], ["seq"]),
+                    apply_changelog_agg(t, ["k"], ["seq"])):
+            assert count_exchanges(out) == 0
+        # and the two paths agree on the bucketed input
+        a = sorted(map(tuple, apply_changelog(t, ["k"], ["seq"])
+                       .select("k", "seq", "v").collect()))
+        b = sorted(map(tuple, apply_changelog_agg(t, ["k"], ["seq"])
+                       .select("k", "seq", "v").collect()))
+        assert a == b
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_cl_log")
