@@ -290,3 +290,53 @@ SKEW_QUERIES = {
     "layout_zorder_key": (zorder_query, _zorder_sql()),
     "changelog_skew_hotkey": (changelog_skew_hotkey_query, CHANGELOG_SKEW_SQL),
 }
+
+
+def salted_agg_hotkey_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted two-phase aggregation, driver-checked on a HOT key
+    distribution (one key takes half the events): stage 1 aggregates on
+    (key, salt) — the hot key spreads over 16 reducers — stage 2
+    combines the exact algebraic partials.  Equal to the naive GROUP BY
+    (the oracle's form) because every partial is exact: counts are
+    integers and sums run on DECIMAL(18,2), so no float-summation-order
+    term can differ between the salted and flat groupings."""
+    from ..io import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    df = events.select(
+        F.when(F.col("event_id") % 2 == 0, F.lit(-1))
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+        F.col("value").cast("decimal(18,2)").alias("vdec"),
+    )
+    out = salted_agg(
+        df,
+        ["k"],
+        {
+            "n_events": ("vdec", "count"),
+            "sum_value": ("vdec", "sum"),
+            "max_value": ("vdec", "max"),
+        },
+    )
+    return out.select(
+        "k",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.col("max_value").cast("double").alias("max_value"),
+    ).orderBy("k")
+
+
+SALTED_AGG_SQL = """
+SELECT CASE WHEN event_id % 2 = 0 THEN -1 ELSE user_id END AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_value
+FROM events
+GROUP BY 1 ORDER BY k
+"""
+
+
+SKEW_QUERIES["agg_salted_hotkey"] = (
+    salted_agg_hotkey_query,
+    SALTED_AGG_SQL,
+)

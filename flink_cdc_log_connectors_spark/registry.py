@@ -196,6 +196,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "events_watermark_planning",
     "lm_stupid_backoff",
     "corpus_snapshot_diff",
+    "agg_salted_hotkey",
 ]
 
 
