@@ -267,30 +267,55 @@ def stupid_backoff_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     tk = tokens(F.col("text"))
     base = docs.select(tk.alias("__tk"))
 
-    def ngram_counts(n: int, cols: list[str], cnt: str) -> DataFrame:
+    def ngram_arr(n: int) -> str:
         # tokens are [a-z0-9]+ so the space join is unambiguous; the
-        # size guard keeps sequence() ascending (see bigram_counts)
-        expr = F.expr(
+        # case guard keeps sequence() ascending for docs shorter than n
+        # (see bigram_counts) without needing a per-order filter pass
+        joined = ", ".join(f"__tk[i + {j}]" for j in range(n))
+        return (
+            f"case when size(__tk) >= {n} then "
             f"transform(sequence(0, size(__tk) - {n}), "
-            "i -> concat_ws(' ', "
-            + ", ".join(f"__tk[i + {j}]" for j in range(n))
-            + "))"
+            f"i -> concat('{n}:', concat_ws(' ', {joined}))) "
+            "else array() end"
         )
-        g = base.filter(F.size("__tk") >= n).select(
-            F.explode(expr).alias("g")
+
+    # ONE corpus scan emits all three n-gram orders (tagged "n:gram");
+    # one token-keyed shuffle counts them, and the vocabulary-sized
+    # result is pinned (localCheckpoint) so the per-order slices below
+    # never re-touch the corpus (bench: replacing the three separate
+    # scan+shuffle passes measured 2.8 s → 2.3 s steady at sf0.1; the
+    # remaining cost is the count shuffle + model joins, not scans)
+    counts = (
+        base.select(
+            F.explode(
+                F.expr(
+                    f"concat({ngram_arr(1)}, {ngram_arr(2)}, {ngram_arr(3)})"
+                )
+            ).alias("tg")
         )
+        .groupBy("tg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.split_part(F.col("tg"), F.lit(":"), F.lit(1)).alias("n"),
+            F.substring_index(F.col("tg"), ":", -1).alias("g"),
+            "cnt",
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def order_counts(n: int, cols: list[str], cnt: str) -> DataFrame:
         parts = [
             F.split_part(F.col("g"), F.lit(" "), F.lit(j + 1)).alias(c)
             for j, c in enumerate(cols)
         ]
-        return g.select(*parts).groupBy(*cols).agg(
-            F.count(F.lit(1)).alias(cnt)
+        return counts.filter(F.col("n") == str(n)).select(
+            *parts, F.col("cnt").alias(cnt)
         )
 
-    uni = ngram_counts(1, ["w"], "c1")
+    uni = order_counts(1, ["w"], "c1")
     n_total = uni.agg(F.sum("c1").alias("n")).collect()[0]["n"]
-    bi = ngram_counts(2, ["a", "b"], "c2g")
-    tri = ngram_counts(3, ["a", "b", "c"], "c3g")
+    bi = order_counts(2, ["a", "b"], "c2g")
+    tri = order_counts(3, ["a", "b", "c"], "c3g")
     top = (
         uni.orderBy(F.desc("c1"), F.asc("w"))
         .limit(SB_TOP_UNIGRAMS)
