@@ -135,6 +135,14 @@ class StartupOptions:
         if v.startswith("timestamp:"):
             return StartupOptions.timestamp(int(v.split(":", 1)[1]))
         if v.startswith("file:"):
-            _, file, pos = value.strip().split(":", 2)
+            # the position is the LAST colon-separated field, so file
+            # names containing colons (paths, windows drives) survive
+            rest = value.strip().split(":", 1)[1]
+            file, _, pos = rest.rpartition(":")
+            if not file:
+                raise ValueError(
+                    f"startingOffsets file form needs file:<name>:<pos>: "
+                    f"{value!r}"
+                )
             return StartupOptions.specific(file, int(pos))
         raise ValueError(f"unsupported startingOffsets: {value!r}")

@@ -93,3 +93,28 @@ def test_offset_json_roundtrip_reserved_fields():
     assert not rich < plain and not plain < rich
     assert LogOffset("mysql-bin.000003", 5000) > rich
     assert sorted([rich, LogOffset("mysql-bin.000002", 9)])[0].file.endswith("2")
+
+
+def test_startup_parse_edge_cases():
+    """startingOffsets parsing: colons inside file names, every mode
+    string, and clear errors on malformed input."""
+    import pytest
+
+    from flink_cdc_log_connectors_spark.sources.offsets import (
+        StartupMode,
+        StartupOptions,
+    )
+
+    s = StartupOptions.parse("file:C:/logs/mysql-bin.000001:4096")
+    assert s.mode is StartupMode.SPECIFIC
+    assert s.specific_offset.file == "C:/logs/mysql-bin.000001"
+    assert s.specific_offset.pos == 4096
+
+    assert StartupOptions.parse("timestamp:1700000000000").timestamp_ms == 1700000000000
+    assert StartupOptions.parse("").mode is StartupMode.INITIAL
+    assert StartupOptions.parse("Earliest").mode is StartupMode.EARLIEST
+    assert StartupOptions.parse("LATEST").mode is StartupMode.LATEST
+    with pytest.raises(ValueError):
+        StartupOptions.parse("file::12")  # empty file name
+    with pytest.raises(ValueError):
+        StartupOptions.parse("bogus-mode")
