@@ -366,3 +366,59 @@ def test_chunk_windows_cover_every_token(spark, texts, size, stride):
                         range(r["start"], r["start"] + r["n_tokens"])
                     )
             assert covered == set(range(len(tl)))
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),          # key (tiny space → guaranteed heat)
+            st.integers(-10**6, 10**6),  # integer-cent value (exact)
+        ),
+        min_size=1,
+        max_size=200,
+    ),
+    num_salts=st.integers(1, 8),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_salted_agg_equals_naive_any_distribution(spark, rows, num_salts):
+    """Two-phase salted aggregation equals the flat GROUP BY for ANY key
+    distribution and salt count (count/sum/min/max on exact decimals)."""
+    from decimal import Decimal
+
+    from flink_cdc_log_connectors_spark.operators.skew import salted_agg
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(k, Decimal(v) / 100) for k, v in rows],
+        "k int, v decimal(18,2)",
+    )
+    naive = {
+        r["k"]: (r["n"], r["s"], r["mn"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        r["k"]: (r["n"], r["s"], r["mn"], r["mx"])
+        for r in salted_agg(
+            df,
+            ["k"],
+            {
+                "n": ("v", "count"),
+                "s": ("v", "sum"),
+                "mn": ("v", "min"),
+                "mx": ("v", "max"),
+            },
+            num_salts=num_salts,
+        ).collect()
+    }
+    assert salted == naive
