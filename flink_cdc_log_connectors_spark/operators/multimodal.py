@@ -419,3 +419,166 @@ FROM seg ORDER BY asset_id, win
 
 
 MULTIMODAL_QUERIES["mm_audio_rms"] = (mm_audio_query, _mm_audio_sql())
+
+
+# --------------------------------------------------------------------------
+# Perceptual image hash (aHash) + banded near-dup pairs — multimodal dedup
+# --------------------------------------------------------------------------
+
+PHASH_MAX_HAMMING = 6  #: pairs at or below this distance are near-dups
+
+
+def ahash_assets(assets: DataFrame, out_side: int = OUT_SIDE) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint per image asset: the
+    resized ``out_side²`` thumbnail is thresholded at its own mean
+    (bit p = 1 iff 64·pixel_p > Σpixels — integer-exact, no float mean)
+    and packed into one 64-bit word.  The standard cheap perceptual
+    image signature (same family as pHash/dHash); the decode stub is
+    the documented deterministic byte-grid fake — swap in a real codec
+    at the same Arrow batch boundary as ``resize_assets``.
+
+    Output: (asset_id, hash int64, b0..b3 16-bit band keys) — the band
+    columns feed the SimHash-style banded bucket join in
+    :func:`phash_near_pairs`.  Pigeonhole: with 4 bands, hamming ≤ 3 is
+    GUARANTEED to share an identical band; at the default threshold 6
+    the banding is a high-recall heuristic (a pair could spread 4+ of
+    its ≤6 differing bits across all four bands) — stated honestly, and
+    the ORACLE applies the identical candidate rule, so the checked
+    semantics are exactly what the operator claims."""
+    import numpy as np
+
+    th = resize_assets(assets, out_side=out_side)
+    n_px = out_side * out_side
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs = [], []
+            for aid, thumb in zip(pdf["asset_id"], pdf["thumb"]):
+                px = np.frombuffer(bytes(thumb), dtype=np.uint8).astype(
+                    np.int64
+                )
+                if len(px) != n_px:
+                    continue
+                total = int(px.sum())
+                bits = (px * n_px) > total
+                h = np.uint64(0)
+                for b in bits:
+                    h = np.uint64(h << np.uint64(1)) | np.uint64(int(b))
+                ids.append(int(aid))
+                hs.append(np.int64(h.astype(np.int64)))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "hash": pd.Series(hs, dtype="int64"),
+                }
+            )
+
+    hashed = th.select("asset_id", "thumb").mapInPandas(
+        op, "asset_id long, hash long"
+    )
+    bands = [
+        (F.shiftrightunsigned(F.col("hash"), 16 * i) % F.lit(1 << 16))
+        .cast("long")
+        .alias(f"b{i}")
+        for i in range(4)
+    ]
+    return hashed.select("asset_id", "hash", *bands)
+
+
+def phash_near_pairs(
+    assets: DataFrame,
+    max_hamming: int = PHASH_MAX_HAMMING,
+) -> DataFrame:
+    """Near-duplicate image pairs by perceptual hash: banded candidate
+    join (4 × 16-bit bands — candidates must share a band, never the
+    n² cross product) + exact Hamming verification via
+    ``bit_count(xor)`` — pure integer Catalyst expressions."""
+    h = ahash_assets(assets).localCheckpoint(eager=True)
+    cands = None
+    for i in range(4):
+        a = h.select(
+            F.col("asset_id").alias("a_id"),
+            F.col("hash").alias("a_hash"),
+            F.col(f"b{i}").alias("bk"),
+        )
+        b = h.select(
+            F.col("asset_id").alias("b_id"),
+            F.col("hash").alias("b_hash"),
+            F.col(f"b{i}").alias("bk"),
+        )
+        c = a.join(b, "bk").filter(F.col("a_id") < F.col("b_id")).select(
+            "a_id", "b_id", "a_hash", "b_hash"
+        )
+        cands = c if cands is None else cands.unionAll(c)
+    return (
+        cands.distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("a_hash").bitwiseXOR(F.col("b_hash"))
+            ).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
+def mm_phash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return phash_near_pairs(attach_binary_payload(docs)).orderBy(
+        "a_id", "b_id"
+    )
+
+
+def _mm_phash_sql() -> str:
+    out = OUT_SIDE
+    n_px = out * out
+    picks = (
+        f"list_transform(generate_series(0, {n_px - 1}), "
+        f"p -> ascii(substring(text, ((p // {out}) * side // {out}) * side "
+        f"+ ((p % {out}) * side // {out}) + 1, 1)))"
+    )
+    # band i = bits [i*16, i*16+16) packed big-endian like the Spark side
+    band = (
+        "list_sum(list_transform(generate_series(1, 16), "
+        "j -> CASE WHEN px[{off} + j] * {n_px} > s THEN "
+        "CAST(2 ** (16 - j) AS BIGINT) ELSE 0 END))"
+    )
+    bands = ", ".join(
+        band.format(off=48 - 16 * i, n_px=n_px) + f" AS b{i}"
+        for i in range(4)
+    )
+    return f"""
+WITH a AS (
+  SELECT doc_id AS asset_id, text,
+         CAST(floor(sqrt(length(text))) AS INT) AS side
+  FROM documents WHERE CAST(floor(sqrt(length(text))) AS INT) >= 1
+),
+g AS (SELECT asset_id, {picks} AS px FROM a),
+gs AS (
+  SELECT asset_id, px, list_sum(px) AS s FROM g
+  WHERE len(px) = {n_px}
+),
+hb AS (SELECT asset_id, px, s, {bands} FROM gs),
+cand AS (
+  SELECT x.asset_id AS a_id, y.asset_id AS b_id,
+         x.px AS apx, x.s AS asum, y.px AS bpx, y.s AS bsum
+  FROM hb x JOIN hb y
+    ON x.asset_id < y.asset_id
+   AND (x.b0 = y.b0 OR x.b1 = y.b1 OR x.b2 = y.b2 OR x.b3 = y.b3)
+),
+ham AS (
+  SELECT a_id, b_id,
+         CAST(list_sum(list_transform(generate_series(1, {n_px}),
+           p -> CASE WHEN (apx[p] * {n_px} > asum)
+                       != (bpx[p] * {n_px} > bsum)
+                THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+  FROM cand
+)
+SELECT a_id, b_id, hamming FROM ham
+WHERE hamming <= {PHASH_MAX_HAMMING}
+ORDER BY a_id, b_id
+"""
+
+
+MULTIMODAL_QUERIES["mm_phash_pairs"] = (mm_phash_query, _mm_phash_sql())

@@ -197,6 +197,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "lm_stupid_backoff",
     "corpus_snapshot_diff",
     "agg_salted_hotkey",
+    "mm_phash_pairs",
 ]
 
 

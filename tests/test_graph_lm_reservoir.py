@@ -197,3 +197,28 @@ def test_snapshot_diff_statuses(spark):
     assert rows[("t", "added")] == (1, len("epsilon"))
     assert rows[("t", "unchanged")] == (1, 0)
     assert len(rows) == 5
+
+
+def test_phash_identical_and_noisy_assets(spark):
+    """aHash near-dup detection: identical payloads -> hamming 0; a
+    payload with one flipped region stays within the threshold; an
+    unrelated payload does not pair."""
+    from flink_cdc_log_connectors_spark.operators.multimodal import (
+        phash_near_pairs,
+    )
+
+    base = "".join(chr(97 + (i * 7) % 26) for i in range(256))  # 16x16 grid
+    noisy = "Z" + base[1:]  # one corner byte changed
+    other = "".join(chr(97 + (i * 11 + 5) % 26) for i in range(256))
+    assets = spark.createDataFrame(
+        [(1, bytearray(base.encode())), (2, bytearray(base.encode())),
+         (3, bytearray(noisy.encode())), (4, bytearray(other.encode()))],
+        "asset_id long, payload binary",
+    )
+    rows = {
+        (r["a_id"], r["b_id"]): r["hamming"]
+        for r in phash_near_pairs(assets).collect()
+    }
+    assert rows[(1, 2)] == 0
+    assert rows.get((1, 3), 99) <= 6  # single-byte corner change
+    assert (1, 4) not in rows and (2, 4) not in rows and (3, 4) not in rows
