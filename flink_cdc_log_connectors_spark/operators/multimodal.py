@@ -473,11 +473,21 @@ def ahash_assets(assets: DataFrame, out_side: int = OUT_SIDE) -> DataFrame:
                 }
             )
 
+    if n_px > 64:
+        raise ValueError(
+            f"ahash packs out_side^2 bits into one 64-bit word; "
+            f"out_side={out_side} needs {n_px}"
+        )
     hashed = th.select("asset_id", "thumb").mapInPandas(
         op, "asset_id long, hash long"
     )
+    # band keys MASK (bitwiseAND), never %: Spark's % is sign-following,
+    # so a hash with bit 63 set would get a NEGATIVE top-band key that
+    # can never equal a positive key sharing the same 16 bits — silently
+    # losing candidates (same discipline as dedup.simhash_pairs)
     bands = [
-        (F.shiftrightunsigned(F.col("hash"), 16 * i) % F.lit(1 << 16))
+        F.shiftrightunsigned(F.col("hash"), 16 * i)
+        .bitwiseAND(F.lit(0xFFFF))
         .cast("long")
         .alias(f"b{i}")
         for i in range(4)
@@ -493,33 +503,43 @@ def phash_near_pairs(
     join (4 × 16-bit bands — candidates must share a band, never the
     n² cross product) + exact Hamming verification via
     ``bit_count(xor)`` — pure integer Catalyst expressions."""
+    # the dedup.simhash_pairs band-join shape: explode (k, band) structs
+    # and join ONCE on (k, band) — one compiled pipeline instead of a
+    # 4-branch union; Hamming filter BEFORE the distinct (the filter is
+    # a codegen'd map-side predicate, the distinct is a shuffle — never
+    # shuffle rows a predicate would drop)
     h = ahash_assets(assets).localCheckpoint(eager=True)
-    cands = None
-    for i in range(4):
-        a = h.select(
-            F.col("asset_id").alias("a_id"),
-            F.col("hash").alias("a_hash"),
-            F.col(f"b{i}").alias("bk"),
-        )
-        b = h.select(
-            F.col("asset_id").alias("b_id"),
-            F.col("hash").alias("b_hash"),
-            F.col(f"b{i}").alias("bk"),
-        )
-        c = a.join(b, "bk").filter(F.col("a_id") < F.col("b_id")).select(
-            "a_id", "b_id", "a_hash", "b_hash"
-        )
-        cands = c if cands is None else cands.unionAll(c)
+    bands = h.select(
+        "asset_id",
+        "hash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"), F.col(f"b{k}").alias("band")
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("e"),
+    ).select("asset_id", "hash", "e.k", "e.band")
+    a, b = bands.alias("a"), bands.alias("b")
     return (
-        cands.distinct()
-        .withColumn(
-            "hamming",
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.asset_id") < F.col("b.asset_id")),
+        )
+        .select(
+            F.col("a.asset_id").alias("a_id"),
+            F.col("b.asset_id").alias("b_id"),
             F.bit_count(
-                F.col("a_hash").bitwiseXOR(F.col("b_hash"))
-            ).cast("long"),
+                F.col("a.hash").bitwiseXOR(F.col("b.hash"))
+            ).cast("long").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .select("a_id", "b_id", "hamming")
+        .distinct()
     )
 
 

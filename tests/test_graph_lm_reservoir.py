@@ -222,3 +222,25 @@ def test_phash_identical_and_noisy_assets(spark):
     assert rows[(1, 2)] == 0
     assert rows.get((1, 3), 99) <= 6  # single-byte corner change
     assert (1, 4) not in rows and (2, 4) not in rows and (3, 4) not in rows
+
+
+def test_ahash_band_keys_nonnegative_with_sign_bit(spark):
+    """Regression: a hash with bit 63 set (negative int64) must still
+    produce band keys in [0, 65535] — sign-following % gave a NEGATIVE
+    top-band key that could never match a positive key with identical
+    band bits."""
+    from flink_cdc_log_connectors_spark.operators.multimodal import (
+        ahash_assets,
+    )
+
+    # bright first thumbnail pixel, dark rest -> bit 63 (p=0) set
+    grid = bytearray([255] + [0] * 255)
+    assets = spark.createDataFrame(
+        [(1, grid), (2, bytearray([0] * 128 + [255] + [0] * 127))],
+        "asset_id long, payload binary",
+    )
+    rows = ahash_assets(assets).collect()
+    assert any(r["hash"] < 0 for r in rows)  # the sign bit case is real
+    for r in rows:
+        for i in range(4):
+            assert 0 <= r[f"b{i}"] <= 0xFFFF, (r["asset_id"], i, r[f"b{i}"])
