@@ -307,8 +307,8 @@ per_session AS (
   FROM sessions GROUP BY user_id, session_id
 )
 SELECT user_id, COUNT(*) AS n_sessions,
-       SUM(n_events) AS total_events,
-       MAX(n_events) AS max_session_events,
+       CAST(SUM(n_events) AS BIGINT) AS total_events,
+       CAST(MAX(n_events) AS BIGINT) AS max_session_events,
        MIN(session_start) AS first_ts,
        MAX(session_end) AS last_ts
 FROM per_session GROUP BY user_id ORDER BY user_id
