@@ -286,11 +286,57 @@ def lsh_signature(vec_col: Column) -> Column:
     return sig_udf(vec_col)
 
 
+def lsh_plane_bits(expected_docs: int) -> int:
+    """Planes-per-band for sign-LSH at a given corpus size — the same
+    ``n²/2^w`` random-collision argument as ``dedup.simhash_band_bits``
+    (expected random band collisions stay O(n) when ``w ≥ log2 n``).
+    Clamped to [PLANE_BITS, 24]: true-pair recall falls as ``p^w`` with
+    band width, so never widen past what the corpus size demands."""
+    import math
+
+    if expected_docs < 2:
+        return PLANE_BITS
+    return max(PLANE_BITS, min(24, math.ceil(math.log2(expected_docs))))
+
+
+def lsh_band_values(
+    vec_col: Column, n_bands: int = LSH_BANDS, plane_bits: int = PLANE_BITS
+) -> Column:
+    """Sign-LSH band values as ``array<long>`` (``n_bands`` entries) —
+    the width-parameterized generalization of :func:`lsh_signature`,
+    free of the 64-bit packing cap (``n_bands × plane_bits`` can exceed
+    one long).  Plane ``p = k·plane_bits + j`` contributes bit ``j`` of
+    band ``k``; for the default 8×8 geometry the band values are
+    bit-identical to slicing the packed signature, so widening is a pure
+    superset change.  One numpy matmul per Arrow batch, map-only."""
+    import numpy as np
+    import pandas as pd
+
+    n_planes = n_bands * plane_bits
+    planes_t = [
+        [_plane_weight(p, d) for p in range(n_planes)] for d in range(DIM)
+    ]  # DIM × n_planes
+
+    def _bands(emb):
+        if len(emb) == 0:
+            return pd.Series([], dtype="object")
+        m = np.stack(emb.to_numpy()).astype(np.float64)
+        bits = (m @ np.asarray(planes_t) > 0).astype(np.int64)  # B × n_planes
+        weights = np.int64(1) << (np.arange(n_planes, dtype=np.int64) % plane_bits)
+        vals = (bits * weights).reshape(len(m), n_bands, plane_bits).sum(axis=2)
+        return pd.Series(list(vals))
+
+    _bands.__annotations__ = {"emb": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_bands, "array<long>")(vec_col)
+
+
 def lsh_cosine_pairs(
     df: DataFrame,
     min_sim: float = 0.4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    plane_bits: int | None = None,
+    expected_docs: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by sign-LSH banding + exact cosine verification.
     Probabilistic recall (banding); exact precision (re-verified).
@@ -301,31 +347,54 @@ def lsh_cosine_pairs(
     vector crosses the exchange once per side of the (small) candidate
     set instead of 8× through the band explode.  The signature UDF pass
     is persisted (it feeds both join sides).
+
+    Band width: ``plane_bits=None`` (the default) sizes bands from the
+    corpus via :func:`lsh_plane_bits` — ``expected_docs`` skips the
+    sizing ``count()`` when the caller knows the cardinality.  Pass an
+    explicit ``plane_bits`` to pin the geometry (the oracle-checked
+    registry entry pins 8 so checked results never depend on corpus
+    size); widths beyond 8 use the array-banded signature
+    (:func:`lsh_band_values`) — identical plane indexing, no 64-bit
+    packing cap.
     """
     from ..caching import persist_tracked
 
-    sigs = persist_tracked(
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            lsh_signature(F.col(vec_col)).alias("sig"),
-        )
-    )
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(k).alias("k"),
-                        F.shiftrightunsigned(F.col("sig"), PLANE_BITS * k)
-                        .bitwiseAND(F.lit((1 << PLANE_BITS) - 1))
-                        .alias("band"),
-                    )
-                    for k in range(LSH_BANDS)
-                ]
+    if plane_bits is None:
+        n = expected_docs if expected_docs is not None else df.count()
+        plane_bits = lsh_plane_bits(n)
+    if plane_bits == PLANE_BITS:
+        sigs = persist_tracked(
+            df.select(
+                F.col(id_col).alias("doc_id"),
+                lsh_signature(F.col(vec_col)).alias("sig"),
             )
-        ).alias("e"),
-    ).select("doc_id", "e.k", "e.band")
+        )
+        bands = sigs.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("k"),
+                            F.shiftrightunsigned(F.col("sig"), PLANE_BITS * k)
+                            .bitwiseAND(F.lit((1 << PLANE_BITS) - 1))
+                            .alias("band"),
+                        )
+                        for k in range(LSH_BANDS)
+                    ]
+                )
+            ).alias("e"),
+        ).select("doc_id", "e.k", "e.band")
+    else:
+        sigs = persist_tracked(
+            df.select(
+                F.col(id_col).alias("doc_id"),
+                lsh_band_values(F.col(vec_col), LSH_BANDS, plane_bits).alias(
+                    "bv"
+                ),
+            )
+        )
+        bands = sigs.select("doc_id", F.posexplode("bv").alias("k", "band"))
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -363,7 +432,12 @@ def lsh_cosine_pairs(
 
 def simsearch_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_cosine_pairs(emb, min_sim=0.4).orderBy("d1", "d2")
+    # plane_bits pinned: the oracle re-derives the 8×8 geometry in SQL, so
+    # the checked result must not float with corpus size (the planner
+    # default is exercised by tests/test_plans.py + the 10× scale smoke).
+    return lsh_cosine_pairs(emb, min_sim=0.4, plane_bits=PLANE_BITS).orderBy(
+        "d1", "d2"
+    )
 
 
 def _lsh_cosine_sql() -> str:

@@ -38,7 +38,7 @@ OUT = "/tmp/spark_graft_scale10"
 #: the fixture construction changes so a cached dir from an older recipe
 #: (e.g. pre-r5, where events.parquet was a SYMLINK to the unscaled base)
 #: is rebuilt instead of silently measured as "10x" data
-RECIPE = "v2-scaled-events"
+RECIPE = "v3-maxid-stride"
 
 #: the entries whose 100 TB story most depends on sub-quadratic candidate
 #: generation / bounded shuffles
@@ -66,6 +66,12 @@ ENTRIES = [
     "lm_doc_bigram_bits",
     "corpus_chunk_windows",
     "graph_triangle_count",
+    # r6: the planner-driven default simhash path (not a registry entry —
+    # injected in main): picks narrow 15-bit bands at sf0.1 (5k docs) and
+    # auto-switches to the wide 30-bit fingerprint at 10× (50k docs >
+    # 2^15), so its ratio should track the measured wide number (~3.2×),
+    # not the narrow saturation (~5.3×)
+    "dedup_simhash_auto",
 ]
 
 
@@ -148,11 +154,15 @@ def synthesize(spark) -> None:
     # within a copy while key cardinality and the hot-key fan-in
     # (event_id % 10 = 0 → k=-1 in changelog_skew_hotkey) both grow 10×
     ev = load_table(spark, BASE, "events")
-    n_events = ev.count()
+    # stride by max(id)+1, not count(): sparse/offset event_id values
+    # would otherwise collide across copies and distort the scaled key
+    # distribution (incl. the event_id % 10 hot-key ratio the smoke
+    # measures)
+    max_event = ev.agg(F.max("event_id")).first()[0] + 1
     max_user = ev.agg(F.max("user_id")).first()[0] + 1
     ev_copies = [
         ev.select(
-            (F.col("event_id") + F.lit(i * n_events)).alias("event_id"),
+            (F.col("event_id") + F.lit(i * max_event)).alias("event_id"),
             "ts",
             (F.col("user_id") + F.lit(i * max_user)).alias("user_id"),
             "event_type",
@@ -186,7 +196,17 @@ def main() -> None:
 
     spark = get_spark("scale-smoke", master="local[32]")
     synthesize(spark)
-    qs = all_queries()
+    qs = dict(all_queries())
+
+    def _simhash_auto_entry(spark, sf_dir):
+        from flink_cdc_log_connectors_spark.io import load_table
+        from flink_cdc_log_connectors_spark.operators.dedup import (
+            simhash_dedup_auto,
+        )
+
+        return simhash_dedup_auto(load_table(spark, sf_dir, "documents"))
+
+    qs["dedup_simhash_auto"] = (_simhash_auto_entry, None)
     print(f"{'entry':28s} {'sf0.1':>8s} {'10x':>8s} {'ratio':>6s}")
     worst = 0.0
     for name in ENTRIES:

@@ -29,6 +29,28 @@ from flink_cdc_log_connectors_spark.registry import all_queries
 from flink_cdc_log_connectors_spark.session import get_spark
 
 
+# DuckDB result types whose stringification differs between fetch paths
+# (native client vs pandas .df()): HUGEINT/UHUGEINT map to float64/object in
+# pandas, so "57" becomes "57.0" under a pandas-based comparator even when
+# the values are identical.  Every oracle must CAST sums of integer columns
+# to BIGINT (the repo-wide discipline; sessionize_events was red for three
+# rounds on exactly this).
+AMBIGUOUS_ORACLE_TYPES = ("HUGEINT", "UHUGEINT")
+
+
+def lint_oracle_types(con, sql: str) -> list[str]:
+    """DESCRIBE the oracle in DuckDB and return ``"col TYPE"`` strings for
+    any output column whose type stringifies differently across DuckDB
+    fetch paths (currently the int128 family).  Empty list = clean."""
+    rows = con.execute(f"DESCRIBE {sql}").fetchall()
+    bad = []
+    for col, typ, *_ in rows:
+        base = typ.upper()
+        if any(base.startswith(t) or f"({t}" in base for t in AMBIGUOUS_ORACLE_TYPES):
+            bad.append(f"{col} {typ}")
+    return bad
+
+
 def normalize_cell(v) -> str:
     import datetime
     import math
@@ -95,12 +117,15 @@ def main() -> int:
             if len(srows) == 0:
                 failures.append((name, "zero rows (rows-only check)"))
             continue
+        type_lint = lint_oracle_types(con, sql)
         t0 = time.time()
         res = con.execute(sql)
         dcols = [d[0] for d in res.description]
         drows = res.fetchall()
         t_duck = time.time() - t0
         problems = []
+        if type_lint:
+            problems.append(f"oracle type lint: {type_lint}")
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
         if len(srows) != len(drows):
