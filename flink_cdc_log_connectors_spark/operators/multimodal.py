@@ -551,6 +551,15 @@ def mm_phash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mm_phash_sql() -> str:
+    """DuckDB twin of the aHash band pipeline.
+
+    ASCII-only assumption (shared with the ``mm_resize`` oracle): the
+    oracle derives "pixels" with character-based ``length(text)`` /
+    ``substring`` / ``ascii``, while the Spark side hashes UTF-8 BYTES of
+    the payload (``attach_binary_payload`` uses ``encode(text, 'UTF-8')``)
+    — identical only while octet == codepoint, which holds for the
+    synthetic corpus (verified ASCII).  A multibyte corpus would need the
+    oracle grid rebuilt over ``encode(text)`` byte semantics."""
     out = OUT_SIDE
     n_px = out * out
     picks = (

@@ -305,7 +305,191 @@ ORDER BY doc_id, rk
 """
 
 
+# --------------------------------------------------------------------------
+# Hybrid retrieval: lexical ∪ semantic candidates fused by RRF
+# --------------------------------------------------------------------------
+
+#: fixed query documents (ids present at every scale factor); each plays
+#: both roles — its text drives the lexical leg, its embedding (same id
+#: space: vec_id == doc_id for embedded docs) the semantic leg
+HYBRID_QUERY_IDS = (3, 11, 23, 42)
+HYBRID_LEG_K = 20     #: per-leg candidate depth
+HYBRID_TOPK = 10      #: fused results per query
+RRF_K = 60            #: Cormack/Clarke/Buettcher reciprocal-rank constant
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_ids: tuple[int, ...] = HYBRID_QUERY_IDS,
+    leg_k: int = HYBRID_LEG_K,
+    topk: int = HYBRID_TOPK,
+) -> DataFrame:
+    """Hybrid retrieval: per query, the top-``leg_k`` documents by
+    LEXICAL similarity (distinct-token overlap with the query text) and
+    by SEMANTIC similarity (embedding cosine), fused with reciprocal-rank
+    fusion ``Σ 1/(60 + rank)`` — the standard union-of-retrievers shape
+    every RAG/training-data pipeline runs (BM25 ∪ ANN → fuse).
+
+    Scale shape: both query sides are broadcast literals (|queries| rows);
+    each leg is ONE map-only scoring pass over its corpus followed by a
+    skinny per-query top-k window (query_id, doc_id, score — no text or
+    vectors cross the rank exchange); the fusion join is candidate-sized
+    (≤ 2·leg_k rows per query).  Documents without embeddings simply have
+    no semantic leg (realistic: the embedded subset lags the corpus).
+
+    Determinism: overlap is an integer; cosine is the sequential-fold dot
+    product rounded to 6 before ranking; ranks tie-break on doc_id; the
+    RRF score is a sum of two reciprocals of small integers — bit-equal
+    across engines.
+    """
+    from ..functions.text import tokens
+    from .similarity import cosine, with_norm
+
+    spark = docs.sparkSession
+
+    # ---- lexical leg: distinct-token overlap ---------------------------
+    qtext = docs.filter(F.col("doc_id").isin(*query_ids)).select(
+        F.col("doc_id").alias("query_id"), tokens("text").alias("qt")
+    )
+    lex_scores = (
+        docs.select("doc_id", tokens("text").alias("dt"))
+        .join(F.broadcast(qtext), F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.size(F.array_intersect("qt", "dt")).alias("overlap"),
+        )
+        .filter(F.col("overlap") > 0)
+    )
+    w_lex = Window.partitionBy("query_id").orderBy(
+        F.col("overlap").desc(), F.col("doc_id")
+    )
+    lex = (
+        lex_scores.withColumn("r_lex", F.row_number().over(w_lex))
+        .filter(F.col("r_lex") <= leg_k)
+        .select("query_id", "doc_id", "r_lex")
+    )
+
+    # ---- semantic leg: cosine over the embedded subset -----------------
+    en = with_norm(emb, "embedding")
+    qv = en.filter(F.col("vec_id").isin(*query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("norm2").alias("qn"),
+    )
+    sem_scores = en.join(
+        F.broadcast(qv), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.round(
+            cosine(F.col("qe"), F.col("embedding"), F.col("qn"), F.col("norm2")),
+            6,
+        ).alias("cos"),
+    )
+    w_sem = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("doc_id")
+    )
+    sem = (
+        sem_scores.withColumn("r_sem", F.row_number().over(w_sem))
+        .filter(F.col("r_sem") <= leg_k)
+        .select("query_id", "doc_id", "r_sem")
+    )
+
+    # ---- RRF fusion ------------------------------------------------------
+    fused = (
+        lex.join(sem, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(RRF_K) + F.col("r_lex")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(RRF_K) + F.col("r_sem")), F.lit(0.0)
+                )
+            ).alias("rrf"),
+        )
+    )
+    w_f = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("rk", F.row_number().over(w_f))
+        .filter(F.col("rk") <= topk)
+        .select(
+            "query_id", "doc_id", F.round("rrf", 9).alias("rrf_score"), "rk"
+        )
+    )
+
+
+def hybrid_rrf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hybrid_rrf_topk(docs, emb).orderBy("query_id", "rk")
+
+
+def _hybrid_rrf_sql() -> str:
+    from .similarity import _dot_sql
+
+    toks = TOKENS_SQL.format(col="text")
+    dot = _dot_sql("q.embedding", "e.embedding")
+    qn = _dot_sql("q.embedding", "q.embedding")
+    en = _dot_sql("e.embedding", "e.embedding")
+    ids = ", ".join(str(i) for i in HYBRID_QUERY_IDS)
+    return f"""
+WITH qt AS (
+  SELECT doc_id AS query_id, {toks} AS qtok FROM documents
+  WHERE doc_id IN ({ids})
+),
+lex_scores AS (
+  SELECT q.query_id, d.doc_id,
+         len(list_intersect(q.qtok, {toks})) AS overlap
+  FROM qt q JOIN documents d ON d.doc_id != q.query_id
+),
+lex AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY overlap DESC, doc_id) AS r_lex
+  FROM lex_scores WHERE overlap > 0
+  QUALIFY r_lex <= {HYBRID_LEG_K}
+),
+sem_scores AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+         round(({dot}) / (sqrt({qn}) * sqrt({en})), 6) AS cos
+  FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+  WHERE q.vec_id IN ({ids})
+),
+sem AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, doc_id) AS r_sem
+  FROM sem_scores
+  QUALIFY r_sem <= {HYBRID_LEG_K}
+),
+fused AS (
+  SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+         COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + l.r_lex),
+                  CAST(0.0 AS DOUBLE))
+           + COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + s.r_sem),
+                      CAST(0.0 AS DOUBLE)) AS rrf
+  FROM lex l FULL OUTER JOIN sem s
+    ON l.query_id = s.query_id AND l.doc_id = s.doc_id
+)
+SELECT query_id, doc_id, round(rrf, 9) AS rrf_score,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf DESC, doc_id) AS INT) AS rk
+FROM fused
+QUALIFY rk <= {HYBRID_TOPK}
+ORDER BY query_id, rk
+"""
+
+
 SEARCH_QUERIES = {
     "text_bm25_topk": (bm25_query, _bm25_sql()),
     "text_keywords": (keywords_query, _keywords_sql()),
+    "search_hybrid_rrf": (hybrid_rrf_query, _hybrid_rrf_sql()),
 }

@@ -1204,6 +1204,171 @@ ORDER BY late_minutes
 """
 
 
+def temporal_asof_replay_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable witness for the STREAMING event-time temporal join
+    (``streaming/temporal_join.py`` — Flink's ``JOIN dim FOR SYSTEM_TIME AS
+    OF fact.rowtime`` over a CDC-fed versioned dimension; reference's
+    flagship enrichment pattern per SURVEY §2.9/§3.1).
+
+    Deterministic replay: the events table is rebadged as ONE totally
+    ordered change log carrying two tables —
+
+    - dims  (``event_id % 3 == 0``): versioned (user_id → price, ver)
+      upserts at the event's timestamp; every 4th (``% 12 == 0``) is a
+      DELETE (facts between a delete and the next version match nothing);
+    - facts (``event_id % 3 == 1``): (event_id, user_id, value) rowtimes.
+
+    The log is replayed through the real ``TemporalJoin.process_batch``
+    machinery in three time-contiguous microbatches (days 1–10 / 11–20 /
+    21–31 — contiguity preserves log order across batch boundaries, the
+    same property a real offset-ordered CDC read has), exercising version
+    history, watermark buffering, delete tombstones, and the final-verdict
+    emit path.  The checked output is the materialized view: every fact at
+    or behind the final dim watermark, enriched with the dim version valid
+    at ITS event time.  The DuckDB oracle states the same semantics
+    declaratively (latest version at-or-before rowtime, delete = no match,
+    emitted iff rowtime ≤ max dim rowtime).
+
+    Witness-scale only: the global day-split ranks nothing, but the replay
+    materializes per-batch state under a temp dir — at 100 TB this runs as
+    the actual stream (``materialize_temporal_join``), not a batch replay.
+    """
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..functions.datetime import epoch_micros
+    from ..streaming.joins import JoinSide
+    from ..streaming.temporal_join import TemporalJoin
+
+    fact_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    dim_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("price", T.DoubleType()),
+            T.StructField("ver", T.LongType()),
+        ]
+    )
+    fact_side = JoinSide(
+        table="facts", physical=fact_schema, key="event_id", join_col="user_id"
+    )
+    dim_side = JoinSide(
+        table="dims", physical=dim_schema, key="user_id", join_col="user_id"
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        epoch_micros("ts").alias("ts_us"),
+        F.dayofmonth("ts").alias("day"),
+    )
+
+    def _src(table: str) -> Column:
+        return F.struct(
+            F.lit("replay").alias("db"),
+            F.lit(table).alias("table"),
+            F.col("ts_us").alias("ts_ms"),
+            F.lit("log.0").alias("file"),
+            F.col("event_id").alias("pos"),
+        )
+
+    dim_img = F.struct(
+        F.col("user_id"),
+        F.col("value").alias("price"),
+        F.col("event_id").alias("ver"),
+    )
+    is_del = F.col("event_id") % 12 == 0
+    dim_env = base.filter(F.col("event_id") % 3 == 0).select(
+        F.to_json(
+            F.struct(
+                F.when(is_del, dim_img).alias("before"),
+                F.when(~is_del, dim_img).alias("after"),
+                F.when(is_del, F.lit("d")).otherwise(F.lit("c")).alias("op"),
+                F.col("ts_us").alias("ts_ms"),
+                _src("dims").alias("source"),
+            )
+        ).alias("value"),
+        F.lit("log.0").alias("file"),
+        F.col("event_id").alias("pos"),
+        "day",
+    )
+    fact_img = F.struct("event_id", "user_id", "value")
+    fact_env = base.filter(F.col("event_id") % 3 == 1).select(
+        F.to_json(
+            F.struct(
+                fact_img.alias("after"),
+                F.lit("c").alias("op"),
+                F.col("ts_us").alias("ts_ms"),
+                _src("facts").alias("source"),
+            )
+        ).alias("value"),
+        F.lit("log.0").alias("file"),
+        F.col("event_id").alias("pos"),
+        "day",
+    )
+    raw = dim_env.unionByName(fact_env)
+
+    tj = TemporalJoin(
+        fact_side,
+        dim_side,
+        tempfile.mkdtemp(prefix="tj_replay_"),
+        how="inner",
+        n_buckets=8,
+    )
+    for epoch, (lo, hi) in enumerate(((1, 10), (11, 20), (21, 31))):
+        tj.process_batch(
+            raw.filter(F.col("day").between(lo, hi)).select(
+                "value", "file", "pos"
+            ),
+            epoch_id=epoch,
+        )
+    view = tj.read_view(spark)
+    return view.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.col("fact_ts_ms").alias("fact_ts_us"),
+        "d_price",
+        "d_ver",
+    ).orderBy("event_id")
+
+
+TEMPORAL_ASOF_REPLAY_SQL = """
+WITH ev AS (
+  SELECT event_id, epoch_us(ts) AS ts_us, user_id, value FROM events
+),
+dim AS (
+  SELECT user_id, value AS price, event_id AS ver, ts_us, event_id AS pos,
+         CASE WHEN event_id % 12 = 0 THEN 'd' ELSE 'c' END AS op
+  FROM ev WHERE event_id % 3 = 0
+),
+fct AS (
+  SELECT event_id, user_id, value, ts_us FROM ev WHERE event_id % 3 = 1
+),
+j AS (
+  SELECT f.event_id, f.user_id, f.value, f.ts_us AS fact_ts_us,
+         d.price, d.ver, d.op,
+         ROW_NUMBER() OVER (PARTITION BY f.event_id
+                            ORDER BY d.ts_us DESC, d.pos DESC) AS rk
+  FROM fct f JOIN dim d ON d.user_id = f.user_id AND d.ts_us <= f.ts_us
+)
+SELECT event_id, user_id, value, fact_ts_us,
+       price AS d_price, ver AS d_ver
+FROM j
+WHERE rk = 1 AND op <> 'd'
+  AND fact_ts_us <= (SELECT MAX(ts_us) FROM dim)
+ORDER BY event_id
+"""
+
+
 TEMPORAL_QUERIES = {
     "cdc_asof_join": (asof_query, ASOF_SQL),
     "cdc_scd2_history": (scd2_query, SCD2_SQL),
@@ -1223,5 +1388,12 @@ TEMPORAL_QUERIES = {
     "events_watermark_planning": (
         watermark_planning_query,
         WATERMARK_PLANNING_SQL,
+    ),
+    # r6: the streaming temporal join's deterministic batch replay — the
+    # hardest streaming semantics (versioned dim, watermark buffering,
+    # delete tombstones, final verdicts) gain a full value-oracle witness
+    "temporal_asof_replay": (
+        temporal_asof_replay_query,
+        TEMPORAL_ASOF_REPLAY_SQL,
     ),
 }

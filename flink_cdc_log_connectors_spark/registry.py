@@ -117,6 +117,12 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         out.update(LM_QUERIES)
     except ImportError:
         pass
+    try:
+        from .operators.replay import REPLAY_QUERIES
+
+        out.update(REPLAY_QUERIES)
+    except ImportError:
+        pass
     return _driver_window_order(out)
 
 
@@ -132,72 +138,72 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
 #: every round by the committed scripts/selfcheck.py run
 #: (SELFCHECK_r{N}.json).
 _DRIVER_WINDOW_PRIORITY = [
-    # (b) code changed this round: sessionize_events reshaped limit-free
-    # (VERDICT r4 next-round #1 — the one red driver row; its full-output
-    # twin events_session_window_tvf proved the gap arithmetic green)
+    # r6 rotation (VERDICT r5 next-round #3): (a) code changed this
+    # round — the sessionize oracle HUGEINT cast must land a green row
     "sessionize_events",
-    # (c) new in r5 — unproven until their first driver row (appended as
-    # the round progresses, kept ahead of the stale-refresh band)
-    "changelog_skew_hotkey",
-    "q35_order_priority_check",
-    "q36_shipmode_priority",
-    "q37_waiting_suppliers",
-    "q38_disjunctive_revenue",
-    "q39_nation_profit",
-    "graph_triangle_count",
-    "corpus_reservoir_topk",
-    "lm_bigram_train",
-    "corpus_chunk_windows",
-    # (d) stale-evidence refresh: every entry whose last driver row is
-    # r1/r2 (39 of them; the 50-row window holds priority (b)+(c)+39)
-    "q09_rollup",
-    "q09b_cube",
-    "q10a_topk_window",
-    "q10b_running_sum",
-    "q11_topk",
-    "q12a_intersect",
-    "q12b_except",
-    "q12c_union_agg",
-    "q13_scalars",
-    "q14_changelog_materialize",
-    "q14b_changelog_maxby",
-    "q15_op_breakdown",
-    "q16_tumbling_window",
-    "q17_json_extract",
-    "q18_correlated_subquery",
-    "q19_pivot",
-    "q20_percentiles",
-    "q21_token_freq",
-    "q22_grouping_sets",
-    "q23_shipping_priority",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "ann_cosine_topk",
-    "ann_hamming_topk",
-    "ann_ivf_label",
-    "ann_ivf_multiprobe",
-    "simsearch_int8_pairs",
-    "simsearch_lsh_cosine",
-    "text_token_stats",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_bpe_tokens",
-    "text_rarity_quality",
-    "text_decontaminate",
-    "text_winnow_fingerprint",
-    "pipeline_clean_corpus",
-    # past the 50-row driver window this round (selfcheck-covered; lead
-    # the r6 window): the r5-late entries
-    "lm_doc_bigram_bits",
-    "ann_ivf_recall",
-    "events_watermark_planning",
-    "lm_stupid_backoff",
-    "corpus_snapshot_diff",
-    "agg_salted_hotkey",
+    # (b) the 7 entries that have NEVER had a driver row (r5-late)
     "mm_phash_pairs",
+    "lm_stupid_backoff",
+    "agg_salted_hotkey",
+    "ann_ivf_recall",
+    "corpus_snapshot_diff",
+    "events_watermark_planning",
+    "lm_doc_bigram_bits",
+    # (c) new in r6: the streaming-machinery replay witnesses + hybrid
+    # retrieval fusion
+    "temporal_asof_replay",
+    "changelog_join_replay",
+    "search_hybrid_rrf",
+    # (d) stale refresh: every entry whose last driver row is r3 (48;
+    # the 50-row window takes the first ~41, the rest lead r7)
+    "agg_heavy_hitters",
+    "agg_kmv_distinct",
+    "ann_ivf_pq",
+    "bpe_merge_candidates",
+    "cdc_asof_join",
+    "cdc_parse_throughput",
+    "cdc_scd2_history",
+    "corpus_importance_sample",
+    "corpus_mix_weights",
+    "corpus_quality_filter",
+    "corpus_stratified_sample",
+    "dedup_clusters",
+    "dedup_containment",
+    "dedup_keep_best",
+    "dedup_substring_span",
+    "emb_kmeans_assign",
+    "emb_outlier_dist",
+    "events_anomaly_zscore",
+    "events_cep_adjacent",
+    "events_cumulate_window",
+    "events_funnel",
+    "events_hop_window",
+    "events_markov_transitions",
+    "events_retention",
+    "events_top_paths",
+    "hypertable_delta",
+    "hypertable_downsample",
+    "hypertable_fill_values",
+    "hypertable_first_last",
+    "hypertable_gapfill",
+    "hypertable_histogram",
+    "hypertable_rollup",
+    "join_bloom_prune",
+    "layout_zorder_key",
+    "mm_audio_rms",
+    "mm_binary_meta",
+    "mm_decode_features",
+    "mm_frame_sample",
+    "mm_resize",
+    "pipeline_dedup_corpus",
+    "q24_local_supplier_volume",
+    "text_bm25_topk",
+    "text_cross_entropy",
+    "text_keywords",
+    "text_length_quartiles",
+    "text_ngram_novelty",
+    "text_pii_redact",
+    "text_repetition_stats",
 ]
 
 

@@ -14,12 +14,12 @@ Mirrors the reference's offset/startup machinery:
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from enum import Enum
 from typing import Any
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, order=True)
 class LogOffset:
     """Position in the change log: (file, pos), totally ordered.
 
@@ -27,36 +27,19 @@ class LogOffset:
     state (gtid set, events/rows-to-skip past a not-row-granular position,
     and an offset ``kind`` discriminator) so a future live-MySQL dialect
     can carry them WITHOUT an offset-format migration: they serialize only
-    when set, deserialize when present, and are excluded from ordering —
-    comparison stays (file, pos), exactly the reference's
-    ``BinlogOffset.compareTo`` fallback when gtid sets are absent."""
+    when set, deserialize when present, and are ``compare=False`` — so
+    ordering AND equality/hash are consistently (file, pos), exactly the
+    reference's ``BinlogOffset.compareTo`` fallback when gtid sets are
+    absent.  (Equality deliberately matches the ordering key: two offsets
+    at the same log position ARE the same position for stop-offset and
+    dedup checks, regardless of carried skip-state.)"""
 
     file: str
     pos: int
-    gtid_set: str | None = None
-    events_to_skip: int = 0
-    rows_to_skip: int = 0
-    kind: str | None = None
-
-    def __lt__(self, other):  # type: ignore[override]
-        if not isinstance(other, LogOffset):
-            return NotImplemented
-        return (self.file, self.pos) < (other.file, other.pos)
-
-    def __le__(self, other):  # type: ignore[override]
-        if not isinstance(other, LogOffset):
-            return NotImplemented
-        return (self.file, self.pos) <= (other.file, other.pos)
-
-    def __gt__(self, other):  # type: ignore[override]
-        if not isinstance(other, LogOffset):
-            return NotImplemented
-        return (self.file, self.pos) > (other.file, other.pos)
-
-    def __ge__(self, other):  # type: ignore[override]
-        if not isinstance(other, LogOffset):
-            return NotImplemented
-        return (self.file, self.pos) >= (other.file, other.pos)
+    gtid_set: str | None = field(default=None, compare=False)
+    events_to_skip: int = field(default=0, compare=False)
+    rows_to_skip: int = field(default=0, compare=False)
+    kind: str | None = field(default=None, compare=False)
 
     def to_json(self) -> dict[str, Any]:
         d: dict[str, Any] = {"file": self.file, "pos": self.pos}

@@ -93,6 +93,12 @@ def test_offset_json_roundtrip_reserved_fields():
     assert not rich < plain and not plain < rich
     assert LogOffset("mysql-bin.000003", 5000) > rich
     assert sorted([rich, LogOffset("mysql-bin.000002", 9)])[0].file.endswith("2")
+    # total-order CONSISTENCY: comparison, equality, and hash all use the
+    # same (file, pos) key — a <= b and b <= a must imply a == b even when
+    # the reserved fields differ (stop-offset equality / dedup soundness)
+    assert rich <= plain and plain <= rich
+    assert rich == plain and hash(rich) == hash(plain)
+    assert len({rich, plain}) == 1
 
 
 def test_startup_parse_edge_cases():
