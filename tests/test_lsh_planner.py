@@ -45,6 +45,76 @@ def test_lsh_plane_bits_pinned_values():
     assert lsh_plane_bits(2**40) == 24          # clamp: recall falls as p^w
 
 
+def test_lsh_plan_properties():
+    """lsh_plan invariants for arbitrary thresholds/widths: returns a
+    divisor factorization, the achieved threshold is the true S-curve
+    value, and no other factorization lands closer to the request."""
+    from hypothesis import given, strategies as st
+
+    from flink_cdc_log_connectors_spark.operators.dedup import lsh_plan
+
+    @given(
+        st.floats(min_value=0.01, max_value=0.99),
+        st.sampled_from([8, 16, 32, 64, 128]),
+    )
+    def check(threshold, n_hashes):
+        b, r, t = lsh_plan(threshold, n_hashes)
+        assert b * r == n_hashes
+        assert abs(t - (1.0 / b) ** (1.0 / r)) < 1e-12
+        for r2 in range(1, n_hashes + 1):
+            if n_hashes % r2:
+                continue
+            t2 = (1.0 / (n_hashes // r2)) ** (1.0 / r2)
+            assert abs(t - threshold) <= abs(t2 - threshold) + 1e-12
+
+    check()
+
+
+def test_band_bits_planners_monotone():
+    """Both width planners are monotone in corpus size and clamped —
+    a bigger corpus never gets a narrower band."""
+    from flink_cdc_log_connectors_spark.operators.dedup import (
+        simhash_band_bits,
+    )
+
+    prev_s = prev_p = 0
+    for n in (1, 10, 100, 10**3, 10**4, 10**5, 10**6, 10**9, 10**12, 2**99):
+        s, p = simhash_band_bits(n), lsh_plane_bits(n)
+        assert s >= prev_s and p >= prev_p
+        assert 8 <= s <= 60 and PLANE_BITS <= p <= 24
+        prev_s, prev_p = s, p
+
+
+def test_minhash_bands_planned_from_threshold(spark, sf_dir):
+    """minhash_dedup_pairs defaults its banding from the VERIFY threshold
+    via lsh_plan: at the registry's 0.2 threshold the planner picks 16×2
+    (S-curve 0.25) over the historical 8×4 (0.59) — and planned
+    candidates are a SUPERSET at the low threshold, so every pinned-band
+    verified pair survives (verification is exact either way)."""
+    from flink_cdc_log_connectors_spark.operators.dedup import (
+        BANDS,
+        NUM_HASHES,
+        lsh_plan,
+        minhash_dedup_pairs,
+    )
+
+    assert lsh_plan(0.2, NUM_HASHES)[:2] == (16, 2)
+    assert lsh_plan(0.59, NUM_HASHES)[:2] == (8, 4)
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    pinned = {
+        (r.d1, r.d2)
+        for r in minhash_dedup_pairs(docs, bands=BANDS).collect()
+    }
+    planned = {
+        (r.d1, r.d2) for r in minhash_dedup_pairs(docs).collect()
+    }
+    # 16×2 bands are unions of 8×4 bands' rows? No — but every pair that
+    # agrees on one 4-row band agrees on both its 2-row halves, so the
+    # planned (2-row) candidate set contains the pinned (4-row) one.
+    assert pinned <= planned
+
+
 def test_auto_picks_narrow_then_wide(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(40)
     narrow = {
