@@ -66,6 +66,9 @@ ENTRIES = [
     "lm_doc_bigram_bits",
     "corpus_chunk_windows",
     "graph_triangle_count",
+    # r6: hybrid retrieval — broadcast query legs + skinny rank windows
+    # must hold as the corpus grows (query count fixed)
+    "search_hybrid_rrf",
     # r6: the planner-driven default simhash path (not a registry entry —
     # injected in main): picks narrow 15-bit bands at sf0.1 (5k docs) and
     # auto-switches to the wide 30-bit fingerprint at 10× (50k docs >
