@@ -440,15 +440,20 @@ def simsearch_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_cosine_sql() -> str:
-    """DuckDB twin of the FULL sign-LSH pipeline.  The hyperplanes are
-    md5-seeded (``_plane_weight``), so the oracle re-derives the SAME
-    weights from the same formula in SQL — no plane literals shipped.
-    Band values are built directly from the per-plane sign bits
-    (band k = Σ 2^(p mod 8) over planes 8k..8k+7 with dot > 0), which is
-    bit-identical to slicing the packed 64-bit signature and sidesteps
-    signed/unsigned shift skew entirely.  Verification is the sequential
-    fold dot product — bit-exact across engines."""
+def _lsh_cosine_sql(
+    plane_bits: int = PLANE_BITS, n_bands: int = LSH_BANDS
+) -> str:
+    """DuckDB twin of the FULL sign-LSH pipeline, parameterized by band
+    geometry.  The hyperplanes are md5-seeded (``_plane_weight``), so the
+    oracle re-derives the SAME weights from the same formula in SQL — no
+    plane literals shipped, for ANY plane count (the wide entry uses
+    planes the packed 64-bit signature can't hold).  Band values are
+    built directly from the per-plane sign bits (band k = Σ 2^(p mod w)
+    over planes wk..wk+w with dot > 0), which is bit-identical to both
+    the packed-signature slices (w=8) and the array-banded signature
+    (w>8).  Verification is the sequential fold dot product — bit-exact
+    across engines."""
+    n_planes = n_bands * plane_bits
     dot_ab = _dot_sql("a.embedding", "b.embedding")
     norm = _dot_sql("embedding", "embedding")
     return f"""
@@ -456,7 +461,7 @@ WITH planes AS (
   SELECT p, d,
          (('0x' || substring(md5('plane:' || p || ':' || d), 1, 16))::UBIGINT
           % 2000003) / 1000001.5 - 1.0 AS w
-  FROM (SELECT unnest(range({NUM_PLANES})) AS p)
+  FROM (SELECT unnest(range({n_planes})) AS p)
   CROSS JOIN (SELECT unnest(range({DIM})) AS d)
 ),
 vx AS (
@@ -468,9 +473,9 @@ dots AS (
   FROM vx JOIN planes USING (d) GROUP BY vec_id, p
 ),
 bands AS (
-  SELECT vec_id, p // {PLANE_BITS} AS k,
-         sum(CASE WHEN dot > 0 THEN (1 << (p % {PLANE_BITS})) ELSE 0 END) AS band
-  FROM dots GROUP BY vec_id, p // {PLANE_BITS}
+  SELECT vec_id, p // {plane_bits} AS k,
+         sum(CASE WHEN dot > 0 THEN (1 << (p % {plane_bits})) ELSE 0 END) AS band
+  FROM dots GROUP BY vec_id, p // {plane_bits}
 ),
 cand AS (
   SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
@@ -483,6 +488,19 @@ FROM cand c JOIN n a ON a.vec_id = c.d1 JOIN n b ON b.vec_id = c.d2
 WHERE {dot_ab} / (sqrt(a.norm2) * sqrt(b.norm2)) >= 0.4
 ORDER BY d1, d2
 """
+
+
+def simsearch_lsh_wide_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ARRAY-BANDED sign-LSH path (``lsh_band_values``) under a full
+    value oracle: 12-bit bands × 8 bands = 96 hyperplanes — more than
+    the packed 64-bit signature can hold, so this exercises exactly the
+    geometry the corpus-size planner (``lsh_plane_bits``) switches to on
+    large corpora.  Wider bands ⇒ fewer random candidates (n²/2¹² per
+    band vs n²/2⁸); precision unchanged (exact cosine re-verification)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_cosine_pairs(emb, min_sim=0.4, plane_bits=12).orderBy(
+        "d1", "d2"
+    )
 
 
 def ivf_multiprobe_topk(
@@ -1245,6 +1263,10 @@ SIMILARITY_QUERIES = {
     # every LSH/probe family below is deterministic (md5-seeded planes /
     # one-pass centroids) and carries a FULL value oracle
     "simsearch_lsh_cosine": (simsearch_lsh_query, _lsh_cosine_sql()),
+    "simsearch_lsh_wide": (
+        simsearch_lsh_wide_query,
+        _lsh_cosine_sql(plane_bits=12),
+    ),
     "ann_ivf_multiprobe": (ann_multiprobe_query, ANN_MULTIPROBE_SQL),
     "simsearch_int8_pairs": (quantized_pairs_query, _quantized_sql()),
     "ann_hamming_topk": (ann_hamming_query, _hamming_sql()),

@@ -154,6 +154,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "temporal_asof_replay",
     "changelog_join_replay",
     "search_hybrid_rrf",
+    "simsearch_lsh_wide",
+    "dedup_minhash_planned",
     # (d) stale refresh: every entry whose last driver row is r3 (48;
     # the 50-row window takes the first ~41, the rest lead r7)
     "agg_heavy_hitters",
