@@ -34,8 +34,11 @@ from flink_cdc_log_connectors_spark.session import get_spark
 # pandas, so "57" becomes "57.0" under a pandas-based comparator even when
 # the values are identical.  Every oracle must CAST sums of integer columns
 # to BIGINT (the repo-wide discipline; sessionize_events was red for three
-# rounds on exactly this).
-AMBIGUOUS_ORACLE_TYPES = ("HUGEINT", "UHUGEINT")
+# rounds on exactly this).  DECIMAL is the same class ("1.20" native vs
+# 1.2 float64) — intermediate DECIMAL arithmetic is fine (and used for
+# 2-decimal exactness), but every output column must cast to DOUBLE/BIGINT;
+# verified repo-wide clean before adding it here.
+AMBIGUOUS_ORACLE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
 
 
 def lint_oracle_types(con, sql: str) -> list[str]:

@@ -50,6 +50,23 @@ def test_lint_clean_on_cast_sum(con):
     )
 
 
+def test_lint_fires_on_decimal_output(con):
+    # DECIMAL outputs stringify "1.20" natively vs 1.2 via pandas — the
+    # same ambiguity class; intermediates are fine, outputs must cast
+    bad = lint_oracle_types(
+        con, "SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders"
+    )
+    assert bad == ["p DECIMAL(18,2)"]
+    assert (
+        lint_oracle_types(
+            con,
+            "SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)"
+            " AS p FROM orders",
+        )
+        == []
+    )
+
+
 def test_lint_fires_inside_nested_types(con):
     bad = lint_oracle_types(
         con, "SELECT LIST_VALUE(SUM(o_orderkey)) AS l FROM orders"
