@@ -1227,7 +1227,9 @@ def temporal_asof_replay_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     or behind the final dim watermark, enriched with the dim version valid
     at ITS event time.  The DuckDB oracle states the same semantics
     declaratively (latest version at-or-before rowtime, delete = no match,
-    emitted iff rowtime ≤ max dim rowtime).
+    emitted iff rowtime STRICTLY below the max dim rowtime — the strict
+    finality bound of the r6 watermark fix; here the two bounds coincide
+    because event timestamps are unique, so no fact shares a dim's ts).
 
     Witness-scale only: the global day-split ranks nothing, but the replay
     materializes per-batch state under a temp dir — at 100 TB this runs as
@@ -1364,7 +1366,7 @@ SELECT event_id, user_id, value, fact_ts_us,
        price AS d_price, ver AS d_ver
 FROM j
 WHERE rk = 1 AND op <> 'd'
-  AND fact_ts_us <= (SELECT MAX(ts_us) FROM dim)
+  AND fact_ts_us < (SELECT MAX(ts_us) FROM dim)
 ORDER BY event_id
 """
 

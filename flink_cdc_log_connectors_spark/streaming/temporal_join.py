@@ -15,10 +15,13 @@ Semantics implemented (matching Flink's event-time temporal join):
 - a fact joins the LATEST dim version with ``valid_ms <= fact.ts_ms``
   (same-millisecond dim changes are visible, offset order breaking ties);
 - facts are BUFFERED until the dim watermark (max dim/heartbeat source ts
-  seen) passes their event time — a fact is only emitted once no earlier
-  dim version can still arrive, so results are immune to cross-stream
-  arrival skew;  once emitted, a verdict is final (any later dim change
-  carries a later timestamp and could not have matched).
+  seen) passes STRICTLY beyond their event time — a fact is only emitted
+  once no version at-or-before its rowtime can still arrive (source
+  timestamps are non-decreasing in offset order, so completeness is only
+  guaranteed strictly below the max seen ts: a same-ms dim change may
+  still follow in a later microbatch), making results immune to
+  cross-stream arrival skew AND to batch boundaries splitting a same-ms
+  tie group;  once emitted, a verdict is final.
 
 Mechanics per microbatch (foreachBatch):
 
@@ -26,7 +29,7 @@ Mechanics per microbatch (foreachBatch):
    (keyed by (dim key, log offset) — replay upserts the same rows:
    idempotent);  heartbeats (op='h') advance the watermark only.
 2. add this batch's facts to the pending buffer;
-3. emit every pending fact whose ts ≤ watermark: hash-join on the dim
+3. emit every pending fact whose ts < watermark: hash-join on the dim
    key against history, keep versions at-or-before the fact, rank to the
    latest, tombstone the emitted keys out of the buffer, upsert results
    into the output view (atomic manifest swap).
@@ -188,15 +191,23 @@ class TemporalJoin:
         else:
             all_facts = facts
 
-        # inclusive bound: the CDC log is totally ordered, so by the time
-        # the dim watermark REACHES ts every log entry at ts has been read
-        # (a later same-ms dim change would occupy a later offset and
-        # arrive before or with the watermark advancing past ts)
+        # STRICT bound: source timestamps are non-decreasing in offset
+        # order, so having SEEN ts only proves entries with ts' < ts are
+        # complete — another same-ms dim change may still arrive in a
+        # later microbatch (ms-resolution logs tie constantly, and a
+        # batch boundary can split the tie group).  Emitting at
+        # `_fact_ms == wm` therefore risks a premature final verdict
+        # pinning the earlier same-ms version; `<` is the exact
+        # completeness the max-seen watermark can assert.  (Flink emits
+        # at == because ITS source watermark carries a "no more ≤ t"
+        # contract; a max-seen watermark does not.)  Tail facts at the
+        # high-water mark flush when heartbeats advance wm past them —
+        # the reference's heartbeat feature exists for exactly this.
         if wm is None:
             ready = all_facts.limit(0)
         else:
             ready = all_facts.filter(
-                F.col("_fact_ms") <= F.lit(wm)
+                F.col("_fact_ms") < F.lit(wm)
             ).localCheckpoint(eager=True)
         has_ready = ready.limit(1).count() > 0
         pending_rows = facts.withColumn("op", F.lit("c")).withColumn(

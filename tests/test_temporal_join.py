@@ -115,6 +115,8 @@ def test_temporal_join_delete_closes_version(spark, tmp_path):
             env("trades", "c", {"t_id": 1, "sym": "A", "qty": 1}, pos=3, ts=150),
             env("trades", "c", {"t_id": 2, "sym": "A", "qty": 2}, pos=4, ts=250),
             env("trades", "c", {"t_id": 3, "sym": "A", "qty": 3}, pos=5, ts=300),
+            # heartbeat pushes wm past the ts=300 fact (strict emit bound)
+            env("prices", "h", pos=6, ts=350),
         ]),
         epoch_id=0,
     )
@@ -141,8 +143,10 @@ def test_temporal_join_inner_drops_deleted_window(spark, tmp_path):
 
 
 def test_temporal_join_same_ms_dim_change_visible(spark, tmp_path):
-    # a dim version stamped at exactly the fact's ts IS visible (offset
-    # order: the fact reads the state as of its log position's time)
+    # a dim version stamped at exactly the fact's ts IS visible
+    # (valid_ms <= rowtime is inclusive) — but the verdict only becomes
+    # final once the watermark passes STRICTLY beyond the fact's ts
+    # (another same-ms version could still arrive; see the split test)
     tj = TemporalJoin(FACT, DIM, str(tmp_path / "tj"), how="inner")
     tj.process_batch(
         raw_df(spark, [
@@ -151,7 +155,38 @@ def test_temporal_join_same_ms_dim_change_visible(spark, tmp_path):
         ]),
         epoch_id=0,
     )
+    assert view(spark, tj) == {}  # wm == ts: not final yet
+    tj.process_batch(
+        raw_df(spark, [env("prices", "h", pos=2, ts=101)]), epoch_id=1
+    )
     assert view(spark, tj)[1] == (1, 10.0)
+
+
+def test_temporal_join_same_ms_split_across_batches(spark, tmp_path):
+    """REGRESSION (r6): two dim changes at the SAME source millisecond
+    with the microbatch boundary between them — the fact at that ms must
+    join the LATER (higher-offset) version.  The pre-r6 inclusive emit
+    bound (`_fact_ms <= wm`) issued a premature final verdict at the end
+    of batch 0, pinning the earlier same-ms version forever."""
+    tj = TemporalJoin(FACT, DIM, str(tmp_path / "tj"), how="inner")
+    tj.process_batch(
+        raw_df(spark, [
+            env("prices", "c", {"sym": "A", "px": 10.0}, pos=0, ts=100),
+            env("trades", "c", {"t_id": 1, "sym": "A", "qty": 1}, pos=1, ts=100),
+        ]),
+        epoch_id=0,
+    )
+    assert view(spark, tj) == {}
+    tj.process_batch(
+        raw_df(spark, [
+            env("prices", "u", {"sym": "A", "px": 20.0},
+                before={"sym": "A", "px": 10.0}, pos=2, ts=100),
+            env("prices", "h", pos=3, ts=101),
+        ]),
+        epoch_id=1,
+    )
+    # the same-ms, higher-offset version wins — not the batch-0 snapshot
+    assert view(spark, tj)[1] == (1, 20.0)
 
 
 def test_temporal_join_replay_idempotent(spark, tmp_path):
@@ -159,6 +194,7 @@ def test_temporal_join_replay_idempotent(spark, tmp_path):
     batch = raw_df(spark, [
         env("prices", "c", {"sym": "A", "px": 10.0}, pos=0, ts=100),
         env("trades", "c", {"t_id": 1, "sym": "A", "qty": 5}, pos=1, ts=100),
+        env("prices", "h", pos=2, ts=150),
     ])
     tj.process_batch(batch, epoch_id=0)
     before = view(spark, tj)
@@ -169,8 +205,9 @@ def test_temporal_join_replay_idempotent(spark, tmp_path):
     tj.process_batch(
         raw_df(spark, [
             env("prices", "u", {"sym": "A", "px": 20.0},
-                before={"sym": "A", "px": 10.0}, pos=2, ts=200),
-            env("trades", "c", {"t_id": 2, "sym": "A", "qty": 6}, pos=3, ts=200),
+                before={"sym": "A", "px": 10.0}, pos=3, ts=200),
+            env("trades", "c", {"t_id": 2, "sym": "A", "qty": 6}, pos=4, ts=200),
+            env("prices", "h", pos=5, ts=250),
         ]),
         epoch_id=1,
     )
@@ -208,8 +245,9 @@ def test_temporal_join_streaming_end_to_end_with_restart(spark, tmp_path):
 
     run_once()
     tj = TemporalJoin(FACT, DIM, out)
-    # trade 1 emitted at wm=100; trade 2 (ts=500) still buffered
-    assert view(spark, tj) == {1: (5, 10.0)}
+    # wm == 100 == trade 1's ts: strict emit bound keeps BOTH trades
+    # buffered across the restart (another same-ms price could follow)
+    assert view(spark, tj) == {}
 
     with open(log_dir / "log-000002.jsonl", "w") as fh:
         fh.write(env("prices", "u", {"sym": "A", "px": 20.0},
