@@ -24,6 +24,28 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 
+#: one replay state dir per (process, prefix, sf_dir), removed at exit —
+#: repeated harness calls (bench minima, scale smoke) REUSE the dir
+#: instead of leaking a fresh mkdtemp each run; safe because the replay
+#: is idempotent (same epochs, keyed upserts — pytest-proven for both
+#: machineries), so re-processing on top of final state reproduces the
+#: same view.
+_REPLAY_DIRS: dict[tuple[str, str], str] = {}
+
+
+def replay_state_dir(prefix: str, sf_dir: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    key = (prefix, sf_dir)
+    path = _REPLAY_DIRS.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix=f"{prefix}_")
+        _REPLAY_DIRS[key] = path
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
 
 def changelog_join_replay_query(
     spark: SparkSession, sf_dir: str
@@ -49,8 +71,6 @@ def changelog_join_replay_query(
     enriched with that latest state — exactly the oracle's
     row_number-over-rowtime formulation.
     """
-    import tempfile
-
     from pyspark.sql import types as T
 
     from ..functions.datetime import epoch_micros
@@ -145,7 +165,7 @@ def changelog_join_replay_query(
     join = ChangelogJoin(
         left,
         right,
-        tempfile.mkdtemp(prefix="cj_replay_"),
+        replay_state_dir("cj_replay", sf_dir),
         how="inner",
         n_buckets=8,
     )

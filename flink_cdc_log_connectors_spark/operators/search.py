@@ -346,8 +346,6 @@ def hybrid_rrf_topk(
     from ..functions.text import tokens
     from .similarity import cosine, with_norm
 
-    spark = docs.sparkSession
-
     # ---- lexical leg: distinct-token overlap ---------------------------
     qtext = docs.filter(F.col("doc_id").isin(*query_ids)).select(
         F.col("doc_id").alias("query_id"), tokens("text").alias("qt")

@@ -1235,13 +1235,12 @@ def temporal_asof_replay_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializes per-batch state under a temp dir — at 100 TB this runs as
     the actual stream (``materialize_temporal_join``), not a batch replay.
     """
-    import tempfile
-
     from pyspark.sql import types as T
 
     from ..functions.datetime import epoch_micros
     from ..streaming.joins import JoinSide
     from ..streaming.temporal_join import TemporalJoin
+    from .replay import replay_state_dir
 
     fact_schema = T.StructType(
         [
@@ -1321,7 +1320,7 @@ def temporal_asof_replay_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     tj = TemporalJoin(
         fact_side,
         dim_side,
-        tempfile.mkdtemp(prefix="tj_replay_"),
+        replay_state_dir("tj_replay", sf_dir),
         how="inner",
         n_buckets=8,
     )

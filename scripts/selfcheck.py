@@ -49,7 +49,10 @@ def lint_oracle_types(con, sql: str) -> list[str]:
     bad = []
     for col, typ, *_ in rows:
         base = typ.upper()
-        if any(base.startswith(t) or f"({t}" in base for t in AMBIGUOUS_ORACLE_TYPES):
+        # plain substring match: catches the bare types AND any nesting
+        # (HUGEINT[], STRUCT(n HUGEINT), MAP(INTEGER, DECIMAL(18,2)), ...)
+        # — no DuckDB type name contains these words otherwise
+        if any(t in base for t in AMBIGUOUS_ORACLE_TYPES):
             bad.append(f"{col} {typ}")
     return bad
 

@@ -100,6 +100,13 @@ def test_minhash_bands_planned_from_threshold(spark, sf_dir):
 
     assert lsh_plan(0.2, NUM_HASHES)[:2] == (16, 2)
     assert lsh_plan(0.59, NUM_HASHES)[:2] == (8, 4)
+    # high thresholds would plan r=8+ unconstrained, which the 15-bit
+    # band packing cannot hold in a 64-bit bucket — the default path
+    # plans under max_rows_per_band=4 and gets the widest representable
+    # geometry instead of an unpackable one (pre-fix: F.lit(1<<105)
+    # AssertionError deep in plan construction)
+    assert lsh_plan(0.75, NUM_HASHES)[:2] == (4, 8)
+    assert lsh_plan(0.75, NUM_HASHES, max_rows_per_band=4)[:2] == (8, 4)
 
     docs = load_table(spark, sf_dir, "documents").limit(60)
     pinned = {
@@ -113,6 +120,25 @@ def test_minhash_bands_planned_from_threshold(spark, sf_dir):
     # agrees on one 4-row band agrees on both its 2-row halves, so the
     # planned (2-row) candidate set contains the pinned (4-row) one.
     assert pinned <= planned
+
+    # the high-threshold default path must not crash (plans 8×4 under the
+    # packing cap, not the unpackable 4×8)
+    high = minhash_dedup_pairs(
+        docs.limit(20), threshold_num=3, threshold_den=4
+    ).collect()
+    assert isinstance(high, list)
+
+    import pytest
+
+    from flink_cdc_log_connectors_spark.operators.dedup import (
+        _band_bucket,
+        _minhash_sql,
+    )
+
+    with pytest.raises(ValueError, match="at most 4 rows"):
+        _band_bucket(0, rows_per_band=8)
+    with pytest.raises(ValueError, match="at most 4 rows"):
+        _minhash_sql(bands=4)
 
 
 def test_auto_picks_narrow_then_wide(spark, sf_dir):

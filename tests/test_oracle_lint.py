@@ -72,6 +72,19 @@ def test_lint_fires_inside_nested_types(con):
         con, "SELECT LIST_VALUE(SUM(o_orderkey)) AS l FROM orders"
     )
     assert bad and bad[0].startswith("l ")
+    # STRUCT- and MAP-nested int128/decimal outputs are the same
+    # ambiguity class and must fire too (pre-r6 the matcher only caught
+    # leading/list positions)
+    assert lint_oracle_types(
+        con, "SELECT {'n': SUM(o_orderkey)} AS st FROM orders"
+    )
+    assert lint_oracle_types(
+        con, "SELECT MAP([1], [SUM(o_orderkey)]) AS m FROM orders"
+    )
+    assert lint_oracle_types(
+        con,
+        "SELECT {'p': CAST(o_totalprice AS DECIMAL(18,2))} AS st FROM orders",
+    )
 
 
 def test_every_registered_oracle_is_int128_free(con):
