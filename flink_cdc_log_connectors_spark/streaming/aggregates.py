@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..sources.debezium import CHANGELOG_ORDER_BY, offset_sort_columns, parse_debezium
-from .statetable import PartitionedStateTable
+from .statetable import PartitionedStateTable, null_safe_on
 
 
 class ChangelogAggregate:
@@ -140,16 +140,23 @@ class ChangelogAggregate:
         state = self.fact_state.read(spark)
         fresh = None
         if state is not None:
+            # NULL-safe membership: GROUP BY keeps a NULL group; a plain
+            # column-list semi-join would drop (and then tombstone) it
             member = state.join(
-                F.broadcast(touched), self.group_cols, "leftsemi"
+                F.broadcast(touched),
+                null_safe_on(state, touched, self.group_cols),
+                "leftsemi",
             )
             fresh = member.groupBy(*self.group_cols).agg(*self._agg_exprs())
 
         # 4. groups now empty → tombstones; everything else → upsert
         if fresh is not None:
             alive = fresh.withColumn("op", F.lit("c"))
+            fresh_keys = fresh.select(*self.group_cols)
             gone = touched.join(
-                fresh.select(*self.group_cols), self.group_cols, "left_anti"
+                fresh_keys,
+                null_safe_on(touched, fresh_keys, self.group_cols),
+                "left_anti",
             )
         else:
             alive = None

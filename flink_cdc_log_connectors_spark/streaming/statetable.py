@@ -49,6 +49,28 @@ from pyspark.sql import functions as F
 
 from ..operators.changelog import apply_changelog
 
+
+def null_safe_on(left: DataFrame, right: DataFrame, cols: Sequence[str]):
+    """NULL-safe multi-column equi-join condition (SQL ``<=>``) between
+    two frames' same-named columns.
+
+    Group/partition maintenance joins MUST use this instead of a plain
+    column-name list: SQL GROUP BY (and Spark's ``groupBy``) treat NULL
+    as a real group value, but a column-list join is null-UNSAFE, so a
+    semi-join on touched groups silently drops every NULL-keyed group
+    from the maintained view (and the anti-join then tombstones it) —
+    rows with a NULL group column would simply vanish.  Key-equi joins
+    (fact⋈dim) are the opposite case and stay null-unsafe on purpose: a
+    NULL join key matches nothing in SQL."""
+    import functools
+    import operator
+
+    if not cols:
+        raise ValueError("null_safe_on needs at least one column")
+    return functools.reduce(
+        operator.and_, [left[c].eqNullSafe(right[c]) for c in cols]
+    )
+
 _MANIFEST = "_manifest.json"
 _DATA = "_data"
 

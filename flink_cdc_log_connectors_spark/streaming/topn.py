@@ -51,7 +51,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from ..sources.debezium import CHANGELOG_ORDER_BY, offset_sort_columns, parse_debezium
-from .statetable import PartitionedStateTable
+from .statetable import PartitionedStateTable, null_safe_on
 
 #: injected partition column for global (un-partitioned) Top-N
 _GLOBAL = "__all"
@@ -136,8 +136,13 @@ class ChangelogTopN:
         state = self.fact_state.read(spark)
         fresh = None
         if state is not None:
-            member = self._with_partition(state).join(
-                F.broadcast(touched), self.partition_cols, "leftsemi"
+            # NULL-safe membership: a NULL partition value is a real
+            # Top-N partition (GROUP BY semantics) — see null_safe_on
+            state_p = self._with_partition(state)
+            member = state_p.join(
+                F.broadcast(touched),
+                null_safe_on(state_p, touched, self.partition_cols),
+                "leftsemi",
             )
             fresh = (
                 member.withColumn(
@@ -155,8 +160,13 @@ class ChangelogTopN:
                 F.max("rn").alias("__m")
             )
             have = touched.join(
-                counts, self.partition_cols, "left"
-            ).withColumn("__m", F.coalesce(F.col("__m"), F.lit(0)))
+                counts,
+                null_safe_on(touched, counts, self.partition_cols),
+                "left",
+            ).select(
+                *[touched[c] for c in self.partition_cols],
+                F.coalesce(counts["__m"], F.lit(0)).alias("__m"),
+            )
         tomb = have.filter(F.col("__m") < self.n).select(
             *self.partition_cols,
             F.explode(

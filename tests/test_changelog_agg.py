@@ -279,3 +279,42 @@ def test_continuous_aggregate_time_bucket_view(spark, tmp_path):
         epoch_id=2,
     )
     assert cview() == {0: (1, 5.0), 7200: (1, 7.0)}
+
+
+def test_aggregate_null_group_is_a_real_group(spark, tmp_path):
+    """REGRESSION (r6): GROUP BY keeps a NULL group, so the maintained
+    view must too.  The pre-fix touched-group semi/anti joins were
+    null-UNSAFE: rows with a NULL group column silently vanished from
+    the view (and the anti-join tombstoned the group every batch)."""
+    agg = make_agg(tmp_path, "nullgrp")
+    agg.process_batch(
+        raw_df(spark, [
+            env("c", {"o_id": 1, "cust_id": None, "amount": 5.0}, pos=0),
+            env("c", {"o_id": 2, "cust_id": 7, "amount": 3.0}, pos=1),
+            env("c", {"o_id": 3, "cust_id": None, "amount": 2.0}, pos=2),
+        ]),
+        epoch_id=0,
+    )
+    got = view(spark, agg)
+    assert got[None][:2] == (2, 7.0)
+    assert got[7][:2] == (1, 3.0)
+    # updating a NULL-group row re-points it: NULL group retracts to 1 row
+    agg.process_batch(
+        raw_df(spark, [
+            env("u", {"o_id": 1, "cust_id": 7, "amount": 5.0},
+                before={"o_id": 1, "cust_id": None, "amount": 5.0}, pos=3),
+        ]),
+        epoch_id=1,
+    )
+    got = view(spark, agg)
+    assert got[None][:2] == (1, 2.0)
+    assert got[7][:2] == (2, 8.0)
+    # deleting the last NULL-group row tombstones the NULL group
+    agg.process_batch(
+        raw_df(spark, [
+            env("d", before={"o_id": 3, "cust_id": None, "amount": 2.0}, pos=4),
+        ]),
+        epoch_id=2,
+    )
+    got = view(spark, agg)
+    assert None not in got and got[7][:2] == (2, 8.0)

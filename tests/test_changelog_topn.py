@@ -264,3 +264,33 @@ def test_topn_schema_widening_mid_stream(spark, tmp_path):
            for r in t2.read_view(spark).collect()}
     # new leader carries the new column; displaced old row keeps NULL
     assert got == {3: (1, "eu"), 2: (2, None)}
+
+
+def test_topn_null_partition_is_a_real_partition(spark, tmp_path):
+    """REGRESSION (r6): a NULL partition value is a real Top-N partition
+    (GROUP BY semantics); the pre-fix null-unsafe touched-partition
+    joins dropped its rows from the view and emitted full tombstones."""
+    topn = make_topn(tmp_path, n=2, name="nullpart")
+    topn.process_batch(
+        raw_df(spark, [
+            env("c", {"o_id": 1, "cust_id": None, "amount": 9.0}, pos=0),
+            env("c", {"o_id": 2, "cust_id": None, "amount": 7.0}, pos=1),
+            env("c", {"o_id": 3, "cust_id": None, "amount": 8.0}, pos=2),
+            env("c", {"o_id": 4, "cust_id": 5, "amount": 1.0}, pos=3),
+        ]),
+        epoch_id=0,
+    )
+    df = topn.read_view(spark)
+    got = {(r["cust_id"], r["rn"]): r["o_id"] for r in df.collect()}
+    assert got[(None, 1)] == 1 and got[(None, 2)] == 3  # 9.0, 8.0
+    assert got[(5, 1)] == 4
+    # deleting the NULL partition's top row promotes the runner-up
+    topn.process_batch(
+        raw_df(spark, [
+            env("d", before={"o_id": 1, "cust_id": None, "amount": 9.0}, pos=4),
+        ]),
+        epoch_id=1,
+    )
+    got = {(r["cust_id"], r["rn"]): r["o_id"]
+           for r in topn.read_view(spark).collect()}
+    assert got[(None, 1)] == 3 and got[(None, 2)] == 2
