@@ -222,6 +222,29 @@ def offset_order(df: DataFrame) -> list[Column]:
     ]
 
 
+def retract_before_images(df: DataFrame) -> DataFrame:
+    """Rewrite each update's BEFORE-image row to an explicit retraction
+    (op ``'u'`` + ``img_seq == 0`` → op ``'d'``) — Flink's UPDATE_BEFORE
+    semantics (reference consumers rely on Flink retracting the old row
+    before applying the new one).
+
+    Why keyed-state consumers need this: a per-key last-write-wins merge
+    keyed on the table's PRIMARY KEY sees a key-STABLE update's two
+    images under one key (the after-image wins the image rank — the
+    rewrite changes nothing), but a PK-CHANGING update's images land
+    under DIFFERENT keys: without the rewrite, the old key's latest row
+    is the live-looking before-image — a ghost that survives forever.
+    With it, the old key retracts and the new key upserts, exactly
+    UPDATE_BEFORE/UPDATE_AFTER.  Apply AFTER :func:`parse_debezium`,
+    BEFORE any keyed state merge."""
+    op = F.col("op")
+    img = F.col("_src.img_seq")
+    return df.withColumn(
+        "op",
+        F.when((op == OP_UPDATE) & (img == 0), F.lit(OP_DELETE)).otherwise(op),
+    )
+
+
 def offset_sort_columns(df: DataFrame) -> DataFrame:
     """Append null-safe offset sort keys (``_off_file``, ``_off_pos``,
     ``_off_img``) usable directly as ``apply_changelog(order_by=...)`` —

@@ -39,7 +39,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..sources.debezium import CHANGELOG_ORDER_BY, offset_sort_columns, parse_debezium
+from ..sources.debezium import (
+    CHANGELOG_ORDER_BY,
+    offset_sort_columns,
+    parse_debezium,
+    retract_before_images,
+)
 from .statetable import PartitionedStateTable, null_safe_on
 
 
@@ -114,8 +119,13 @@ class ChangelogAggregate:
     def process_batch(self, raw_batch: DataFrame, epoch_id: int) -> None:
         spark = raw_batch.sparkSession
         table_of = F.get_json_object(F.col("value"), "$.source.table")
-        parsed = parse_debezium(
-            raw_batch.filter(table_of == self.table), self.physical
+        # retract_before_images: PK-changing updates retract the old fact
+        # key from state (UPDATE_BEFORE semantics); group re-pointing was
+        # already covered by before-image group touching
+        parsed = retract_before_images(
+            parse_debezium(
+                raw_batch.filter(table_of == self.table), self.physical
+            )
         )
         if self.derive is not None:
             parsed = self.derive(parsed)

@@ -44,6 +44,7 @@ from ..sources.debezium import (
     CHANGELOG_ORDER_BY,
     offset_sort_columns,
     parse_debezium,
+    retract_before_images,
 )
 from .statetable import PartitionedStateTable
 
@@ -106,14 +107,22 @@ class ChangelogJoin:
     def process_batch(self, raw_batch: DataFrame, epoch_id: int) -> None:
         spark = raw_batch.sparkSession
         table_of = F.get_json_object(F.col("value"), "$.source.table")
+        # retract_before_images: PK-changing updates retract the old key
+        # (UPDATE_BEFORE semantics) — see the helper's docstring
         lb = offset_sort_columns(
-            parse_debezium(
-                raw_batch.filter(table_of == self.left.table), self.left.physical
+            retract_before_images(
+                parse_debezium(
+                    raw_batch.filter(table_of == self.left.table),
+                    self.left.physical,
+                )
             )
         ).localCheckpoint(eager=True)
         rb = offset_sort_columns(
-            parse_debezium(
-                raw_batch.filter(table_of == self.right.table), self.right.physical
+            retract_before_images(
+                parse_debezium(
+                    raw_batch.filter(table_of == self.right.table),
+                    self.right.physical,
+                )
             )
         ).localCheckpoint(eager=True)
 

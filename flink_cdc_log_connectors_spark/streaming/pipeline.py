@@ -110,6 +110,15 @@ def materialize_changelog(
     table = PartitionedStateTable(output_path, list(keys), n_buckets=n_buckets)
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        # UPDATE_BEFORE semantics for PK-changing updates: the before
+        # image retracts its (old) key — without this a key-changing 'u'
+        # leaves the old key live with stale values.  Key-stable updates
+        # are unaffected (the after image out-ranks the before image at
+        # the same offset either way).
+        if op_col == "op" and "_src" in batch.columns:
+            from ..sources.debezium import retract_before_images
+
+            batch = retract_before_images(batch)
         table.upsert(batch, order_by=list(order_by), epoch_id=epoch_id, op_col=op_col)
 
     return (
@@ -332,6 +341,12 @@ def fanout_by_table(
     """
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        if "_src" in batch.columns:
+            from ..sources.debezium import retract_before_images
+
+            # UPDATE_BEFORE retraction for PK-changing updates (see
+            # materialize_changelog)
+            batch = retract_before_images(batch)
         batch = batch.persist()
         try:
             names = tables

@@ -50,7 +50,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..sources.debezium import parse_debezium
+from ..sources.debezium import parse_debezium, retract_before_images
 from .joins import JoinSide
 from .statetable import PartitionedStateTable
 
@@ -119,15 +119,17 @@ class TemporalJoin:
         dim_parsed = parse_debezium(
             raw_batch.filter(table_of == self.dim.table), self.dim.physical
         )
-        # final image per source offset (an update's before-image is not a
-        # version); heartbeats advance the watermark but store nothing
-        w_img = Window.partitionBy("_src.file", "_src.pos").orderBy(
-            F.coalesce(F.col("_src.img_seq"), F.lit(-1)).desc()
-        )
+        # UPDATE_BEFORE semantics (r6): the update's before-image becomes
+        # an explicit CLOSING version of ITS key ('d' at the update's ts).
+        # For key-stable updates it is shadowed at join time (the rank
+        # orders _vimg desc within an offset, so the after-image wins);
+        # for PK-CHANGING updates it is what retracts the old key —
+        # previously the before-image was dropped and a renamed dim key
+        # kept matching facts forever.  Heartbeats advance the watermark
+        # but store nothing.
         dim_rows = (
-            dim_parsed.filter(F.col("op") != "h")
-            .withColumn("__rn", F.row_number().over(w_img))
-            .filter(F.col("__rn") == 1)
+            retract_before_images(dim_parsed)
+            .filter(F.col("op") != "h")
             .select(
                 *[f.name for f in self.dim.physical.fields],
                 F.col("op").alias("_vop"),

@@ -50,7 +50,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-from ..sources.debezium import CHANGELOG_ORDER_BY, offset_sort_columns, parse_debezium
+from ..sources.debezium import (
+    CHANGELOG_ORDER_BY,
+    offset_sort_columns,
+    parse_debezium,
+    retract_before_images,
+)
 from .statetable import PartitionedStateTable, null_safe_on
 
 #: injected partition column for global (un-partitioned) Top-N
@@ -113,9 +118,13 @@ class ChangelogTopN:
     def process_batch(self, raw_batch: DataFrame, epoch_id: int) -> None:
         spark = raw_batch.sparkSession
         table_of = F.get_json_object(F.col("value"), "$.source.table")
+        # retract_before_images: PK-changing updates retract the old fact
+        # key (UPDATE_BEFORE semantics) — see the helper's docstring
         rows = offset_sort_columns(
-            parse_debezium(
-                raw_batch.filter(table_of == self.table), self.physical
+            retract_before_images(
+                parse_debezium(
+                    raw_batch.filter(table_of == self.table), self.physical
+                )
             )
         ).localCheckpoint(eager=True)
 

@@ -258,3 +258,38 @@ def test_delete_then_reinsert_same_key_one_batch(spark, tmp_path):
         epoch_id=2,
     )
     assert view(spark, join) == {5: (1, 9.0, "ada")}
+
+
+def test_join_pk_changing_dim_update_retracts_old_key(spark, tmp_path):
+    """REGRESSION (r6): a PK-CHANGING dim update must retract the old key
+    (Flink UPDATE_BEFORE semantics).  Pre-fix, the update's before-image
+    stayed in dim state as a live-looking row under the old key, so facts
+    kept joining a renamed dim forever."""
+    join = ChangelogJoin(LEFT, RIGHT, str(tmp_path / "pkj"), how="inner")
+    join.process_batch(
+        raw_df(spark, [
+            env("customers", "c", {"c_id": 1, "name": "ann"}, pos=0),
+            env("orders", "c", {"o_id": 10, "cust_id": 1, "amount": 5.0}, pos=1),
+        ]),
+        epoch_id=0,
+    )
+    # rename customer 1 -> 2 in ONE update envelope
+    join.process_batch(
+        raw_df(spark, [
+            env("customers", "u", {"c_id": 2, "name": "ann"},
+                before={"c_id": 1, "name": "ann"}, pos=2),
+        ]),
+        epoch_id=1,
+    )
+    df = join.read_view(spark)
+    assert df is None or df.count() == 0  # order 10 joins nothing now
+    # re-point the fact to the renamed key: joins the new row
+    join.process_batch(
+        raw_df(spark, [
+            env("orders", "u", {"o_id": 10, "cust_id": 2, "amount": 5.0},
+                before={"o_id": 10, "cust_id": 1, "amount": 5.0}, pos=3),
+        ]),
+        epoch_id=2,
+    )
+    got = {r["o_id"]: r["r_c_id"] for r in join.read_view(spark).collect()}
+    assert got == {10: 2}

@@ -351,3 +351,28 @@ def test_temporal_join_randomized_matches_naive_asof(spark, tmp_path, seed):
             if best[3] != "d":
                 expect[f["t_id"]] = (f["qty"], best[4])
     assert view(spark, tj) == expect
+
+
+def test_temporal_join_pk_changing_dim_update_closes_old_key(spark, tmp_path):
+    """REGRESSION (r6): a PK-CHANGING dim update closes the OLD key's
+    version at the update's rowtime (the before-image becomes an explicit
+    'd' version — UPDATE_BEFORE).  Pre-fix the before-image was dropped,
+    so facts after the rename kept matching the renamed dim forever."""
+    tj = TemporalJoin(FACT, DIM, str(tmp_path / "pkt"), how="inner")
+    tj.process_batch(
+        raw_df(spark, [
+            env("prices", "c", {"sym": "A", "px": 10.0}, pos=0, ts=100),
+            # A renamed to B at ts=200
+            env("prices", "u", {"sym": "B", "px": 11.0},
+                before={"sym": "A", "px": 10.0}, pos=1, ts=200),
+            env("trades", "c", {"t_id": 1, "sym": "A", "qty": 5}, pos=2, ts=250),
+            env("trades", "c", {"t_id": 2, "sym": "A", "qty": 6}, pos=3, ts=150),
+            env("trades", "c", {"t_id": 3, "sym": "B", "qty": 7}, pos=4, ts=250),
+            env("prices", "h", pos=5, ts=300),
+        ]),
+        epoch_id=0,
+    )
+    got = view(spark, tj)
+    # fact@150 sees A's v1; fact@250 on A sees the closing 'd' (no match);
+    # fact@250 on B sees the renamed row
+    assert got == {2: (6, 10.0), 3: (7, 11.0)}
