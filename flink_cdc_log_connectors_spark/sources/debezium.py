@@ -87,6 +87,13 @@ def parse_debezium(
 
     Output columns: ``*physical``, ``op`` (last physical column, per the
     fork's contract), and optionally ``_src`` metadata struct.
+
+    Keyed-state consumers (per-key last-write-wins merges) should pass
+    the result through :func:`retract_before_images` before merging —
+    otherwise a PK-CHANGING update leaves its before-image live under
+    the old key (see that helper's docstring).  Row-stream consumers
+    (filters, routing, window aggregates over after-images) use the
+    parse output as-is.
     """
     # Materialize the parsed envelope in its OWN projection below the
     # explode: the generator's input crosses a GenerateExec boundary where
