@@ -47,6 +47,28 @@ def replay_state_dir(prefix: str, sf_dir: str) -> str:
     return path
 
 
+#: PK-changing updates rename their key by this offset — far outside the
+#: events table's user_id domain (0..~149), so renamed keys collide with
+#: nothing and are reachable only through the envelopes that created them.
+RENAME_OFFSET = 1_000_000
+
+
+def _assert_unique_ts(base: DataFrame) -> None:
+    """The replay fixtures use the microsecond rowtime as the log position
+    AND as the oracle's ROW_NUMBER tie-break, so determinism of both the
+    engine replay and the DuckDB oracle rests on globally unique event
+    timestamps (ADVICE r6: enforce it instead of assuming it)."""
+    n, d = base.agg(
+        F.count(F.lit(1)), F.countDistinct("ts_us")
+    ).first()
+    if n != d:
+        raise ValueError(
+            "replay fixture requires globally unique event timestamps "
+            f"(ts doubles as log pos / oracle tie-break): {n} rows but "
+            f"only {d} distinct ts_us"
+        )
+
+
 def changelog_join_replay_query(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -56,20 +78,36 @@ def changelog_join_replay_query(
     The events table becomes one ordered change log carrying two tables:
 
     - dims  (``event_id % 2 == 0``): upserts of (user_id → score, ver) at
-      the event timestamp; every 5th (``% 10 == 0``) is a DELETE, and
-      ``% 4 == 2`` arrives as an UPDATE envelope (before+after images) —
-      so the latest-state semantics face inserts, updates, deletes, and
-      delete-then-reinsert sequences per key;
+      the event timestamp; every 5th (``% 10 == 0``) is a DELETE,
+      ``% 8 == 6`` arrives as a key-STABLE UPDATE envelope (before+after
+      images, same key), and ``% 8 == 2`` arrives as a PK-CHANGING
+      UPDATE envelope — before-image keyed ``user_id``, after-image
+      keyed ``user_id + RENAME_OFFSET`` — so the latest-state semantics
+      face inserts, updates, deletes, delete-then-reinsert sequences,
+      AND key renames per key;
     - facts (``event_id % 2 == 1``): insert-only (event_id, user_id,
-      value) rows joining the dim on user_id.
+      value) rows joining the dim on user_id; every ``% 20 == 1`` fact
+      references a RENAMED key (``user_id + RENAME_OFFSET``), proving
+      the rename's after-image landed under the new key.
 
     Replayed through ``ChangelogJoin.process_batch`` in three
     time-contiguous microbatches (log position = microsecond rowtime —
-    unique and monotone, so per-key last-write-wins agrees across batch
-    boundaries).  The checked view is the final materialized inner join:
-    every fact whose user's LATEST dim log entry is live (not a delete),
-    enriched with that latest state — exactly the oracle's
-    row_number-over-rowtime formulation.
+    unique and monotone, ASSERTED below, so per-key last-write-wins
+    agrees across batch boundaries).  The checked view is the final
+    materialized inner join: every fact whose user's LATEST dim log
+    entry is live (not a delete and not renamed away), enriched with
+    that latest state — exactly the oracle's row_number-over-rowtime
+    formulation with the rename's UPDATE_BEFORE image closing the old
+    key.
+
+    This fixture DISCRIMINATES the r6 UPDATE_BEFORE fix
+    (``sources/debezium.py`` ``retract_before_images``): pre-fix
+    machinery drops the rename's before-image instead of retracting it,
+    leaving a live-looking ghost (score ``-1.0``, ver ``0``) under the
+    OLD key forever — every fact whose user's last dim entry is a
+    rename would then join the ghost and appear in the view, which the
+    oracle (old key closed at the rename) rejects: the pre-fix engine
+    FAILS this oracle on both row count and values.
     """
     from pyspark.sql import types as T
 
@@ -104,6 +142,7 @@ def changelog_join_replay_query(
         epoch_micros("ts").alias("ts_us"),
         F.dayofmonth("ts").alias("day"),
     )
+    _assert_unique_ts(base)
 
     def _src(table: str) -> Column:
         return F.struct(
@@ -114,29 +153,47 @@ def changelog_join_replay_query(
             F.col("ts_us").alias("pos"),
         )
 
+    e = F.col("event_id")
     dim_img = F.struct(
         F.col("user_id"),
         F.col("value").alias("score"),
-        F.col("event_id").alias("ver"),
+        e.alias("ver"),
     )
-    # a synthetic stale before-image for the update envelopes: only its
-    # presence matters (img_seq ranking must pick the after-image)
+    # the PK-changing update's after-image lands under a RENAMED key
+    ren_img = F.struct(
+        (F.col("user_id") + RENAME_OFFSET).alias("user_id"),
+        F.col("value").alias("score"),
+        e.alias("ver"),
+    )
+    # rename before-image: a vivid ghost marker — if machinery ever fails
+    # to retract it, facts join score=-1.0/ver=0 rows the oracle rejects
+    ren_before = F.struct(
+        F.col("user_id"),
+        F.lit(-1.0).alias("score"),
+        F.lit(0).cast("long").alias("ver"),
+    )
+    # a synthetic stale before-image for key-STABLE update envelopes:
+    # only its presence matters (img_seq ranking must pick the after)
     dim_before = F.struct(
         F.col("user_id"),
         F.lit(0.0).alias("score"),
         F.lit(0).cast("long").alias("ver"),
     )
-    is_del = F.col("event_id") % 10 == 0
-    is_upd = (~is_del) & (F.col("event_id") % 4 == 2)
-    dim_env = base.filter(F.col("event_id") % 2 == 0).select(
+    is_del = e % 10 == 0
+    is_ren = (~is_del) & (e % 8 == 2)
+    is_upd = (~is_del) & (e % 8 == 6)
+    dim_env = base.filter(e % 2 == 0).select(
         F.to_json(
             F.struct(
                 F.when(is_del, dim_img)
+                .when(is_ren, ren_before)
                 .when(is_upd, dim_before)
                 .alias("before"),
-                F.when(~is_del, dim_img).alias("after"),
+                F.when(is_ren, ren_img)
+                .when(~is_del, dim_img)
+                .alias("after"),
                 F.when(is_del, F.lit("d"))
-                .when(is_upd, F.lit("u"))
+                .when(is_ren | is_upd, F.lit("u"))
                 .otherwise(F.lit("c"))
                 .alias("op"),
                 F.col("ts_us").alias("ts_ms"),
@@ -147,10 +204,19 @@ def changelog_join_replay_query(
         F.col("ts_us").alias("pos"),
         "day",
     )
-    fact_env = base.filter(F.col("event_id") % 2 == 1).select(
+    # every %20==1 fact points at a RENAMED key: it must enrich from the
+    # rename's after-image (or drop out, if its user was never renamed)
+    fact_uid = F.when(
+        e % 20 == 1, F.col("user_id") + RENAME_OFFSET
+    ).otherwise(F.col("user_id"))
+    fact_env = base.filter(e % 2 == 1).select(
         F.to_json(
             F.struct(
-                F.struct("event_id", "user_id", "value").alias("after"),
+                F.struct(
+                    e.alias("event_id"),
+                    fact_uid.alias("user_id"),
+                    F.col("value"),
+                ).alias("after"),
                 F.lit("c").alias("op"),
                 F.col("ts_us").alias("ts_ms"),
                 _src("facts").alias("source"),
@@ -160,7 +226,7 @@ def changelog_join_replay_query(
         F.col("ts_us").alias("pos"),
         "day",
     )
-    raw = dim_env.unionByName(fact_env)
+    raw = dim_env.unionByName(fact_env).localCheckpoint(eager=True)
 
     join = ChangelogJoin(
         left,
@@ -182,33 +248,307 @@ def changelog_join_replay_query(
     ).orderBy("event_id")
 
 
+#: Latest-live-state oracle with UPDATE_BEFORE retraction semantics: a
+#: PK-changing update (%8==2, non-delete) contributes TWO log entries —
+#: a 'd' closing the OLD key (img 0) and a 'c' opening the RENAMED key
+#: (img 1).  Key-stable updates' before-images are shadowed by their own
+#: after-image at the same (key, ts, higher img), so only the 'c' row is
+#: emitted for them.  A pre-r6 engine (before-images dropped instead of
+#: retracted) leaves ghosts under old keys and FAILS this oracle.
 CHANGELOG_JOIN_REPLAY_SQL = """
 WITH ev AS (
   SELECT event_id, epoch_us(ts) AS ts_us, user_id, value FROM events
 ),
+de AS (SELECT * FROM ev WHERE event_id % 2 = 0),
 dim_log AS (
-  SELECT user_id, value AS score, event_id AS ver, ts_us,
+  SELECT CASE WHEN event_id % 10 <> 0 AND event_id % 8 = 2
+              THEN user_id + 1000000 ELSE user_id END AS user_id,
+         value AS score, event_id AS ver, ts_us, 1 AS img,
          CASE WHEN event_id % 10 = 0 THEN 'd' ELSE 'c' END AS op
-  FROM ev WHERE event_id % 2 = 0
+  FROM de
+  UNION ALL
+  SELECT user_id, CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT), ts_us, 0, 'd'
+  FROM de WHERE event_id % 10 <> 0 AND event_id % 8 = 2
 ),
 dim_latest AS (
   SELECT user_id, score, ver FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
-                                 ORDER BY ts_us DESC) AS rk
+                                 ORDER BY ts_us DESC, img DESC) AS rk
     FROM dim_log
   ) WHERE rk = 1 AND op <> 'd'
 )
 SELECT f.event_id, f.user_id, f.value,
        d.score AS r_score, d.ver AS r_ver
-FROM (SELECT event_id, user_id, value FROM ev WHERE event_id % 2 = 1) f
+FROM (SELECT event_id,
+             CASE WHEN event_id % 20 = 1 THEN user_id + 1000000
+                  ELSE user_id END AS user_id,
+             value
+      FROM ev WHERE event_id % 2 = 1) f
 JOIN dim_latest d ON d.user_id = f.user_id
 ORDER BY f.event_id
 """
+
+
+# --------------------------------------------------------------------------
+# Keyed single-table CDC fixture shared by the GROUP BY and Top-N replay
+# witnesses (r7: VERDICT r6 next-round #1b/#3).
+# --------------------------------------------------------------------------
+
+#: per-key op cycle by position i (ROW_NUMBER over the key's events):
+#: (i-1) % 8 → 0:INSERT 1:UPDATE 2:UPDATE 3:DELETE 4:INSERT 5:UPDATE
+#: 6:UPDATE 7:PK-RENAME.  The cycle is WELL-FORMED CDC by construction —
+#: inserts only on dead keys, updates/deletes/renames only on live keys —
+#: so ``lag(after_image)`` over the key's event sequence IS the true
+#: current row, exactly what a real Debezium before-image carries.  (The
+#: IVM views' touched-group tracking relies on before-images being real:
+#: a delete whose before-image lied about the row's group would leave the
+#: actual group stale — a malformed log, not an engine defect.)
+_CYCLE_DELETE = 3
+_CYCLE_RENAME = 7
+
+
+def _keyed_state_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebadge the events table as one well-formed CDC log of a single
+    table ``state`` keyed by ``user_id`` with a NULLABLE group column:
+
+    - ``grp`` = NULL when ``event_id % 7 == 0`` else ``event_id % 7`` —
+      a key's group CHANGES across its updates (re-pointing), and NULL
+      is a real, populated group (SQL GROUP BY semantics);
+    - ops follow the per-key positional cycle above: genuine
+      insert→update→delete→re-insert→…→PK-RENAME sequences, every
+      before-image the key's true current row, every rename's
+      after-image under the globally fresh key ``event_id + 1000000``.
+
+    Returned envelopes carry (value, file, pos, day); log position =
+    microsecond rowtime (unique — asserted)."""
+    from pyspark.sql.window import Window
+
+    from ..functions.datetime import epoch_micros
+
+    base = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        epoch_micros("ts").alias("ts_us"),
+        F.dayofmonth("ts").alias("day"),
+    )
+    _assert_unique_ts(base)
+
+    e = F.col("event_id")
+    grp = F.when(e % 7 != 0, (e % 7).cast("long"))
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    p = (F.row_number().over(w) - 1) % 8
+    # the key's own after-image (renames land elsewhere — see ren_img)
+    u_img = F.struct(
+        F.col("user_id"),
+        grp.alias("grp"),
+        F.col("value"),
+        e.alias("ver"),
+    )
+    ren_img = F.struct(
+        (e + RENAME_OFFSET).alias("user_id"),
+        grp.alias("grp"),
+        F.col("value"),
+        e.alias("ver"),
+    )
+    prev_img = F.lag(u_img).over(w)  # true current row for U/D/R positions
+    op = (
+        F.when(p == _CYCLE_DELETE, F.lit("d"))
+        .when(p.isin(0, 4), F.lit("c"))
+        .otherwise(F.lit("u"))
+    )
+    before = F.when(op != "c", prev_img)
+    after = F.when(
+        op != "d", F.when(p == _CYCLE_RENAME, ren_img).otherwise(u_img)
+    )
+    return base.select(
+        F.to_json(
+            F.struct(
+                before.alias("before"),
+                after.alias("after"),
+                op.alias("op"),
+                F.col("ts_us").alias("ts_ms"),
+                F.struct(
+                    F.lit("replay").alias("db"),
+                    F.lit("state").alias("table"),
+                    F.col("ts_us").alias("ts_ms"),
+                    F.lit("log.0").alias("file"),
+                    F.col("ts_us").alias("pos"),
+                ).alias("source"),
+            )
+        ).alias("value"),
+        F.lit("log.0").alias("file"),
+        F.col("ts_us").alias("pos"),
+        "day",
+    ).localCheckpoint(eager=True)
+
+
+def _keyed_state_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("grp", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ver", T.LongType()),
+        ]
+    )
+
+
+def _replay_keyed_batches(consumer_process_batch, env: DataFrame) -> None:
+    for epoch, (lo, hi) in enumerate(((1, 10), (11, 20), (21, 31))):
+        consumer_process_batch(
+            env.filter(F.col("day").between(lo, hi)).select(
+                "value", "file", "pos"
+            ),
+            epoch_id=epoch,
+        )
+
+
+#: latest-live-state CTE shared by both oracles: after-images of
+#: I/U/R positions are 'c' rows under their after key (a key-stable
+#: update's retracted before-image is shadowed by its own after-image at
+#: the same key/ts/higher img, so it needs no row); DELETE positions and
+#: the RENAME's retracted before-image close their key.
+_KEYED_LIVE_CTE = """
+WITH ev AS (
+  SELECT event_id, epoch_us(ts) AS ts_us, user_id, value FROM events
+),
+seq AS (
+  SELECT *,
+         (ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_us) - 1) % 8
+           AS p
+  FROM ev
+),
+log AS (
+  SELECT CASE WHEN p = 7 THEN event_id + 1000000 ELSE user_id END AS k,
+         CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_id % 7 END AS grp,
+         value, event_id AS ver, ts_us, 1 AS img, 'c' AS op
+  FROM seq WHERE p <> 3
+  UNION ALL
+  SELECT user_id, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+         CAST(NULL AS BIGINT), ts_us, 0, 'd'
+  FROM seq WHERE p IN (3, 7)
+),
+live AS (
+  SELECT k AS user_id, grp, value, ver FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+                                 ORDER BY ts_us DESC, img DESC) AS rk
+    FROM log
+  ) WHERE rk = 1 AND op <> 'd'
+)
+"""
+
+
+def changelog_agg_replay_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay witness for the incrementally-maintained GROUP BY view
+    (``streaming/aggregates.py`` ``ChangelogAggregate``), driven by the
+    well-formed keyed CDC fixture (NULL groups, group re-pointing
+    updates, deletes, delete-then-reinsert, PK-CHANGING renames) in
+    three time-contiguous microbatches; oracle = GROUP BY over the
+    materialized latest live state (reference pattern:
+    ``MySqlConnectorITCase.java:186`` — a continuous aggregate stays
+    exact under the full CDC op mix).
+
+    DISCRIMINATES two r6 fixes: (a) the NULL-group fix — SQL GROUP BY
+    keeps NULL as a real group, but pre-fix null-UNSAFE membership
+    joins silently dropped (then tombstoned) the NULL group, so the
+    pre-fix view is MISSING the oracle's NULL-group row; (b) the
+    UPDATE_BEFORE fix — pre-fix machinery leaves a rename's
+    before-image live under the OLD key, inflating that ghost's group
+    count/sum/min/max.  Either pre-fix behavior fails this oracle.
+    """
+    from ..streaming.aggregates import ChangelogAggregate
+
+    env = _keyed_state_envelopes(spark, sf_dir)
+    agg = ChangelogAggregate(
+        "state",
+        _keyed_state_schema(),
+        key="user_id",
+        group_cols=["grp"],
+        output_path=replay_state_dir("agg_replay", sf_dir),
+        sum_cols=["value"],
+        minmax_cols=["value"],
+        n_buckets=8,
+    )
+    _replay_keyed_batches(agg.process_batch, env)
+    view = agg.read_view(spark)
+    # round the float sum on BOTH sides: values are 2-decimal, but Spark
+    # and DuckDB add doubles in different orders (ulp-level drift)
+    return view.select(
+        "grp",
+        "cnt",
+        F.round("sum_value", 2).alias("sum_value"),
+        "min_value",
+        "max_value",
+    ).orderBy("grp")
+
+
+CHANGELOG_AGG_REPLAY_SQL = (
+    _KEYED_LIVE_CTE
+    + """
+SELECT grp, CAST(COUNT(*) AS BIGINT) AS cnt,
+       ROUND(SUM(value), 2) AS sum_value,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM live GROUP BY grp ORDER BY grp
+"""
+)
+
+
+def changelog_topn_replay_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay witness for the incrementally-maintained Top-N view
+    (``streaming/topn.py`` ``ChangelogTopN``; Flink's ROW_NUMBER-over-
+    changelog Top-N pattern), n=3 per group over the same well-formed
+    keyed CDC fixture; oracle = row_number over the materialized latest
+    live state.  Deletes of top-ranked keys across batch boundaries
+    force rank PROMOTIONS; the NULL group is a real Top-N partition
+    (pre-r6 null-unsafe machinery drops it — row-count mismatch), and
+    un-retracted rename ghosts (pre-r6) hold rank slots the oracle
+    assigns to live rows.  Either pre-fix behavior fails this oracle.
+    """
+    from ..streaming.topn import ChangelogTopN
+
+    env = _keyed_state_envelopes(spark, sf_dir)
+    topn = ChangelogTopN(
+        "state",
+        _keyed_state_schema(),
+        key="user_id",
+        partition_cols=["grp"],
+        order_col="value",
+        n=3,
+        output_path=replay_state_dir("topn_replay", sf_dir),
+        n_buckets=8,
+    )
+    _replay_keyed_batches(topn.process_batch, env)
+    view = topn.read_view(spark)
+    return view.orderBy("grp", "rn")
+
+
+CHANGELOG_TOPN_REPLAY_SQL = (
+    _KEYED_LIVE_CTE
+    + """
+SELECT grp, rn, user_id, value, ver FROM (
+  SELECT grp, user_id, value, ver,
+         ROW_NUMBER() OVER (PARTITION BY grp
+                            ORDER BY value DESC, user_id ASC) AS rn
+  FROM live
+) WHERE rn <= 3 ORDER BY grp, rn
+"""
+)
 
 
 REPLAY_QUERIES = {
     "changelog_join_replay": (
         changelog_join_replay_query,
         CHANGELOG_JOIN_REPLAY_SQL,
+    ),
+    "changelog_agg_replay": (
+        changelog_agg_replay_query,
+        CHANGELOG_AGG_REPLAY_SQL,
+    ),
+    "changelog_topn_replay": (
+        changelog_topn_replay_query,
+        CHANGELOG_TOPN_REPLAY_SQL,
     ),
 }

@@ -1219,17 +1219,29 @@ def temporal_asof_replay_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     - facts (``event_id % 3 == 1``): (event_id, user_id, value) rowtimes.
 
     The log is replayed through the real ``TemporalJoin.process_batch``
-    machinery in three time-contiguous microbatches (days 1–10 / 11–20 /
-    21–31 — contiguity preserves log order across batch boundaries, the
-    same property a real offset-ordered CDC read has), exercising version
-    history, watermark buffering, delete tombstones, and the final-verdict
-    emit path.  The checked output is the materialized view: every fact at
-    or behind the final dim watermark, enriched with the dim version valid
-    at ITS event time.  The DuckDB oracle states the same semantics
-    declaratively (latest version at-or-before rowtime, delete = no match,
-    emitted iff rowtime STRICTLY below the max dim rowtime — the strict
-    finality bound of the r6 watermark fix; here the two bounds coincide
-    because event timestamps are unique, so no fact shares a dim's ts).
+    machinery in FIVE time-contiguous microbatches: three day-split
+    batches of real events (days 1–10 / 11–20 / 21–31 — contiguity
+    preserves log order across batch boundaries, the same property a
+    real offset-ordered CDC read has), then two synthetic batches that
+    pin the r6 watermark-finality fix on the driver record:
+
+    - batch 3: dim version v1 (key −1, price 10.0) at ts ``m+1`` (m =
+      max event rowtime) and a fact (event −101) at the SAME
+      millisecond ``m+1``;
+    - batch 4: dim version v2 (key −1, price 20.0) ALSO at ``m+1`` but
+      at a higher log offset — the same-ms tie group SPLIT across the
+      microbatch boundary — plus a trailing HEARTBEAT at ``m+2`` that
+      advances the watermark past every fact (the reference's L5
+      heartbeat feature is the designed end-of-log flush).
+
+    A pre-r6 engine (inclusive ``fact_ts <= wm`` emit bound) issues the
+    fact's FINAL verdict already in batch 3, pinning v1 (price 10.0)
+    forever; the fixed strict bound defers it to batch 4, where the
+    complete tie group ranks v2 (price 20.0) — which is what the
+    declarative oracle (latest version at-or-before rowtime, offset
+    breaking same-ms ties) demands: the pre-fix engine FAILS this
+    oracle.  The trailing heartbeat also witnesses the tail flush —
+    every real fact emits, so the oracle needs no watermark bound.
 
     Witness-scale only: the global day-split ranks nothing, but the replay
     materializes per-batch state under a temp dir — at 100 TB this runs as
@@ -1315,7 +1327,62 @@ def temporal_asof_replay_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("pos"),
         "day",
     )
-    raw = dim_env.unionByName(fact_env)
+    raw = dim_env.unionByName(fact_env).select(
+        "value",
+        "file",
+        "pos",
+        F.when(F.col("day") <= 10, 0)
+        .when(F.col("day") <= 20, 1)
+        .otherwise(2)
+        .alias("b"),
+    )
+
+    # ---- synthetic same-ms tie split + trailing heartbeat (r7) ----------
+    # built in-plan from the 1-row max-rowtime aggregate (no collect)
+    mdf = base.agg(F.max("ts_us").alias("m"))
+    pos0 = 1_000_000_000_000  # beyond the event_id pos domain
+
+    def _senv(b: int, table: str, op: str, after, ts_off: int, pos: int):
+        fields = []
+        if after is not None:
+            fields.append(after.alias("after"))
+        fields += [
+            F.lit(op).alias("op"),
+            (F.col("m") + ts_off).alias("ts_ms"),
+            F.struct(
+                F.lit("replay").alias("db"),
+                F.lit(table).alias("table"),
+                (F.col("m") + ts_off).alias("ts_ms"),
+                F.lit("log.0").alias("file"),
+                F.lit(pos0 + pos).alias("pos"),
+            ).alias("source"),
+        ]
+        return mdf.select(
+            F.to_json(F.struct(*fields)).alias("value"),
+            F.lit("log.0").alias("file"),
+            F.lit(pos0 + pos).alias("pos"),
+            F.lit(b).alias("b"),
+        )
+
+    def _dimg(price: float, ver: int):
+        return F.struct(
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit(price).alias("price"),
+            F.lit(ver).cast("long").alias("ver"),
+        )
+
+    tie_fact = F.struct(
+        F.lit(-101).cast("long").alias("event_id"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit(1.0).alias("value"),
+    )
+    synth = (
+        _senv(3, "dims", "c", _dimg(10.0, 1), 1, 1)
+        .unionByName(_senv(3, "facts", "c", tie_fact, 1, 2))
+        .unionByName(_senv(4, "dims", "c", _dimg(20.0, 2), 1, 3))
+        .unionByName(_senv(4, "dims", "h", None, 2, 4))
+    )
+    log = raw.unionByName(synth).localCheckpoint(eager=True)
 
     tj = TemporalJoin(
         fact_side,
@@ -1324,11 +1391,9 @@ def temporal_asof_replay_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         how="inner",
         n_buckets=8,
     )
-    for epoch, (lo, hi) in enumerate(((1, 10), (11, 20), (21, 31))):
+    for epoch in range(5):
         tj.process_batch(
-            raw.filter(F.col("day").between(lo, hi)).select(
-                "value", "file", "pos"
-            ),
+            log.filter(F.col("b") == epoch).select("value", "file", "pos"),
             epoch_id=epoch,
         )
     view = tj.read_view(spark)
@@ -1342,17 +1407,30 @@ def temporal_asof_replay_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+#: Declarative AS-OF oracle.  The synthetic rows mirror the witness's
+#: batches 3/4: two same-ms versions of key -1 (offset order must rank
+#: v2) and the tie fact -101; the trailing heartbeat pushes the final
+#: watermark past every fact, so NO emit bound appears here — a pre-r6
+#: engine (inclusive emit bound) pins the tie fact to v1 (price 10.0)
+#: and FAILS this oracle on values.
 TEMPORAL_ASOF_REPLAY_SQL = """
 WITH ev AS (
   SELECT event_id, epoch_us(ts) AS ts_us, user_id, value FROM events
 ),
+m AS (SELECT MAX(ts_us) AS m FROM ev),
 dim AS (
   SELECT user_id, value AS price, event_id AS ver, ts_us, event_id AS pos,
          CASE WHEN event_id % 12 = 0 THEN 'd' ELSE 'c' END AS op
   FROM ev WHERE event_id % 3 = 0
+  UNION ALL
+  SELECT -1, 10.0, 1, m + 1, 1000000000001, 'c' FROM m
+  UNION ALL
+  SELECT -1, 20.0, 2, m + 1, 1000000000003, 'c' FROM m
 ),
 fct AS (
   SELECT event_id, user_id, value, ts_us FROM ev WHERE event_id % 3 = 1
+  UNION ALL
+  SELECT -101, -1, 1.0, m + 1 FROM m
 ),
 j AS (
   SELECT f.event_id, f.user_id, f.value, f.ts_us AS fact_ts_us,
@@ -1365,7 +1443,6 @@ SELECT event_id, user_id, value, fact_ts_us,
        price AS d_price, ver AS d_ver
 FROM j
 WHERE rk = 1 AND op <> 'd'
-  AND fact_ts_us < (SELECT MAX(ts_us) FROM dim)
 ORDER BY event_id
 """
 

@@ -138,63 +138,16 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
 #: every round by the committed scripts/selfcheck.py run
 #: (SELFCHECK_r{N}.json).
 _DRIVER_WINDOW_PRIORITY = [
-    # r6 rotation (VERDICT r5 next-round #3): (a) code changed this
-    # round — the sessionize oracle HUGEINT cast must land a green row
-    "sessionize_events",
-    # (b) the 7 entries that have NEVER had a driver row (r5-late)
-    "mm_phash_pairs",
-    "lm_stupid_backoff",
-    "agg_salted_hotkey",
-    "ann_ivf_recall",
-    "corpus_snapshot_diff",
-    "events_watermark_planning",
-    "lm_doc_bigram_bits",
-    # (c) new in r6: the streaming-machinery replay witnesses + hybrid
-    # retrieval fusion
-    "temporal_asof_replay",
+    # r7 rotation (VERDICT r6 next-round #1/#3/#4), resorted from the
+    # measured CORRECTNESS r1–r6 union (50 r6 / 49 r5 / 49 r4 / 11 r3):
+    # (a) code changed this round — the two extended replay witnesses
+    # must re-prove under their new discriminating fixtures
     "changelog_join_replay",
-    "search_hybrid_rrf",
-    "simsearch_lsh_wide",
-    "dedup_minhash_planned",
-    # (d) stale refresh: every entry whose last driver row is r3 (48;
-    # the 50-row window takes the first ~41, the rest lead r7)
-    "agg_heavy_hitters",
-    "agg_kmv_distinct",
-    "ann_ivf_pq",
-    "bpe_merge_candidates",
-    "cdc_asof_join",
-    "cdc_parse_throughput",
-    "cdc_scd2_history",
-    "corpus_importance_sample",
-    "corpus_mix_weights",
-    "corpus_quality_filter",
-    "corpus_stratified_sample",
-    "dedup_clusters",
-    "dedup_containment",
-    "dedup_keep_best",
-    "dedup_substring_span",
-    "emb_kmeans_assign",
-    "emb_outlier_dist",
-    "events_anomaly_zscore",
-    "events_cep_adjacent",
-    "events_cumulate_window",
-    "events_funnel",
-    "events_hop_window",
-    "events_markov_transitions",
-    "events_retention",
-    "events_top_paths",
-    "hypertable_delta",
-    "hypertable_downsample",
-    "hypertable_fill_values",
-    "hypertable_first_last",
-    "hypertable_gapfill",
-    "hypertable_histogram",
-    "hypertable_rollup",
-    "join_bloom_prune",
-    "layout_zorder_key",
-    "mm_audio_rms",
-    "mm_binary_meta",
-    "mm_decode_features",
+    "temporal_asof_replay",
+    # (b) never driver-checked: the r7-new IVM replay witnesses
+    "changelog_agg_replay",
+    "changelog_topn_replay",
+    # (c) stale refresh: the 11 entries whose last driver row is r3
     "mm_frame_sample",
     "mm_resize",
     "pipeline_dedup_corpus",
@@ -206,6 +159,57 @@ _DRIVER_WINDOW_PRIORITY = [
     "text_ngram_novelty",
     "text_pii_redact",
     "text_repetition_stats",
+    # (d) the 49-entry r4 band (the 50-row window takes the first ~35;
+    # the remainder leads r8)
+    "agg_count_min_sketch",
+    "agg_histogram_quantiles",
+    "bpe_encode_corpus",
+    "bpe_train_merges",
+    "cdc_canal_roundtrip",
+    "cdc_maxwell_roundtrip",
+    "cdc_ogg_roundtrip",
+    "corpus_overlap_kmv",
+    "corpus_pack_sequences",
+    "corpus_quality_buckets",
+    "corpus_split_leakage",
+    "corpus_token_budget_mix",
+    "ddl_sql_lifecycle",
+    "dedup_family_sizes",
+    "dedup_minhash_accuracy",
+    "dedup_pagerank_centrality",
+    "dedup_segment_exact",
+    "dedup_simhash_wide",
+    "emb_random_projection",
+    "emb_semdedup",
+    "events_dau_wau",
+    "events_key_gini",
+    "events_session_funnel",
+    "events_session_window_tvf",
+    "hypertable_counter_delta",
+    "hypertable_state_durations",
+    "hypertable_time_weight",
+    "q01_project_scalar",
+    "q02_filter",
+    "q03_group_agg",
+    "q04_count_distinct",
+    "q04b_approx_distinct",
+    "q05_join_agg",
+    "q06_multijoin_broadcast",
+    "q07a_outer_null",
+    "q07b_semi_join",
+    "q07c_anti_join",
+    "q08_wide_agg",
+    "q25_volume_shipping",
+    "q26_returned_items",
+    "q27_promo_effect",
+    "q28_customer_distribution",
+    "q29_forecast_revenue",
+    "q30_market_share",
+    "q31_top_supplier",
+    "q32_large_volume_customer",
+    "q33_small_qty_revenue",
+    "q34_sales_opportunity",
+    "range_join_events",
 ]
 
 
