@@ -53,6 +53,30 @@ def replay_state_dir(prefix: str, sf_dir: str) -> str:
 RENAME_OFFSET = 1_000_000
 
 
+def witness_shuffle_partitions(spark: SparkSession, n: int = 8):
+    """Scope ``spark.sql.shuffle.partitions`` down for a replay witness.
+
+    The witnesses push kilobyte-scale microbatches through ~7 jobs per
+    epoch; at the session default (200 on a vanilla session) every state
+    merge schedules two orders of magnitude more tasks than there are
+    rows per partition — pure scheduler overhead, measured ~20% of
+    witness wall-clock.  A real deployment sizes shuffle partitions to
+    its cluster (and AQE coalesces); this is witness-scale tuning only,
+    restored on exit."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _scope():
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    return _scope()
+
+
 def _assert_unique_ts(base: DataFrame) -> None:
     """The replay fixtures use the microsecond rowtime as the log position
     AND as the oracle's ROW_NUMBER tie-break, so determinism of both the
@@ -226,7 +250,7 @@ def changelog_join_replay_query(
         F.col("ts_us").alias("pos"),
         "day",
     )
-    raw = dim_env.unionByName(fact_env).localCheckpoint(eager=True)
+    raw = dim_env.unionByName(fact_env).persist()
 
     join = ChangelogJoin(
         left,
@@ -235,13 +259,15 @@ def changelog_join_replay_query(
         how="inner",
         n_buckets=8,
     )
-    for epoch, (lo, hi) in enumerate(((1, 10), (11, 20), (21, 31))):
-        join.process_batch(
-            raw.filter(F.col("day").between(lo, hi)).select(
-                "value", "file", "pos"
-            ),
-            epoch_id=epoch,
-        )
+    with witness_shuffle_partitions(spark):
+        for epoch, (lo, hi) in enumerate(((1, 10), (11, 20), (21, 31))):
+            join.process_batch(
+                raw.filter(F.col("day").between(lo, hi)).select(
+                    "value", "file", "pos"
+                ),
+                epoch_id=epoch,
+            )
+    raw.unpersist(False)
     view = join.read_view(spark)
     return view.select(
         "event_id", "user_id", "value", "r_score", "r_ver"
@@ -380,7 +406,7 @@ def _keyed_state_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("log.0").alias("file"),
         F.col("ts_us").alias("pos"),
         "day",
-    ).localCheckpoint(eager=True)
+    ).persist()
 
 
 def _keyed_state_schema():
@@ -397,13 +423,14 @@ def _keyed_state_schema():
 
 
 def _replay_keyed_batches(consumer_process_batch, env: DataFrame) -> None:
-    for epoch, (lo, hi) in enumerate(((1, 10), (11, 20), (21, 31))):
-        consumer_process_batch(
-            env.filter(F.col("day").between(lo, hi)).select(
-                "value", "file", "pos"
-            ),
-            epoch_id=epoch,
-        )
+    with witness_shuffle_partitions(env.sparkSession):
+        for epoch, (lo, hi) in enumerate(((1, 10), (11, 20), (21, 31))):
+            consumer_process_batch(
+                env.filter(F.col("day").between(lo, hi)).select(
+                    "value", "file", "pos"
+                ),
+                epoch_id=epoch,
+            )
 
 
 #: latest-live-state CTE shared by both oracles: after-images of
@@ -473,6 +500,7 @@ def changelog_agg_replay_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets=8,
     )
     _replay_keyed_batches(agg.process_batch, env)
+    env.unpersist(False)
     view = agg.read_view(spark)
     # round the float sum on BOTH sides: values are 2-decimal, but Spark
     # and DuckDB add doubles in different orders (ulp-level drift)
@@ -521,6 +549,7 @@ def changelog_topn_replay_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets=8,
     )
     _replay_keyed_batches(topn.process_batch, env)
+    env.unpersist(False)
     view = topn.read_view(spark)
     return view.orderBy("grp", "rn")
 

@@ -1382,7 +1382,7 @@ def temporal_asof_replay_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_senv(4, "dims", "c", _dimg(20.0, 2), 1, 3))
         .unionByName(_senv(4, "dims", "h", None, 2, 4))
     )
-    log = raw.unionByName(synth).localCheckpoint(eager=True)
+    log = raw.unionByName(synth).persist()
 
     tj = TemporalJoin(
         fact_side,
@@ -1391,11 +1391,17 @@ def temporal_asof_replay_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         how="inner",
         n_buckets=8,
     )
-    for epoch in range(5):
-        tj.process_batch(
-            log.filter(F.col("b") == epoch).select("value", "file", "pos"),
-            epoch_id=epoch,
-        )
+    from .replay import witness_shuffle_partitions
+
+    with witness_shuffle_partitions(spark):
+        for epoch in range(5):
+            tj.process_batch(
+                log.filter(F.col("b") == epoch).select(
+                    "value", "file", "pos"
+                ),
+                epoch_id=epoch,
+            )
+    log.unpersist(False)
     view = tj.read_view(spark)
     return view.select(
         "event_id",

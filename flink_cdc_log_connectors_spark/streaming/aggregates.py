@@ -129,7 +129,8 @@ class ChangelogAggregate:
         )
         if self.derive is not None:
             parsed = self.derive(parsed)
-        rows = offset_sort_columns(parsed).localCheckpoint(eager=True)
+        # lazy persist (r7): the fact-state upsert materializes the cache
+        rows = offset_sort_columns(parsed).persist()
 
         # 1. keep the fact state current (feeds min/max recompute and
         #    replayed-epoch recovery)
@@ -140,6 +141,7 @@ class ChangelogAggregate:
         #    row LEFT is touched too)
         touched = rows.select(*self.group_cols).distinct()
         if touched.limit(1).count() == 0:
+            rows.unpersist(False)
             return
 
         # 3. exact recompute of touched groups against post-upsert state.
@@ -187,6 +189,7 @@ class ChangelogAggregate:
             order_by=["__seq"],
             epoch_id=epoch_id,
         )
+        rows.unpersist(False)
 
     def read_view(self, spark: SparkSession) -> DataFrame | None:
         df = self.output.read(spark)

@@ -109,6 +109,8 @@ class ChangelogJoin:
         table_of = F.get_json_object(F.col("value"), "$.source.table")
         # retract_before_images: PK-changing updates retract the old key
         # (UPDATE_BEFORE semantics) — see the helper's docstring
+        # lazy persist (r7): the state upserts below materialize the
+        # caches — eager localCheckpoints spent two extra jobs per batch
         lb = offset_sort_columns(
             retract_before_images(
                 parse_debezium(
@@ -116,7 +118,7 @@ class ChangelogJoin:
                     self.left.physical,
                 )
             )
-        ).localCheckpoint(eager=True)
+        ).persist()
         rb = offset_sort_columns(
             retract_before_images(
                 parse_debezium(
@@ -124,7 +126,7 @@ class ChangelogJoin:
                     self.right.physical,
                 )
             )
-        ).localCheckpoint(eager=True)
+        ).persist()
 
         self.left_state.upsert(lb, order_by=CHANGELOG_ORDER_BY, epoch_id=epoch_id)
         self.right_state.upsert(rb, order_by=CHANGELOG_ORDER_BY, epoch_id=epoch_id)
@@ -184,25 +186,25 @@ class ChangelogJoin:
         # authoritative): a delete-then-reinsert of the same key within
         # one batch leaves the key alive, and emitting both its recomputed
         # 'c' row and a tombstone would tie on the sort key — which row
-        # wins would be partition-order luck
+        # wins would be partition-order luck.  Built unconditionally and
+        # unioned lazily (r7): a separate emptiness probe was one more
+        # per-batch driver action; output.upsert already no-ops on an
+        # all-empty batch.
         dels = lb.filter(F.col("op") == "d").select(self.left.key).distinct()
         if l_state is not None:
             dels = dels.join(
                 l_state.select(self.left.key), self.left.key, "left_anti"
             )
-        if dels.limit(1).count() > 0:
-            ltypes = {f.name: f.dataType for f in self.left.physical.fields}
-            tomb = dels
-            for c in l_cols:
-                if c != self.left.key:
-                    tomb = tomb.withColumn(c, F.lit(None).cast(ltypes[c]))
-            tomb = self._empty_right(tomb).select(
-                *l_cols, *self._out_right_cols()
-            ).withColumn("op", F.lit("d"))
-            rows = tomb if rows is None else rows.unionByName(tomb)
+        ltypes = {f.name: f.dataType for f in self.left.physical.fields}
+        tomb = dels
+        for c in l_cols:
+            if c != self.left.key:
+                tomb = tomb.withColumn(c, F.lit(None).cast(ltypes[c]))
+        tomb = self._empty_right(tomb).select(
+            *l_cols, *self._out_right_cols()
+        ).withColumn("op", F.lit("d"))
+        rows = tomb if rows is None else rows.unionByName(tomb)
 
-        if rows is None:
-            return
         # one deterministic upsert; each fact key appears once — recomputes
         # cover exactly the keys alive in post-upsert state, tombstones
         # exactly the keys that are not
@@ -211,6 +213,8 @@ class ChangelogJoin:
             order_by=["__seq"],
             epoch_id=epoch_id,
         )
+        lb.unpersist(False)
+        rb.unpersist(False)
 
     def read_view(self, spark: SparkSession) -> DataFrame | None:
         """Current join view (without internal columns)."""

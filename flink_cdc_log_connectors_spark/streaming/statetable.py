@@ -175,7 +175,11 @@ class PartitionedStateTable:
         manifest = self.load_manifest()
         if not manifest:
             return None
-        paths = [self._bucket_dir(v, int(b)) for b, v in manifest.items()]
+        paths = [
+            self._bucket_dir(v, int(b))
+            for b, vs in manifest.items()
+            for v in (vs if isinstance(vs, list) else [vs])
+        ]
         return spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def read_buckets(
@@ -183,13 +187,73 @@ class PartitionedStateTable:
     ) -> DataFrame | None:
         manifest = self.load_manifest()
         paths = [
-            self._bucket_dir(manifest[str(b)], b)
+            self._bucket_dir(v, b)
             for b in buckets
             if str(b) in manifest
+            for v in (
+                manifest[str(b)]
+                if isinstance(manifest[str(b)], list)
+                else [manifest[str(b)]]
+            )
         ]
         if not paths:
             return None
         return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+    # -- append-only commit (insert-only tables) ---------------------------
+    def append(self, batch: DataFrame, epoch_id: int) -> None:
+        """Append-only commit for INSERT-ONLY tables — e.g. a temporal
+        join's dim VERSION HISTORY, where rows are never updated or
+        deleted, only accumulated.
+
+        Unlike :meth:`upsert` this is O(batch): ONE write job of just the
+        batch rows partitioned by bucket (no touched-bucket collect, no
+        prior-bucket read, no changelog merge — an upsert would rewrite
+        every touched bucket's FULL contents every batch, unbounded churn
+        for an ever-growing history).  The manifest maps each bucket to
+        the LIST of versions holding its rows; touched buckets are
+        discovered by listing the written version directory (driver-side,
+        no extra job).  A replayed epoch overwrites its own version dir
+        and replaces (not duplicates) its manifest entries — idempotent,
+        same crash discipline as upsert (manifest swap is the commit
+        point).  Do not mix append and upsert on one table: append's
+        list-valued manifest entries are refused by upsert.
+
+        At scale: files accumulate one per (bucket, epoch); readers union
+        them per bucket.  Compact by rewriting a bucket's file list under
+        a fresh version when file counts grow — the manifest swap makes
+        that safe — analogous to LSM state-backend compaction.
+        """
+        spark = batch.sparkSession
+        version_dir = os.path.join(self.path, _DATA, f"v={epoch_id}")
+        batch.withColumn("__epoch", F.lit(epoch_id)).withColumn(
+            "__bucket", self._bucket()
+        ).write.mode("overwrite").partitionBy("__bucket").parquet(version_dir)
+        touched = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(version_dir)
+            if d.startswith("__bucket=")
+        ]
+        if not touched:
+            shutil.rmtree(version_dir, ignore_errors=True)
+            return
+        manifest = self.load_manifest()
+        if any(not isinstance(v, list) for v in manifest.values()):
+            raise ValueError(
+                "table holds upsert-managed buckets; a table is either "
+                "append-managed or upsert-managed, not both"
+            )
+        new_manifest = dict(manifest)
+        for b in touched:
+            old = new_manifest.get(str(b), [])
+            new_manifest[str(b)] = [v for v in old if v != epoch_id] + [
+                epoch_id
+            ]
+        tmp = self._manifest_path() + ".tmp"
+        os.makedirs(self.path, exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump(new_manifest, f)
+        os.replace(tmp, self._manifest_path())
 
     # -- write ------------------------------------------------------------
     def upsert(
@@ -214,6 +278,11 @@ class PartitionedStateTable:
             if not touched:
                 return
             manifest = self.load_manifest()
+            if any(isinstance(v, list) for v in manifest.values()):
+                raise ValueError(
+                    "table holds append-managed buckets; a table is "
+                    "either append-managed or upsert-managed, not both"
+                )
             prior = self.read_buckets(spark, touched)
             if prior is not None:
                 # stored buckets carry their __epoch; recompute the bucket

