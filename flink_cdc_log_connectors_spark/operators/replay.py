@@ -370,12 +370,14 @@ def _keyed_state_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
         grp.alias("grp"),
         F.col("value"),
         e.alias("ver"),
+        F.col("ts_us").alias("ets"),
     )
     ren_img = F.struct(
         (e + RENAME_OFFSET).alias("user_id"),
         grp.alias("grp"),
         F.col("value"),
         e.alias("ver"),
+        F.col("ts_us").alias("ets"),
     )
     prev_img = F.lag(u_img).over(w)  # true current row for U/D/R positions
     op = (
@@ -418,6 +420,11 @@ def _keyed_state_schema():
             T.StructField("grp", T.LongType()),
             T.StructField("value", T.DoubleType()),
             T.StructField("ver", T.LongType()),
+            # event-time payload column (micros): the rowtime of the event
+            # that created this row VERSION — carried through before-images
+            # by the lag, so a continuous aggregate bucketed on it touches
+            # the bucket the row actually sits in
+            T.StructField("ets", T.LongType()),
         ]
     )
 
@@ -451,15 +458,15 @@ seq AS (
 log AS (
   SELECT CASE WHEN p = 7 THEN event_id + 1000000 ELSE user_id END AS k,
          CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_id % 7 END AS grp,
-         value, event_id AS ver, ts_us, 1 AS img, 'c' AS op
+         value, event_id AS ver, ts_us AS ets, ts_us, 1 AS img, 'c' AS op
   FROM seq WHERE p <> 3
   UNION ALL
   SELECT user_id, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
-         CAST(NULL AS BIGINT), ts_us, 0, 'd'
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), ts_us, 0, 'd'
   FROM seq WHERE p IN (3, 7)
 ),
 live AS (
-  SELECT k AS user_id, grp, value, ver FROM (
+  SELECT k AS user_id, grp, value, ver, ets FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY k
                                  ORDER BY ts_us DESC, img DESC) AS rk
     FROM log
@@ -557,12 +564,70 @@ def changelog_topn_replay_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 CHANGELOG_TOPN_REPLAY_SQL = (
     _KEYED_LIVE_CTE
     + """
-SELECT grp, rn, user_id, value, ver FROM (
-  SELECT grp, user_id, value, ver,
+SELECT grp, rn, user_id, value, ver, ets FROM (
+  SELECT grp, user_id, value, ver, ets,
          ROW_NUMBER() OVER (PARTITION BY grp
                             ORDER BY value DESC, user_id ASC) AS rn
   FROM live
 ) WHERE rn <= 3 ORDER BY grp, rn
+"""
+)
+
+
+#: one-day buckets over the event-time payload column (micros)
+_CAGG_BUCKET_US = 86_400_000_000
+
+
+def changelog_cagg_replay_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay witness for the CDC-maintained CONTINUOUS AGGREGATE — the
+    ``derive=`` path of ``ChangelogAggregate``: the view groups by a
+    DERIVED column (one-day ``time_bucket`` over the row's event-time
+    payload ``ets``), the TimescaleDB-style continuous aggregate kept
+    exact by the change stream (SURVEY hypertable family, maintained
+    incrementally rather than recomputed).
+
+    The semantics this uniquely witnesses: an update that MOVES a row
+    across buckets (its after-image carries a new ``ets``) must retract
+    from the bucket the row LEFT and add to the one it entered — the
+    before-image carries the row's true previous ``ets`` (the
+    well-formed fixture guarantees it), so both buckets are touched and
+    recompute.  Deletes and PK-renames retract from the row's actual
+    current bucket.  Oracle = GROUP BY day-bucket over the materialized
+    latest live state; like the sibling witnesses it fails on pre-r6
+    machinery (un-retracted rename ghosts inflate their old bucket).
+    """
+    from ..streaming.aggregates import ChangelogAggregate
+
+    env = _keyed_state_envelopes(spark, sf_dir)
+    agg = ChangelogAggregate(
+        "state",
+        _keyed_state_schema(),
+        key="user_id",
+        group_cols=["bkt"],
+        output_path=replay_state_dir("cagg_replay", sf_dir),
+        sum_cols=["value"],
+        n_buckets=8,
+        derive=lambda df: df.withColumn(
+            "bkt", F.expr(f"ets div {_CAGG_BUCKET_US}")
+        ),
+    )
+    _replay_keyed_batches(agg.process_batch, env)
+    env.unpersist(False)
+    view = agg.read_view(spark)
+    return view.select(
+        "bkt",
+        "cnt",
+        F.round("sum_value", 2).alias("sum_value"),
+    ).orderBy("bkt")
+
+
+CHANGELOG_CAGG_REPLAY_SQL = (
+    _KEYED_LIVE_CTE
+    + f"""
+SELECT ets // {_CAGG_BUCKET_US} AS bkt,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       ROUND(SUM(value), 2) AS sum_value
+FROM live GROUP BY bkt ORDER BY bkt
 """
 )
 
@@ -579,5 +644,9 @@ REPLAY_QUERIES = {
     "changelog_topn_replay": (
         changelog_topn_replay_query,
         CHANGELOG_TOPN_REPLAY_SQL,
+    ),
+    "changelog_cagg_replay": (
+        changelog_cagg_replay_query,
+        CHANGELOG_CAGG_REPLAY_SQL,
     ),
 }

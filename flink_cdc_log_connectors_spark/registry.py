@@ -147,6 +147,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # (b) never driver-checked: the r7-new IVM replay witnesses
     "changelog_agg_replay",
     "changelog_topn_replay",
+    "changelog_cagg_replay",
     # (c) stale refresh: the 11 entries whose last driver row is r3
     "mm_frame_sample",
     "mm_resize",

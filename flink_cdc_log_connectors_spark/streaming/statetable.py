@@ -255,6 +255,56 @@ class PartitionedStateTable:
             json.dump(new_manifest, f)
         os.replace(tmp, self._manifest_path())
 
+    def compact(self, spark: SparkSession, epoch_id: int) -> None:
+        """Compact an append-managed table: rewrite every bucket's
+        accumulated version files into ONE fresh version, repoint the
+        manifest atomically, then GC the superseded versions — the LSM
+        compaction analogue for :meth:`append` tables (version-file
+        counts otherwise grow one per commit; readers union them).
+
+        ``epoch_id`` must be a FRESH version id (e.g. the current stream
+        epoch): the rewrite lands under ``v=<epoch_id>`` and must not
+        collide with a live version still referenced pre-swap.  Reads
+        before the swap see the old file set, after it the compacted one
+        — same crash discipline as every other commit here.  Row
+        contents are preserved exactly (including each row's original
+        ``__epoch`` stamp, so offset/epoch-based ordering downstream is
+        unaffected)."""
+        manifest = self.load_manifest()
+        if not manifest:
+            return
+        if any(not isinstance(v, list) for v in manifest.values()):
+            raise ValueError("compact() applies to append-managed tables")
+        if any(epoch_id in v for v in manifest.values()):
+            raise ValueError(
+                f"epoch {epoch_id} is still referenced; compact under a "
+                "fresh version id"
+            )
+        current = self.read(spark)
+        version_dir = os.path.join(self.path, _DATA, f"v={epoch_id}")
+        # __bucket came from the directory name; restamp for the write
+        current.withColumn("__bucket", self._bucket()).write.mode(
+            "overwrite"
+        ).partitionBy("__bucket").parquet(version_dir)
+        touched = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(version_dir)
+            if d.startswith("__bucket=")
+        ]
+        new_manifest = {str(b): [epoch_id] for b in touched}
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(new_manifest, f)
+        os.replace(tmp, self._manifest_path())
+        # GC: every version dir other than the compacted one is now
+        # unreferenced (single-writer discipline, same as upsert's GC)
+        data_root = os.path.join(self.path, _DATA)
+        for vdir in os.listdir(data_root):
+            if vdir.startswith("v=") and vdir != f"v={epoch_id}":
+                shutil.rmtree(
+                    os.path.join(data_root, vdir), ignore_errors=True
+                )
+
     # -- write ------------------------------------------------------------
     def upsert(
         self,

@@ -47,7 +47,7 @@ def test_keyed_fixture_is_well_formed_cdc(keyed_rows):
     n_upd = n_del = 0
     for r in rows:
         key = r["user_id"]
-        img = (r["user_id"], r["grp"], r["value"], r["ver"])
+        img = (r["user_id"], r["grp"], r["value"], r["ver"], r["ets"])
         seq = r["_src"]["img_seq"]
         if r["op"] == "c":
             assert key not in live, f"insert on live key {key}"

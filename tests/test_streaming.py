@@ -559,3 +559,30 @@ def test_statetable_append_upsert_mode_mixing_refused(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="upsert"):
         u.append(_df(spark, [(2, "y")]), epoch_id=1)
+
+
+def test_statetable_append_compact_preserves_rows_and_gcs(spark, tmp_path):
+    import glob
+    import pytest
+
+    from flink_cdc_log_connectors_spark.streaming.statetable import (
+        PartitionedStateTable,
+    )
+
+    t = PartitionedStateTable(str(tmp_path / "c"), ["k"], n_buckets=2)
+    for e in range(4):
+        t.append(_df(spark, [(e, f"v{e}"), (e + 100, f"w{e}")]), epoch_id=e)
+    before = {(r["k"], r["v"], r["__epoch"]) for r in t.read(spark).collect()}
+    n_files_before = len(glob.glob(str(tmp_path / "c" / "_data" / "v=*")))
+    assert n_files_before == 4
+    with pytest.raises(ValueError, match="referenced"):
+        t.compact(spark, epoch_id=3)  # live version id
+    t.compact(spark, epoch_id=99)
+    after = {(r["k"], r["v"], r["__epoch"]) for r in t.read(spark).collect()}
+    assert after == before  # rows and original epoch stamps preserved
+    assert glob.glob(str(tmp_path / "c" / "_data" / "v=*")) == [
+        str(tmp_path / "c" / "_data" / "v=99")
+    ]
+    # appends continue normally after a compact
+    t.append(_df(spark, [(7, "z")]), epoch_id=100)
+    assert t.read(spark).count() == 9
