@@ -100,10 +100,17 @@ class PartitionedStateTable:
         self.retain_versions = retain_versions
 
     # -- layout -----------------------------------------------------------
+    def bucket_for(self, *cols) -> F.Column:
+        """The bucket id this table's hash assigns to the given column
+        expressions — lets READERS prune to exactly the buckets a probe
+        set touches (e.g. a temporal join reading only the history
+        buckets of this batch's fact keys).  The probe columns must have
+        the SAME TYPES as the table's key columns: xxhash64 equality
+        needs type equality."""
+        return F.pmod(F.xxhash64(*cols), F.lit(self.n_buckets)).cast("int")
+
     def _bucket(self) -> F.Column:
-        return F.pmod(
-            F.xxhash64(*[F.col(k) for k in self.keys]), F.lit(self.n_buckets)
-        ).cast("int")
+        return self.bucket_for(*[F.col(k) for k in self.keys])
 
     def _manifest_path(self) -> str:
         return os.path.join(self.path, _MANIFEST)

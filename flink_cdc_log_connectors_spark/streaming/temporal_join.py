@@ -35,10 +35,14 @@ Mechanics per microbatch (foreachBatch):
    into the output view (atomic manifest swap).
 
 Scale: history and output are :class:`PartitionedStateTable`s — per-batch
-work prunes to touched key buckets.  The pending buffer holds only facts
-AHEAD of the dim watermark (steady state: one watermark lag's worth); the
-emit join's cost is bounded by the per-key version count, the same bound
-Flink's temporal-join state carries.
+work prunes to touched key buckets.  The history is APPEND-managed and
+bucketed by the dim key alone (r7), so the emit join reads ONLY the
+history buckets this batch's ready facts probe (collected in the same
+agg job that counts them) instead of the full table.  The pending buffer
+holds only facts AHEAD of the dim watermark (steady state: one watermark
+lag's worth); the emit join's per-row cost is bounded by the per-key
+version count, the same bound Flink's temporal-join state carries
+(``compact()`` bounds the history's file counts).
 """
 
 from __future__ import annotations
@@ -76,10 +80,16 @@ class TemporalJoin:
         self.how = how
         self.dim_prefix = dim_prefix
         self.output_path = output_path
-        # one row per dim VERSION: keyed by (dim key, source offset)
+        # one row per dim VERSION, append-only; BUCKETED BY THE DIM KEY
+        # ALONE (r7) — append() never merges, so the bucket hash is pure
+        # placement, and keying it by the join column lets the emit read
+        # ONLY the history buckets this batch's facts probe (hashing in
+        # the offset columns spread each key across every bucket, forcing
+        # a full-history read per emit — the real 100 TB cost).  Requires
+        # fact.join_col and dim.key to share a type (hash equality).
         self.history = PartitionedStateTable(
             f"{output_path}/__dim_history",
-            [dim.key, *_OFF_COLS],
+            [dim.key],
             n_buckets=n_buckets,
         )
         self.pending = PartitionedStateTable(
@@ -210,10 +220,20 @@ class TemporalJoin:
         # or explicitly via :meth:`flush_tail` on bounded logs.
         has_ready = False
         ready = None
+        hist_buckets: list[int] = []
         if wm is not None:
-            # lazy persist + count: one job materializes the cache
+            # lazy persist + ONE agg job: materializes the cache, counts,
+            # AND collects the history buckets the ready facts probe
+            # (bounded by n_buckets) so the emit join reads only those
             ready = all_facts.filter(F.col("_fact_ms") < F.lit(wm)).persist()
-            has_ready = ready.count() > 0
+            rstats = ready.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.collect_set(
+                    self.history.bucket_for(F.col(self.fact.join_col))
+                ).alias("bks"),
+            ).first()
+            has_ready = rstats["n"] > 0
+            hist_buckets = sorted(rstats["bks"])
         pending_rows = facts.withColumn("op", F.lit("c")).withColumn(
             "__seq", F.lit(0)
         )
@@ -224,7 +244,7 @@ class TemporalJoin:
         # upsert no-ops on an empty batch — no separate emptiness probe
         self.pending.upsert(pending_rows, order_by=["__seq"], epoch_id=epoch_id)
         if has_ready:
-            self._emit(spark, ready, fact_cols, epoch_id)
+            self._emit(spark, ready, fact_cols, epoch_id, hist_buckets)
         dim_all.unpersist(False)
         facts.unpersist(False)
         if ready is not None:
@@ -236,12 +256,18 @@ class TemporalJoin:
         ready: DataFrame,
         fact_cols: list[str],
         epoch_id: int,
+        hist_buckets: list[int],
     ) -> None:
-        """Join ``ready`` facts against the version history, rank to the
-        latest version at-or-before each fact's rowtime, and upsert the
-        final verdicts into the output view."""
+        """Join ``ready`` facts against the version history — reading
+        ONLY the key-buckets the ready facts probe — rank to the latest
+        version at-or-before each fact's rowtime, and upsert the final
+        verdicts into the output view."""
         dim_cols = [f.name for f in self.dim.physical.fields]
-        hist = self.history.read(spark)
+        hist = (
+            self.history.read_buckets(spark, hist_buckets)
+            if hist_buckets
+            else None
+        )
         if hist is not None:
             renamed = hist
             for c in dim_cols:
@@ -322,7 +348,13 @@ class TemporalJoin:
         fact_cols = [f.name for f in self.fact.physical.fields]
         ready = buffered.select(*fact_cols, "_fact_ms").persist()
         try:
-            if ready.count() == 0:
+            rstats = ready.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.collect_set(
+                    self.history.bucket_for(F.col(self.fact.join_col))
+                ).alias("bks"),
+            ).first()
+            if rstats["n"] == 0:
                 return
             self.pending.upsert(
                 ready.withColumn("op", F.lit("d")).withColumn(
@@ -331,7 +363,7 @@ class TemporalJoin:
                 order_by=["__seq"],
                 epoch_id=epoch_id,
             )
-            self._emit(spark, ready, fact_cols, epoch_id)
+            self._emit(spark, ready, fact_cols, epoch_id, sorted(rstats["bks"]))
         finally:
             ready.unpersist(False)
 
