@@ -632,6 +632,109 @@ FROM live GROUP BY bkt ORDER BY bkt
 )
 
 
+def cep_stream_replay_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay witness for the STREAMING CEP operator
+    (``streaming/cep.py`` ``streaming_adjacent_pattern`` —
+    ``applyInPandasWithState``-backed MATCH_RECOGNIZE ``PATTERN (A B C)``,
+    Flink's strictly-consecutive event pattern over an unbounded keyed
+    stream).  This extends the driver record to the state-STORE machinery
+    class: the foreachBatch IVM witnesses never touch Spark's keyed state
+    store, ``applyInPandasWithState`` state schemas, or checkpoint
+    recovery.
+
+    Deterministic replay: the events table (rowtimes in MICROSECONDS —
+    globally unique, asserted), split into three day-contiguous waves;
+    each wave is appended to a file-source directory and drained by a
+    FRESH ``availableNow`` run over the SAME checkpoint — so the three
+    runs exercise state persistence and recovery across query RESTARTS,
+    and matches straddling wave boundaries can only be found through the
+    recovered per-key tail state.  A per-call temp workspace keeps
+    repeated harness invocations independent (unlike the IVM witnesses,
+    a file source is not idempotent under re-appended source files).
+
+    Oracle: strictly-consecutive (view, click, purchase) triples per
+    user over the per-key rowtime order; ``n_late`` must be 0 on every
+    row (day-contiguous waves + unique rowtimes satisfy the ordering
+    contract, so ANY late-drop accounting would surface as a value
+    mismatch).
+    """
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..functions.datetime import epoch_micros
+    from ..streaming.cep import streaming_adjacent_pattern
+
+    work = tempfile.mkdtemp(prefix="cep_replay_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    src = os.path.join(work, "src")
+    ckpt = os.path.join(work, "ckpt")
+    out = os.path.join(work, "out")
+
+    base = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("u"),
+        epoch_micros("ts").alias("ts_us"),
+        F.col("event_type").alias("e"),
+        F.col("event_id").alias("tie"),
+        F.dayofmonth("ts").alias("day"),
+    )
+    _assert_unique_ts(base)
+
+    with witness_shuffle_partitions(spark):
+        for lo, hi in ((1, 10), (11, 20), (21, 31)):
+            base.filter(F.col("day").between(lo, hi)).drop("day").coalesce(
+                1
+            ).write.mode("append").parquet(src)
+            stream = spark.readStream.schema(
+                "u long, ts_us long, e string, tie long"
+            ).parquet(src)
+            matches = streaming_adjacent_pattern(
+                stream,
+                key="u",
+                ts_ms_col="ts_us",
+                type_col="e",
+                pattern=("view", "click", "purchase"),
+                tie_col="tie",
+            )
+            q = (
+                matches.writeStream.format("parquet")
+                .option("path", out)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(600)
+    return (
+        spark.read.parquet(out)
+        .select("u", "start_ms", "end_ms", "end_tie", "n_late")
+        .orderBy("u", "start_ms")
+    )
+
+
+#: start_ms/end_ms carry MICROSECOND rowtimes (the column names come from
+#: the operator's fixed output schema).  n_late is pinned to 0: the
+#: fixture honors the per-key ordering contract, so any drop accounting
+#: in the engine would mismatch.
+CEP_STREAM_REPLAY_SQL = """
+WITH ev AS (
+  SELECT user_id AS u, epoch_us(ts) AS ts_us, event_type AS e,
+         event_id AS tie
+  FROM events
+),
+s AS (
+  SELECT u, ts_us, e, tie,
+         LEAD(e, 1) OVER w AS e1, LEAD(e, 2) OVER w AS e2,
+         LEAD(ts_us, 2) OVER w AS end_ms, LEAD(tie, 2) OVER w AS end_tie
+  FROM ev WINDOW w AS (PARTITION BY u ORDER BY ts_us)
+)
+SELECT u, ts_us AS start_ms, end_ms, end_tie, CAST(0 AS BIGINT) AS n_late
+FROM s WHERE e = 'view' AND e1 = 'click' AND e2 = 'purchase'
+ORDER BY u, start_ms
+"""
+
+
 REPLAY_QUERIES = {
     "changelog_join_replay": (
         changelog_join_replay_query,
@@ -648,5 +751,9 @@ REPLAY_QUERIES = {
     "changelog_cagg_replay": (
         changelog_cagg_replay_query,
         CHANGELOG_CAGG_REPLAY_SQL,
+    ),
+    "cep_stream_replay": (
+        cep_stream_replay_query,
+        CEP_STREAM_REPLAY_SQL,
     ),
 }

@@ -148,6 +148,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "changelog_agg_replay",
     "changelog_topn_replay",
     "changelog_cagg_replay",
+    "cep_stream_replay",
     # (c) stale refresh: the 11 entries whose last driver row is r3
     "mm_frame_sample",
     "mm_resize",
