@@ -75,6 +75,21 @@ class TemporalJoin:
     ) -> None:
         if how not in ("inner", "left"):
             raise ValueError(f"how must be inner|left, got {how!r}")
+        # the emit join prunes history reads by hashing the FACT's join
+        # column with the HISTORY's bucket hash — xxhash64 equality needs
+        # type equality, so a type mismatch would silently prune the
+        # WRONG buckets (missing matches), not error.  Refuse up front.
+        fact_jt = {f.name: f.dataType for f in fact.physical.fields}[
+            fact.join_col
+        ]
+        dim_kt = {f.name: f.dataType for f in dim.physical.fields}[dim.key]
+        if fact_jt != dim_kt:
+            raise ValueError(
+                f"fact.join_col {fact.join_col!r} ({fact_jt.simpleString()})"
+                f" and dim.key {dim.key!r} ({dim_kt.simpleString()}) must "
+                "have the same type: history-bucket pruning hashes the "
+                "fact join column with the dim key's bucket hash"
+            )
         self.fact = fact
         self.dim = dim
         self.how = how

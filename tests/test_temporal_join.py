@@ -403,3 +403,34 @@ def test_temporal_join_flush_tail_emits_high_water_facts(spark, tmp_path):
     # flush is terminal for the buffered facts: re-flushing is a no-op
     tj.flush_tail(spark, epoch_id=2)
     assert view(spark, tj) == {2: (6, 20.0)}
+
+
+def test_temporal_join_rejects_join_key_type_mismatch(tmp_path):
+    """History-bucket pruning hashes the fact join column with the dim
+    key's bucket hash; xxhash64(int) != xxhash64(long) for equal values,
+    so a type mismatch would silently prune the WRONG buckets — it must
+    refuse at construction instead."""
+    import pytest
+    from pyspark.sql import types as T
+
+    fact_int = JoinSide(
+        table="trades",
+        physical=T.StructType([
+            T.StructField("t_id", T.LongType()),
+            T.StructField("sym", T.IntegerType()),
+            T.StructField("qty", T.LongType()),
+        ]),
+        key="t_id",
+        join_col="sym",
+    )
+    dim_long = JoinSide(
+        table="prices",
+        physical=T.StructType([
+            T.StructField("sym", T.LongType()),
+            T.StructField("px", T.DoubleType()),
+        ]),
+        key="sym",
+        join_col="sym",
+    )
+    with pytest.raises(ValueError, match="same type"):
+        TemporalJoin(fact_int, dim_long, str(tmp_path / "tm"))
