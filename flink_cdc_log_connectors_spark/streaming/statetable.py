@@ -177,14 +177,20 @@ class PartitionedStateTable:
     # from the union.  Footer merging costs one metadata read per bucket
     # file — the buckets being read were paid for anyway.
 
+    #: reserved manifest key (not a bucket id): integer epochs whose
+    #: appended rows live inside a compacted version — a REPLAYED append
+    #: of such an epoch must be a no-op, not a duplicate (see append())
+    _SUBSUMED = "__compacted_epochs"
+
     def read(self, spark: SparkSession) -> DataFrame | None:
         """Current state as a DataFrame, or None if nothing materialized."""
         manifest = self.load_manifest()
-        if not manifest:
+        buckets = {b: v for b, v in manifest.items() if b != self._SUBSUMED}
+        if not buckets:
             return None
         paths = [
             self._bucket_dir(v, int(b))
-            for b, vs in manifest.items()
+            for b, vs in buckets.items()
             for v in (vs if isinstance(vs, list) else [vs])
         ]
         return spark.read.option("mergeSchema", "true").parquet(*paths)
@@ -232,6 +238,13 @@ class PartitionedStateTable:
         that safe — analogous to LSM state-backend compaction.
         """
         spark = batch.sparkSession
+        if epoch_id in self.load_manifest().get(self._SUBSUMED, []):
+            # this epoch's rows were folded into a compacted version; the
+            # replay contract says a retried epoch carries the SAME rows,
+            # so re-appending them would duplicate — no-op instead
+            # (scenario: append(N) → compact → crash before the stream
+            # commits N's offsets → epoch N retries)
+            return
         version_dir = os.path.join(self.path, _DATA, f"v={epoch_id}")
         batch.withColumn("__epoch", F.lit(epoch_id)).withColumn(
             "__bucket", self._bucket()
@@ -269,26 +282,35 @@ class PartitionedStateTable:
         compaction analogue for :meth:`append` tables (version-file
         counts otherwise grow one per commit; readers union them).
 
-        ``epoch_id`` must be a FRESH version id (e.g. the current stream
-        epoch): the rewrite lands under ``v=<epoch_id>`` and must not
-        collide with a live version still referenced pre-swap.  Reads
-        before the swap see the old file set, after it the compacted one
-        — same crash discipline as every other commit here.  Row
-        contents are preserved exactly (including each row's original
-        ``__epoch`` stamp, so offset/epoch-based ordering downstream is
-        unaffected)."""
+        The rewrite lands under the NAMESPACED version ``v=c<epoch_id>``
+        — disjoint from append's integer epoch namespace BY CONSTRUCTION,
+        because sharing it is a data-loss hazard: a stream that compacts
+        under its current epoch id and then RETRIES that epoch would have
+        append's idempotent ``mode=overwrite`` silently destroy the
+        compacted files while the manifest still references them (found
+        by the list-model property test; ``v=<int>`` may only ever hold
+        epoch ``<int>``'s own batch, which a replay rewrites bit-for-bit
+        — a compact's rewrite is NOT that batch).  Re-compacting an id
+        whose ``c<id>`` version is still referenced raises (pick a fresh
+        id); a crash BEFORE the manifest swap leaves the old manifest
+        intact and the retry proceeds.  Reads before the swap see the
+        old file set, after it the compacted one — same crash discipline
+        as every other commit here.  Row contents are preserved exactly
+        (including each row's original ``__epoch`` stamp, so
+        offset/epoch-based ordering downstream is unaffected)."""
         manifest = self.load_manifest()
         if not manifest:
             return
         if any(not isinstance(v, list) for v in manifest.values()):
             raise ValueError("compact() applies to append-managed tables")
-        if any(epoch_id in v for v in manifest.values()):
+        version = f"c{epoch_id}"
+        if any(version in v for v in manifest.values()):
             raise ValueError(
-                f"epoch {epoch_id} is still referenced; compact under a "
-                "fresh version id"
+                f"compaction version {version!r} is still referenced; "
+                "compact under a fresh id"
             )
         current = self.read(spark)
-        version_dir = os.path.join(self.path, _DATA, f"v={epoch_id}")
+        version_dir = os.path.join(self.path, _DATA, f"v={version}")
         # __bucket came from the directory name; restamp for the write
         current.withColumn("__bucket", self._bucket()).write.mode(
             "overwrite"
@@ -298,7 +320,16 @@ class PartitionedStateTable:
             for d in os.listdir(version_dir)
             if d.startswith("__bucket=")
         ]
-        new_manifest = {str(b): [epoch_id] for b in touched}
+        new_manifest = {str(b): [version] for b in touched}
+        # every integer epoch folded into this compaction (plus those a
+        # prior compaction already subsumed) — a replayed append of any
+        # of them must no-op, or it would duplicate the compacted rows
+        subsumed = set(manifest.get(self._SUBSUMED, []))
+        for b, vs in manifest.items():
+            if b == self._SUBSUMED:
+                continue
+            subsumed.update(v for v in vs if isinstance(v, int))
+        new_manifest[self._SUBSUMED] = sorted(subsumed)
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as f:
             json.dump(new_manifest, f)
@@ -307,7 +338,7 @@ class PartitionedStateTable:
         # unreferenced (single-writer discipline, same as upsert's GC)
         data_root = os.path.join(self.path, _DATA)
         for vdir in os.listdir(data_root):
-            if vdir.startswith("v=") and vdir != f"v={epoch_id}":
+            if vdir.startswith("v=") and vdir != f"v={version}":
                 shutil.rmtree(
                     os.path.join(data_root, vdir), ignore_errors=True
                 )

@@ -575,14 +575,24 @@ def test_statetable_append_compact_preserves_rows_and_gcs(spark, tmp_path):
     before = {(r["k"], r["v"], r["__epoch"]) for r in t.read(spark).collect()}
     n_files_before = len(glob.glob(str(tmp_path / "c" / "_data" / "v=*")))
     assert n_files_before == 4
-    with pytest.raises(ValueError, match="referenced"):
-        t.compact(spark, epoch_id=3)  # live version id
-    t.compact(spark, epoch_id=99)
+    # compaction versions are NAMESPACED (v=c<id>): compacting under a
+    # live APPEND epoch id cannot collide with (and destroy) that
+    # epoch's files — the id below is fine even though epoch 3 is live
+    t.compact(spark, epoch_id=3)
     after = {(r["k"], r["v"], r["__epoch"]) for r in t.read(spark).collect()}
     assert after == before  # rows and original epoch stamps preserved
     assert glob.glob(str(tmp_path / "c" / "_data" / "v=*")) == [
-        str(tmp_path / "c" / "_data" / "v=99")
+        str(tmp_path / "c" / "_data" / "v=c3")
     ]
-    # appends continue normally after a compact
+    # re-compacting a still-referenced compaction id is refused
+    with pytest.raises(ValueError, match="referenced"):
+        t.compact(spark, epoch_id=3)
+    # a REPLAY of a compacted epoch is a no-op (its rows already live in
+    # the compacted version — re-appending would duplicate; pre-fix the
+    # shared version namespace even DESTROYED the compacted v=3 files)
+    t.append(_df(spark, [(3, "v3"), (103, "w3")]), epoch_id=3)
+    assert {(r["k"], r["v"], r["__epoch"]) for r in t.read(spark).collect()} \
+        == before
+    # fresh epochs continue normally after a compact
     t.append(_df(spark, [(7, "z")]), epoch_id=100)
     assert t.read(spark).count() == 9
