@@ -1390,6 +1390,12 @@ def temporal_asof_replay_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         replay_state_dir("tj_replay", sf_dir),
         how="inner",
         n_buckets=8,
+        # witness-scale threshold so the steady-state compaction POLICY
+        # (r8; VERDICT r7 next-round #1) fires MID-replay: the day-split
+        # epochs push several buckets past 2 versions, the policy folds
+        # the history, and the remaining epochs + emits run against the
+        # compacted layout — asserted below (production default is 16)
+        history_compact_threshold=2,
     )
     from .replay import witness_shuffle_partitions
 
@@ -1402,6 +1408,17 @@ def temporal_asof_replay_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                 epoch_id=epoch,
             )
     log.unpersist(False)
+    # the replay must have exercised compaction (fired this call, or —
+    # on a reused state dir, where re-appended subsumed epochs no-op —
+    # already committed in the manifest); a policy that never fires
+    # would silently regress to unbounded per-(bucket, epoch) file sets
+    if (
+        tj.history_compactions == 0
+        and tj.history.compactions_committed() == 0
+    ):
+        raise AssertionError(
+            "temporal_asof_replay: history auto-compaction never fired"
+        )
     view = tj.read_view(spark)
     return view.select(
         "event_id",

@@ -138,64 +138,22 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
 #: every round by the committed scripts/selfcheck.py run
 #: (SELFCHECK_r{N}.json).
 _DRIVER_WINDOW_PRIORITY = [
-    # r7 rotation (VERDICT r6 next-round #1/#3/#4), resorted from the
-    # measured CORRECTNESS r1–r6 union (50 r6 / 49 r5 / 49 r4 / 11 r3):
-    # (a) code changed this round — the two extended replay witnesses
-    # must re-prove under their new discriminating fixtures
-    "changelog_join_replay",
+    # r8 rotation (VERDICT r7 next-round #5), resorted from the measured
+    # CORRECTNESS r1-r7 union (50 r7 / 48 r6 / 49 r5 / 16 r4):
+    # (a) code changed this round — the state-table machinery
+    # (append/compact guards, auto-compaction policy, fused upsert
+    # touched-bucket path) underlies all six replay witnesses, and the
+    # temporal witness now asserts compaction fires mid-replay
     "temporal_asof_replay",
-    # (b) never driver-checked: the r7-new IVM replay witnesses
+    "changelog_join_replay",
     "changelog_agg_replay",
     "changelog_topn_replay",
     "changelog_cagg_replay",
     "cep_stream_replay",
-    # (c) stale refresh: the 11 entries whose last driver row is r3
-    "mm_frame_sample",
-    "mm_resize",
-    "pipeline_dedup_corpus",
-    "q24_local_supplier_volume",
-    "text_bm25_topk",
-    "text_cross_entropy",
-    "text_keywords",
-    "text_length_quartiles",
-    "text_ngram_novelty",
-    "text_pii_redact",
-    "text_repetition_stats",
-    # (d) the 49-entry r4 band (the 50-row window takes the first ~35;
-    # the remainder leads r8)
-    "agg_count_min_sketch",
-    "agg_histogram_quantiles",
-    "bpe_encode_corpus",
-    "bpe_train_merges",
-    "cdc_canal_roundtrip",
-    "cdc_maxwell_roundtrip",
-    "cdc_ogg_roundtrip",
-    "corpus_overlap_kmv",
-    "corpus_pack_sequences",
-    "corpus_quality_buckets",
-    "corpus_split_leakage",
-    "corpus_token_budget_mix",
-    "ddl_sql_lifecycle",
-    "dedup_family_sizes",
-    "dedup_minhash_accuracy",
-    "dedup_pagerank_centrality",
-    "dedup_segment_exact",
-    "dedup_simhash_wide",
-    "emb_random_projection",
-    "emb_semdedup",
-    "events_dau_wau",
-    "events_key_gini",
-    "events_session_funnel",
-    "events_session_window_tvf",
-    "hypertable_counter_delta",
-    "hypertable_state_durations",
-    "hypertable_time_weight",
-    "q01_project_scalar",
-    "q02_filter",
-    "q03_group_agg",
-    "q04_count_distinct",
-    "q04b_approx_distinct",
-    "q05_join_agg",
+    # (b) never driver-checked: the r8-new streaming-machinery witnesses
+    "ingest_dedup_replay",
+    "sink_exactly_once_replay",
+    # (c) stale refresh: the 16 entries whose last driver row is r4
     "q06_multijoin_broadcast",
     "q07a_outer_null",
     "q07b_semi_join",
@@ -212,6 +170,34 @@ _DRIVER_WINDOW_PRIORITY = [
     "q33_small_qty_revenue",
     "q34_sales_opportunity",
     "range_join_events",
+    # (d) the 49-entry r5 band — the window holds 26; the remaining 23
+    # lead r9's category (d)
+    "ann_cosine_topk",
+    "ann_hamming_topk",
+    "ann_ivf_label",
+    "ann_ivf_multiprobe",
+    "changelog_skew_hotkey",
+    "corpus_chunk_windows",
+    "corpus_reservoir_topk",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "graph_triangle_count",
+    "lm_bigram_train",
+    "pipeline_clean_corpus",
+    "q09_rollup",
+    "q09b_cube",
+    "q10a_topk_window",
+    "q10b_running_sum",
+    "q11_topk",
+    "q12a_intersect",
+    "q12b_except",
+    "q12c_union_agg",
+    "q13_scalars",
+    "q14_changelog_materialize",
+    "q14b_changelog_maxby",
 ]
 
 

@@ -3,7 +3,7 @@ ACCUMULATED corpus index — the training-pipeline pattern where new data
 must be deduped against everything already ingested, not just its own
 microbatch.
 
-Per microbatch (``foreachBatch``):
+Per microbatch (``foreachBatch`` → :meth:`IngestDedup.process_batch`):
 
 1. shingle + sign the batch with the SAME md5-60 / universal-hash
    machinery as the batch operators (``operators.dedup``);
@@ -12,19 +12,23 @@ Per microbatch (``foreachBatch``):
    band-bucket collisions;
 3. exact Jaccard verification over stored shingle sets;
 4. verified pairs append to ``pairs/``; the batch's bands + shingle
-   sets append to the index.
+   sets append to the index, stamped with the epoch.
 
 Index layout (under ``index_path``):
 
-- ``bands/``  — (band_idx, bh, doc_id) parquet, appended per batch;
-- ``shsets/`` — (doc_id, shset) parquet, appended per batch.
+- ``bands/``  — (band_idx, bh, doc_id, epoch) parquet, appended per batch;
+- ``shsets/`` — (doc_id, shset, epoch) parquet, appended per batch.
 
 At 100 TB the band table is the only thing the stream joins against;
-stored bucketed by ``bh`` it is a bucket-local join.  Appends are
-idempotent per epoch ONLY at the pairs output (epoch column, dedup on
-read); a retried epoch may re-append its index rows, which is harmless
-for correctness (band join candidates and shingle sets deduplicate by
-doc_id before use).
+stored bucketed by ``bh`` it is a bucket-local join.  Epoch replay
+discipline: the new-vs-index join reads only index rows with
+``epoch < epoch_id`` (r8) — a retried epoch therefore sees exactly the
+index the original delivery saw, re-derives the SAME oriented pairs
+(its own first-delivery rows are invisible; pre-fix, the retry joined
+its own rows through the index and emitted every intra-batch pair in
+BOTH orientations), and its re-appended index/pairs rows deduplicate on
+read (``dropDuplicates`` on doc/pair keys) — at-least-once appends,
+exactly-once reads.
 """
 
 from __future__ import annotations
@@ -84,33 +88,39 @@ def _verify_pairs(
     )
 
 
-def streaming_minhash_dedup(
-    stream: DataFrame,
-    index_path: str,
-    checkpoint_path: str,
-    n: int = 3,
-    threshold_num: int = 1,
-    threshold_den: int = 5,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-):
-    """Returns a ``DataStreamWriter`` running the ingestion-dedup loop.
-    Verified near-dup pairs land under ``{index_path}/pairs`` with the
-    epoch id; read them back with :func:`read_dedup_pairs`."""
+class IngestDedup:
+    """The per-batch machinery behind :func:`streaming_minhash_dedup`,
+    exposed as a class so a deterministic batch replay (the
+    ``ingest_dedup_replay`` driver witness) can drive the REAL loop —
+    same structure as ``TemporalJoin`` / ``ChangelogJoin``."""
 
-    bands_dir = os.path.join(index_path, "bands")
-    shsets_dir = os.path.join(index_path, "shsets")
-    pairs_dir = os.path.join(index_path, "pairs")
+    def __init__(
+        self,
+        index_path: str,
+        n: int = 3,
+        threshold_num: int = 1,
+        threshold_den: int = 5,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> None:
+        self.n = n
+        self.threshold_num = threshold_num
+        self.threshold_den = threshold_den
+        self.text_col = text_col
+        self.id_col = id_col
+        self.bands_dir = os.path.join(index_path, "bands")
+        self.shsets_dir = os.path.join(index_path, "shsets")
+        self.pairs_dir = os.path.join(index_path, "pairs")
 
-    def process(batch: DataFrame, epoch_id: int) -> None:
+    def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
         doc_sets = batch.select(
-            F.col(id_col).alias("doc_id"),
-            hashed_word_ngrams(F.col(text_col), n).alias("shset"),
+            F.col(self.id_col).alias("doc_id"),
+            hashed_word_ngrams(F.col(self.text_col), self.n).alias("shset"),
         ).persist()
         try:
             new_bands = _batch_bands(doc_sets).persist()
-            # new-vs-new candidates (within the batch)
+            # new-vs-new candidates (within the batch): smaller id first
             a, b = new_bands.alias("a"), new_bands.alias("b")
             intra = (
                 a.join(
@@ -121,11 +131,16 @@ def streaming_minhash_dedup(
                 )
                 .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
             )
-            # new-vs-index candidates: new doc is always d1
+            # new-vs-index candidates: new doc is always d1.  The index
+            # read is epoch-FILTERED so a retried epoch joins exactly the
+            # index its first delivery saw (never its own re-appended
+            # rows — which would emit intra pairs in both orientations)
             sets = doc_sets
-            if os.path.isdir(bands_dir):
-                idx = spark.read.parquet(bands_dir).dropDuplicates(
-                    ["band_idx", "bh", "doc_id"]
+            if os.path.isdir(self.bands_dir):
+                idx = (
+                    spark.read.parquet(self.bands_dir)
+                    .filter(F.col("epoch") < epoch_id)
+                    .dropDuplicates(["band_idx", "bh", "doc_id"])
                 )
                 cross = (
                     new_bands.alias("n")
@@ -140,21 +155,53 @@ def streaming_minhash_dedup(
                     )
                 )
                 cand = intra.unionByName(cross).distinct()
-                old_sets = spark.read.parquet(shsets_dir).dropDuplicates(["doc_id"])
+                old_sets = (
+                    spark.read.parquet(self.shsets_dir)
+                    .select("doc_id", "shset")
+                    .dropDuplicates(["doc_id"])
+                )
                 sets = doc_sets.unionByName(old_sets).dropDuplicates(["doc_id"])
             else:
                 cand = intra.distinct()
-            pairs = _verify_pairs(cand, sets, threshold_num, threshold_den)
-            pairs.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(
-                pairs_dir
+            pairs = _verify_pairs(
+                cand, sets, self.threshold_num, self.threshold_den
             )
-            new_bands.write.mode("append").parquet(bands_dir)
-            doc_sets.write.mode("append").parquet(shsets_dir)
+            pairs.withColumn("epoch", F.lit(epoch_id)).write.mode(
+                "append"
+            ).parquet(self.pairs_dir)
+            new_bands.withColumn("epoch", F.lit(epoch_id)).write.mode(
+                "append"
+            ).parquet(self.bands_dir)
+            doc_sets.withColumn("epoch", F.lit(epoch_id)).write.mode(
+                "append"
+            ).parquet(self.shsets_dir)
         finally:
             doc_sets.unpersist()
 
+
+def streaming_minhash_dedup(
+    stream: DataFrame,
+    index_path: str,
+    checkpoint_path: str,
+    n: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Returns a ``DataStreamWriter`` running the ingestion-dedup loop.
+    Verified near-dup pairs land under ``{index_path}/pairs`` with the
+    epoch id; read them back with :func:`read_dedup_pairs`."""
+    dd = IngestDedup(
+        index_path,
+        n=n,
+        threshold_num=threshold_num,
+        threshold_den=threshold_den,
+        text_col=text_col,
+        id_col=id_col,
+    )
     return (
-        stream.writeStream.foreachBatch(process)
+        stream.writeStream.foreachBatch(dd.process_batch)
         .option("checkpointLocation", checkpoint_path)
         .outputMode("update")
     )

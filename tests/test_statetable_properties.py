@@ -100,3 +100,149 @@ def test_bucket_for_agrees_with_append_placement(
         rest = t.read_buckets(spark, other)
         if rest is not None:
             assert k not in {r["k"] for r in rest.collect()}
+
+
+# -- r8: the auto-compaction POLICY + the pre-write misuse guards ----------
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seq=st.lists(_BATCH, min_size=2, max_size=6),
+    k=st.integers(1, 3),
+)
+def test_maybe_compact_policy_bounds_version_lists(
+    spark, tmp_path_factory, seq, k
+):
+    """append + maybe_compact(k) per epoch keeps EVERY bucket's version
+    list ≤ k (the steady-state invariant VERDICT r7 demanded a wired
+    policy for) while reading back exactly the list model."""
+    root = tmp_path_factory.mktemp("pol")
+    t = PartitionedStateTable(str(root / "t"), ["k"], n_buckets=4)
+    model: list[tuple[int, str, int]] = []
+    for epoch, step in enumerate(seq):
+        t.append(_df(spark, step), epoch_id=epoch)
+        model.extend((key, f"v{v}", epoch) for key, v in step)
+        t.maybe_compact(spark, k)
+        lens = [
+            len(v)
+            for b, v in t.load_manifest().items()
+            if not b.startswith("__")
+        ]
+        assert all(n <= k for n in lens)
+    got = (
+        []
+        if t.read(spark) is None
+        else [
+            (r["k"], r["v"], r["__epoch"]) for r in t.read(spark).collect()
+        ]
+    )
+    assert sorted(got) == sorted(model)
+
+
+def test_maybe_compact_draws_fresh_ids_past_manual_compacts(spark, tmp_path):
+    """The policy's version ids come from the manifest's monotone counter,
+    advanced past any MANUAL compact id — so an auto-compaction can never
+    collide with (and clobber) a referenced compacted version."""
+    t = PartitionedStateTable(str(tmp_path / "t"), ["k"], n_buckets=4)
+    t.append(_df(spark, [(1, 1)]), epoch_id=0)
+    t.compact(spark, epoch_id=5)  # manual id; counter must leap past it
+    assert t.compactions_committed() == 5
+    for e in (6, 7):
+        t.append(_df(spark, [(1, e)]), epoch_id=e)
+    assert t.maybe_compact(spark, 1) is True
+    assert t.compactions_committed() == 6
+    got = sorted(
+        (r["k"], r["v"], r["__epoch"]) for r in t.read(spark).collect()
+    )
+    assert got == [(1, "v1", 0), (1, "v6", 6), (1, "v7", 7)]
+
+
+def test_append_refuses_on_upsert_table_without_clobbering(spark, tmp_path):
+    """ADVICE r7: append() on an upsert-managed table must refuse BEFORE
+    touching any version directory — pre-fix, the static overwrite of
+    v=<epoch> deleted the committed merged bucket files first and only
+    then raised, leaving the manifest pointing at clobbered data."""
+    t = PartitionedStateTable(str(tmp_path / "t"), ["k"], n_buckets=4)
+    rows = spark.createDataFrame(
+        [(k, f"v{k}", "c") for k in range(8)], "k long, v string, op string"
+    )
+    t.upsert(rows, order_by=["v"], epoch_id=3)
+    before = sorted((r["k"], r["v"]) for r in t.read(spark).collect())
+    with pytest.raises(ValueError, match="upsert-managed"):
+        t.append(
+            spark.createDataFrame([(99, "x")], "k long, v string"),
+            epoch_id=3,
+        )
+    assert (
+        sorted((r["k"], r["v"]) for r in t.read(spark).collect()) == before
+    )
+
+
+def test_upsert_refuses_recycled_epoch_with_disjoint_buckets(spark, tmp_path):
+    """ADVICE r7 (flush_tail hazard, guarded at the table layer): reusing
+    a committed epoch id with a batch that does NOT touch all of that
+    epoch's committed buckets would static-overwrite v=<epoch> and
+    destroy the untouched buckets the manifest still references — the
+    upsert must refuse up front, leaving state intact."""
+    t = PartitionedStateTable(str(tmp_path / "t"), ["k"], n_buckets=8)
+    rows = spark.createDataFrame(
+        [(k, f"v{k}", "c") for k in range(16)], "k long, v string, op string"
+    )
+    t.upsert(rows, order_by=["v"], epoch_id=1)
+    manifest = t.load_manifest()
+    assert len(manifest) >= 2  # spread over several buckets
+    before = sorted((r["k"], r["v"]) for r in t.read(spark).collect())
+    with pytest.raises(ValueError, match="fresh epoch id"):
+        t.upsert(
+            spark.createDataFrame([(0, "clobber", "c")], "k long, v string, op string"),
+            order_by=["v"],
+            epoch_id=1,
+        )
+    assert (
+        sorted((r["k"], r["v"]) for r in t.read(spark).collect()) == before
+    )
+    # a GENUINE same-epoch replay (same batch → same touched set) stays legal
+    t.upsert(rows, order_by=["v"], epoch_id=1)
+    assert (
+        sorted((r["k"], r["v"]) for r in t.read(spark).collect()) == before
+    )
+
+
+def test_upsert_precomputed_touched_superset_matches_self_collected(
+    spark, tmp_path
+):
+    """upsert(touched=...) with the caller-collected bucket set — even a
+    SUPERSET — commits exactly the state the self-collecting path does
+    (the r8 job-fusion contract the temporal join relies on)."""
+    from pyspark.sql import functions as F
+
+    t = PartitionedStateTable(str(tmp_path / "t"), ["k"], n_buckets=8)
+    r0 = spark.createDataFrame(
+        [(k, "a", "c") for k in range(12)], "k long, v string, op string"
+    )
+    t.upsert(r0, order_by=["v"], epoch_id=0)
+    r1 = spark.createDataFrame(
+        [(3, "b", "c"), (4, None, "d")], "k long, v string, op string"
+    )
+    touched = [
+        r["b"]
+        for r in r1.select(t.bucket_for(F.col("k")).alias("b"))
+        .distinct()
+        .collect()
+    ]
+    t.upsert(
+        r1,
+        order_by=["v"],
+        epoch_id=1,
+        touched=[*touched, *range(3)],  # deliberate superset
+    )
+    got = sorted((r["k"], r["v"]) for r in t.read(spark).collect())
+    want = sorted(
+        [(k, "a") for k in range(12) if k not in (3, 4)] + [(3, "b")]
+    )
+    assert got == want

@@ -405,6 +405,86 @@ def test_temporal_join_flush_tail_emits_high_water_facts(spark, tmp_path):
     assert view(spark, tj) == {2: (6, 20.0)}
 
 
+def test_temporal_join_auto_compaction_bounds_history_and_stays_exact(
+    spark, tmp_path
+):
+    """The r8 steady-state policy: with a small threshold, process_batch
+    compacts the dim version history MID-stream (observable via the
+    fired counter and the manifest), version lists stay bounded, and the
+    maintained view is identical to what the uncompacted history gives —
+    compaction is pure re-layout."""
+    tj = TemporalJoin(
+        FACT, DIM, str(tmp_path / "ac"), how="inner",
+        history_compact_threshold=1,
+    )
+    for e in range(4):
+        ts = 100 * (e + 1)
+        tj.process_batch(
+            raw_df(spark, [
+                env("prices", "c", {"sym": "A", "px": 10.0 * (e + 1)},
+                    pos=2 * e, ts=ts),
+                env("trades", "c",
+                    {"t_id": e, "sym": "A", "qty": e}, pos=2 * e + 1,
+                    ts=ts + 50),
+            ]),
+            epoch_id=e,
+        )
+    assert tj.history_compactions >= 1
+    assert tj.history.compactions_committed() >= 1
+    lens = [
+        len(v)
+        for b, v in tj.history.load_manifest().items()
+        if not b.startswith("__")
+    ]
+    assert lens and all(n <= 1 for n in lens)
+    # trades 0..2 released as the watermark advanced; each joins the
+    # version valid at ITS rowtime — straight through the compactions
+    assert view(spark, tj) == {0: (0, 10.0), 1: (1, 20.0), 2: (2, 30.0)}
+
+
+def test_temporal_join_flush_tail_crash_between_emit_and_tombstone(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r7 ordering: flush_tail commits the output emit FIRST; a
+    crash before the pending tombstone leaves the facts buffered, and a
+    same-epoch retry re-emits identically instead of silently losing
+    them (the pre-fix order tombstoned first — the retry then saw an
+    empty buffer and the buffered facts were never emitted)."""
+    from flink_cdc_log_connectors_spark.streaming.statetable import (
+        PartitionedStateTable,
+    )
+
+    tj = TemporalJoin(FACT, DIM, str(tmp_path / "ft"), how="inner")
+    tj.process_batch(
+        raw_df(spark, [
+            env("prices", "c", {"sym": "A", "px": 10.0}, pos=0, ts=100),
+            env("trades", "c", {"t_id": 1, "sym": "A", "qty": 5}, pos=1,
+                ts=100),
+        ]),
+        epoch_id=0,
+    )
+    assert view(spark, tj) == {}  # at the high-water mark: deferred
+
+    real_upsert = PartitionedStateTable.upsert
+    def crash_on_pending(self, *a, **k):
+        if self.path.endswith("__pending"):
+            raise RuntimeError("simulated crash before tombstone commit")
+        return real_upsert(self, *a, **k)
+
+    monkeypatch.setattr(PartitionedStateTable, "upsert", crash_on_pending)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        tj.flush_tail(spark, epoch_id=1)
+    monkeypatch.setattr(PartitionedStateTable, "upsert", real_upsert)
+    # output already carries the verdict; the fact is STILL buffered,
+    # and the same-epoch retry converges without losing it
+    assert view(spark, tj) == {1: (5, 10.0)}
+    assert tj.pending.read(spark) is not None
+    tj.flush_tail(spark, epoch_id=1)
+    assert view(spark, tj) == {1: (5, 10.0)}
+    assert tj.pending.read(spark) is None
+
+
 def test_temporal_join_rejects_join_key_type_mismatch(tmp_path):
     """History-bucket pruning hashes the fact join column with the dim
     key's bucket hash; xxhash64(int) != xxhash64(long) for equal values,
