@@ -129,20 +129,43 @@ class ChangelogAggregate:
         )
         if self.derive is not None:
             parsed = self.derive(parsed)
-        # lazy persist (r7): the fact-state upsert materializes the cache
+        # lazy persist (r7): the stats agg below materializes the cache
         rows = offset_sort_columns(parsed).persist()
+
+        # ONE driver round-trip for all per-batch scalars (r8; was an
+        # emptiness probe + a touched-bucket collect inside EACH state
+        # upsert — three driver actions): batch row count, the fact-state
+        # buckets the batch's keys hash to, and the output buckets the
+        # touched groups hash to (xxhash64 treats an all-NULL key as a
+        # real value, so the NULL group's bucket is collected, never
+        # dropped — pinned by the NULL-group replay witness).  Both
+        # upserts below take the sets precomputed.
+        stats = rows.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.collect_set(
+                self.fact_state.bucket_for(F.col(self.key))
+            ).alias("fb"),
+            F.collect_set(
+                self.output.bucket_for(*[F.col(c) for c in self.group_cols])
+            ).alias("ob"),
+        ).first()
+        if stats["n"] == 0:
+            rows.unpersist(False)
+            return
 
         # 1. keep the fact state current (feeds min/max recompute and
         #    replayed-epoch recovery)
-        self.fact_state.upsert(rows, order_by=CHANGELOG_ORDER_BY, epoch_id=epoch_id)
+        self.fact_state.upsert(
+            rows,
+            order_by=CHANGELOG_ORDER_BY,
+            epoch_id=epoch_id,
+            touched=stats["fb"],
+        )
 
         # 2. touched groups: every group any image of this batch mentions
         #    (update before-images live in img_seq=0 rows, so a group the
         #    row LEFT is touched too)
         touched = rows.select(*self.group_cols).distinct()
-        if touched.limit(1).count() == 0:
-            rows.unpersist(False)
-            return
 
         # 3. exact recompute of touched groups against post-upsert state.
         #    Invertible aggregates COULD delta-merge without reading fact
@@ -184,10 +207,13 @@ class ChangelogAggregate:
             )
         tomb = tomb.withColumn("op", F.lit("d"))
         merged = tomb if alive is None else alive.unionByName(tomb)
+        # alive ∪ tomb groups ⊆ touched groups, so the precomputed group
+        # buckets cover every output row (superset-safe)
         self.output.upsert(
             merged.withColumn("__seq", F.lit(0)),
             order_by=["__seq"],
             epoch_id=epoch_id,
+            touched=stats["ob"],
         )
         rows.unpersist(False)
 

@@ -128,8 +128,48 @@ class ChangelogJoin:
             )
         ).persist()
 
-        self.left_state.upsert(lb, order_by=CHANGELOG_ORDER_BY, epoch_id=epoch_id)
-        self.right_state.upsert(rb, order_by=CHANGELOG_ORDER_BY, epoch_id=epoch_id)
+        # ONE driver round-trip for all per-batch scalars (r8; was a
+        # touched-bucket collect inside EACH side's state upsert): the
+        # union agg materializes both persists and collects both sides'
+        # state buckets (each bounded by n_buckets).
+        probe = lb.select(
+            F.lit(0).alias("__s"),
+            self.left_state.bucket_for(F.col(self.left.key)).alias("__b"),
+        ).unionByName(
+            rb.select(
+                F.lit(1).alias("__s"),
+                self.right_state.bucket_for(F.col(self.right.key)).alias(
+                    "__b"
+                ),
+            )
+        )
+        stats = probe.agg(
+            F.count(F.when(F.col("__s") == 0, F.lit(1))).alias("nl"),
+            F.count(F.when(F.col("__s") == 1, F.lit(1))).alias("nr"),
+            F.collect_set(F.when(F.col("__s") == 0, F.col("__b"))).alias(
+                "lbk"
+            ),
+            F.collect_set(F.when(F.col("__s") == 1, F.col("__b"))).alias(
+                "rbk"
+            ),
+        ).first()
+        if stats["nl"] == 0 and stats["nr"] == 0:
+            lb.unpersist(False)
+            rb.unpersist(False)
+            return
+
+        self.left_state.upsert(
+            lb,
+            order_by=CHANGELOG_ORDER_BY,
+            epoch_id=epoch_id,
+            touched=stats["lbk"],
+        )
+        self.right_state.upsert(
+            rb,
+            order_by=CHANGELOG_ORDER_BY,
+            epoch_id=epoch_id,
+            touched=stats["rbk"],
+        )
 
         l_state = self.left_state.read(spark)
         r_state = self.right_state.read(spark)

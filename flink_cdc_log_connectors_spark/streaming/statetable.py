@@ -346,7 +346,12 @@ class PartitionedStateTable:
         subsumed = set(manifest.get(self._SUBSUMED, []))
         for _, vs in self._bucket_items(manifest):
             subsumed.update(v for v in vs if isinstance(v, int))
-        new_manifest[self._SUBSUMED] = sorted(subsumed)
+        # keep the list bounded: a Structured Streaming retry can only
+        # re-deliver the most recent uncommitted epoch(s), so subsumed
+        # epochs more than 1024 commits old can never be replayed — a
+        # long-running stream would otherwise grow the manifest by one
+        # integer per epoch forever
+        new_manifest[self._SUBSUMED] = sorted(subsumed)[-1024:]
         # advance the auto-compaction counter past this id so a later
         # maybe_compact never re-draws it (manual ids count too)
         seq = manifest.get(self._COMPACT_SEQ, 0)

@@ -129,18 +129,45 @@ class ChangelogTopN:
             )
         ).persist()
 
+        # ONE driver round-trip for all per-batch scalars (r8; was an
+        # emptiness probe + a touched-bucket collect inside EACH state
+        # upsert): batch count, fact-state buckets, and the output
+        # buckets of every (touched partition, rn 1..N) slot the merge
+        # below can write — one collect_set per rank slot (N is small by
+        # construction of a Top-N query; xxhash64 hashes a NULL
+        # partition value to a real bucket, so NULL partitions are
+        # collected, never dropped).
+        wrows = self._with_partition(rows)
+        pcols = [F.col(c) for c in self.partition_cols]
+        stats = wrows.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.collect_set(
+                self.fact_state.bucket_for(F.col(self.key))
+            ).alias("fb"),
+            *[
+                F.collect_set(
+                    self.output.bucket_for(*pcols, F.lit(rn))
+                ).alias(f"ob{rn}")
+                for rn in range(1, self.n + 1)
+            ],
+        ).first()
+        if stats["n"] == 0:
+            rows.unpersist(False)
+            return
+        out_touched = sorted(
+            {b for rn in range(1, self.n + 1) for b in stats[f"ob{rn}"]}
+        )
+
         # 1. fact state stays current
         self.fact_state.upsert(
-            rows, order_by=CHANGELOG_ORDER_BY, epoch_id=epoch_id
+            rows,
+            order_by=CHANGELOG_ORDER_BY,
+            epoch_id=epoch_id,
+            touched=stats["fb"],
         )
 
         # 2. touched partitions (before-images included — re-pointing)
-        touched = (
-            self._with_partition(rows).select(*self.partition_cols).distinct()
-        )
-        if touched.limit(1).count() == 0:
-            rows.unpersist(False)
-            return
+        touched = wrows.select(*self.partition_cols).distinct()
 
         # 3. exact top-N recompute for touched partitions against
         #    post-upsert state (broadcast semi-join bounds the read)
@@ -203,10 +230,13 @@ class ChangelogTopN:
         merged = tomb if alive is None else alive.unionByName(
             tomb, allowMissingColumns=True
         )
+        # every output row is (touched partition, rn ≤ N) — covered by
+        # the precomputed slot buckets (superset-safe)
         self.output.upsert(
             merged.withColumn("__seq", F.lit(0)),
             order_by=["__seq"],
             epoch_id=epoch_id,
+            touched=out_touched,
         )
         rows.unpersist(False)
 

@@ -1,0 +1,442 @@
+"""Streaming-machinery scale measurement: is per-epoch cost flat as
+accumulated STATE grows 10×?  (VERDICT r7 next-round #2 — the r7
+append/bucket-prune claim, measured instead of argued.)
+
+The replay witnesses are excluded from the 10× corpus smoke because
+copy-synthesis reuses timestamps and the witness fixtures assert global
+ts uniqueness.  This script therefore SYNTHESIZES fresh CDC logs with
+unique, monotone timestamps (ts = base + row index — never copy-keyed)
+at two state scales, then measures the SAME fixed-size probe epoch
+against both:
+
+- **temporal join** (``streaming/temporal_join.py``): build the dim
+  version history from K keys × V versions (scale by K, so per-key
+  version density stays constant and only TOTAL history grows 10×),
+  then probe with P facts referencing 8 fixed keys.  The emit join
+  reads only the history buckets those keys hash to (≤ 8 of 256), so
+  per-epoch cost should be ~flat while a full-history-read
+  implementation would grow ~10×.
+- **changelog aggregate** (``streaming/aggregates.py``): build latest
+  state for K keys (scale by K), then probe with P well-formed UPDATE
+  envelopes (chained before-images) on 8 fixed keys.  The fact-state
+  upsert reads/writes only the probed key buckets (≤ 8 of 256); the
+  touched-group recompute's fact-state read is a map-only scan with a
+  broadcast semi-join (documented O(state) scan, sub-linear wall-clock
+  — group re-pointing makes group-bucket pruning impossible), so this
+  one is expected near-flat, not perfectly flat.
+
+Protocol (established by SCALING.md): per scale, 1 warmup probe + min
+of 3 timed probes, each a FRESH batch under a FRESH epoch (the
+steady-state stream shape; re-running one epoch id would measure the
+replay-pin path — an extra eager checkpoint no real stream pays), plus
+a final fresh epoch that counts Spark jobs (the driver-action floor).
+
+Usage: python scripts/stream_scale.py [--quick]
+  --quick: 1/10th row counts (CI smoke of the script itself)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+WORK = "/tmp/spark_graft_stream_scale"
+BASE_TS = 1_700_000_000_000_000  # micros; fixture-local, fresh unique ts
+N_BUCKETS = 256
+PROBE_KEYS = 8
+PROBE_ROWS = 2_000
+RUNS = 3
+
+DIM_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("price", T.DoubleType()),
+        T.StructField("ver", T.LongType()),
+    ]
+)
+FACT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("grp", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ver", T.LongType()),
+    ]
+)
+
+
+_JOB_GROUP_SEQ = [0]
+
+
+def _count_jobs(spark: SparkSession, fn) -> int:
+    """Spark TRACKER jobs launched by fn() — a superset of the code's
+    driver actions: AQE materializes each query stage as its own job,
+    and every state read adds a mergeSchema footer job (plus a
+    file-listing job once path counts cross the parallel-discovery
+    threshold).  Fresh group name per call — the tracker's group listing
+    is cumulative, so reusing one name double-counts earlier calls."""
+    sc = spark.sparkContext
+    _JOB_GROUP_SEQ[0] += 1
+    group = f"job_count_probe_{_JOB_GROUP_SEQ[0]}"
+    sc.setJobGroup(group, "per-epoch job count", False)
+    try:
+        fn()
+    finally:
+        sc._jsc.clearJobGroup()
+    return len(
+        spark.sparkContext.statusTracker().getJobIdsForGroup(group)
+    )
+
+
+def _src(table: str, ts, pos):
+    return F.struct(
+        F.lit("scale").alias("db"),
+        F.lit(table).alias("table"),
+        ts.alias("ts_ms"),
+        F.lit("log.0").alias("file"),
+        pos.alias("pos"),
+    )
+
+
+def _env(table: str, op, before, after, ts, pos) -> list:
+    fields = []
+    if before is not None:
+        fields.append(before.alias("before"))
+    if after is not None:
+        fields.append(after.alias("after"))
+    fields += [
+        op.alias("op"),
+        ts.alias("ts_ms"),
+        _src(table, ts, pos).alias("source"),
+    ]
+    return [
+        F.to_json(F.struct(*fields)).alias("value"),
+        F.lit("log.0").alias("file"),
+        pos.alias("pos"),
+    ]
+
+
+# -- temporal join fixture ---------------------------------------------------
+
+
+def dim_envelopes(spark: SparkSession, n_keys: int, versions: int) -> DataFrame:
+    """K keys × V versions, ts = BASE_TS + i (globally unique, monotone
+    in log order — fresh synthesis, never copy-keyed)."""
+    n = n_keys * versions
+    i = F.col("id")
+    after = F.struct(
+        (i % n_keys).alias("user_id"),
+        ((i % 997) * 1.0).alias("price"),
+        i.alias("ver"),
+    )
+    return spark.range(n).select(
+        *_env("dims", F.lit("c"), None, after, F.lit(BASE_TS) + i, i)
+    )
+
+
+def fact_probe(
+    spark: SparkSession, n_hist: int, run: int, probe_rows: int = PROBE_ROWS
+) -> DataFrame:
+    """P facts on 8 fixed keys, rowtimes strictly inside the built dim
+    history (all < the stored watermark → the whole probe emits in its
+    own epoch).  ``run`` offsets the event ids so every timed run is a
+    FRESH batch under a FRESH epoch — the steady-state stream shape
+    (re-running one epoch id would instead measure the replay-pin path,
+    which eager-checkpoints the merged state: one extra job no real
+    stream pays per batch)."""
+    i = F.col("id")
+    base = 10**12 + run * probe_rows
+    after = F.struct(
+        (F.lit(base) + i).alias("event_id"),
+        (i % PROBE_KEYS).alias("user_id"),
+        F.lit(1.0).alias("value"),
+    )
+    # offset past the probe keys' FIRST versions (key k's first version
+    # lands at ts BASE+k) so every probe fact has a version at-or-before
+    # its rowtime (the inner join would drop it otherwise), and stay
+    # strictly below the watermark BASE + n_hist - 1
+    ts = F.lit(BASE_TS + PROBE_KEYS) + (i * 7919) % F.lit(
+        n_hist - 1 - PROBE_KEYS
+    )
+    pos = F.lit(base) + i
+    return spark.range(probe_rows).select(
+        *_env("facts", F.lit("c"), None, after, ts, pos)
+    )
+
+
+def measure_temporal(
+    spark: SparkSession,
+    n_keys: int,
+    versions: int,
+    tag: str,
+    n_buckets: int = N_BUCKETS,
+    probe_rows: int = PROBE_ROWS,
+):
+    from flink_cdc_log_connectors_spark.streaming.joins import JoinSide
+    from flink_cdc_log_connectors_spark.streaming.temporal_join import (
+        TemporalJoin,
+    )
+
+    fact = JoinSide(
+        table="facts", physical=FACT_SCHEMA, key="event_id", join_col="user_id"
+    )
+    dim = JoinSide(
+        table="dims", physical=DIM_SCHEMA, key="user_id", join_col="user_id"
+    )
+    root = os.path.join(WORK, f"temporal_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    tj = TemporalJoin(fact, dim, root, how="inner", n_buckets=n_buckets)
+
+    n = n_keys * versions
+    dims = dim_envelopes(spark, n_keys, versions).persist()
+    build_epochs = 4
+    per = n // build_epochs
+    t0 = time.perf_counter()
+    for e in range(build_epochs):
+        lo, hi = e * per, (e + 1) * per if e < build_epochs - 1 else n
+        tj.process_batch(
+            dims.filter((F.col("pos") >= lo) & (F.col("pos") < hi)),
+            epoch_id=e,
+        )
+    build_s = time.perf_counter() - t0
+    dims.unpersist()
+
+    times = []
+    for r in range(RUNS + 2):  # run 0 = warmup (compiles the emit plans)
+        probe = fact_probe(spark, n, r, probe_rows).persist()
+        probe.count()  # materialize the fixture outside the timed region
+        if r <= RUNS:
+            t0 = time.perf_counter()
+            tj.process_batch(probe, epoch_id=build_epochs + r)
+            dt = time.perf_counter() - t0
+            if r > 0:
+                times.append(dt)
+        else:  # final fresh epoch: count driver actions
+            jobs = _count_jobs(
+                spark,
+                lambda p=probe, e=build_epochs + r: tj.process_batch(
+                    p, epoch_id=e
+                ),
+            )
+        probe.unpersist()
+    view = tj.read_view(spark)
+    emitted = 0 if view is None else view.count()
+    want = probe_rows * (RUNS + 2)
+    assert emitted == want, f"probe emitted {emitted}, want {want}"
+    return {
+        "history_rows": n,
+        "build_s": round(build_s, 2),
+        "probe_epoch_s": round(min(times), 3),
+        "probe_runs_s": [round(t, 3) for t in times],
+        "jobs_per_epoch": jobs,
+    }
+
+
+# -- changelog aggregate fixture ----------------------------------------------
+
+
+def _state_row(k, ver, value):
+    return F.struct(
+        k.alias("user_id"),
+        (k % 50).alias("grp"),
+        value.alias("value"),
+        ver.alias("ver"),
+    )
+
+
+def agg_build_envelopes(
+    spark: SparkSession, n_keys: int, versions: int
+) -> DataFrame:
+    """K keys × V well-formed updates: round-robin ts = BASE + j*K + k
+    (unique; per-key monotone), before-image = the key's true previous
+    row — the same well-formedness contract the replay fixtures pin."""
+    i = F.col("id")
+    k = i % n_keys
+    j = (i / n_keys).cast("long")
+    ts = F.lit(BASE_TS) + j * n_keys + k
+    after = _state_row(k, j, j * 1.0)
+    before = F.when(j > 0, _state_row(k, j - 1, (j - 1) * 1.0))
+    op = F.when(j == 0, F.lit("c")).otherwise(F.lit("u"))
+    return spark.range(n_keys * versions).select(
+        *_env("state", op, before, after, ts, i)
+    )
+
+
+def _ver_value(ver, versions: int):
+    """value is a pure function of a row's version: build rows carry
+    ver*1.0, probe rows 1000+ver — so any run's before-image can be
+    reconstructed exactly from the previous version number."""
+    return F.when(ver < versions, ver * 1.0).otherwise(1000.0 + ver)
+
+
+def agg_probe_envelopes(
+    spark: SparkSession,
+    n_keys: int,
+    versions: int,
+    run: int,
+    probe_rows: int = PROBE_ROWS,
+) -> DataFrame:
+    """P chained updates on 8 fixed keys (m-th update's before-image =
+    the (m-1)-th's after-image; m=0 chains off the previous run's — or
+    the build's — last row).  Fresh rows + fresh epoch per timed run:
+    the steady-state stream shape (same-epoch re-runs would measure the
+    replay-pin path instead)."""
+    i = F.col("id")
+    k = i % PROBE_KEYS
+    m = (i / PROBE_KEYS).cast("long")
+    per_key = probe_rows // PROBE_KEYS
+    start_ver = versions + run * per_key
+    base_pos = n_keys * versions + run * probe_rows
+    ts = F.lit(BASE_TS) + base_pos + m * PROBE_KEYS + k
+    ver = F.lit(start_ver) + m
+    after = _state_row(k, ver, _ver_value(ver, versions))
+    before = _state_row(k, ver - 1, _ver_value(ver - 1, versions))
+    return spark.range(probe_rows).select(
+        *_env("state", F.lit("u"), before, after, ts, F.lit(base_pos) + i)
+    )
+
+
+def measure_agg(
+    spark: SparkSession,
+    n_keys: int,
+    versions: int,
+    tag: str,
+    n_buckets: int = N_BUCKETS,
+    probe_rows: int = PROBE_ROWS,
+):
+    from flink_cdc_log_connectors_spark.streaming.aggregates import (
+        ChangelogAggregate,
+    )
+
+    root = os.path.join(WORK, f"agg_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    agg = ChangelogAggregate(
+        "state",
+        STATE_SCHEMA,
+        key="user_id",
+        group_cols=["grp"],
+        output_path=root,
+        sum_cols=["value"],
+        n_buckets=n_buckets,
+    )
+    n = n_keys * versions
+    build = agg_build_envelopes(spark, n_keys, versions).persist()
+    build_epochs = 4
+    per = n // build_epochs
+    t0 = time.perf_counter()
+    for e in range(build_epochs):
+        lo, hi = e * per, (e + 1) * per if e < build_epochs - 1 else n
+        agg.process_batch(
+            build.filter((F.col("pos") >= lo) & (F.col("pos") < hi)),
+            epoch_id=e,
+        )
+    build_s = time.perf_counter() - t0
+    build.unpersist()
+
+    times = []
+    for r in range(RUNS + 2):  # run 0 = warmup (compiles the merge plans)
+        probe = agg_probe_envelopes(
+            spark, n_keys, versions, r, probe_rows
+        ).persist()
+        probe.count()
+        if r <= RUNS:
+            t0 = time.perf_counter()
+            agg.process_batch(probe, epoch_id=build_epochs + r)
+            dt = time.perf_counter() - t0
+            if r > 0:
+                times.append(dt)
+        else:  # final fresh epoch: count driver actions
+            jobs = _count_jobs(
+                spark,
+                lambda p=probe, e=build_epochs + r: agg.process_batch(
+                    p, epoch_id=e
+                ),
+            )
+        probe.unpersist()
+    view = agg.read_view(spark)
+    n_groups = 0 if view is None else view.count()
+    assert n_groups == 50, f"groups {n_groups}, want 50"
+    return {
+        "state_rows": n_keys,
+        "build_s": round(build_s, 2),
+        "probe_epoch_s": round(min(times), 3),
+        "probe_runs_s": [round(t, 3) for t in times],
+        "jobs_per_epoch": jobs,
+    }
+
+
+def main() -> None:
+    quick = "--quick" in sys.argv
+    scale = 0.1 if quick else 1.0
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("stream_scale")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(WORK, exist_ok=True)
+    out: dict = {"metric": "stream_scale_per_epoch", "unit": "sec"}
+
+    def step(name, fn):
+        out[name] = fn()
+        print(f"# {name}: {json.dumps(out[name])}", file=sys.stderr)
+
+    tj_keys = int(8_000 * scale)
+    step("temporal_1x", lambda: measure_temporal(spark, tj_keys, 25, "1x"))
+    step(
+        "temporal_10x",
+        lambda: measure_temporal(spark, tj_keys * 10, 25, "10x"),
+    )
+    out["temporal_ratio"] = round(
+        out["temporal_10x"]["probe_epoch_s"]
+        / out["temporal_1x"]["probe_epoch_s"],
+        2,
+    )
+
+    ag_keys = int(40_000 * scale)
+    step("agg_1x", lambda: measure_agg(spark, ag_keys, 5, "1x"))
+    step("agg_10x", lambda: measure_agg(spark, ag_keys * 10, 5, "10x"))
+    out["agg_ratio"] = round(
+        out["agg_10x"]["probe_epoch_s"] / out["agg_1x"]["probe_epoch_s"], 2
+    )
+
+    # Witness-scale job counts (n_buckets=8, the replay witnesses'
+    # config): the number comparable to the r7 "~7 jobs/epoch" claim.
+    # At n_buckets=256 the count above additionally includes file-index
+    # listing + mergeSchema footer jobs that grow with PATH counts —
+    # real bookkeeping at high bucket counts, but not driver actions of
+    # the merge algorithm itself.
+    step(
+        "temporal_witness_scale",
+        lambda: measure_temporal(spark, 64, 4, "wit", n_buckets=8,
+                                 probe_rows=200),
+    )
+    step(
+        "agg_witness_scale",
+        lambda: measure_agg(spark, 512, 4, "wit", n_buckets=8,
+                            probe_rows=200),
+    )
+    print(json.dumps(out))
+    shutil.rmtree(WORK, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -127,6 +127,67 @@ def test_agg_witness_discriminates_r6_fixes(spark, sf_dir, tmp_path, monkeypatch
     assert nulllost != good
 
 
+def test_ingest_dedup_retry_stable_and_oriented(spark, sf_dir, tmp_path):
+    """The r8 epoch-filtered index read: re-delivering a committed epoch
+    re-derives EXACTLY the original pair set (pre-fix, the retry joined
+    its own re-appended index rows and emitted every intra-batch pair in
+    BOTH orientations), and every pair is oriented by arrival (d1 = the
+    later batch's doc; same batch → smaller id first)."""
+    from flink_cdc_log_connectors_spark.io import load_table
+    from flink_cdc_log_connectors_spark.streaming.ingest_dedup import (
+        IngestDedup,
+        read_dedup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    dd = IngestDedup(str(tmp_path / "idx"))
+    for epoch in range(3):
+        dd.process_batch(
+            docs.filter(F.col("doc_id") % 3 == epoch), epoch_id=epoch
+        )
+    first = {
+        (r["d1"], r["d2"]) for r in
+        read_dedup_pairs(spark, str(tmp_path / "idx")).collect()
+    }
+    assert first, "fixture must produce near-dup pairs"
+    for d1, d2 in first:
+        b1, b2 = d1 % 3, d2 % 3
+        assert b1 > b2 or (b1 == b2 and d1 < d2), (d1, d2)
+    # retry of a committed epoch: the pair set must not change
+    dd.process_batch(docs.filter(F.col("doc_id") % 3 == 1), epoch_id=1)
+    second = {
+        (r["d1"], r["d2"]) for r in
+        read_dedup_pairs(spark, str(tmp_path / "idx")).collect()
+    }
+    assert second == first
+
+
+def test_sink_witness_matches_duckdb_oracle(spark, sf_dir):
+    """sink_exactly_once_replay end to end (partial-write crash,
+    duplicate epoch delivery, orphan GC) vs its dedup-free aggregation
+    oracle — the same check selfcheck/driver run at sf0.01."""
+    import duckdb
+
+    from flink_cdc_log_connectors_spark.operators.replay import (
+        SINK_EXACTLY_ONCE_REPLAY_SQL,
+        sink_exactly_once_replay_query,
+    )
+
+    got = {
+        tuple(r)
+        for r in sink_exactly_once_replay_query(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(SINK_EXACTLY_ONCE_REPLAY_SQL).fetchall()
+    }
+    assert got == want
+
+
 def test_agg_witness_matches_duckdb_oracle(spark, sf_dir):
     """Full engine-vs-oracle equivalence at test scale (the same check
     selfcheck/driver run at sf0.01)."""
