@@ -872,6 +872,10 @@ def sink_exactly_once_replay_query(
       overwrite clobbers its own partial output;
     - a DUPLICATE DELIVERY of committed epoch 1 — the ledger makes it a
       no-op (pre-ledger machinery would double every row of the epoch);
+    - a LEDGER COMPACTION (r8) folding epochs 0–1 into one consolidated
+      tier + one ``[lo, hi]`` ledger range, followed by a duplicate
+      delivery of the now-FOLDED epoch 1 — range membership must make
+      it a no-op (re-writing it would duplicate the consolidated rows);
     - an ORPHAN epoch directory (written, never committed) — invisible
       to readers and removed by ``gc_uncommitted`` (asserted).
 
@@ -898,6 +902,10 @@ def sink_exactly_once_replay_query(
         sink.process_batch(batches[0], 0)
         sink.process_batch(batches[1], 1)  # retry clobbers the partial
         sink.process_batch(batches[1], 1)  # duplicate delivery: no-op
+        # fold epochs 0-1 into one consolidated tier (no-op on a reused
+        # state dir, where they are already folded — < 2 loose to fold)
+        sink.compact_epochs(spark, keep_recent=0)
+        sink.process_batch(batches[1], 1)  # duplicate of a FOLDED epoch
         sink.process_batch(batches[2], 2)
         # orphan: written but never ledgered (crash before commit point)
         batches[0].write.mode("overwrite").parquet(sink._epoch_dir(99))

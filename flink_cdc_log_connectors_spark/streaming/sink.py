@@ -9,15 +9,29 @@ replayable-storage equivalent is an idempotent commit ledger:
 1. each epoch writes its rows under ``_data/epoch=<id>`` (an overwrite —
    a retry of the same epoch clobbers its own partial output, never
    another epoch's);
-2. the epoch id is then appended to ``_ledger.json`` via write-tmp +
+2. the epoch id is then committed to ``_ledger.json`` via write-tmp +
    ``os.replace`` (atomic commit point);
 3. readers (:func:`read_committed`) union exactly the ledgered epochs —
    a crash between write and commit leaves an orphan directory that is
    invisible, re-written on retry, and never double-counted.
 
-Scale: per-batch work is O(batch); the ledger is one small JSON list (one
-entry per epoch — compact it by folding into ranges if epochs are
-unbounded; at 1 epoch/10 s that is ~8 KB/day of JSON).
+Scale (r8): a long-running stream commits one ledger entry AND one data
+directory per epoch forever — the same unbounded-bookkeeping class the
+state tables' ``compact()`` bounds.  :meth:`compact_epochs` folds the
+loose epochs older than ``keep_recent`` into ONE consolidated directory
+and replaces their ledger entries with a single ``[lo, hi]`` range —
+metadata drops from one entry per epoch to one per compaction; data is
+consolidated once and never rewritten again (tiered, not re-merged:
+an append-only sink re-merging old tiers would pay O(total) per
+compaction for no read benefit).  Range membership is sound because
+stream epochs are MONOTONE: an id at-or-below a committed range's high
+end can only ever be a replay, never a fresh epoch — so claiming an
+in-range gap id as committed is safe.  Same crash discipline as every
+commit here: consolidated dir first, atomic ledger swap second, GC of
+the folded dirs after; a crash before the swap leaves an orphan the
+retry overwrites (the compaction seq only advances in the swap).
+Pass ``compact_threshold`` to fold automatically inside
+``process_batch`` once the loose-epoch count exceeds it.
 """
 
 from __future__ import annotations
@@ -33,54 +47,141 @@ _DATA = "_data"
 
 
 class ExactlyOnceAppendSink:
-    def __init__(self, path: str) -> None:
+    def __init__(
+        self,
+        path: str,
+        compact_threshold: int | None = 64,
+        keep_recent: int = 8,
+    ) -> None:
         self.path = path
+        #: fold loose epochs once their count exceeds this (None = manual
+        #: only).  Default 64: steady-state deployments get a bounded
+        #: ledger and bounded directory counts without opting in —
+        #: amortized one consolidation read+write per 64 epochs.
+        self.compact_threshold = compact_threshold
+        #: never fold the newest N epochs (conservatively beyond any
+        #: window a Structured Streaming retry could re-deliver)
+        self.keep_recent = keep_recent
 
     def _ledger_path(self) -> str:
         return os.path.join(self.path, _LEDGER)
 
-    def committed_epochs(self) -> list[int]:
+    def _load_ledger(self) -> dict:
+        """{"epochs": [loose ints], "merged": [{"lo","hi","dir"}],
+        "compact_seq": int} — reads the pre-r8 epochs-only format too."""
         try:
             with open(self._ledger_path()) as f:
-                return json.load(f)["epochs"]
+                led = json.load(f)
         except FileNotFoundError:
-            return []
+            return {"epochs": [], "merged": [], "compact_seq": 0}
+        led.setdefault("merged", [])
+        led.setdefault("compact_seq", 0)
+        return led
+
+    def _store_ledger(self, led: dict) -> None:
+        tmp = self._ledger_path() + ".tmp"
+        os.makedirs(self.path, exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump(led, f)
+        os.replace(tmp, self._ledger_path())  # atomic commit point
+
+    def committed_epochs(self) -> list[int]:
+        """Every committed epoch id (compacted ranges expanded)."""
+        led = self._load_ledger()
+        out = set(led["epochs"])
+        for m in led["merged"]:
+            out.update(range(m["lo"], m["hi"] + 1))
+        return sorted(out)
+
+    def is_committed(self, epoch_id: int) -> bool:
+        led = self._load_ledger()
+        return epoch_id in led["epochs"] or any(
+            m["lo"] <= epoch_id <= m["hi"] for m in led["merged"]
+        )
 
     def _epoch_dir(self, epoch_id: int) -> str:
         return os.path.join(self.path, _DATA, f"epoch={epoch_id}")
 
+    def _merged_dir(self, name: str) -> str:
+        return os.path.join(self.path, _DATA, name)
+
     def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
-        committed = self.committed_epochs()
-        if epoch_id in committed:
+        led = self._load_ledger()
+        if epoch_id in led["epochs"] or any(
+            m["lo"] <= epoch_id <= m["hi"] for m in led["merged"]
+        ):
             # replay of an already-committed epoch: nothing to do (the
-            # data directory is already authoritative)
+            # data directory / consolidated tier is already authoritative)
             return
         out_dir = self._epoch_dir(epoch_id)
         # overwrite = a retry clobbers its own earlier partial write
         batch.write.mode("overwrite").parquet(out_dir)
-        tmp = self._ledger_path() + ".tmp"
-        os.makedirs(self.path, exist_ok=True)
-        with open(tmp, "w") as f:
-            json.dump({"epochs": sorted([*committed, epoch_id])}, f)
-        os.replace(tmp, self._ledger_path())  # atomic commit point
+        led["epochs"] = sorted([*led["epochs"], epoch_id])
+        self._store_ledger(led)
+        if (
+            self.compact_threshold is not None
+            and len(led["epochs"]) > self.compact_threshold
+        ):
+            self.compact_epochs(batch.sparkSession, self.keep_recent)
+
+    def compact_epochs(
+        self, spark: SparkSession, keep_recent: int | None = None
+    ) -> bool:
+        """Fold the loose epochs older than ``keep_recent`` into one
+        consolidated directory + one ledger range (see module docstring).
+        Returns whether a fold happened (needs ≥ 2 foldable epochs)."""
+        keep = self.keep_recent if keep_recent is None else keep_recent
+        led = self._load_ledger()
+        loose = sorted(led["epochs"])
+        fold = loose[: len(loose) - keep] if keep > 0 else loose
+        if len(fold) < 2:
+            return False
+        seq = led["compact_seq"] + 1
+        name = f"merged={seq}"
+        spark.read.option("mergeSchema", "true").parquet(
+            *[self._epoch_dir(e) for e in fold]
+        ).write.mode("overwrite").parquet(self._merged_dir(name))
+        new_led = {
+            "epochs": loose[len(fold):],
+            "merged": [
+                *led["merged"],
+                {"lo": fold[0], "hi": fold[-1], "dir": name},
+            ],
+            "compact_seq": seq,
+        }
+        self._store_ledger(new_led)  # the swap commits the fold
+        for e in fold:  # GC best-effort, post-commit
+            shutil.rmtree(self._epoch_dir(e), ignore_errors=True)
+        return True
 
     def read_committed(self, spark: SparkSession) -> DataFrame | None:
-        epochs = self.committed_epochs()
-        if not epochs:
+        led = self._load_ledger()
+        paths = [self._merged_dir(m["dir"]) for m in led["merged"]] + [
+            self._epoch_dir(e) for e in led["epochs"]
+        ]
+        if not paths:
             return None
-        return spark.read.option("mergeSchema", "true").parquet(
-            *[self._epoch_dir(e) for e in epochs]
-        )
+        return spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def gc_uncommitted(self) -> list[int]:
         """Remove orphan epoch directories (written but never committed —
-        crash leftovers).  Safe any time: only non-ledgered dirs go."""
-        committed = set(self.committed_epochs())
+        crash leftovers) and orphan consolidated dirs (compaction crashed
+        before its ledger swap).  Safe any time: only non-ledgered dirs
+        go."""
+        led = self._load_ledger()
+        committed = set(led["epochs"])
+        merged_live = {m["dir"] for m in led["merged"]}
         removed = []
         data_root = os.path.join(self.path, _DATA)
         if not os.path.isdir(data_root):
             return removed
         for name in os.listdir(data_root):
+            if name.startswith("merged="):
+                if name not in merged_live:
+                    shutil.rmtree(
+                        os.path.join(data_root, name), ignore_errors=True
+                    )
+                continue
             if not name.startswith("epoch="):
                 continue
             suffix = name.split("=", 1)[1]
@@ -90,17 +191,25 @@ class ExactlyOnceAppendSink:
                 continue
             eid = int(suffix)
             if eid not in committed:
+                # either never committed (orphan), or folded into a
+                # consolidated tier (the range is authoritative and this
+                # leftover is a crashed compaction's un-GC'd source dir)
                 shutil.rmtree(os.path.join(data_root, name), ignore_errors=True)
                 removed.append(eid)
         return removed
 
 
 def exactly_once_append(
-    stream: DataFrame, output_path: str, checkpoint_path: str
+    stream: DataFrame,
+    output_path: str,
+    checkpoint_path: str,
+    compact_threshold: int | None = 64,
 ):
     """Attach the sink to a stream: every input row lands in the committed
     output EXACTLY once across any pattern of epoch retries."""
-    sink = ExactlyOnceAppendSink(output_path)
+    sink = ExactlyOnceAppendSink(
+        output_path, compact_threshold=compact_threshold
+    )
     return (
         stream.writeStream.foreachBatch(sink.process_batch)
         .option("checkpointLocation", checkpoint_path)

@@ -64,6 +64,62 @@ def test_streaming_end_to_end_exactly_once(spark, tmp_path):
     assert len(vals) == len(set(vals)) >= 20  # no duplicates
 
 
+def test_compaction_folds_old_epochs_exactly_once(spark, tmp_path):
+    """compact_epochs: loose epochs older than keep_recent fold into one
+    consolidated dir + one ledger range; reads stay exact; a replay of a
+    FOLDED epoch is a no-op (range membership)."""
+    sink = ExactlyOnceAppendSink(str(tmp_path / "out"))
+    for e in range(10):
+        sink.process_batch(
+            spark.createDataFrame([(e,)], "x long"), epoch_id=e
+        )
+    assert sink.compact_epochs(spark, keep_recent=2) is True
+    led = sink._load_ledger()
+    assert led["epochs"] == [8, 9]
+    assert len(led["merged"]) == 1 and led["merged"][0]["lo"] == 0
+    assert led["merged"][0]["hi"] == 7
+    got = sorted(r["x"] for r in sink.read_committed(spark).collect())
+    assert got == list(range(10))
+    # folded epochs' source dirs are gone; replaying one must NOT rewrite
+    assert not os.path.isdir(sink._epoch_dir(3))
+    sink.process_batch(
+        spark.createDataFrame([(999,)], "x long"), epoch_id=3
+    )
+    got = sorted(r["x"] for r in sink.read_committed(spark).collect())
+    assert got == list(range(10))
+    # fewer than 2 foldable → no-op
+    assert sink.compact_epochs(spark, keep_recent=2) is False
+
+
+def test_auto_compaction_policy_bounds_ledger(spark, tmp_path):
+    """compact_threshold: process_batch folds automatically, keeping the
+    loose-epoch list bounded while reads stay exact."""
+    sink = ExactlyOnceAppendSink(
+        str(tmp_path / "out"), compact_threshold=3, keep_recent=1
+    )
+    for e in range(9):
+        sink.process_batch(
+            spark.createDataFrame([(e,)], "x long"), epoch_id=e
+        )
+        assert len(sink._load_ledger()["epochs"]) <= 4
+    got = sorted(r["x"] for r in sink.read_committed(spark).collect())
+    assert got == list(range(9))
+
+
+def test_orphan_merged_dir_gced(spark, tmp_path):
+    """A compaction that crashed before its ledger swap leaves an orphan
+    consolidated dir — invisible to readers and removed by GC."""
+    sink = ExactlyOnceAppendSink(str(tmp_path / "out"))
+    sink.process_batch(spark.createDataFrame([(1,)], "x long"), epoch_id=0)
+    spark.createDataFrame([(99,)], "x long").write.parquet(
+        sink._merged_dir("merged=7")
+    )
+    got = sorted(r["x"] for r in sink.read_committed(spark).collect())
+    assert got == [1]
+    sink.gc_uncommitted()
+    assert not os.path.isdir(sink._merged_dir("merged=7"))
+
+
 import pytest
 
 
