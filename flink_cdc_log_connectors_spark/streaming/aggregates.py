@@ -10,20 +10,22 @@ TOUCHED-GROUP RECOMPUTATION:
 - a batch's touched groups = every group value any image mentions (an
   update's before-image row covers the group the fact LEFT, so group
   re-pointing retracts correctly);
-- touched groups recompute exactly against the maintained fact state via
-  a broadcast semi-join — the fact-state READ is a map-side scan of all
-  buckets (state is bucketed by fact key so rows can re-point across
-  groups; group-value bucket pruning is impossible), but only the
-  touched groups' rows cross a shuffle and the recompute is bounded by
-  them, never a full-VIEW rescan — and one code path that is exact for
-  ALL aggregates
+- the fact state is bucketed BY GROUP (``bucket_cols`` — merge keys stay
+  the fact key), so the touched-group recompute reads ONLY the buckets
+  the touched groups hash to (``read_buckets``), never the whole state
+  (r8; the r7 shape scanned every bucket because state was bucketed by
+  fact key — but group-bucketing is sound: a group-re-pointing update's
+  retraction image carries the OLD group, so the old bucket is touched
+  and the key is merged out of it, the same well-formed-CDC contract the
+  replay witnesses pin, and the layout Flink's retract aggregates use —
+  state keyed by group key).  Per-epoch cost is O(batch + facts of
+  touched groups) — the floor for exact recompute — not O(total state);
+  a single hot group costs its own size, exactly what retracting its
+  MIN/MAX requires anyway.  One code path, exact for ALL aggregates
   including non-invertible MIN/MAX (retracting the current minimum needs
   the runner-up, which only state can supply) and naturally IDEMPOTENT
   on replayed epochs — a delta accumulate/retract merge would be neither
-  without extra machinery.  Delta-merging the invertible SUM/COUNT
-  without touching fact rows is the known optimization when fact state
-  reads dominate; measured here, the semi-join path's cost is the same
-  bucket reads the state upsert already performs.
+  without extra machinery.
 
 Groups whose count reaches zero leave the view (tombstones), matching
 SQL GROUP BY over the current table state.  Output lands in a
@@ -86,8 +88,14 @@ class ChangelogAggregate:
         # forces Flink's retract aggregates into per-value counted state
         # needs no special handling here
         self.distinct_cols = list(distinct_cols)
+        # fact state merges by fact key but is BUCKETED by group, so the
+        # touched-group recompute prunes its read to the groups' buckets
+        # (module docstring — requires the retraction-image contract)
         self.fact_state = PartitionedStateTable(
-            f"{output_path}/__fact_state", [key], n_buckets=n_buckets
+            f"{output_path}/__fact_state",
+            [key],
+            n_buckets=n_buckets,
+            bucket_cols=self.group_cols,
         )
         self.output = PartitionedStateTable(
             f"{output_path}/view", self.group_cols, n_buckets=n_buckets
@@ -140,14 +148,11 @@ class ChangelogAggregate:
         # real value, so the NULL group's bucket is collected, never
         # dropped — pinned by the NULL-group replay witness).  Both
         # upserts below take the sets precomputed.
+        gcols = [F.col(c) for c in self.group_cols]
         stats = rows.agg(
             F.count(F.lit(1)).alias("n"),
-            F.collect_set(
-                self.fact_state.bucket_for(F.col(self.key))
-            ).alias("fb"),
-            F.collect_set(
-                self.output.bucket_for(*[F.col(c) for c in self.group_cols])
-            ).alias("ob"),
+            F.collect_set(self.fact_state.bucket_for(*gcols)).alias("fb"),
+            F.collect_set(self.output.bucket_for(*gcols)).alias("ob"),
         ).first()
         if stats["n"] == 0:
             rows.unpersist(False)
@@ -170,9 +175,12 @@ class ChangelogAggregate:
         # 3. exact recompute of touched groups against post-upsert state.
         #    Invertible aggregates COULD delta-merge without reading fact
         #    rows; recompute-touched keeps one code path that is also
-        #    exact for min/max and idempotent on replay — and it reads
-        #    only the touched groups' rows via a broadcast semi-join.
-        state = self.fact_state.read(spark)
+        #    exact for min/max and idempotent on replay.  The read prunes
+        #    to the touched groups' buckets (state is group-bucketed, and
+        #    every touched group came from a batch row, so stats["fb"]
+        #    covers all of them); the semi-join then bounds the shuffle
+        #    to exactly the touched groups' rows.
+        state = self.fact_state.read_buckets(spark, stats["fb"])
         fresh = None
         if state is not None:
             # NULL-safe membership: GROUP BY keeps a NULL group; a plain

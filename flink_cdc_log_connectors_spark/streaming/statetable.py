@@ -7,11 +7,16 @@ non-atomic overwrite window in which a crash lost the table (judge finding
 r1).  This module is the scale-safe replacement:
 
 - **Bucketing** — rows hash into ``n_buckets`` fixed buckets on the merge
-  keys (``pmod(xxhash64(keys), n))``.  A microbatch only ever touches the
-  buckets its keys fall in, so per-batch read+merge+write work is
+  keys (``pmod(xxhash64(keys), n))``, or on separate ``bucket_cols`` when
+  the access pattern differs from row identity (an aggregate's fact state
+  bucketed by GROUP — see ``__init__``).  A microbatch only ever touches
+  the buckets its rows fall in, so per-batch read+merge+write work is
   O(batch ∪ touched buckets), independent of total state size.  At 100 TB
   state with 4096 buckets, a batch touching 1% of keys rewrites ~1% of
-  the table.
+  the table.  The layout is stamped into ``_spec.json`` on first commit
+  and verified on every commit and pruned read: resuming a state dir with
+  a different ``n_buckets`` or ``bucket_cols`` is refused instead of
+  silently merging against buckets the new hash never probes.
 - **Manifest + versioned directories** — each upsert writes touched
   buckets under a fresh ``_data/v=<epoch>/__bucket=<n>`` directory (one
   job, ``partitionBy``), then atomically repoints ``_manifest.json``
@@ -93,11 +98,25 @@ class PartitionedStateTable:
         keys: Sequence[str],
         n_buckets: int = 64,
         retain_versions: int = 0,
+        bucket_cols: Sequence[str] | None = None,
     ):
         self.path = path
         self.keys = list(keys)
         self.n_buckets = n_buckets
         self.retain_versions = retain_versions
+        #: hash-partition columns — default the merge keys.  Setting them
+        #: to OTHER columns co-locates rows by access pattern instead of
+        #: identity (e.g. an aggregate's fact state bucketed by GROUP so
+        #: the touched-group recompute prunes to the groups' buckets
+        #: instead of scanning every bucket).  Contract when they differ
+        #: from ``keys``: any batch that CHANGES a row's bucket-column
+        #: values must also carry the row's retraction image with the OLD
+        #: values (UPDATE_BEFORE — ``retract_before_images`` emits it), so
+        #: the old bucket is touched and the merge rewrites the key out of
+        #: it; without the retraction the stale copy survives unseen.
+        self.bucket_cols = (
+            list(bucket_cols) if bucket_cols is not None else self.keys
+        )
 
     # -- layout -----------------------------------------------------------
     def bucket_for(self, *cols) -> F.Column:
@@ -110,10 +129,42 @@ class PartitionedStateTable:
         return F.pmod(F.xxhash64(*cols), F.lit(self.n_buckets)).cast("int")
 
     def _bucket(self) -> F.Column:
-        return self.bucket_for(*[F.col(k) for k in self.keys])
+        return self.bucket_for(*[F.col(c) for c in self.bucket_cols])
 
     def _manifest_path(self) -> str:
         return os.path.join(self.path, _MANIFEST)
+
+    def _spec_path(self) -> str:
+        return os.path.join(self.path, "_spec.json")
+
+    def _check_spec(self, stamp: bool) -> None:
+        """Refuse to touch a state dir whose on-disk bucket layout
+        (n_buckets / bucket columns) differs from this instance's:
+        hash-pruned reads and touched-bucket merges over a mismatched
+        layout SILENTLY lose data (a key's prior rows live in a bucket
+        the new hash never probes).  Every commit path stamps the spec
+        (``stamp=True``); pruned reads only verify, so read-only
+        consumers never write.  Dirs written before the spec existed are
+        accepted and stamped on their next commit."""
+        spec = {"n_buckets": self.n_buckets, "bucket_cols": self.bucket_cols}
+        try:
+            with open(self._spec_path()) as f:
+                existing = json.load(f)
+        except FileNotFoundError:
+            if stamp:
+                os.makedirs(self.path, exist_ok=True)
+                tmp = self._spec_path() + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(spec, f)
+                os.replace(tmp, self._spec_path())
+            return
+        if existing != spec:
+            raise ValueError(
+                f"state table at {self.path} was committed with bucket "
+                f"layout {existing}, but this instance expects {spec}; "
+                "operating across layouts silently loses data — migrate "
+                "by rewriting the table"
+            )
 
     def _bucket_dir(self, version: int, bucket: int) -> str:
         return os.path.join(
@@ -209,6 +260,7 @@ class PartitionedStateTable:
     def read_buckets(
         self, spark: SparkSession, buckets: Sequence[int]
     ) -> DataFrame | None:
+        self._check_spec(stamp=False)  # pruning assumes this layout
         manifest = self.load_manifest()
         paths = [
             self._bucket_dir(v, b)
@@ -248,6 +300,7 @@ class PartitionedStateTable:
         a fresh version when file counts grow — the manifest swap makes
         that safe — analogous to LSM state-backend compaction.
         """
+        self._check_spec(stamp=True)
         manifest = self.load_manifest()
         if epoch_id in manifest.get(self._SUBSUMED, []):
             # this epoch's rows were folded into a compacted version; the
@@ -315,6 +368,7 @@ class PartitionedStateTable:
         as every other commit here.  Row contents are preserved exactly
         (including each row's original ``__epoch`` stamp, so
         offset/epoch-based ordering downstream is unaffected)."""
+        self._check_spec(stamp=True)
         manifest = self.load_manifest()
         if not self._bucket_items(manifest):
             return
@@ -447,6 +501,7 @@ class PartitionedStateTable:
                 touched = sorted(set(touched))
             if not touched:
                 return
+            self._check_spec(stamp=True)
             manifest = self.load_manifest()
             if any(
                 isinstance(v, list) for _, v in self._bucket_items(manifest)

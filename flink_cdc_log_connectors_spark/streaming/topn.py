@@ -16,15 +16,20 @@ views — the maintenance is per-batch TOUCHED-PARTITION RECOMPUTATION:
 - touched partitions = every partition value any image of the batch
   mentions (an update's before-image covers the partition a row LEFT);
 - each touched partition's top-N is recomputed exactly against the
-  maintained fact state via a broadcast semi-join: the SCAN is a
-  map-side filter of fact state (the state is bucketed by row key so
-  rows can re-point across partitions; bucket pruning by partition
-  value is therefore impossible and every bucket is read), but nothing
+  maintained fact state, which is BUCKETED BY PARTITION VALUE
+  (``bucket_cols`` — merge keys stay the row key), so the recompute
+  reads only the touched partitions' buckets (r8; the r7 shape scanned
+  every bucket because state was key-bucketed — but partition-bucketing
+  is sound: a re-pointing update's retraction image carries the OLD
+  partition, so the old bucket is touched and the key merged out of it,
+  the same well-formed-CDC contract the replay witnesses pin).  Nothing
   beyond the touched partitions' rows enters a shuffle, the rank
   recompute is bounded by those rows, and the whole merge is naturally
   idempotent on replayed epochs and exact under every change shape (a
   delta approach must handle the "evicted row re-enters when the top
-  shrinks" case, which needs the runner-up rows — i.e. state — anyway);
+  shrinks" case, which needs the runner-up rows — i.e. state — anyway).
+  Global (un-partitioned) Top-N keeps key-bucketed state: its single
+  partition's recompute necessarily reads everything;
 - rank slots that emptied (partition shrank below N, or vanished) emit
   tombstones, so the view's (partition, rn) identity space is exact.
 
@@ -32,13 +37,13 @@ View identity is ``(*partition_cols, rn)`` in a
 :class:`PartitionedStateTable` — atomic manifest swap per batch, reads
 are O(buckets touched).
 
-At 100 TB: per-batch SHUFFLE and rank work scale with the row count of
-TOUCHED partitions only; the fact-state read is a full map-side scan
-(see above — the price of supporting partition re-pointing with
-key-bucketed state).  A skewed hot partition bounds recompute at that
-partition's size; if single partitions outgrow executor memory the
-row_number window spills — same failure envelope as running the Flink
-query over the same state.
+At 100 TB: per-batch READ, SHUFFLE, and rank work all scale with the
+touched partitions — the read via partition-bucket pruning, the rest
+via the semi-join.  A skewed hot partition bounds recompute at that
+partition's size (its bucket co-locates it; that is also the minimum an
+exact rank retraction must read); if single partitions outgrow executor
+memory the row_number window spills — same failure envelope as running
+the Flink query over the same state.
 """
 
 from __future__ import annotations
@@ -90,8 +95,15 @@ class ChangelogTopN:
         self.order_col = order_col
         self.n = n
         self.descending = descending
+        # partitioned Top-N buckets fact state by partition value so the
+        # rank recompute prunes its read to the touched partitions'
+        # buckets; global Top-N has one partition spanning all state, so
+        # it keeps key-bucketed layout (better balance, nothing to prune)
         self.fact_state = PartitionedStateTable(
-            f"{output_path}/__fact_state", [key], n_buckets=n_buckets
+            f"{output_path}/__fact_state",
+            [key],
+            n_buckets=n_buckets,
+            bucket_cols=None if self._global else self.partition_cols,
         )
         self.output = PartitionedStateTable(
             f"{output_path}/view",
@@ -139,11 +151,14 @@ class ChangelogTopN:
         # collected, never dropped).
         wrows = self._with_partition(rows)
         pcols = [F.col(c) for c in self.partition_cols]
+        fact_bucket = (
+            self.fact_state.bucket_for(F.col(self.key))
+            if self._global
+            else self.fact_state.bucket_for(*pcols)
+        )
         stats = wrows.agg(
             F.count(F.lit(1)).alias("n"),
-            F.collect_set(
-                self.fact_state.bucket_for(F.col(self.key))
-            ).alias("fb"),
+            F.collect_set(fact_bucket).alias("fb"),
             *[
                 F.collect_set(
                     self.output.bucket_for(*pcols, F.lit(rn))
@@ -170,8 +185,15 @@ class ChangelogTopN:
         touched = wrows.select(*self.partition_cols).distinct()
 
         # 3. exact top-N recompute for touched partitions against
-        #    post-upsert state (broadcast semi-join bounds the read)
-        state = self.fact_state.read(spark)
+        #    post-upsert state — the read prunes to the touched
+        #    partitions' buckets (every touched partition came from a
+        #    batch row, so stats["fb"] covers them all); global Top-N's
+        #    single partition reads everything by definition
+        state = (
+            self.fact_state.read(spark)
+            if self._global
+            else self.fact_state.read_buckets(spark, stats["fb"])
+        )
         fresh = None
         if state is not None:
             # NULL-safe membership: a NULL partition value is a real

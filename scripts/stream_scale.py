@@ -18,12 +18,13 @@ against both:
   implementation would grow ~10×.
 - **changelog aggregate** (``streaming/aggregates.py``): build latest
   state for K keys (scale by K), then probe with P well-formed UPDATE
-  envelopes (chained before-images) on 8 fixed keys.  The fact-state
-  upsert reads/writes only the probed key buckets (≤ 8 of 256); the
-  touched-group recompute's fact-state read is a map-only scan with a
-  broadcast semi-join (documented O(state) scan, sub-linear wall-clock
-  — group re-pointing makes group-bucket pruning impossible), so this
-  one is expected near-flat, not perfectly flat.
+  envelopes (chained before-images) on 8 fixed keys.  Fact state is
+  bucketed BY GROUP (r8), so both the upsert and the touched-group
+  recompute read only the 8 probed keys' group buckets; per-epoch cost
+  is O(batch + facts of the touched groups) — those groups' fact counts
+  grow with K (keys spread over 50 fixed groups), so the honest
+  expectation is the touched-groups term scaling, far below the
+  O(total state) scan the r7 shape paid.
 
 Protocol (established by SCALING.md): per scale, 1 warmup probe + min
 of 3 timed probes, each a FRESH batch under a FRESH epoch (the

@@ -246,3 +246,71 @@ def test_upsert_precomputed_touched_superset_matches_self_collected(
         [(k, "a") for k in range(12) if k not in (3, 4)] + [(3, "b")]
     )
     assert got == want
+
+
+def test_bucket_cols_decouple_layout_from_merge_keys(spark, tmp_path):
+    """``bucket_cols`` places rows by ACCESS column (here ``g``) while
+    merging by key — the layout the aggregate/Top-N fact states use so
+    touched-group recomputes prune to the groups' buckets.  A batch that
+    re-points a key across bucket columns carries the retraction image
+    (old ``g``), so the old bucket is touched and the key is merged OUT
+    of it — one live copy, in the new bucket, never two."""
+    t = PartitionedStateTable(
+        str(tmp_path / "t"), ["k"], n_buckets=8, bucket_cols=["g"]
+    )
+    r0 = spark.createDataFrame(
+        [(k, k % 3, float(k), "c", 0) for k in range(9)],
+        "k long, g long, v double, op string, seq long",
+    )
+    t.upsert(r0, order_by=["seq"], epoch_id=0)
+    # rows landed in their g-bucket, and pruned reads see exactly them
+    for g in range(3):
+        b = [
+            r["b"]
+            for r in spark.range(1)
+            .select(t.bucket_for(F.lit(g).cast("long")).alias("b"))
+            .collect()
+        ][0]
+        got = {r["k"] for r in t.read_buckets(spark, [b]).collect()}
+        assert got >= {k for k in range(9) if k % 3 == g}
+    # re-point k=4 from g=1 to g=2: retraction image (old g) + after image
+    r1 = spark.createDataFrame(
+        [(4, 1, 4.0, "d", 1), (4, 2, 99.0, "u", 2)],
+        "k long, g long, v double, op string, seq long",
+    )
+    t.upsert(r1, order_by=["seq"], epoch_id=1)
+    rows = [(r["k"], r["g"], r["v"]) for r in t.read(spark).collect()]
+    assert sorted(r for r in rows if r[0] == 4) == [(4, 2, 99.0)]
+    assert len(rows) == 9  # no stale duplicate anywhere
+
+
+def test_spec_refuses_mismatched_bucket_layout(spark, tmp_path):
+    """Resuming a state dir with different n_buckets or bucket_cols is a
+    silent-data-loss hazard (hash-pruned merges never probe the old
+    buckets) — the _spec.json stamp makes every commit and pruned read
+    refuse loudly instead.  Plain read() stays layout-agnostic."""
+    t = PartitionedStateTable(str(tmp_path / "t"), ["k"], n_buckets=4)
+    rows = spark.createDataFrame(
+        [(k, f"v{k}", "c") for k in range(8)], "k long, v string, op string"
+    )
+    t.upsert(rows, order_by=["v"], epoch_id=0)
+
+    resized = PartitionedStateTable(str(tmp_path / "t"), ["k"], n_buckets=8)
+    with pytest.raises(ValueError, match="bucket layout"):
+        resized.upsert(rows, order_by=["v"], epoch_id=1)
+    with pytest.raises(ValueError, match="bucket layout"):
+        resized.read_buckets(spark, [0])
+    rebucketed = PartitionedStateTable(
+        str(tmp_path / "t"), ["k"], n_buckets=4, bucket_cols=["v"]
+    )
+    with pytest.raises(ValueError, match="bucket layout"):
+        rebucketed.upsert(rows, order_by=["v"], epoch_id=1)
+    # state is untouched and still readable with any instance
+    assert resized.read(spark).count() == 8
+
+    ap = PartitionedStateTable(str(tmp_path / "a"), ["k"], n_buckets=4)
+    ap.append(_df(spark, [(1, 1)]), epoch_id=0)
+    with pytest.raises(ValueError, match="bucket layout"):
+        PartitionedStateTable(str(tmp_path / "a"), ["k"], n_buckets=16).append(
+            _df(spark, [(2, 2)]), epoch_id=1
+        )
