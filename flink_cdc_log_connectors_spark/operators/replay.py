@@ -258,6 +258,12 @@ def changelog_join_replay_query(
         replay_state_dir("cj_replay", sf_dir),
         how="inner",
         n_buckets=8,
+        # the scale-path layout (fact state bucketed by join column —
+        # every per-batch fact read prunes to the batch's dim-key
+        # buckets): this fixture is the dim-churn-dominant shape the
+        # knob exists for, so the driver record proves the pruned path
+        # under deletes, renames, and re-enrichment
+        bucket_left_by_join_col=True,
     )
     with witness_shuffle_partitions(spark):
         for epoch, (lo, hi) in enumerate(((1, 10), (11, 20), (21, 31))):

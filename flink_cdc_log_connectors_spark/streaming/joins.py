@@ -27,9 +27,18 @@ Per-batch work, in detail:
 
 At 100 TB: fact-side recomputes prune to the key-hash buckets the batch
 touches; the dim-driven probe is a broadcast of the batch's dim keys
-against fact state.  If dim churn dominates and fact join columns are
-immutable, bucket the fact state by join column instead — the probe then
-prunes to touched buckets too (constructor knob).
+against fact state.  By default that probe must scan every fact bucket
+(state is key-bucketed; the join column is not the hash).  When dim
+churn dominates, construct with ``bucket_left_by_join_col=True``: fact
+state is then bucketed by JOIN COLUMN (merge keys stay the fact pk), and
+the dim-driven probe, the fact-key probe, and the delete anti-join all
+read only the buckets the batch's join values hash to.  Join-column
+updates stay sound — the retraction image carries the OLD join value, so
+the old bucket is touched and the key merged out of it (the same
+well-formed-CDC contract the other IVM consumers pin); the trade is
+bucket skew following the dim-key distribution, so a single hot dim key
+co-locates its facts — exactly the rows a churn of that key must
+recompute anyway.
 """
 
 from __future__ import annotations
@@ -73,6 +82,7 @@ class ChangelogJoin:
         how: str = "inner",
         right_prefix: str = "r_",
         n_buckets: int = 64,
+        bucket_left_by_join_col: bool = False,
     ) -> None:
         if how not in ("inner", "left"):
             raise ValueError(f"how must be inner|left, got {how!r}")
@@ -80,8 +90,15 @@ class ChangelogJoin:
         self.right = right
         self.how = how
         self.right_prefix = right_prefix
+        #: scale knob (module docstring): bucket fact state by join
+        #: column so every per-batch fact-state read prunes to the
+        #: batch's join-value buckets instead of scanning all buckets
+        self.bucket_left_by_join_col = bucket_left_by_join_col
         self.left_state = PartitionedStateTable(
-            f"{output_path}/__left_state", [left.key], n_buckets=n_buckets
+            f"{output_path}/__left_state",
+            [left.key],
+            n_buckets=n_buckets,
+            bucket_cols=[left.join_col] if bucket_left_by_join_col else None,
         )
         self.right_state = PartitionedStateTable(
             f"{output_path}/__right_state", [right.key], n_buckets=n_buckets
@@ -132,9 +149,16 @@ class ChangelogJoin:
         # touched-bucket collect inside EACH side's state upsert): the
         # union agg materializes both persists and collects both sides'
         # state buckets (each bounded by n_buckets).
+        left_bucket = self.left_state.bucket_for(
+            F.col(
+                self.left.join_col
+                if self.bucket_left_by_join_col
+                else self.left.key
+            )
+        )
         probe = lb.select(
             F.lit(0).alias("__s"),
-            self.left_state.bucket_for(F.col(self.left.key)).alias("__b"),
+            left_bucket.alias("__b"),
         ).unionByName(
             rb.select(
                 F.lit(1).alias("__s"),
@@ -171,7 +195,24 @@ class ChangelogJoin:
             touched=stats["rbk"],
         )
 
-        l_state = self.left_state.read(spark)
+        if self.bucket_left_by_join_col:
+            # every fact row this batch must see lives in a join-value
+            # bucket the batch itself names: changed facts at the bucket
+            # of their (before- or after-image) join value — all in lbk —
+            # and dim-touched facts at the bucket of the changed dim key.
+            # Those dim-key buckets are exactly rbk: left_state and
+            # right_state share n_buckets by construction, so one hash
+            # maps a join value to the same bucket id in both layouts.
+            # The delete anti-join below only needs to find SURVIVING
+            # batch keys, whose post-upsert rows sit at after-image join
+            # values (⊆ lbk).  The enrichment probe reads dim state in
+            # full — by_fact rows may join dim keys far outside this
+            # batch.
+            l_state = self.left_state.read_buckets(
+                spark, sorted({*stats["lbk"], *stats["rbk"]})
+            )
+        else:
+            l_state = self.left_state.read(spark)
         r_state = self.right_state.read(spark)
         l_cols = [f.name for f in self.left.physical.fields]
         r_cols = [f.name for f in self.right.physical.fields]
@@ -273,13 +314,21 @@ def materialize_join(
     checkpoint_path: str,
     how: str = "inner",
     n_buckets: int = 64,
+    bucket_left_by_join_col: bool = False,
 ):
     """Continuously-maintained ``left ⋈ right`` view over a raw CDC stream
     carrying BOTH tables' envelopes (the whole-database capture shape).
     Returns the ``DataStreamWriter``; read the view back with
     ``ChangelogJoin(...).read_view`` or ``read_state(output_path + '/view')``.
     """
-    join = ChangelogJoin(left, right, output_path, how=how, n_buckets=n_buckets)
+    join = ChangelogJoin(
+        left,
+        right,
+        output_path,
+        how=how,
+        n_buckets=n_buckets,
+        bucket_left_by_join_col=bucket_left_by_join_col,
+    )
     return (
         raw_stream.writeStream.foreachBatch(join.process_batch)
         .option("checkpointLocation", checkpoint_path)

@@ -64,8 +64,18 @@ def view(spark, join):
     }
 
 
-def test_incremental_join_all_change_shapes(spark, tmp_path):
-    join = ChangelogJoin(LEFT, RIGHT, str(tmp_path / "j"), how="inner")
+@pytest.mark.parametrize("by_join_col", [False, True])
+def test_incremental_join_all_change_shapes(spark, tmp_path, by_join_col):
+    # by_join_col=True exercises the dim-churn scale layout (fact state
+    # bucketed by join column, per-batch reads pruned to the batch's
+    # join-value buckets) through the same change shapes
+    join = ChangelogJoin(
+        LEFT,
+        RIGHT,
+        str(tmp_path / "j"),
+        how="inner",
+        bucket_left_by_join_col=by_join_col,
+    )
 
     # batch 0: two customers, two orders (one matching each)
     join.process_batch(
@@ -183,7 +193,17 @@ def test_randomized_ops_match_naive_join(spark, tmp_path, seed):
     import random
 
     rng = random.Random(seed)
-    join = ChangelogJoin(LEFT, RIGHT, str(tmp_path / f"p{seed}"), how="inner")
+    # odd seeds run the join-column-bucketed scale layout; the generator
+    # emits WELL-FORMED envelopes (every u/d carries the key's true
+    # current row as its before-image, as real Debezium connectors do),
+    # which is the contract that layout's pruned reads rest on
+    join = ChangelogJoin(
+        LEFT,
+        RIGHT,
+        str(tmp_path / f"p{seed}"),
+        how="inner",
+        bucket_left_by_join_col=bool(seed % 2),
+    )
     orders: dict[int, tuple[int, float]] = {}
     custs: dict[int, str] = {}
     pos = 0
@@ -194,24 +214,30 @@ def test_randomized_ops_match_naive_join(spark, tmp_path, seed):
         pos += 1
         if rng.random() < 0.5:  # order-side op
             oid = rng.randint(1, 8)
+            before = (
+                {"o_id": oid, "cust_id": orders[oid][0], "amount": orders[oid][1]}
+                if oid in orders
+                else None
+            )
             if oid in orders and rng.random() < 0.3:
-                before = {"o_id": oid, "cust_id": orders[oid][0], "amount": orders[oid][1]}
                 del orders[oid]
                 return env("orders", "d", before=before, pos=pos)
             cid = rng.randint(1, 5)
             amt = float(rng.randint(1, 99))
             op = "u" if oid in orders else "c"
             orders[oid] = (cid, amt)
-            return env("orders", op, {"o_id": oid, "cust_id": cid, "amount": amt}, pos=pos)
+            return env("orders", op, {"o_id": oid, "cust_id": cid, "amount": amt},
+                       before=before, pos=pos)
         cid = rng.randint(1, 5)
+        cbefore = {"c_id": cid, "name": custs[cid]} if cid in custs else None
         if cid in custs and rng.random() < 0.25:
-            before = {"c_id": cid, "name": custs[cid]}
             del custs[cid]
-            return env("customers", "d", before=before, pos=pos)
+            return env("customers", "d", before=cbefore, pos=pos)
         name = f"n{pos}"
         op = "u" if cid in custs else "c"
         custs[cid] = name
-        return env("customers", op, {"c_id": cid, "name": name}, pos=pos)
+        return env("customers", op, {"c_id": cid, "name": name},
+                   before=cbefore, pos=pos)
 
     for epoch in range(5):
         batch = [gen_op() for _ in range(rng.randint(1, 7))]
