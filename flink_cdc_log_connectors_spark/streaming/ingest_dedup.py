@@ -137,9 +137,24 @@ class IngestDedup:
             # rows — which would emit intra pairs in both orientations)
             sets = doc_sets
             if os.path.isdir(self.bands_dir):
+                # Broadcast semi-join prefilter BEFORE the retry-dedup and
+                # the candidate join: the batch's distinct (band_idx, bh)
+                # keys are batch-bounded, so the accumulated index is
+                # filtered MAP-SIDE at the scan and only band groups the
+                # batch actually collides with ever enter a shuffle.
+                # Without it the dropDuplicates below re-shuffles the
+                # ENTIRE index every microbatch — per-batch cost growing
+                # with corpus size, the same O(state) failure class the
+                # IVM consumers' bucket pruning removes.
+                probe_keys = new_bands.select("band_idx", "bh").distinct()
                 idx = (
                     spark.read.parquet(self.bands_dir)
                     .filter(F.col("epoch") < epoch_id)
+                    .join(
+                        F.broadcast(probe_keys),
+                        ["band_idx", "bh"],
+                        "leftsemi",
+                    )
                     .dropDuplicates(["band_idx", "bh", "doc_id"])
                 )
                 cross = (
@@ -155,9 +170,17 @@ class IngestDedup:
                     )
                 )
                 cand = intra.unionByName(cross).distinct()
+                # same prefilter for the shingle-set store: verification
+                # only needs the candidate partners' sets (d2 is the only
+                # side that can be an index doc), not every document ever
+                # ingested.  Broadcasting the candidate ids recomputes the
+                # cand subtree once for the hash table — batch-scale work,
+                # against shuffling the whole store.
+                needed = cand.select(F.col("d2").alias("doc_id")).distinct()
                 old_sets = (
                     spark.read.parquet(self.shsets_dir)
                     .select("doc_id", "shset")
+                    .join(F.broadcast(needed), ["doc_id"], "leftsemi")
                     .dropDuplicates(["doc_id"])
                 )
                 sets = doc_sets.unionByName(old_sets).dropDuplicates(["doc_id"])
