@@ -777,15 +777,25 @@ def ingest_dedup_replay_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     index_path = replay_state_dir("ingest_dedup", sf_dir)
-    dd = IngestDedup(index_path)
+    # compact_threshold=2 forces the index stores' auto-compaction to
+    # fire MID-replay (bucket version lists exceed 2 by epoch 2), so the
+    # driver record proves the fold preserves the __epoch stamps the
+    # retry discipline reads — same witness discipline as the temporal
+    # join's history compaction
+    dd = IngestDedup(index_path, compact_threshold=2)
     with witness_shuffle_partitions(spark):
         for epoch in range(3):
             dd.process_batch(
                 docs.filter(F.col("doc_id") % 3 == epoch), epoch_id=epoch
             )
+        if not dd.bands.compactions_committed():
+            raise AssertionError(
+                "index auto-compaction did not fire mid-replay"
+            )
         # at-least-once: re-deliver a committed epoch; the pair set must
-        # not change (idempotent under the epoch-filtered index read —
-        # also what makes harness re-runs over the shared state dir safe)
+        # not change (a retried append overwrites its own version — or
+        # no-ops if the fold subsumed it — also what makes harness
+        # re-runs over the shared state dir safe)
         dd.process_batch(docs.filter(F.col("doc_id") % 3 == 1), epoch_id=1)
     pairs = read_dedup_pairs(spark, index_path)
     return pairs.select("d1", "d2", "jaccard").orderBy("d1", "d2")

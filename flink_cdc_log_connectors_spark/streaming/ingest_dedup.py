@@ -14,21 +14,31 @@ Per microbatch (``foreachBatch`` → :meth:`IngestDedup.process_batch`):
 4. verified pairs append to ``pairs/``; the batch's bands + shingle
    sets append to the index, stamped with the epoch.
 
-Index layout (under ``index_path``):
+Index layout (under ``index_path``) — three append-managed
+:class:`~.statetable.PartitionedStateTable`\\ s (r8-late; previously raw
+``mode("append")`` parquet dirs, which accumulated one file set per
+epoch FOREVER with no commit protocol — the same unwired-bookkeeping
+class the state tables and the exactly-once sink already fixed):
 
-- ``bands/``  — (band_idx, bh, doc_id, epoch) parquet, appended per batch;
-- ``shsets/`` — (doc_id, shset, epoch) parquet, appended per batch.
+- ``bands/``  — (doc_id, band_idx, bh) + the append's ``__epoch`` stamp;
+- ``shsets/`` — (doc_id, shset) + ``__epoch``;
+- ``pairs/``  — (d1, d2, jaccard) + ``__epoch``.
 
-At 100 TB the band table is the only thing the stream joins against;
-stored bucketed by ``bh`` it is a bucket-local join.  Epoch replay
-discipline: the new-vs-index join reads only index rows with
-``epoch < epoch_id`` (r8) — a retried epoch therefore sees exactly the
-index the original delivery saw, re-derives the SAME oriented pairs
-(its own first-delivery rows are invisible; pre-fix, the retry joined
-its own rows through the index and emitted every intra-batch pair in
-BOTH orientations), and its re-appended index/pairs rows deduplicate on
-read (``dropDuplicates`` on doc/pair keys) — at-least-once appends,
-exactly-once reads.
+Each batch commits through ``append()`` (O(batch) write, atomic manifest
+swap; a RETRIED epoch overwrites its own version — idempotent by
+construction, no read-side dedup needed) and ``maybe_compact()`` bounds
+every bucket's version-file count at ``compact_threshold`` (LSM-style
+fold under a fresh counter-drawn id; row ``__epoch`` stamps survive
+compaction, so the replay discipline below is compaction-transparent).
+Old raw-layout index dirs are not readable by this version — re-ingest
+to migrate.
+
+Epoch replay discipline: the new-vs-index join reads only index rows
+with ``__epoch < epoch_id`` (r8) — a retried epoch therefore sees
+exactly the index the original delivery saw and re-derives the SAME
+oriented pairs (its own first-delivery rows are invisible; pre-fix, the
+retry joined its own rows through the index and emitted every
+intra-batch pair in BOTH orientations).
 """
 
 from __future__ import annotations
@@ -40,6 +50,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import hashed_word_ngrams
 from ..operators.dedup import BANDS, ROWS_PER_BAND, _band_bucket, minhash_signatures
+from .statetable import PartitionedStateTable
 
 
 def _batch_bands(doc_sets: DataFrame) -> DataFrame:
@@ -102,15 +113,27 @@ class IngestDedup:
         threshold_den: int = 5,
         text_col: str = "text",
         id_col: str = "doc_id",
+        n_buckets: int = 16,
+        compact_threshold: int = 16,
     ) -> None:
         self.n = n
         self.threshold_num = threshold_num
         self.threshold_den = threshold_den
         self.text_col = text_col
         self.id_col = id_col
-        self.bands_dir = os.path.join(index_path, "bands")
-        self.shsets_dir = os.path.join(index_path, "shsets")
-        self.pairs_dir = os.path.join(index_path, "pairs")
+        #: bound on any index bucket's version-file count — exceeded →
+        #: that table folds to one version (amortized O(1/threshold)
+        #: per commit, the LSM trade the other state tables make)
+        self.compact_threshold = compact_threshold
+        self.bands = PartitionedStateTable(
+            os.path.join(index_path, "bands"), ["doc_id"], n_buckets=n_buckets
+        )
+        self.shsets = PartitionedStateTable(
+            os.path.join(index_path, "shsets"), ["doc_id"], n_buckets=n_buckets
+        )
+        self.pairs = PartitionedStateTable(
+            os.path.join(index_path, "pairs"), ["d1", "d2"], n_buckets=n_buckets
+        )
 
     def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
@@ -136,26 +159,21 @@ class IngestDedup:
             # index its first delivery saw (never its own re-appended
             # rows — which would emit intra pairs in both orientations)
             sets = doc_sets
-            if os.path.isdir(self.bands_dir):
-                # Broadcast semi-join prefilter BEFORE the retry-dedup and
-                # the candidate join: the batch's distinct (band_idx, bh)
-                # keys are batch-bounded, so the accumulated index is
-                # filtered MAP-SIDE at the scan and only band groups the
-                # batch actually collides with ever enter a shuffle.
-                # Without it the dropDuplicates below re-shuffles the
-                # ENTIRE index every microbatch — per-batch cost growing
-                # with corpus size, the same O(state) failure class the
-                # IVM consumers' bucket pruning removes.
+            idx_all = self.bands.read(spark)
+            if idx_all is not None:
+                # Broadcast semi-join prefilter BEFORE the candidate
+                # join: the batch's distinct (band_idx, bh) keys are
+                # batch-bounded, so the accumulated index is filtered
+                # MAP-SIDE at the scan and only band groups the batch
+                # actually collides with ever enter a shuffle — without
+                # it, per-batch shuffle grows with corpus size, the same
+                # O(state) failure class the IVM consumers' bucket
+                # pruning removes.
                 probe_keys = new_bands.select("band_idx", "bh").distinct()
-                idx = (
-                    spark.read.parquet(self.bands_dir)
-                    .filter(F.col("epoch") < epoch_id)
-                    .join(
-                        F.broadcast(probe_keys),
-                        ["band_idx", "bh"],
-                        "leftsemi",
-                    )
-                    .dropDuplicates(["band_idx", "bh", "doc_id"])
+                idx = idx_all.filter(F.col("__epoch") < epoch_id).join(
+                    F.broadcast(probe_keys),
+                    ["band_idx", "bh"],
+                    "leftsemi",
                 )
                 cross = (
                     new_bands.alias("n")
@@ -178,7 +196,7 @@ class IngestDedup:
                 # against shuffling the whole store.
                 needed = cand.select(F.col("d2").alias("doc_id")).distinct()
                 old_sets = (
-                    spark.read.parquet(self.shsets_dir)
+                    self.shsets.read(spark)
                     .select("doc_id", "shset")
                     .join(F.broadcast(needed), ["doc_id"], "leftsemi")
                     .dropDuplicates(["doc_id"])
@@ -189,15 +207,14 @@ class IngestDedup:
             pairs = _verify_pairs(
                 cand, sets, self.threshold_num, self.threshold_den
             )
-            pairs.withColumn("epoch", F.lit(epoch_id)).write.mode(
-                "append"
-            ).parquet(self.pairs_dir)
-            new_bands.withColumn("epoch", F.lit(epoch_id)).write.mode(
-                "append"
-            ).parquet(self.bands_dir)
-            doc_sets.withColumn("epoch", F.lit(epoch_id)).write.mode(
-                "append"
-            ).parquet(self.shsets_dir)
+            # pairs FIRST (its plan reads the pre-append band manifest);
+            # a crash between appends retries the epoch and every append
+            # idempotently overwrites its own version — convergent
+            self.pairs.append(pairs, epoch_id=epoch_id)
+            self.bands.append(new_bands, epoch_id=epoch_id)
+            self.shsets.append(doc_sets, epoch_id=epoch_id)
+            for t in (self.pairs, self.bands, self.shsets):
+                t.maybe_compact(spark, self.compact_threshold)
         finally:
             doc_sets.unpersist()
 
@@ -211,6 +228,8 @@ def streaming_minhash_dedup(
     threshold_den: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_buckets: int = 16,
+    compact_threshold: int = 16,
 ):
     """Returns a ``DataStreamWriter`` running the ingestion-dedup loop.
     Verified near-dup pairs land under ``{index_path}/pairs`` with the
@@ -222,6 +241,8 @@ def streaming_minhash_dedup(
         threshold_den=threshold_den,
         text_col=text_col,
         id_col=id_col,
+        n_buckets=n_buckets,
+        compact_threshold=compact_threshold,
     )
     return (
         stream.writeStream.foreachBatch(dd.process_batch)
@@ -231,9 +252,10 @@ def streaming_minhash_dedup(
 
 
 def read_dedup_pairs(spark: SparkSession, index_path: str) -> DataFrame | None:
-    """Verified pairs, deduplicated across epoch retries (at-least-once
-    appends → exactly-once read)."""
-    pairs_dir = os.path.join(index_path, "pairs")
-    if not os.path.isdir(pairs_dir):
-        return None
-    return spark.read.parquet(pairs_dir).dropDuplicates(["d1", "d2"])
+    """Verified pairs.  Exactly-once by the commit protocol itself — a
+    retried epoch's ``append`` replaces its own version, so no read-side
+    dedup is needed."""
+    df = PartitionedStateTable(
+        os.path.join(index_path, "pairs"), ["d1", "d2"]
+    ).read(spark)
+    return None if df is None else df.select("d1", "d2", "jaccard")

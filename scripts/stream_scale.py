@@ -248,6 +248,153 @@ def measure_temporal(
     }
 
 
+# -- changelog join fixture ---------------------------------------------------
+
+ORDERS_SCHEMA = T.StructType(
+    [
+        T.StructField("o_id", T.LongType()),
+        T.StructField("cust_id", T.LongType()),
+        T.StructField("amount", T.DoubleType()),
+    ]
+)
+CUSTS_SCHEMA = T.StructType(
+    [
+        T.StructField("c_id", T.LongType()),
+        T.StructField("name", T.StringType()),
+    ]
+)
+JOIN_FAN_OUT = 20  # facts per dim key, CONSTANT across scales
+
+
+def join_build_envelopes(spark: SparkSession, n_facts: int):
+    """n_facts/FAN_OUT dims then n_facts facts (cust_id = j % n_dims, so
+    every dim key's fan-out stays JOIN_FAN_OUT as total fact state grows
+    — the probe's work is constant by construction, isolating the
+    fact-state READ as the only term that could scale)."""
+    n_dims = n_facts // JOIN_FAN_OUT
+    i = F.col("id")
+    dim_after = F.struct(i.alias("c_id"), F.lit("b").alias("name"))
+    dims = spark.range(n_dims).select(
+        *_env("customers", F.lit("c"), None, dim_after, F.lit(BASE_TS) + i, i)
+    )
+    fact_after = F.struct(
+        (F.lit(10**9) + i).alias("o_id"),
+        (i % n_dims).alias("cust_id"),
+        F.lit(1.0).alias("amount"),
+    )
+    facts = spark.range(n_facts).select(
+        *_env(
+            "orders",
+            F.lit("c"),
+            None,
+            fact_after,
+            F.lit(BASE_TS) + n_dims + i,
+            F.lit(n_dims) + i,
+        )
+    )
+    return dims.unionByName(facts), n_dims
+
+
+def join_probe_envelopes(
+    spark: SparkSession, n_dims: int, n_facts: int, run: int
+):
+    """Pure dim churn — the shape `bucket_left_by_join_col` targets: 8
+    fixed dim keys updated with well-formed before-images (name chains
+    b → w0 → w1 → …), each fanning out to JOIN_FAN_OUT fact recomputes.
+    Fresh ts/pos/epoch per run, same discipline as the other legs."""
+    i = F.col("id")
+    base_pos = n_dims + n_facts + run * PROBE_KEYS
+    prev = "b" if run == 0 else f"w{run - 1}"
+    before = F.struct(i.alias("c_id"), F.lit(prev).alias("name"))
+    after = F.struct(i.alias("c_id"), F.lit(f"w{run}").alias("name"))
+    return spark.range(PROBE_KEYS).select(
+        *_env(
+            "customers",
+            F.lit("u"),
+            before,
+            after,
+            F.lit(BASE_TS) + base_pos + i,
+            F.lit(base_pos) + i,
+        )
+    )
+
+
+def measure_join(
+    spark: SparkSession,
+    n_facts: int,
+    tag: str,
+    by_join_col: bool,
+    n_buckets: int = N_BUCKETS,
+):
+    from flink_cdc_log_connectors_spark.streaming.joins import (
+        ChangelogJoin,
+        JoinSide,
+    )
+
+    left = JoinSide(
+        table="orders", physical=ORDERS_SCHEMA, key="o_id", join_col="cust_id"
+    )
+    right = JoinSide(
+        table="customers", physical=CUSTS_SCHEMA, key="c_id", join_col="c_id"
+    )
+    root = os.path.join(WORK, f"join_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    join = ChangelogJoin(
+        left,
+        right,
+        root,
+        how="inner",
+        n_buckets=n_buckets,
+        bucket_left_by_join_col=by_join_col,
+    )
+    build, n_dims = join_build_envelopes(spark, n_facts)
+    build = build.persist()
+    total = n_dims + n_facts
+    build_epochs = 4
+    per = total // build_epochs
+    t0 = time.perf_counter()
+    for e in range(build_epochs):
+        lo, hi = e * per, (e + 1) * per if e < build_epochs - 1 else total
+        join.process_batch(
+            build.filter((F.col("pos") >= lo) & (F.col("pos") < hi)),
+            epoch_id=e,
+        )
+    build_s = time.perf_counter() - t0
+    build.unpersist()
+
+    times = []
+    for r in range(RUNS + 2):  # run 0 = warmup
+        probe = join_probe_envelopes(spark, n_dims, n_facts, r).persist()
+        probe.count()
+        if r <= RUNS:
+            t0 = time.perf_counter()
+            join.process_batch(probe, epoch_id=build_epochs + r)
+            dt = time.perf_counter() - t0
+            if r > 0:
+                times.append(dt)
+        else:
+            jobs = _count_jobs(
+                spark,
+                lambda p=probe, e=build_epochs + r: join.process_batch(
+                    p, epoch_id=e
+                ),
+            )
+        probe.unpersist()
+    view = join.read_view(spark)
+    n_rows = 0 if view is None else view.count()
+    assert n_rows == n_facts, f"view {n_rows}, want {n_facts}"
+    # the probed keys' enrichment must reflect the LAST probe run
+    n_latest = view.filter(F.col("r_name") == f"w{RUNS + 1}").count()
+    assert n_latest == PROBE_KEYS * JOIN_FAN_OUT, n_latest
+    return {
+        "fact_state_rows": n_facts,
+        "build_s": round(build_s, 2),
+        "probe_epoch_s": round(min(times), 3),
+        "probe_runs_s": [round(t, 3) for t in times],
+        "jobs_per_epoch": jobs,
+    }
+
+
 # -- changelog aggregate fixture ----------------------------------------------
 
 
@@ -383,6 +530,11 @@ def measure_agg(
 
 def main() -> None:
     quick = "--quick" in sys.argv
+    # --legs=join,agg runs a subset (default: every leg)
+    legs = {"temporal", "agg", "join", "witness"}
+    for a in sys.argv:
+        if a.startswith("--legs="):
+            legs = set(a.split("=", 1)[1].split(","))
     scale = 0.1 if quick else 1.0
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = (
@@ -400,24 +552,59 @@ def main() -> None:
         out[name] = fn()
         print(f"# {name}: {json.dumps(out[name])}", file=sys.stderr)
 
-    tj_keys = int(8_000 * scale)
-    step("temporal_1x", lambda: measure_temporal(spark, tj_keys, 25, "1x"))
-    step(
-        "temporal_10x",
-        lambda: measure_temporal(spark, tj_keys * 10, 25, "10x"),
-    )
-    out["temporal_ratio"] = round(
-        out["temporal_10x"]["probe_epoch_s"]
-        / out["temporal_1x"]["probe_epoch_s"],
-        2,
-    )
+    if "temporal" in legs:
+        tj_keys = int(8_000 * scale)
+        step("temporal_1x", lambda: measure_temporal(spark, tj_keys, 25, "1x"))
+        step(
+            "temporal_10x",
+            lambda: measure_temporal(spark, tj_keys * 10, 25, "10x"),
+        )
+        out["temporal_ratio"] = round(
+            out["temporal_10x"]["probe_epoch_s"]
+            / out["temporal_1x"]["probe_epoch_s"],
+            2,
+        )
 
-    ag_keys = int(40_000 * scale)
-    step("agg_1x", lambda: measure_agg(spark, ag_keys, 5, "1x"))
-    step("agg_10x", lambda: measure_agg(spark, ag_keys * 10, 5, "10x"))
-    out["agg_ratio"] = round(
-        out["agg_10x"]["probe_epoch_s"] / out["agg_1x"]["probe_epoch_s"], 2
-    )
+    if "agg" in legs:
+        ag_keys = int(40_000 * scale)
+        step("agg_1x", lambda: measure_agg(spark, ag_keys, 5, "1x"))
+        step("agg_10x", lambda: measure_agg(spark, ag_keys * 10, 5, "10x"))
+        out["agg_ratio"] = round(
+            out["agg_10x"]["probe_epoch_s"] / out["agg_1x"]["probe_epoch_s"],
+            2,
+        )
+
+    if "join" in legs:
+        # dim-churn probe against 1× and 10× fact state, pruned layout
+        # (bucket_left_by_join_col) vs the default key-bucketed scan —
+        # the contrast that shows what the knob buys
+        jn_facts = int(20_000 * scale)
+        step(
+            "join_pruned_1x",
+            lambda: measure_join(spark, jn_facts, "p1", True),
+        )
+        step(
+            "join_pruned_10x",
+            lambda: measure_join(spark, jn_facts * 10, "p10", True),
+        )
+        out["join_pruned_ratio"] = round(
+            out["join_pruned_10x"]["probe_epoch_s"]
+            / out["join_pruned_1x"]["probe_epoch_s"],
+            2,
+        )
+        step(
+            "join_scan_1x",
+            lambda: measure_join(spark, jn_facts, "s1", False),
+        )
+        step(
+            "join_scan_10x",
+            lambda: measure_join(spark, jn_facts * 10, "s10", False),
+        )
+        out["join_scan_ratio"] = round(
+            out["join_scan_10x"]["probe_epoch_s"]
+            / out["join_scan_1x"]["probe_epoch_s"],
+            2,
+        )
 
     # Witness-scale job counts (n_buckets=8, the replay witnesses'
     # config): the number comparable to the r7 "~7 jobs/epoch" claim.
@@ -425,16 +612,17 @@ def main() -> None:
     # listing + mergeSchema footer jobs that grow with PATH counts —
     # real bookkeeping at high bucket counts, but not driver actions of
     # the merge algorithm itself.
-    step(
-        "temporal_witness_scale",
-        lambda: measure_temporal(spark, 64, 4, "wit", n_buckets=8,
-                                 probe_rows=200),
-    )
-    step(
-        "agg_witness_scale",
-        lambda: measure_agg(spark, 512, 4, "wit", n_buckets=8,
-                            probe_rows=200),
-    )
+    if "witness" in legs:
+        step(
+            "temporal_witness_scale",
+            lambda: measure_temporal(spark, 64, 4, "wit", n_buckets=8,
+                                     probe_rows=200),
+        )
+        step(
+            "agg_witness_scale",
+            lambda: measure_agg(spark, 512, 4, "wit", n_buckets=8,
+                                probe_rows=200),
+        )
     print(json.dumps(out))
     shutil.rmtree(WORK, ignore_errors=True)
 

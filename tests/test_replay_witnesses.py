@@ -140,11 +140,22 @@ def test_ingest_dedup_retry_stable_and_oriented(spark, sf_dir, tmp_path):
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    dd = IngestDedup(str(tmp_path / "idx"))
+    # threshold 2 → the index stores' auto-compaction fires mid-stream;
+    # the retry below then runs AGAINST a folded index, proving the
+    # fold preserves the __epoch stamps the replay discipline reads
+    dd = IngestDedup(str(tmp_path / "idx"), compact_threshold=2)
     for epoch in range(3):
         dd.process_batch(
             docs.filter(F.col("doc_id") % 3 == epoch), epoch_id=epoch
         )
+    assert dd.bands.compactions_committed() >= 1
+    for t in (dd.bands, dd.shsets, dd.pairs):
+        lens = [
+            len(v)
+            for b, v in t.load_manifest().items()
+            if not b.startswith("__")
+        ]
+        assert all(n <= 2 for n in lens), (t.path, lens)
     first = {
         (r["d1"], r["d2"]) for r in
         read_dedup_pairs(spark, str(tmp_path / "idx")).collect()
@@ -153,7 +164,9 @@ def test_ingest_dedup_retry_stable_and_oriented(spark, sf_dir, tmp_path):
     for d1, d2 in first:
         b1, b2 = d1 % 3, d2 % 3
         assert b1 > b2 or (b1 == b2 and d1 < d2), (d1, d2)
-    # retry of a committed epoch: the pair set must not change
+    # retry of a committed epoch: the pair set must not change (the
+    # append either no-ops — epoch subsumed by the fold — or overwrites
+    # its own version with identical rows)
     dd.process_batch(docs.filter(F.col("doc_id") % 3 == 1), epoch_id=1)
     second = {
         (r["d1"], r["d2"]) for r in
