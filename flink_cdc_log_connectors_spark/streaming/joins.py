@@ -86,6 +86,33 @@ class ChangelogJoin:
     ) -> None:
         if how not in ("inner", "left"):
             raise ValueError(f"how must be inner|left, got {how!r}")
+        if bucket_left_by_join_col:
+            # The pruned layout reuses RIGHT-key bucket ids against LEFT
+            # state bucketed by join column (process_batch: lbk∪rbk) —
+            # sound only because one xxhash64 maps a join value to the
+            # same bucket id in both layouts, and xxhash64 equality needs
+            # TYPE equality.  An int-vs-bigint fact/dim pair would
+            # silently prune the WRONG buckets (stale join rows), not
+            # error.  Refuse up front — same guard as TemporalJoin
+            # (temporal_join.py:83-93); reference analogue: the chunk
+            # splitter's split-column type gate
+            # (ChunkSplitter.java:272-281 — hash/range math is only
+            # defined within one type).
+            left_jt = {f.name: f.dataType for f in left.physical.fields}[
+                left.join_col
+            ]
+            right_kt = {f.name: f.dataType for f in right.physical.fields}[
+                right.key
+            ]
+            if left_jt != right_kt:
+                raise ValueError(
+                    f"left.join_col {left.join_col!r} "
+                    f"({left_jt.simpleString()}) and right.key "
+                    f"{right.key!r} ({right_kt.simpleString()}) must have "
+                    "the same type when bucket_left_by_join_col=True: "
+                    "fact-bucket pruning reuses the dim key's bucket hash "
+                    "on the fact join column"
+                )
         self.left = left
         self.right = right
         self.how = how
