@@ -151,6 +151,20 @@ class PartitionedStateTable:
             with open(self._spec_path()) as f:
                 existing = json.load(f)
         except FileNotFoundError:
+            if self.load_manifest():
+                # committed data with NO recorded layout (pre-spec-era
+                # dir, or a hand-deleted spec): stamping THIS instance's
+                # spec would silently merge/prune against buckets whose
+                # true layout may differ — exactly the data loss the
+                # guard exists to refuse (ADVICE r8: r8 itself changed
+                # default bucket layouts, so grandfathering is no longer
+                # safe).  Require an explicit migration instead.
+                raise ValueError(
+                    f"state table at {self.path} holds committed data but "
+                    "no _spec.json; its bucket layout is unknown — "
+                    "rewrite/migrate the table (or restore its original "
+                    "spec) instead of resuming blind"
+                )
             if stamp:
                 os.makedirs(self.path, exist_ok=True)
                 tmp = self._spec_path() + ".tmp"
@@ -237,6 +251,16 @@ class PartitionedStateTable:
     #: an auto-compaction can never reuse (and therefore never clobber) a
     #: referenced compacted version, no matter how epochs retry
     _COMPACT_SEQ = "__compact_seq"
+    #: reserved manifest key: the HIGHEST integer epoch any compaction has
+    #: folded.  ``append()`` no-ops every epoch at or below it — airtight
+    #: where the bounded ``__compacted_epochs`` list is not (ADVICE r8: a
+    #: replay older than the list's 1024-id window — e.g. a checkpoint
+    #: restored from backup — would re-append rows already folded into a
+    #: compacted version).  Sound because folded ids are a dense prefix
+    #: of committed epochs on an append-managed table: compact() folds
+    #: EVERY current version, and stream epochs are monotone, so an id at
+    #: or below the watermark can only ever be a replay of folded rows.
+    _FOLDED_MAX = "__folded_max"
 
     @staticmethod
     def _bucket_items(manifest: dict) -> list[tuple[str, object]]:
@@ -302,6 +326,14 @@ class PartitionedStateTable:
         """
         self._check_spec(stamp=True)
         manifest = self.load_manifest()
+        if isinstance(epoch_id, int) and epoch_id <= manifest.get(
+            self._FOLDED_MAX, -1
+        ):
+            # at or below the compaction watermark: this epoch's rows are
+            # inside a compacted version (folded ids are a dense prefix of
+            # committed epochs), so the replay must no-op even when the id
+            # has aged out of the bounded __compacted_epochs list below
+            return
         if epoch_id in manifest.get(self._SUBSUMED, []):
             # this epoch's rows were folded into a compacted version; the
             # replay contract says a retried epoch carries the SAME rows,
@@ -406,6 +438,16 @@ class PartitionedStateTable:
         # long-running stream would otherwise grow the manifest by one
         # integer per epoch forever
         new_manifest[self._SUBSUMED] = sorted(subsumed)[-1024:]
+        # …and the O(1) watermark backstops the truncation: append()
+        # refuses every epoch at or below the highest id ever folded,
+        # so even a backup-restored replay older than the 1024-id window
+        # cannot duplicate compacted rows (ADVICE r8)
+        folded_max = manifest.get(self._FOLDED_MAX, -1)
+        int_subsumed = [e for e in subsumed if isinstance(e, int)]
+        if int_subsumed:
+            folded_max = max(folded_max, max(int_subsumed))
+        if folded_max >= 0:
+            new_manifest[self._FOLDED_MAX] = folded_max
         # advance the auto-compaction counter past this id so a later
         # maybe_compact never re-draws it (manual ids count too)
         seq = manifest.get(self._COMPACT_SEQ, 0)

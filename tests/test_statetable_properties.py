@@ -314,3 +314,57 @@ def test_spec_refuses_mismatched_bucket_layout(spark, tmp_path):
         PartitionedStateTable(str(tmp_path / "a"), ["k"], n_buckets=16).append(
             _df(spark, [(2, 2)]), epoch_id=1
         )
+
+
+def test_append_refuses_replay_below_folded_watermark(spark, tmp_path):
+    """REGRESSION (ADVICE r8): __compacted_epochs truncates to the newest
+    1024 ids, so a replay older than that window (checkpoint restored from
+    backup) would re-append rows a compaction already folded.  The
+    __folded_max watermark backstops the list: append() no-ops EVERY epoch
+    at or below the highest id ever folded, list membership or not."""
+    import json
+    import os
+
+    t = PartitionedStateTable(str(tmp_path / "w"), ["k"], n_buckets=4)
+    for e in range(3):
+        t.append(_df(spark, [(e, e)]), epoch_id=e)
+    t.compact(spark, epoch_id=100)
+    # simulate the id aging out of the bounded list
+    mpath = os.path.join(t.path, "_manifest.json")
+    with open(mpath) as f:
+        manifest = json.load(f)
+    assert manifest[t._FOLDED_MAX] == 2
+    manifest[t._SUBSUMED] = []
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
+    t.append(_df(spark, [(0, 99)]), epoch_id=0)  # replay of a folded epoch
+    rows = sorted((r["k"], r["v"]) for r in t.read(spark).collect())
+    assert rows == [(0, "v0"), (1, "v1"), (2, "v2")]  # no duplicate, no v99
+    # a FRESH epoch above the watermark still appends normally
+    t.append(_df(spark, [(7, 7)]), epoch_id=3)
+    assert t.read(spark).count() == 4
+
+
+def test_spec_refuses_committed_data_without_spec(spark, tmp_path):
+    """REGRESSION (ADVICE r8): a dir with committed data but no _spec.json
+    used to be grandfathered — stamped with THIS instance's layout on its
+    next commit.  r8 changed default bucket layouts, so resuming a
+    pre-spec dir blind silently merges/prunes against buckets the new
+    hash never probes.  Now: committed-data-without-spec refuses on every
+    commit and pruned read; only truly EMPTY dirs grandfather."""
+    import os
+
+    t = PartitionedStateTable(str(tmp_path / "g"), ["k"], n_buckets=4)
+    rows = _df(spark, [(1, 1), (2, 2)])
+    t.upsert(rows.withColumn("op", F.lit("c")), order_by=["v"], epoch_id=0)
+    os.remove(os.path.join(t.path, "_spec.json"))  # pre-spec-era dir
+    t2 = PartitionedStateTable(str(tmp_path / "g"), ["k"], n_buckets=4)
+    with pytest.raises(ValueError, match="no _spec.json"):
+        t2.upsert(rows.withColumn("op", F.lit("c")), order_by=["v"], epoch_id=1)
+    with pytest.raises(ValueError, match="no _spec.json"):
+        t2.read_buckets(spark, [0, 1, 2, 3])
+    assert t2.read(spark).count() == 2  # plain read stays layout-agnostic
+    # an empty dir (no manifest) still grandfathers: first commit stamps
+    t3 = PartitionedStateTable(str(tmp_path / "fresh"), ["k"], n_buckets=4)
+    t3.append(_df(spark, [(5, 5)]), epoch_id=0)
+    assert os.path.exists(os.path.join(t3.path, "_spec.json"))
