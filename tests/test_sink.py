@@ -106,6 +106,21 @@ def test_auto_compaction_policy_bounds_ledger(spark, tmp_path):
     assert got == list(range(9))
 
 
+def test_compaction_keep_recent_exceeding_loose_count_folds_nothing(
+    spark, tmp_path
+):
+    """REGRESSION (ADVICE r8): keep_recent > loose-epoch count made the
+    fold slice index negative, wrapping around and folding the OLDEST
+    2*len-keep epochs (5 loose, keep=8 folded 2) — violating the
+    never-fold-the-newest-N invariant for manual calls."""
+    sink = ExactlyOnceAppendSink(str(tmp_path / "out"), compact_threshold=None)
+    for e in range(5):
+        sink.process_batch(spark.createDataFrame([(e,)], "x long"), epoch_id=e)
+    assert sink.compact_epochs(spark, keep_recent=8) is False
+    led = sink._load_ledger()
+    assert led["epochs"] == [0, 1, 2, 3, 4] and led["merged"] == []
+
+
 def test_orphan_merged_dir_gced(spark, tmp_path):
     """A compaction that crashed before its ledger swap leaves an orphan
     consolidated dir — invisible to readers and removed by GC."""
@@ -148,3 +163,34 @@ def test_randomized_replay_patterns_exactly_once(spark, tmp_path, seed):
     got = sorted(r["x"] for r in sink.read_committed(spark).collect())
     want = sorted(x for rows in batches.values() for (x,) in rows)
     assert got == want
+
+
+def test_tier_ledger_folds_to_one_entry_and_reconsolidates(spark, tmp_path):
+    """r9 second-level fold: repeated compactions keep the merged ledger
+    at ONE entry (dir list grows, zero data IO), gap ids inside the
+    folded range stay replay-no-ops, and reconsolidate_tiers re-merges
+    the tier dirs down to one on demand."""
+    sink = ExactlyOnceAppendSink(str(tmp_path / "out"), compact_threshold=None)
+    for e in range(12):
+        sink.process_batch(spark.createDataFrame([(e,)], "x long"), epoch_id=e)
+        if e in (5, 11):
+            assert sink.compact_epochs(spark, keep_recent=2) is True
+    led = sink._load_ledger()
+    assert len(led["merged"]) == 1
+    assert led["merged"][0]["lo"] == 0 and led["merged"][0]["hi"] == 9
+    assert len(led["merged"][0]["dirs"]) == 2
+    # replay of an id folded by the FIRST compaction still no-ops
+    sink.process_batch(spark.createDataFrame([(999,)], "x long"), epoch_id=2)
+    got = sorted(r["x"] for r in sink.read_committed(spark).collect())
+    assert got == list(range(12))
+    # manual reconsolidation: one tier dir, same data, old dirs gone
+    assert sink.reconsolidate_tiers(spark) is True
+    led = sink._load_ledger()
+    assert len(led["merged"][0]["dirs"]) == 1
+    (only_dir,) = led["merged"][0]["dirs"]
+    data_root = os.path.join(str(tmp_path / "out"), "_data")
+    tiers = [d for d in os.listdir(data_root) if d.startswith("merged=")]
+    assert tiers == [only_dir]
+    got = sorted(r["x"] for r in sink.read_committed(spark).collect())
+    assert got == list(range(12))
+    assert sink.reconsolidate_tiers(spark) is False  # single tier: no-op
