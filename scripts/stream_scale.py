@@ -266,12 +266,18 @@ CUSTS_SCHEMA = T.StructType(
 JOIN_FAN_OUT = 20  # facts per dim key, CONSTANT across scales
 
 
-def join_build_envelopes(spark: SparkSession, n_facts: int):
-    """n_facts/FAN_OUT dims then n_facts facts (cust_id = j % n_dims, so
-    every dim key's fan-out stays JOIN_FAN_OUT as total fact state grows
-    — the probe's work is constant by construction, isolating the
-    fact-state READ as the only term that could scale)."""
-    n_dims = n_facts // JOIN_FAN_OUT
+def join_build_envelopes(
+    spark: SparkSession, n_facts: int, n_dims: int | None = None
+):
+    """n_facts/FAN_OUT dims then n_facts facts (cust_id = j % n_referenced,
+    so every referenced dim key's fan-out stays JOIN_FAN_OUT as total fact
+    state grows — the probe's work is constant by construction, isolating
+    the state READS as the only terms that could scale).  Passing n_dims
+    grows the dim table INDEPENDENTLY (facts keep referencing the first
+    n_facts/FAN_OUT keys — the hot-subset shape of a large dimension)."""
+    n_referenced = n_facts // JOIN_FAN_OUT
+    if n_dims is None:
+        n_dims = n_referenced
     i = F.col("id")
     dim_after = F.struct(i.alias("c_id"), F.lit("b").alias("name"))
     dims = spark.range(n_dims).select(
@@ -279,7 +285,7 @@ def join_build_envelopes(spark: SparkSession, n_facts: int):
     )
     fact_after = F.struct(
         (F.lit(10**9) + i).alias("o_id"),
-        (i % n_dims).alias("cust_id"),
+        (i % n_referenced).alias("cust_id"),
         F.lit(1.0).alias("amount"),
     )
     facts = spark.range(n_facts).select(
@@ -325,6 +331,7 @@ def measure_join(
     tag: str,
     by_join_col: bool,
     n_buckets: int = N_BUCKETS,
+    n_dims: int | None = None,
 ):
     from flink_cdc_log_connectors_spark.streaming.joins import (
         ChangelogJoin,
@@ -347,7 +354,7 @@ def measure_join(
         n_buckets=n_buckets,
         bucket_left_by_join_col=by_join_col,
     )
-    build, n_dims = join_build_envelopes(spark, n_facts)
+    build, n_dims = join_build_envelopes(spark, n_facts, n_dims)
     build = build.persist()
     total = n_dims + n_facts
     build_epochs = 4
@@ -392,6 +399,150 @@ def measure_join(
         "probe_epoch_s": round(min(times), 3),
         "probe_runs_s": [round(t, 3) for t in times],
         "jobs_per_epoch": jobs,
+    }
+
+
+# -- ingest dedup fixture ------------------------------------------------------
+
+
+def _doc_text(id_col, words: int = 20):
+    """Deterministic pseudo-text: `words` 8-char tokens from md5(id*words+j)
+    — unique docs band-collide with nothing, so the index's pair store
+    stays empty during the build and every probe candidate is intentional."""
+    return F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(words - 1)),
+            lambda j: F.substring(
+                F.md5((id_col * words + j).cast("string")), 1, 8
+            ),
+        ),
+    )
+
+
+def _docs(spark: SparkSession, ids) -> DataFrame:
+    return spark.range(*ids).select(
+        F.col("id").alias("doc_id"), _doc_text(F.col("id")).alias("text")
+    )
+
+
+def _state_bytes(table) -> int:
+    """On-disk bytes of every bucket file the manifest references — the
+    FULL-scan cost a pre-r9 batch paid to read this store."""
+    total = 0
+    manifest = table.load_manifest()
+    for b, vs in manifest.items():
+        if b.startswith("__"):
+            continue
+        for v in vs if isinstance(vs, list) else [vs]:
+            d = table._bucket_dir(v, int(b))
+            for f in os.listdir(d):
+                total += os.path.getsize(os.path.join(d, f))
+    return total
+
+
+def _pruned_bytes(table, buckets) -> int:
+    total = 0
+    manifest = table.load_manifest()
+    for b in buckets:
+        vs = manifest.get(str(b))
+        if vs is None:
+            continue
+        for v in vs if isinstance(vs, list) else [vs]:
+            d = table._bucket_dir(v, int(b))
+            for f in os.listdir(d):
+                total += os.path.getsize(os.path.join(d, f))
+    return total
+
+
+def measure_ingest(
+    spark: SparkSession,
+    n_docs: int,
+    tag: str,
+    n_buckets: int = N_BUCKETS,
+    probe_docs: int = 8,
+):
+    """Fixed probe batch (8 docs, each an exact copy of a distinct build
+    doc) against an index grown 10× by doc count (VERDICT r8 #2).  Two
+    readings per scale: end-to-end probe epoch seconds, and the
+    DETERMINISTIC index-read bytes — pruned (what the r9 (band_idx, bh)
+    bucketing reads) vs full (what the pre-r9 doc_id-bucketed layout had
+    to open every batch, its broadcast-semi filter notwithstanding)."""
+    from flink_cdc_log_connectors_spark.streaming.ingest_dedup import (
+        IngestDedup,
+        _batch_bands,
+        read_dedup_pairs,
+    )
+    from flink_cdc_log_connectors_spark.functions.text import (
+        hashed_word_ngrams,
+    )
+
+    root = os.path.join(WORK, f"ingest_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    dd = IngestDedup(root, n_buckets=n_buckets)
+    build_epochs = 4
+    per = n_docs // build_epochs
+    t0 = time.perf_counter()
+    for e in range(build_epochs):
+        lo, hi = e * per, (e + 1) * per if e < build_epochs - 1 else n_docs
+        dd.process_batch(_docs(spark, (lo, hi)), epoch_id=e)
+    build_s = time.perf_counter() - t0
+
+    times = []
+    for r in range(RUNS + 2):  # run 0 = warmup
+        # run r's probe copies build docs [r*P, (r+1)*P) under fresh ids
+        # — each probe doc pairs with exactly its build twin, so the
+        # batch's collision surface is CONSTANT across runs and scales
+        probe = (
+            _docs(spark, (r * probe_docs, (r + 1) * probe_docs))
+            .select(
+                (F.col("doc_id") + 10**9 + r * probe_docs).alias("doc_id"),
+                "text",
+            )
+            .persist()
+        )
+        probe.count()
+        if r <= RUNS:
+            t0 = time.perf_counter()
+            dd.process_batch(probe, epoch_id=build_epochs + r)
+            dt = time.perf_counter() - t0
+            if r > 0:
+                times.append(dt)
+        else:
+            jobs = _count_jobs(
+                spark,
+                lambda p=probe, e=build_epochs + r: dd.process_batch(
+                    p, epoch_id=e
+                ),
+            )
+        probe.unpersist()
+    # every probe doc found its twin (jaccard 1.0), nothing else
+    pairs = read_dedup_pairs(spark, root)
+    got = pairs.count()
+    want = probe_docs * (RUNS + 2)
+    assert got == want, f"pairs {got}, want {want}"
+    # deterministic read-bytes contrast for ONE more fixed probe batch
+    doc_sets = _docs(spark, (0, probe_docs)).select(
+        "doc_id", hashed_word_ngrams(F.col("text"), 3).alias("shset")
+    )
+    bks = sorted(
+        _batch_bands(doc_sets)
+        .agg(
+            F.collect_set(
+                dd.bands.bucket_for(F.col("band_idx"), F.col("bh"))
+            ).alias("b")
+        )
+        .first()["b"]
+    )
+    return {
+        "index_docs": n_docs,
+        "build_s": round(build_s, 2),
+        "probe_epoch_s": round(min(times), 3),
+        "probe_runs_s": [round(t, 3) for t in times],
+        "jobs_per_epoch": jobs,
+        "bands_buckets_read": len(bks),
+        "bands_read_bytes_pruned": _pruned_bytes(dd.bands, bks),
+        "bands_read_bytes_full": _state_bytes(dd.bands),
     }
 
 
@@ -531,7 +682,7 @@ def measure_agg(
 def main() -> None:
     quick = "--quick" in sys.argv
     # --legs=join,agg runs a subset (default: every leg)
-    legs = {"temporal", "agg", "join", "witness"}
+    legs = {"temporal", "agg", "join", "join_dim", "ingest", "witness"}
     for a in sys.argv:
         if a.startswith("--legs="):
             legs = set(a.split("=", 1)[1].split(","))
@@ -604,6 +755,52 @@ def main() -> None:
             out["join_scan_10x"]["probe_epoch_s"]
             / out["join_scan_1x"]["probe_epoch_s"],
             2,
+        )
+
+    if "join_dim" in legs:
+        # VERDICT r8 #4: fact state FIXED, dim state grown 10× (facts
+        # reference only the first n_facts/FAN_OUT dim keys — the
+        # hot-subset shape of a large dimension).  Exposes the
+        # enrichment probe's full dim-state read (joins.py): if the
+        # curve grows, prune it; if not, document the measurement.
+        jd_facts = int(20_000 * scale)
+        step(
+            "join_dim_1x",
+            lambda: measure_join(
+                spark, jd_facts, "d1", True, n_dims=jd_facts // 4
+            ),
+        )
+        step(
+            "join_dim_10x",
+            lambda: measure_join(
+                spark, jd_facts, "d10", True, n_dims=jd_facts // 4 * 10
+            ),
+        )
+        out["join_dim_ratio"] = round(
+            out["join_dim_10x"]["probe_epoch_s"]
+            / out["join_dim_1x"]["probe_epoch_s"],
+            2,
+        )
+
+    if "ingest" in legs:
+        # VERDICT r8 #2: fixed probe batch vs the accumulated dedup
+        # index grown 10× by doc count — per-batch cost and index-read
+        # bytes should follow the batch's collision surface, not the
+        # corpus
+        in_docs = int(20_000 * scale)
+        step("ingest_1x", lambda: measure_ingest(spark, in_docs, "1x"))
+        step(
+            "ingest_10x", lambda: measure_ingest(spark, in_docs * 10, "10x")
+        )
+        out["ingest_ratio"] = round(
+            out["ingest_10x"]["probe_epoch_s"]
+            / out["ingest_1x"]["probe_epoch_s"],
+            2,
+        )
+        out["ingest_bytes_ratio_10x_pruned_vs_full"] = round(
+            out["ingest_10x"]["bands_read_bytes_pruned"]
+            / out["ingest_10x"]["bands_read_bytes_full"],
+            3,
         )
 
     # Witness-scale job counts (n_buckets=8, the replay witnesses'

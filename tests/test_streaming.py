@@ -596,3 +596,174 @@ def test_statetable_append_compact_preserves_rows_and_gcs(spark, tmp_path):
     # fresh epochs continue normally after a compact
     t.append(_df(spark, [(7, "z")]), epoch_id=100)
     assert t.read(spark).count() == 9
+
+
+def _ingest_doc_sets(spark, rows):
+    from flink_cdc_log_connectors_spark.functions.text import hashed_word_ngrams
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", hashed_word_ngrams(F.col("text"), 3).alias("shset")
+    )
+
+
+_ING_BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden trees"
+)
+_ING_OTHER = (
+    "completely different content about distributed query engines and "
+    "partitioned state tables with atomic manifest swaps for streams"
+)
+
+
+def test_ingest_dedup_recovers_bands_ahead_of_shsets(spark, tmp_path):
+    """REGRESSION (ADVICE r8): a crash between the bands and shsets
+    appends left the band index AHEAD of the set store; the retry then
+    called .select() on shsets.read()'s None and wedged the stream
+    forever.  The pruned read now tolerates the missing store (and the
+    append order was flipped so the fixed code can no longer produce
+    this state — only a pre-fix crash can)."""
+    from flink_cdc_log_connectors_spark.streaming.ingest_dedup import (
+        IngestDedup,
+        _batch_bands,
+        read_dedup_pairs,
+    )
+
+    idx = str(tmp_path / "idx")
+    dd = IngestDedup(idx, threshold_num=1, threshold_den=2)
+    # simulate the pre-fix crash: epoch 0's bands committed, shsets not
+    dd.bands.append(
+        _batch_bands(_ingest_doc_sets(spark, [(1, _ING_BASE)])), epoch_id=0
+    )
+    # epoch 1 carries an intra-batch near-dup pair; pre-fix this raised
+    # AttributeError on every retry
+    dd.process_batch(
+        spark.createDataFrame(
+            [(5, _ING_BASE.replace("warm", "cold")), (6, _ING_BASE), (7, _ING_OTHER)],
+            "doc_id long, text string",
+        ),
+        epoch_id=1,
+    )
+    got = {(r["d1"], r["d2"]) for r in read_dedup_pairs(spark, idx).collect()}
+    assert (5, 6) in got  # intra-batch verification still ran
+    # doc 1's pairs are unrecoverable (its shingle sets died in the
+    # crash) — but the stream is live again and future epochs dedup fine
+    dd.process_batch(
+        spark.createDataFrame([(9, _ING_BASE)], "doc_id long, text string"),
+        epoch_id=2,
+    )
+    got = {(r["d1"], r["d2"]) for r in read_dedup_pairs(spark, idx).collect()}
+    assert (9, 5) in got and (9, 6) in got
+
+
+def test_migrate_raw_pre_r8_ingest_index(spark, tmp_path):
+    """migrate_ingest_index on the pre-r8 RAW layout (plain mode-append
+    parquet dirs, at-least-once duplicates, pairs carrying an `epoch`
+    column): one shot in place, then the stream resumes against the
+    migrated index — old docs stay probe-able and old pairs stay read."""
+    import os
+
+    from flink_cdc_log_connectors_spark.streaming.ingest_dedup import (
+        IngestDedup,
+        _batch_bands,
+        migrate_ingest_index,
+        read_dedup_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    idx = str(tmp_path / "idx")
+    doc_sets = _ingest_doc_sets(spark, [(1, _ING_BASE), (2, _ING_OTHER)])
+    bands = _batch_bands(doc_sets)
+    # the old loop's exact writes — including a duplicate append (the
+    # old layout was at-least-once, deduped on read)
+    for _ in range(2):
+        bands.write.mode("append").parquet(os.path.join(idx, "bands"))
+        doc_sets.write.mode("append").parquet(os.path.join(idx, "shsets"))
+    spark.createDataFrame(
+        [(101, 100, 0.8, 3), (101, 100, 0.8, 3)],
+        "d1 long, d2 long, jaccard double, epoch long",
+    ).write.mode("append").parquet(os.path.join(idx, "pairs"))
+
+    migrated = migrate_ingest_index(spark, idx)
+    assert migrated == {"bands": True, "shsets": True, "pairs": True}
+    # migrated pairs read back exactly once, legacy epoch column gone
+    pairs = read_dedup_pairs(spark, idx)
+    assert [tuple(r) for r in pairs.collect()] == [(101, 100, 0.8)]
+    # resume the stream: a new near-dup of migrated doc 1 pairs with it
+    dd = IngestDedup(idx, threshold_num=1, threshold_den=2)
+    dd.process_batch(
+        spark.createDataFrame(
+            [(9, _ING_BASE)],
+            "doc_id long, text string",
+        ),
+        epoch_id=1,
+    )
+    got = {(r["d1"], r["d2"]) for r in read_dedup_pairs(spark, idx).collect()}
+    assert (9, 1) in got and (101, 100) in got
+    # idempotent: a second run migrates nothing
+    assert migrate_ingest_index(spark, idx) == {
+        "bands": False,
+        "shsets": False,
+        "pairs": False,
+    }
+
+
+def test_migrate_r8_doc_id_bucketed_bands(spark, tmp_path):
+    """migrate_ingest_index on an r8-era index (state tables, but bands
+    bucketed by doc_id): re-places bands by (band_idx, bh) preserving the
+    per-row __epoch stamps, stamps __folded_max so a replayed append of a
+    migrated epoch no-ops, and leaves the already-current stores alone."""
+    import os
+
+    from flink_cdc_log_connectors_spark.streaming.ingest_dedup import (
+        IngestDedup,
+        _batch_bands,
+        migrate_ingest_index,
+        read_dedup_pairs,
+    )
+    from flink_cdc_log_connectors_spark.streaming.statetable import (
+        PartitionedStateTable,
+    )
+
+    idx = str(tmp_path / "idx")
+    doc_sets = _ingest_doc_sets(spark, [(1, _ING_BASE), (2, _ING_OTHER)])
+    bands = _batch_bands(doc_sets)
+    # the r8 layout: bands bucketed by its merge key
+    old_bands = PartitionedStateTable(
+        os.path.join(idx, "bands"), ["doc_id"], n_buckets=16
+    )
+    old_bands.append(bands, epoch_id=0)
+    # shsets/pairs already had the current layout in r8
+    shsets = PartitionedStateTable(
+        os.path.join(idx, "shsets"), ["doc_id"], n_buckets=16
+    )
+    shsets.append(doc_sets, epoch_id=0)
+
+    # the current loop refuses the old layout loudly (never prunes blind)
+    dd_refused = IngestDedup(idx)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bucket layout"):
+        dd_refused.process_batch(
+            spark.createDataFrame([(9, _ING_BASE)], "doc_id long, text string"),
+            epoch_id=1,
+        )
+
+    migrated = migrate_ingest_index(spark, idx)
+    assert migrated == {"bands": True, "shsets": False, "pairs": False}
+    dd = IngestDedup(idx, threshold_num=1, threshold_den=2)
+    # __epoch stamps survived: a replayed append of migrated epoch 0
+    # no-ops via the __folded_max watermark
+    dd.bands.append(bands, epoch_id=0)
+    assert dd.bands.read(spark).count() == bands.count()
+    # and the resumed stream probes migrated docs through pruned reads
+    dd.process_batch(
+        spark.createDataFrame(
+            [(9, _ING_BASE)],
+            "doc_id long, text string",
+        ),
+        epoch_id=1,
+    )
+    got = {(r["d1"], r["d2"]) for r in read_dedup_pairs(spark, idx).collect()}
+    assert (9, 1) in got and (9, 2) not in got
