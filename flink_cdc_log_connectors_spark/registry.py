@@ -138,66 +138,67 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
 #: every round by the committed scripts/selfcheck.py run
 #: (SELFCHECK_r{N}.json).
 _DRIVER_WINDOW_PRIORITY = [
-    # r8 rotation (VERDICT r7 next-round #5), resorted from the measured
-    # CORRECTNESS r1-r7 union (50 r7 / 48 r6 / 49 r5 / 16 r4):
-    # (a) code changed this round — the state-table machinery
-    # (append/compact guards, auto-compaction policy, fused upsert
-    # touched-bucket path) underlies all six replay witnesses, and the
-    # temporal witness now asserts compaction fires mid-replay
-    "temporal_asof_replay",
+    # r9 rotation (VERDICT r8 next-round #3), resorted from the measured
+    # CORRECTNESS r1-r8 union (50 r8 / 44 r7 / 48 r6 / 23 r5):
+    # (a) code changed this round: the ChangelogJoin type guard, the
+    # ingest-dedup (band_idx, bh) bucketing + pruned reads + append
+    # reorder, the sink fold-slice fix, and the state-table
+    # __folded_max watermark + spec-grandfather refusal (the last two
+    # underlie every witness that upserts/appends state)
     "changelog_join_replay",
+    "ingest_dedup_replay",
+    "sink_exactly_once_replay",
+    "temporal_asof_replay",
     "changelog_agg_replay",
     "changelog_topn_replay",
     "changelog_cagg_replay",
-    "cep_stream_replay",
-    # (b) never driver-checked: the r8-new streaming-machinery witnesses
-    "ingest_dedup_replay",
-    "sink_exactly_once_replay",
-    # (c) stale refresh: the 16 entries whose last driver row is r4
-    "q06_multijoin_broadcast",
-    "q07a_outer_null",
-    "q07b_semi_join",
-    "q07c_anti_join",
-    "q08_wide_agg",
-    "q25_volume_shipping",
-    "q26_returned_items",
-    "q27_promo_effect",
-    "q28_customer_distribution",
-    "q29_forecast_revenue",
-    "q30_market_share",
-    "q31_top_supplier",
-    "q32_large_volume_customer",
-    "q33_small_qty_revenue",
-    "q34_sales_opportunity",
-    "range_join_events",
-    # (d) the 49-entry r5 band — the window holds 26; the remaining 23
-    # lead r9's category (d)
-    "ann_cosine_topk",
-    "ann_hamming_topk",
-    "ann_ivf_label",
-    "ann_ivf_multiprobe",
-    "changelog_skew_hotkey",
-    "corpus_chunk_windows",
-    "corpus_reservoir_topk",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "graph_triangle_count",
-    "lm_bigram_train",
-    "pipeline_clean_corpus",
-    "q09_rollup",
-    "q09b_cube",
-    "q10a_topk_window",
-    "q10b_running_sum",
-    "q11_topk",
-    "q12a_intersect",
-    "q12b_except",
-    "q12c_union_agg",
-    "q13_scalars",
-    "q14_changelog_materialize",
-    "q14b_changelog_maxby",
+    # (b) stale refresh: the 23 entries whose last driver row is r5
+    "q15_op_breakdown",
+    "q16_tumbling_window",
+    "q17_json_extract",
+    "q18_correlated_subquery",
+    "q19_pivot",
+    "q20_percentiles",
+    "q21_token_freq",
+    "q22_grouping_sets",
+    "q23_shipping_priority",
+    "q35_order_priority_check",
+    "q36_shipmode_priority",
+    "q37_waiting_suppliers",
+    "q38_disjunctive_revenue",
+    "q39_nation_profit",
+    "simsearch_int8_pairs",
+    "simsearch_lsh_cosine",
+    "text_bpe_tokens",
+    "text_decontaminate",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_rarity_quality",
+    "text_token_stats",
+    "text_winnow_fingerprint",
+    # (c) the 48-entry r6 band — the window holds 20; the remaining 28
+    # lead r10's category (with the r9 target "none older than r6" met
+    # either way)
+    "agg_heavy_hitters",
+    "agg_kmv_distinct",
+    "agg_salted_hotkey",
+    "ann_ivf_pq",
+    "ann_ivf_recall",
+    "bpe_merge_candidates",
+    "cdc_asof_join",
+    "cdc_parse_throughput",
+    "cdc_scd2_history",
+    "corpus_importance_sample",
+    "corpus_mix_weights",
+    "corpus_quality_filter",
+    "corpus_snapshot_diff",
+    "corpus_stratified_sample",
+    "dedup_clusters",
+    "dedup_containment",
+    "dedup_keep_best",
+    "dedup_minhash_planned",
+    "dedup_substring_span",
+    "emb_kmeans_assign",
 ]
 
 
