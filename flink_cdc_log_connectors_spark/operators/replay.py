@@ -19,6 +19,8 @@ pattern (SURVEY §2.9 / §3.1, reference quickstart's orders⋈customers).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -873,6 +875,84 @@ FROM ver ORDER BY d1, d2
 """
 
 
+def ingest_index_migrate_replay_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Replay witness for the ingest-index MIGRATION path
+    (``streaming/ingest_dedup.py`` ``migrate_ingest_index`` — VERDICT r8
+    #5: a deployed index is a corpus-sized asset; re-ingesting was the
+    only migration before).  Epoch 0 is written in the PRE-R8 RAW LAYOUT
+    (plain ``mode("append")`` parquet with at-least-once duplicate
+    appends and a legacy ``epoch`` column on pairs — exactly what the
+    r7-era loop produced), migrated in place, then the CURRENT loop
+    resumes with epochs 1-2 and a deliberate re-delivery of epoch 1.
+
+    What the oracle match proves: the migration's read-side dedup folds
+    the duplicate raw appends exactly once; migrated rows keep probing
+    (epoch-1/2 docs pair with epoch-0 docs THROUGH the migrated,
+    (band_idx, bh)-bucketed bands store); and the re-delivered epoch's
+    ``__epoch < 1`` replay filter sees precisely the migrated epoch-0
+    stamps — so the retry re-derives the SAME oriented pairs.
+
+    Oracle: identical to ``ingest_dedup_replay`` — the global batch
+    MinHash pipeline oriented by arrival batch (``doc_id % 3``); any
+    migration-induced duplication, loss, or mis-stamping shifts the
+    pair set and fails on values."""
+    from ..functions.text import hashed_word_ngrams
+    from ..streaming.ingest_dedup import (
+        IngestDedup,
+        _batch_bands,
+        _verify_pairs,
+        migrate_ingest_index,
+        read_dedup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    index_path = replay_state_dir("ingest_migrate", sf_dir)
+    with witness_shuffle_partitions(spark):
+        if not os.path.isdir(os.path.join(index_path, "bands")):
+            # epoch 0, as the pre-r8 loop wrote it (raw appends; intra
+            # candidates only — the index was empty at epoch 0)
+            doc_sets = docs.filter(F.col("doc_id") % 3 == 0).select(
+                "doc_id",
+                hashed_word_ngrams(F.col("text"), 3).alias("shset"),
+            )
+            bands0 = _batch_bands(doc_sets)
+            a, b = bands0.alias("a"), bands0.alias("b")
+            intra = a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.bh") == F.col("b.bh"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            ).select(
+                F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+            )
+            pairs0 = _verify_pairs(intra.distinct(), doc_sets, 1, 5)
+            for _ in range(2):  # at-least-once: everything appended TWICE
+                pairs0.withColumn("epoch", F.lit(0)).write.mode(
+                    "append"
+                ).parquet(os.path.join(index_path, "pairs"))
+                bands0.write.mode("append").parquet(
+                    os.path.join(index_path, "bands")
+                )
+                doc_sets.write.mode("append").parquet(
+                    os.path.join(index_path, "shsets")
+                )
+        # one-shot, idempotent (no-ops on a reused state dir — already
+        # the current layout, the migration's own contract)
+        migrate_ingest_index(spark, index_path)
+        dd = IngestDedup(index_path)
+        for epoch in (1, 2):
+            dd.process_batch(
+                docs.filter(F.col("doc_id") % 3 == epoch), epoch_id=epoch
+            )
+        # re-delivery OVER THE MIGRATED INDEX: the retry's epoch filter
+        # must see exactly the migrated epoch-0 stamps plus nothing newer
+        dd.process_batch(docs.filter(F.col("doc_id") % 3 == 1), epoch_id=1)
+    pairs = read_dedup_pairs(spark, index_path)
+    return pairs.select("d1", "d2", "jaccard").orderBy("d1", "d2")
+
+
 def sink_exactly_once_replay_query(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -974,6 +1054,10 @@ REPLAY_QUERIES = {
     ),
     "ingest_dedup_replay": (
         ingest_dedup_replay_query,
+        _ingest_minhash_oriented_sql(),
+    ),
+    "ingest_index_migrate_replay": (
+        ingest_index_migrate_replay_query,
         _ingest_minhash_oriented_sql(),
     ),
     "sink_exactly_once_replay": (
