@@ -377,7 +377,7 @@ class PartitionedStateTable:
             json.dump(new_manifest, f)
         os.replace(tmp, self._manifest_path())
 
-    def compact(self, spark: SparkSession, epoch_id: int) -> None:
+    def compact(self, spark: SparkSession, epoch_id: int, transform=None) -> None:
         """Compact an append-managed table: rewrite every bucket's
         accumulated version files into ONE fresh version, repoint the
         manifest atomically, then GC the superseded versions — the LSM
@@ -399,7 +399,16 @@ class PartitionedStateTable:
         old file set, after it the compacted one — same crash discipline
         as every other commit here.  Row contents are preserved exactly
         (including each row's original ``__epoch`` stamp, so
-        offset/epoch-based ordering downstream is unaffected)."""
+        offset/epoch-based ordering downstream is unaffected) — unless
+        the caller passes ``transform`` (DataFrame → DataFrame), which
+        the rewrite applies to the table's full contents: the hook for
+        RETENTION policies that piggyback row GC on the compaction's
+        read+write (e.g. a temporal join expiring superseded dim
+        versions older than its declared lateness bound) at zero extra
+        IO.  The caller owns the semantic safety of what it drops;
+        surviving rows keep their ``__epoch`` stamps, and the replay
+        no-op contract (subsumed epochs, ``__folded_max``) is unaffected
+        because it never depends on row contents."""
         self._check_spec(stamp=True)
         manifest = self.load_manifest()
         if not self._bucket_items(manifest):
@@ -415,6 +424,8 @@ class PartitionedStateTable:
                 "compact under a fresh id"
             )
         current = self.read(spark)
+        if transform is not None:
+            current = transform(current)
         version_dir = os.path.join(self.path, _DATA, f"v={version}")
         # __bucket came from the directory name; restamp for the write
         current.withColumn("__bucket", self._bucket()).write.mode(
@@ -467,7 +478,9 @@ class PartitionedStateTable:
                     os.path.join(data_root, vdir), ignore_errors=True
                 )
 
-    def maybe_compact(self, spark: SparkSession, max_versions: int) -> bool:
+    def maybe_compact(
+        self, spark: SparkSession, max_versions: int, transform=None
+    ) -> bool:
         """Steady-state compaction POLICY for append-managed tables
         (VERDICT r7 What's-wrong #1: :meth:`compact` existed but nothing
         called it, so a long-running stream accumulated one file set per
@@ -494,7 +507,11 @@ class PartitionedStateTable:
             raise ValueError("maybe_compact() applies to append-managed tables")
         if not lists or max(len(v) for v in lists) <= max_versions:
             return False
-        self.compact(spark, epoch_id=manifest.get(self._COMPACT_SEQ, 0) + 1)
+        self.compact(
+            spark,
+            epoch_id=manifest.get(self._COMPACT_SEQ, 0) + 1,
+            transform=transform,
+        )
         return True
 
     def compactions_committed(self) -> int:

@@ -73,6 +73,7 @@ class TemporalJoin:
         dim_prefix: str = "d_",
         n_buckets: int = 64,
         history_compact_threshold: int = 16,
+        history_retention_ms: int | None = None,
     ) -> None:
         if how not in ("inner", "left"):
             raise ValueError(f"how must be inner|left, got {how!r}")
@@ -126,6 +127,24 @@ class TemporalJoin:
         self.history_compact_threshold = history_compact_threshold
         #: compactions fired by this instance (witness/test observable)
         self.history_compactions = 0
+        #: event-time RETENTION for the version history (None = keep
+        #: everything, the original behavior).  With a value L, each
+        #: history compaction also expires versions SUPERSEDED by a
+        #: same-key version at or before ``watermark - L`` (per key, the
+        #: reigning version at the cutoff — even a delete — survives, so
+        #: every fact with rowtime ≥ wm - L still joins exactly what it
+        #: would have).  This is the declared-lateness trade Flink's
+        #: ``table.exec.state.ttl`` makes for the same join (the
+        #: reference's connectors feed Flink, whose runtime owns this
+        #: knob — here the engine does): without it, dim history is
+        #: O(all versions ever); with it, O(churn within the lateness
+        #: window) — the difference between corpus-lifetime and
+        #: steady-state storage at 100 TB.  A fact arriving later than L
+        #: below the watermark may join a pruned version's successor —
+        #: that is the contract the caller declares by setting L.  GC
+        #: piggybacks on compaction's existing read+write (zero extra
+        #: IO, zero extra jobs per epoch).
+        self.history_retention_ms = history_retention_ms
 
     # -- watermark persistence (atomic, replay-idempotent: monotone max) --
     def _wm_path(self) -> str:
@@ -239,7 +258,9 @@ class TemporalJoin:
             # manifest's own counter, never this epoch, so a retry of
             # this epoch can't collide with the compacted version
             if self.history_compact_threshold and self.history.maybe_compact(
-                spark, self.history_compact_threshold
+                spark,
+                self.history_compact_threshold,
+                transform=self._retention_transform(),
             ):
                 self.history_compactions += 1
         wm = self.load_watermark()
@@ -328,6 +349,40 @@ class TemporalJoin:
         facts.unpersist(False)
         if ready is not None:
             ready.unpersist(False)
+
+    def _retention_transform(self):
+        """Row-GC hook for the history compaction (see
+        ``history_retention_ms``): drop versions superseded by a same-key
+        version at or before ``watermark - retention``.  Per key the rank
+        keeps the latest version at-or-below the cutoff (ordered exactly
+        as the emit join ranks — valid_ms then offset columns — so the
+        survivor IS the version any in-retention fact would pick) plus
+        everything newer.  Returns None (compaction stays a pure
+        re-layout) when retention is off or no watermark exists yet."""
+        if self.history_retention_ms is None:
+            return None
+        wm = self.load_watermark()
+        if wm is None:
+            return None
+        cutoff = wm - self.history_retention_ms
+
+        def prune(df: DataFrame) -> DataFrame:
+            fresh = df.filter(F.col("_valid_ms") > F.lit(cutoff))
+            w = Window.partitionBy(self.dim.key).orderBy(
+                F.col("_valid_ms").desc(),
+                F.col("_vfile").desc(),
+                F.col("_vpos").desc(),
+                F.col("_vimg").desc(),
+            )
+            reigning = (
+                df.filter(F.col("_valid_ms") <= F.lit(cutoff))
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+            return fresh.unionByName(reigning)
+
+        return prune
 
     def _emit(
         self,
@@ -489,6 +544,7 @@ def materialize_temporal_join(
     how: str = "inner",
     n_buckets: int = 64,
     history_compact_threshold: int = 16,
+    history_retention_ms: int | None = None,
 ):
     """Continuously-maintained event-time temporal join over a raw CDC
     stream carrying both tables' envelopes.  Returns the
@@ -501,6 +557,7 @@ def materialize_temporal_join(
         how=how,
         n_buckets=n_buckets,
         history_compact_threshold=history_compact_threshold,
+        history_retention_ms=history_retention_ms,
     )
     return (
         raw_stream.writeStream.foreachBatch(tj.process_batch)

@@ -514,3 +514,80 @@ def test_temporal_join_rejects_join_key_type_mismatch(tmp_path):
     )
     with pytest.raises(ValueError, match="same type"):
         TemporalJoin(fact_int, dim_long, str(tmp_path / "tm"))
+
+
+def test_history_retention_prunes_superseded_versions(spark, tmp_path):
+    """history_retention_ms: compaction expires versions SUPERSEDED at or
+    before watermark - retention, keeping per key the reigning version at
+    the cutoff — facts within the declared lateness bound join exactly
+    what they would have against the full history."""
+    from pyspark.sql import functions as F
+
+    tj = TemporalJoin(
+        FACT,
+        DIM,
+        str(tmp_path / "ret"),
+        how="inner",
+        history_compact_threshold=2,
+        history_retention_ms=500,
+    )
+    # 6 price versions for A at ts 100..600, one for B at 150, spread
+    # over epochs so the version lists exceed the threshold and
+    # compaction fires with the watermark at 600
+    ticks = [(100, 10.0), (200, 20.0), (300, 30.0)]
+    tj.process_batch(
+        raw_df(spark, [
+            env("prices", "c" if t == 100 else "u", {"sym": "A", "px": px},
+                pos=i, ts=t)
+            for i, (t, px) in enumerate(ticks)
+        ] + [env("prices", "c", {"sym": "B", "px": 1.0}, pos=9, ts=150)]),
+        epoch_id=0,
+    )
+    for e, (t, px) in enumerate([(400, 40.0), (500, 50.0), (600, 60.0)]):
+        tj.process_batch(
+            raw_df(spark, [
+                env("prices", "u", {"sym": "A", "px": px}, pos=10 + e, ts=t)
+            ]),
+            epoch_id=1 + e,
+        )
+    assert tj.history_compactions >= 1
+    # cutoff = 600 - 500 = 100: A's v@100 is the reigning version at the
+    # cutoff and SURVIVES; nothing is superseded below it, so only
+    # versions strictly dominated at <= 100 would go — build more churn
+    # below a later cutoff to see pruning:
+    for e, t in enumerate([1100, 1200]):  # advance wm to 1200, cutoff 700
+        tj.process_batch(
+            raw_df(spark, [
+                env("prices", "u", {"sym": "A", "px": float(t)},
+                    pos=20 + e, ts=t)
+            ]),
+            epoch_id=4 + e,
+        )
+    # force one more compaction at the advanced watermark
+    tj.history.compact(
+        spark,
+        epoch_id=tj.history.compactions_committed() + 1,
+        transform=tj._retention_transform(),
+    )
+    hist = tj.history.read(spark)
+    a_rows = sorted(
+        r["_valid_ms"] for r in hist.filter(F.col("sym") == "A").collect()
+    )
+    # cutoff 700: versions 100..500 are all superseded by v@600 <= 700 —
+    # only the reigning v@600 survives below the cutoff, plus 1100/1200
+    assert a_rows == [600, 1100, 1200]
+    # B's single version (reigning at cutoff) survives
+    assert [r["_valid_ms"] for r in hist.filter(F.col("sym") == "B").collect()] == [150]
+
+    # facts within the lateness bound still join the right versions:
+    # ts=650 -> v@600; ts=1150 -> v@1100
+    tj.process_batch(
+        raw_df(spark, [
+            env("trades", "c", {"t_id": 7, "sym": "A", "qty": 1}, pos=30, ts=650),
+            env("trades", "c", {"t_id": 8, "sym": "A", "qty": 2}, pos=31, ts=1150),
+            env("prices", "h", None, pos=32, ts=2000),  # heartbeat releases
+        ]),
+        epoch_id=6,
+    )
+    got = view(spark, tj)
+    assert got[7] == (1, 60.0) and got[8] == (2, 1100.0)
