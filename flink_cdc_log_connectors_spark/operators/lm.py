@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.text import TOKENS_SQL, tokens
 from ..io import load_table
@@ -445,3 +446,92 @@ LM_QUERIES["lm_stupid_backoff"] = (
     stupid_backoff_query,
     _stupid_backoff_sql(),
 )
+
+
+# -- sequence packing ---------------------------------------------------------
+
+CONTEXT_LEN = 512  #: tokens per packed training sequence
+PACK_SHARDS = 32  #: independent packing shards (see sequence_pack)
+
+
+def sequence_pack(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    context_len: int = CONTEXT_LEN,
+    n_shards: int = PACK_SHARDS,
+) -> DataFrame:
+    """Concat-then-chunk SEQUENCE PACKING — map each document to its
+    position in the fixed-length token sequences an LM pretraining run
+    consumes (all docs concatenated in id order, sliced every
+    ``context_len`` tokens; a doc may span a sequence boundary).  Output
+    one row per doc: its shard, token count, the global sequence index
+    range it occupies within the shard, and its offset inside the first
+    sequence — the manifest a downstream tokenizer/writer needs to
+    materialize shard files without re-scanning text.
+
+    Scale: a single global running sum would serialize the corpus
+    through ONE window partition — the classic 100 TB failure.  Packing
+    is instead done per SHARD (``id % n_shards``), the shape real
+    pipelines use (each shard becomes one output file sequence): the
+    running sum parallelizes across shards, each shard's window is
+    1/n_shards of the corpus, and determinism is preserved (shard and
+    order are pure functions of the id).  Raise n_shards with corpus
+    size — at 100 TB, thousands of shards, each a few GB.
+    """
+    n = F.size(tokens(F.col(text_col)))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("int").alias("shard"),
+        n.alias("n_tokens"),
+    ).filter(F.col("n_tokens") >= 1)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return base.select(
+        "shard",
+        "doc_id",
+        "n_tokens",
+        F.floor(off / context_len).cast("bigint").alias("start_seq"),
+        F.floor((off + F.col("n_tokens") - 1) / context_len)
+        .cast("bigint")
+        .alias("end_seq"),
+        F.pmod(off, F.lit(context_len)).cast("bigint").alias("seq_offset"),
+    )
+
+
+def sequence_pack_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sequence_pack(docs).orderBy("doc_id")
+
+
+def _sequence_pack_sql() -> str:
+    t = TOKENS_SQL.format(col="text")
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(doc_id % {PACK_SHARDS} AS INTEGER) AS shard,
+         len({t}) AS n_tokens
+  FROM documents
+),
+r AS (
+  SELECT shard, doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS off
+  FROM t WHERE n_tokens >= 1
+)
+SELECT shard, doc_id,
+       CAST(n_tokens AS INTEGER) AS n_tokens,
+       CAST(off // {CONTEXT_LEN} AS BIGINT) AS start_seq,
+       CAST((off + n_tokens - 1) // {CONTEXT_LEN} AS BIGINT) AS end_seq,
+       CAST(off % {CONTEXT_LEN} AS BIGINT) AS seq_offset
+FROM r ORDER BY doc_id
+"""
+
+
+LM_QUERIES["lm_sequence_pack"] = (sequence_pack_query, _sequence_pack_sql())

@@ -148,6 +148,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "changelog_join_replay",
     "ingest_dedup_replay",
     "ingest_index_migrate_replay",  # new this round, never driver-checked
+    "lm_sequence_pack",  # new this round, never driver-checked
     "sink_exactly_once_replay",
     "temporal_asof_replay",
     "changelog_agg_replay",
@@ -177,7 +178,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "text_rarity_quality",
     "text_token_stats",
     "text_winnow_fingerprint",
-    # (c) the 48-entry r6 band — the window holds 19; the remaining 29
+    # (c) the 48-entry r6 band — the window holds 18; the remaining 30
     # lead r10's category (with the r9 target "none older than r6" met
     # either way)
     "agg_heavy_hitters",
@@ -198,7 +199,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_containment",
     "dedup_keep_best",
     "dedup_minhash_planned",
-    "dedup_substring_span",
 ]
 
 

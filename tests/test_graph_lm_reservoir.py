@@ -244,3 +244,28 @@ def test_ahash_band_keys_nonnegative_with_sign_bit(spark):
     for r in rows:
         for i in range(4):
             assert 0 <= r[f"b{i}"] <= 0xFFFF, (r["asset_id"], i, r[f"b{i}"])
+
+
+def test_sequence_pack_invariants(spark):
+    """Packing manifest invariants: per shard (ordered by doc_id) the
+    offsets are the exact running token sum, every doc's sequence range
+    covers its tokens, and no token is lost or double-assigned."""
+    from flink_cdc_log_connectors_spark.operators.lm import sequence_pack
+
+    rows = [(i, " ".join(f"w{j}" for j in range(1 + (i * 7) % 40)))
+            for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sequence_pack(docs, context_len=64, n_shards=4).collect()
+    by_shard = {}
+    for r in sorted(got, key=lambda r: (r["shard"], r["doc_id"])):
+        off = by_shard.get(r["shard"], 0)
+        assert r["seq_offset"] == off % 64
+        assert r["start_seq"] == off // 64
+        assert r["end_seq"] == (off + r["n_tokens"] - 1) // 64
+        assert r["shard"] == r["doc_id"] % 4
+        by_shard[r["shard"]] = off + r["n_tokens"]
+    # token conservation: shard totals equal the input's token counts
+    want = {}
+    for i, text in rows:
+        want[i % 4] = want.get(i % 4, 0) + len(text.split())
+    assert by_shard == want
