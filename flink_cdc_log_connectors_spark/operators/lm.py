@@ -26,6 +26,8 @@ from pyspark.sql.window import Window
 
 from ..functions.text import TOKENS_SQL, tokens
 from ..io import load_table
+from .curation import PACK_CAP as CONTEXT_LEN
+from .curation import PACK_SHARDS
 
 MIN_BIGRAM_COUNT = 20  #: report bigrams at or above this corpus count
 
@@ -450,9 +452,6 @@ LM_QUERIES["lm_stupid_backoff"] = (
 
 # -- sequence packing ---------------------------------------------------------
 
-CONTEXT_LEN = 512  #: tokens per packed training sequence
-PACK_SHARDS = 32  #: independent packing shards (see sequence_pack)
-
 
 def sequence_pack(
     df: DataFrame,
@@ -469,6 +468,14 @@ def sequence_pack(
     range it occupies within the shard, and its offset inside the first
     sequence — the manifest a downstream tokenizer/writer needs to
     materialize shard files without re-scanning text.
+
+    The PER-DOC grain of the same placement ``corpus_pack_sequences``
+    (``operators/curation.py``) audits at PER-SHARD grain — same
+    constants by construction, so that entry is exactly ``GROUP BY
+    shard`` over this one (asserted in
+    ``tests/test_graph_lm_reservoir.py``): the audit view tells the
+    engineer whether the layout is acceptable, this manifest is what the
+    shard writer then consumes.
 
     Scale: a single global running sum would serialize the corpus
     through ONE window partition — the classic 100 TB failure.  Packing

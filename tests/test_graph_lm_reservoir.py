@@ -269,3 +269,39 @@ def test_sequence_pack_invariants(spark):
     for i, text in rows:
         want[i % 4] = want.get(i % 4, 0) + len(text.split())
     assert by_shard == want
+
+
+def test_pack_shard_audit_is_rollup_of_doc_manifest(spark, sf_dir):
+    """corpus_pack_sequences (per-shard audit) must be exactly GROUP BY
+    shard over lm_sequence_pack (per-doc manifest) — the two registry
+    entries are grains of ONE placement, mutually checking."""
+    from pyspark.sql import functions as F
+
+    from flink_cdc_log_connectors_spark.operators.curation import (
+        PACK_CAP,
+        pack_sequences_query,
+    )
+    from flink_cdc_log_connectors_spark.operators.lm import (
+        sequence_pack_query,
+    )
+
+    manifest = sequence_pack_query(spark, sf_dir)
+    rolled = (
+        manifest.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            (F.max("end_seq") + 1).cast("long").alias("n_seqs"),
+            F.sum((F.col("end_seq") > F.col("start_seq")).cast("long"))
+            .cast("long")
+            .alias("n_spanning"),
+            ((F.max("end_seq") + 1) * PACK_CAP - F.sum("n_tokens"))
+            .cast("long")
+            .alias("pad_tokens"),
+        )
+        .orderBy("shard")
+    )
+    audit = pack_sequences_query(spark, sf_dir)
+    assert [tuple(r) for r in rolled.collect()] == [
+        tuple(r) for r in audit.collect()
+    ]
