@@ -248,6 +248,71 @@ def measure_temporal(
     }
 
 
+def measure_retention(
+    spark: SparkSession,
+    n_keys: int,
+    versions: int,
+    tag: str,
+    retention_frac: float = 0.1,
+    n_buckets: int = N_BUCKETS,
+):
+    """history_retention_ms (r9): build K keys x V versions of dim
+    history, then compact with retention covering the last
+    ``retention_frac`` of event time.  Reports stored rows/bytes vs the
+    appended total — the O(churn window) vs O(all versions ever) claim,
+    measured.  Probe correctness for in-retention facts is pinned by
+    tests/test_temporal_join.py; this leg measures the storage bound."""
+    from flink_cdc_log_connectors_spark.streaming.joins import JoinSide
+    from flink_cdc_log_connectors_spark.streaming.temporal_join import (
+        TemporalJoin,
+    )
+
+    fact = JoinSide(
+        table="facts", physical=FACT_SCHEMA, key="event_id", join_col="user_id"
+    )
+    dim = JoinSide(
+        table="dims", physical=DIM_SCHEMA, key="user_id", join_col="user_id"
+    )
+    root = os.path.join(WORK, f"retention_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    n = n_keys * versions
+    retention_ms = int(n * retention_frac)
+    tj = TemporalJoin(
+        fact,
+        dim,
+        root,
+        how="inner",
+        n_buckets=n_buckets,
+        history_retention_ms=retention_ms,
+    )
+    dims = dim_envelopes(spark, n_keys, versions).persist()
+    build_epochs = 4
+    per = n // build_epochs
+    for e in range(build_epochs):
+        lo, hi = e * per, (e + 1) * per if e < build_epochs - 1 else n
+        tj.process_batch(
+            dims.filter((F.col("pos") >= lo) & (F.col("pos") < hi)),
+            epoch_id=e,
+        )
+    dims.unpersist()
+    t0 = time.perf_counter()
+    tj.history.compact(
+        spark,
+        epoch_id=tj.history.compactions_committed() + 1,
+        transform=tj._retention_transform(),
+    )
+    compact_s = time.perf_counter() - t0
+    stored = tj.history.read(spark).count()
+    return {
+        "appended_rows": n,
+        "retention_ms_of_span": retention_ms,
+        "stored_rows": stored,
+        "stored_frac": round(stored / n, 3),
+        "stored_bytes": _state_bytes(tj.history),
+        "final_compact_s": round(compact_s, 2),
+    }
+
+
 # -- changelog join fixture ---------------------------------------------------
 
 ORDERS_SCHEMA = T.StructType(
@@ -682,7 +747,15 @@ def measure_agg(
 def main() -> None:
     quick = "--quick" in sys.argv
     # --legs=join,agg runs a subset (default: every leg)
-    legs = {"temporal", "agg", "join", "join_dim", "ingest", "witness"}
+    legs = {
+        "temporal",
+        "agg",
+        "join",
+        "join_dim",
+        "ingest",
+        "retention",
+        "witness",
+    }
     for a in sys.argv:
         if a.startswith("--legs="):
             legs = set(a.split("=", 1)[1].split(","))
@@ -780,6 +853,16 @@ def main() -> None:
             out["join_dim_10x"]["probe_epoch_s"]
             / out["join_dim_1x"]["probe_epoch_s"],
             2,
+        )
+
+    if "retention" in legs:
+        # r9 history retention: stored rows should track the retention
+        # window (~frac of versions + 1 reigning row per key), not the
+        # appended total
+        rt_keys = int(8_000 * scale)
+        step(
+            "retention_10pct",
+            lambda: measure_retention(spark, rt_keys, 25, "r10", 0.1),
         )
 
     if "ingest" in legs:
