@@ -972,6 +972,12 @@ def sink_exactly_once_replay_query(
       tier + one ``[lo, hi]`` ledger range, followed by a duplicate
       delivery of the now-FOLDED epoch 1 — range membership must make
       it a no-op (re-writing it would duplicate the consolidated rows);
+    - a SECOND compaction (r9): the new tier's ledger entry must MERGE
+      into the existing one (second-level fold — one ``[lo, hi]`` entry
+      carrying both tier dirs, zero data IO), then
+      ``reconsolidate_tiers`` re-merges the tier directories themselves
+      and a duplicate delivery of an epoch inside the reconsolidated
+      range must still no-op;
     - an ORPHAN epoch directory (written, never committed) — invisible
       to readers and removed by ``gc_uncommitted`` (asserted).
 
@@ -985,7 +991,7 @@ def sink_exactly_once_replay_query(
     )
     batches = [
         ev.filter(F.col("day").between(lo, hi)).drop("day")
-        for lo, hi in ((1, 10), (11, 20), (21, 31))
+        for lo, hi in ((1, 8), (9, 16), (17, 24), (25, 31))
     ]
     with witness_shuffle_partitions(spark):
         if 1 not in sink.committed_epochs():
@@ -1002,6 +1008,21 @@ def sink_exactly_once_replay_query(
         # state dir, where they are already folded — < 2 loose to fold)
         sink.compact_epochs(spark, keep_recent=0)
         sink.process_batch(batches[1], 1)  # duplicate of a FOLDED epoch
+        sink.process_batch(batches[2], 2)
+        sink.process_batch(batches[3], 3)
+        # second compaction: its ledger entry merges into the first
+        # (r9 second-level fold; on a fresh dir the ledger must now hold
+        # ONE [0,3] entry and TWO tier dirs)
+        sink.compact_epochs(spark, keep_recent=0)
+        led = sink._load_ledger()
+        if len(led["merged"]) > 1:
+            raise AssertionError(
+                "sink_exactly_once_replay: tier ledger entries not folded"
+            )
+        # re-merge the tier dirs themselves; replay inside the
+        # reconsolidated range must still no-op (no-op call on a reused
+        # state dir, where a single tier is already in place)
+        sink.reconsolidate_tiers(spark)
         sink.process_batch(batches[2], 2)
         # orphan: written but never ledgered (crash before commit point)
         batches[0].write.mode("overwrite").parquet(sink._epoch_dir(99))
