@@ -539,6 +539,83 @@ FROM live GROUP BY grp ORDER BY grp
 )
 
 
+#: 12 days in micros — sized so the THIRD batch's watermark (≈ day 20)
+#: ages out facts last touched before ≈ day 8 mid-replay, and the final
+#: expiry pass (wm ≈ day 31) ages out everything before ≈ day 19
+_AGG_TTL_US = 12 * 86_400_000_000
+
+
+def changelog_agg_ttl_replay_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Replay witness for EVENT-TIME STATE TTL on the maintained GROUP BY
+    view (``streaming/aggregates.py`` — the deterministic twin of Flink's
+    ``table.exec.state.ttl``, whose processing-time expiry the reference's
+    Flink SQL consumers use to bound changelog-aggregate state): same
+    keyed CDC fixture and grouping as ``changelog_agg_replay``, but facts
+    whose latest version's event time falls ``_AGG_TTL_US`` behind the
+    stored watermark are retracted from the view and deleted from fact
+    state as the replay progresses.  RAISES unless expiry fired
+    MID-REPLAY (epoch 2's cutoff reaches ≈ day 8) — the final
+    :meth:`expire` pass alone must not be what satisfies the oracle.
+    Oracle = GROUP BY over the latest live state RESTRICTED to facts
+    inside the retention window at the final watermark (max after-image
+    event time) — expiry is monotone (watermarks only grow), so
+    mid-stream passes are a prefix of the final predicate.
+    """
+    from ..streaming.aggregates import ChangelogAggregate
+
+    env = _keyed_state_envelopes(spark, sf_dir)
+    agg = ChangelogAggregate(
+        "state",
+        _keyed_state_schema(),
+        key="user_id",
+        group_cols=["grp"],
+        output_path=replay_state_dir("agg_ttl_replay", sf_dir),
+        sum_cols=["value"],
+        minmax_cols=["value"],
+        n_buckets=8,
+        ttl=_AGG_TTL_US,
+        ttl_col="ets",
+    )
+    _replay_keyed_batches(agg.process_batch, env)
+    env.unpersist(False)
+    if agg.expired_applied == 0:
+        raise AssertionError(
+            "TTL witness never expired a fact mid-replay — the per-epoch "
+            "expiry path was not exercised"
+        )
+    mid = agg.expired_applied
+    with witness_shuffle_partitions(spark):
+        agg.expire(spark, epoch_id=3)
+    if agg.expired_applied <= mid:
+        raise AssertionError(
+            "final expire() pass retracted nothing — fixture/TTL sizing "
+            "no longer exercises the tail flush"
+        )
+    view = agg.read_view(spark)
+    return view.select(
+        "grp",
+        "cnt",
+        F.round("sum_value", 2).alias("sum_value"),
+        "min_value",
+        "max_value",
+    ).orderBy("grp")
+
+
+CHANGELOG_AGG_TTL_REPLAY_SQL = (
+    _KEYED_LIVE_CTE
+    + f"""
+SELECT grp, CAST(COUNT(*) AS BIGINT) AS cnt,
+       ROUND(SUM(value), 2) AS sum_value,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM live
+WHERE ets > (SELECT MAX(ets) FROM log) - {_AGG_TTL_US}
+GROUP BY grp ORDER BY grp
+"""
+)
+
+
 def changelog_topn_replay_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay witness for the incrementally-maintained Top-N view
     (``streaming/topn.py`` ``ChangelogTopN``; Flink's ROW_NUMBER-over-
@@ -1060,6 +1137,10 @@ REPLAY_QUERIES = {
     "changelog_agg_replay": (
         changelog_agg_replay_query,
         CHANGELOG_AGG_REPLAY_SQL,
+    ),
+    "changelog_agg_ttl_replay": (
+        changelog_agg_ttl_replay_query,
+        CHANGELOG_AGG_TTL_REPLAY_SQL,
     ),
     "changelog_topn_replay": (
         changelog_topn_replay_query,

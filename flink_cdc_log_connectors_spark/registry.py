@@ -149,6 +149,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "ingest_dedup_replay",
     "ingest_index_migrate_replay",  # new this round, never driver-checked
     "lm_sequence_pack",  # new this round, never driver-checked
+    "changelog_agg_ttl_replay",  # new this round, never driver-checked
     "sink_exactly_once_replay",
     "temporal_asof_replay",
     "changelog_agg_replay",

@@ -48,6 +48,7 @@ from ..sources.debezium import (
     retract_before_images,
 )
 from .statetable import PartitionedStateTable, null_safe_on
+from .ttl import EventTimeTTL, committed_at
 
 
 class ChangelogAggregate:
@@ -67,6 +68,8 @@ class ChangelogAggregate:
         distinct_cols: Sequence[str] = (),
         n_buckets: int = 64,
         derive=None,
+        ttl: int | None = None,
+        ttl_col: str | None = None,
     ) -> None:
         self.table = table
         self.physical = physical
@@ -82,6 +85,28 @@ class ChangelogAggregate:
         self.derive = derive
         self.sum_cols = list(sum_cols)
         self.minmax_cols = list(minmax_cols)
+        #: event-time state TTL (the deterministic twin of Flink's
+        #: ``table.exec.state.ttl``, which expires idle keyed state after
+        #: a PROCESSING-time idle period — non-deterministic across
+        #: replays, so Flink documents the resulting views as
+        #: approximate).  Here a fact EXPIRES — is retracted from the
+        #: view and deleted from fact state — once the stream's event-time
+        #: watermark (max ``ttl_col`` seen across committed epochs,
+        #: persisted monotonically) passes ``fact.ttl_col + ttl``.  Event
+        #: time makes expiry a pure function of the epoch sequence:
+        #: replays converge, and the final view after an :meth:`expire`
+        #: pass equals GROUP BY over exactly the facts whose latest
+        #: version's ``ttl_col`` lies inside the retention window — a
+        #: DuckDB-checkable oracle.  ``ttl`` is in ``ttl_col``'s own units
+        #: (the column must be numeric event time, post-``derive``).
+        if (ttl is None) != (ttl_col is None):
+            raise ValueError("ttl and ttl_col must be set together")
+        self.ttl = ttl
+        self.ttl_col = ttl_col
+        #: retraction images applied by expiry so far (this instance) —
+        #: read by witnesses to assert expiry actually fired mid-replay;
+        #: costs nothing (counted inside the fused per-batch stats agg)
+        self.expired_applied = 0
         # COUNT(DISTINCT col) per group: exact under retraction for free —
         # touched groups recompute against full fact state, so the
         # "retract one occurrence of a still-present value" case that
@@ -99,6 +124,13 @@ class ChangelogAggregate:
         )
         self.output = PartitionedStateTable(
             f"{output_path}/view", self.group_cols, n_buckets=n_buckets
+        )
+        self._ttl_proto = (
+            EventTimeTTL(
+                self.fact_state, self.output.path, ttl, ttl_col, name="ttl"
+            )
+            if ttl is not None
+            else None
         )
 
     # -- aggregate expressions --------------------------------------------
@@ -139,6 +171,12 @@ class ChangelogAggregate:
             parsed = self.derive(parsed)
         # lazy persist (r7): the stats agg below materializes the cache
         rows = offset_sort_columns(parsed).persist()
+        if self.ttl is not None:
+            try:
+                self._apply_with_ttl(spark, rows, epoch_id)
+            finally:
+                rows.unpersist(False)
+            return
 
         # ONE driver round-trip for all per-batch scalars (r8; was an
         # emptiness probe + a touched-bucket collect inside EACH state
@@ -157,14 +195,29 @@ class ChangelogAggregate:
         if stats["n"] == 0:
             rows.unpersist(False)
             return
+        self._merge_and_recompute(
+            spark, rows, epoch_id, stats["fb"], stats["ob"]
+        )
+        rows.unpersist(False)
 
+    def _merge_and_recompute(
+        self,
+        spark: SparkSession,
+        rows: DataFrame,
+        epoch_id: int,
+        fact_buckets: Sequence[int],
+        out_buckets: Sequence[int],
+    ) -> None:
+        """Fact-state upsert + touched-group recompute + view upsert —
+        the batch pipeline shared by the plain and TTL paths (``rows``
+        already contains any synthesized expiry retractions)."""
         # 1. keep the fact state current (feeds min/max recompute and
         #    replayed-epoch recovery)
         self.fact_state.upsert(
             rows,
             order_by=CHANGELOG_ORDER_BY,
             epoch_id=epoch_id,
-            touched=stats["fb"],
+            touched=fact_buckets,
         )
 
         # 2. touched groups: every group any image of this batch mentions
@@ -177,10 +230,10 @@ class ChangelogAggregate:
         #    rows; recompute-touched keeps one code path that is also
         #    exact for min/max and idempotent on replay.  The read prunes
         #    to the touched groups' buckets (state is group-bucketed, and
-        #    every touched group came from a batch row, so stats["fb"]
+        #    every touched group came from a batch row, so fact_buckets
         #    covers all of them); the semi-join then bounds the shuffle
         #    to exactly the touched groups' rows.
-        state = self.fact_state.read_buckets(spark, stats["fb"])
+        state = self.fact_state.read_buckets(spark, fact_buckets)
         fresh = None
         if state is not None:
             # NULL-safe membership: GROUP BY keeps a NULL group; a plain
@@ -221,9 +274,105 @@ class ChangelogAggregate:
             merged.withColumn("__seq", F.lit(0)),
             order_by=["__seq"],
             epoch_id=epoch_id,
-            touched=stats["ob"],
+            touched=out_buckets,
         )
-        rows.unpersist(False)
+
+    # -- event-time state TTL ----------------------------------------------
+    # Deterministic expiry (see ``__init__`` and ``streaming/ttl.py``):
+    # per epoch, facts whose latest version's ``ttl_col`` is at or
+    # before ``watermark - ttl`` are turned into synthesized retraction
+    # images and FOLDED INTO the batch's own pipeline — one fact-state
+    # upsert, one touched-group recompute, one view upsert, exactly the
+    # jobs a plain epoch pays.  Bounds pruning, staged crash-convergent
+    # decisions, and post-commit metadata live in EventTimeTTL.
+    # Thin delegates (also the witnesses'/tests' inspection surface):
+    def _load_wm(self) -> int | None:
+        return self._ttl_proto.load_wm()
+
+    def _load_bounds(self) -> dict[str, int]:
+        return self._ttl_proto.load_bounds()
+
+    def _stage_expiry(self, spark: SparkSession, epoch_id: int):
+        return self._ttl_proto.stage(spark, epoch_id)
+
+    def _stage_dir(self, epoch_id: int) -> str:
+        return self._ttl_proto._stage_dir(epoch_id)
+
+    def _apply_with_ttl(
+        self, spark: SparkSession, rows: DataFrame | None, epoch_id: int
+    ) -> None:
+        exp, cutoff, syn = self._stage_expiry(spark, epoch_id)
+        parts = []
+        if rows is not None:
+            parts.append(rows.withColumn("__syn", F.lit(False)))
+        if syn is not None:
+            order = parts[0].columns if parts else None
+            flagged_syn = syn.withColumn("__syn", F.lit(True))
+            if order is not None:
+                flagged_syn = flagged_syn.select(*order)
+            parts.append(flagged_syn)
+        if not parts:
+            return
+        flagged = parts[0]
+        for p in parts[1:]:
+            flagged = flagged.unionByName(p)
+        gcols = [F.col(c) for c in self.group_cols]
+        live_ts = F.when(~F.col("__syn"), F.col(self.ttl_col))
+        per_bucket = (
+            flagged.groupBy(
+                self.fact_state.bucket_for(*gcols).alias("__fb")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.col("__syn").cast("long")).alias("syn_n"),
+                F.min(live_ts).alias("bmin"),
+                F.max(live_ts).alias("bmax"),
+                F.collect_set(self.output.bucket_for(*gcols)).alias("ob"),
+            )
+            .collect()
+        )
+        if not per_bucket:
+            return
+        self.expired_applied += sum(r["syn_n"] for r in per_bucket)
+        # a replay may see a SMALLER touched set than the buckets this
+        # epoch already committed (its expiry images are already merged
+        # into state) — union the committed ones in (committed_at)
+        fb = sorted(
+            {r["__fb"] for r in per_bucket}
+            | committed_at(self.fact_state, epoch_id)
+        )
+        ob = sorted(
+            {b for r in per_bucket for b in r["ob"]}
+            | committed_at(self.output, epoch_id)
+        )
+        self._merge_and_recompute(
+            spark, flagged.drop("__syn"), epoch_id, fb, ob
+        )
+        # -- post-commit metadata (monotone / conservative) ----------------
+        wm_cands = [v for v in (r["bmax"] for r in per_bucket) if v is not None]
+        self._ttl_proto.finalize(
+            epoch_id,
+            exp,
+            cutoff,
+            {
+                str(r["__fb"]): r["bmin"]
+                for r in per_bucket
+                if r["bmin"] is not None
+            },
+            max(wm_cands) if wm_cands else None,
+        )
+
+    def expire(self, spark: SparkSession, epoch_id: int) -> None:
+        """Expiry-only pass (no input batch) under a FRESH epoch id:
+        retracts every fact the CURRENT stored watermark has aged out.
+        Run one after the final batch to make the view exactly
+        "GROUP BY over facts inside the retention window" — per-batch
+        expiry necessarily lags one epoch (an epoch's cutoff comes from
+        the watermark its PREDECESSORS committed, keeping the batch's
+        scalars in one fused driver action)."""
+        if self.ttl is None:
+            raise ValueError("expire() requires ttl")
+        self._apply_with_ttl(spark, None, epoch_id)
 
     def read_view(self, spark: SparkSession) -> DataFrame | None:
         df = self.output.read(spark)
@@ -245,6 +394,8 @@ def materialize_aggregate(
     distinct_cols: Sequence[str] = (),
     n_buckets: int = 64,
     derive=None,
+    ttl: int | None = None,
+    ttl_col: str | None = None,
 ):
     """Continuously-maintained GROUP BY view over a raw CDC stream.
     Returns the ``DataStreamWriter``; read back with
@@ -253,6 +404,7 @@ def materialize_aggregate(
         table, physical, key, group_cols, output_path,
         sum_cols=sum_cols, minmax_cols=minmax_cols,
         distinct_cols=distinct_cols, n_buckets=n_buckets, derive=derive,
+        ttl=ttl, ttl_col=ttl_col,
     )
     return (
         raw_stream.writeStream.foreachBatch(agg.process_batch)

@@ -529,6 +529,7 @@ class PartitionedStateTable:
         epoch_id: int,
         op_col: str = "op",
         touched: Sequence[int] | None = None,
+        extra_touched: Sequence[int] | None = None,
     ) -> None:
         """Merge one microbatch: read ONLY the buckets the batch touches,
         apply changelog semantics over prior-state ∪ batch, write fresh
@@ -542,7 +543,15 @@ class PartitionedStateTable:
         deployment at small batch sizes).  A SUPERSET is safe: an
         extra bucket with prior rows is rewritten unchanged, one without
         prior rows is a no-op; a bucket the batch actually touches must
-        not be missing (its rows would be silently dropped)."""
+        not be missing (its rows would be silently dropped).
+
+        ``extra_touched`` (optional): buckets to rewrite EVEN IF the
+        batch carries no rows for them, unioned in after self-collection
+        — for replays whose effective batch legitimately shrank (e.g. a
+        TTL consumer re-delivered a fully-committed epoch: the expiry
+        images are already merged into state, so they no longer appear
+        in the batch, but the epoch-reuse guard rightly demands every
+        bucket this epoch committed).  Supersets are safe as above."""
         spark = batch.sparkSession
         batch = batch.withColumn("__epoch", F.lit(epoch_id)).withColumn(
             "__bucket", self._bucket()
@@ -553,11 +562,14 @@ class PartitionedStateTable:
         try:
             if self_collected:
                 touched = sorted(
-                    r[0]
-                    for r in batch.select("__bucket").distinct().collect()
+                    {
+                        r[0]
+                        for r in batch.select("__bucket").distinct().collect()
+                    }
+                    | set(extra_touched or ())
                 )
             else:
-                touched = sorted(set(touched))
+                touched = sorted(set(touched) | set(extra_touched or ()))
             if not touched:
                 return
             self._check_spec(stamp=True)

@@ -1,0 +1,245 @@
+"""Event-time state TTL for the IVM consumers — the deterministic twin
+of Flink's ``table.exec.state.ttl``.
+
+Flink bounds changelog-consumer state (regular joins, retract
+aggregates, Top-N) with a PROCESSING-time TTL: keyed state idle longer
+than the TTL is dropped, which keeps state finite but makes results
+depend on wall-clock replay timing — Flink documents the outputs as
+approximate under TTL.  This module implements the same state bound on
+EVENT time: a fact expires — is retracted from the maintained view and
+deleted from fact state — once the stream's watermark (max event time
+seen across committed epochs, persisted monotonically) passes
+``fact.ts + ttl``.  Expiry is then a pure function of the epoch
+sequence: replays converge, and the final view equals the query over
+exactly the facts inside the retention window — a DuckDB-checkable
+oracle (witnesses: ``changelog_agg_ttl_replay``,
+``changelog_join_ttl_replay``).
+
+Mechanics shared by every consumer (the consumer folds the synthesized
+retraction images into its OWN per-batch pipeline, so an expiry adds no
+extra state commits or recompute passes):
+
+- **Per-bucket min-ts bounds** (``__ttl_bounds.json``): the expiry scan
+  reads only state buckets whose lower bound the cutoff has reached —
+  an epoch with nothing to expire reads ZERO extra bytes, keeping
+  steady-state cost O(batch + expiring churn), never O(state).  Bounds
+  are maintained from stats the consumer's fused per-batch agg already
+  collects; batch images only LOWER a bound (before-images carry old
+  event times), which is conservative and therefore always safe.  A
+  scanned bucket's bound resets to ``cutoff + 1``: everything at or
+  below the cutoff was just retracted, and a same-key batch row that
+  supersedes its own expiry contributes its event time through the
+  batch min.
+- **Staged expiry decisions** (``__ttl_syn/epoch=N/``): the retraction
+  images are written to disk (atomic tmp-dir rename) BEFORE any state
+  mutation and reused verbatim by a same-epoch retry.  Without staging,
+  a crash between the state deletion and the view commit would leave a
+  retry re-deriving candidates from a state they are already deleted
+  from — the deletions replay fine but the VIEW never sees the
+  retractions (the crash-convergence class ADVICE r8 flagged in the
+  ingest-dedup index).  The stage is GC'd after the epoch's metadata
+  commits; stale predecessors are swept on the next epoch's entry.
+- **Watermark and bounds are written post-commit** (atomic replace;
+  monotone max / conservative min), so a crash replays with
+  stale-but-safe metadata.
+
+Retraction images sort with sentinel offsets BELOW every genuine image
+of their epoch (``_off_pos = -2``; snapshot rows sit at ``-1``), so a
+batch that updates a key in the same epoch its expiry fires wins the
+changelog merge — the fact survives with its fresh event time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .statetable import PartitionedStateTable
+
+
+def committed_at(table: PartitionedStateTable, epoch_id: int) -> set[int]:
+    """Bucket ids this epoch already committed to ``table`` — a retry
+    (or a re-delivery of a fully-committed epoch) must union these into
+    its touched set: its effective batch may legitimately have SHRUNK
+    (staged expiry images it already merged), and the epoch-reuse guard
+    rightly refuses anything smaller.  Supersets are safe (rewritten
+    unchanged)."""
+    return {
+        int(b)
+        for b, v in table._bucket_items(table.load_manifest())
+        if v == epoch_id
+    }
+
+
+class EventTimeTTL:
+    """Expiry protocol for one :class:`PartitionedStateTable` of facts.
+
+    ``meta_dir`` holds the watermark, bounds, and stage files (typically
+    the consumer's view/output directory); ``ttl`` is in ``ttl_col``'s
+    own units (the column must be numeric event time as stored in the
+    state table — post-``derive`` for consumers that project)."""
+
+    def __init__(
+        self,
+        state: PartitionedStateTable,
+        meta_dir: str,
+        ttl: int,
+        ttl_col: str,
+        name: str = "ttl",
+    ) -> None:
+        self.state = state
+        self.meta_dir = meta_dir
+        self.ttl = ttl
+        self.ttl_col = ttl_col
+        #: prefix keeping two TTL'd tables' metadata apart in one dir
+        self.name = name
+
+    # -- watermark (monotone max, atomic replace) ---------------------------
+    def _wm_path(self) -> str:
+        return os.path.join(self.meta_dir, f"__{self.name}_watermark.json")
+
+    def load_wm(self) -> int | None:
+        try:
+            with open(self._wm_path()) as f:
+                return json.load(f)["watermark"]
+        except FileNotFoundError:
+            return None
+
+    def store_wm(self, wm: int | None) -> None:
+        if wm is None:
+            return
+        prior = self.load_wm()
+        if prior is not None and prior >= wm:
+            return
+        os.makedirs(self.meta_dir, exist_ok=True)
+        tmp = self._wm_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"watermark": wm}, f)
+        os.replace(tmp, self._wm_path())
+
+    # -- per-bucket min-ts lower bounds -------------------------------------
+    def _bounds_path(self) -> str:
+        return os.path.join(self.meta_dir, f"__{self.name}_bounds.json")
+
+    def load_bounds(self) -> dict[str, int]:
+        try:
+            with open(self._bounds_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def _store_bounds(self, bounds: dict[str, int]) -> None:
+        os.makedirs(self.meta_dir, exist_ok=True)
+        tmp = self._bounds_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(bounds, f)
+        os.replace(tmp, self._bounds_path())
+
+    # -- the staged expiry decision ------------------------------------------
+    def _stage_dir(self, epoch_id: int) -> str:
+        return os.path.join(
+            self.meta_dir, f"__{self.name}_syn", f"epoch={epoch_id}"
+        )
+
+    def _synthesize(self, spark: SparkSession, cutoff: int):
+        """(scanned_buckets, retraction_images|None) for every stored
+        fact whose ``ttl_col`` is at or before ``cutoff`` — read pruned
+        to buckets whose bound the cutoff has reached (plus buckets with
+        no bound yet, e.g. TTL enabled on a pre-existing dir)."""
+        manifest = self.state.load_manifest()
+        bounds = self.load_bounds()
+        exp = sorted(
+            int(b)
+            for b, _ in self.state._bucket_items(manifest)
+            if bounds.get(b) is None or bounds[b] <= cutoff
+        )
+        cand = self.state.read_buckets(spark, exp) if exp else None
+        if cand is None:
+            return exp, None
+        tcol = F.col(self.ttl_col)
+        syn = cand.filter(tcol.isNotNull() & (tcol <= cutoff)).drop("__epoch")
+        types = dict((f.name, f.dataType) for f in syn.schema.fields)
+        syn = (
+            syn.withColumn("op", F.lit("d").cast(types["op"]))
+            .withColumn("_off_file", F.lit("").cast(types["_off_file"]))
+            .withColumn("_off_pos", F.lit(-2).cast(types["_off_pos"]))
+            .withColumn("_off_img", F.lit(-1).cast(types["_off_img"]))
+        )
+        return exp, syn
+
+    def stage(
+        self, spark: SparkSession, epoch_id: int
+    ) -> tuple[list[int], int | None, DataFrame | None]:
+        """The epoch's expiry decision — (scanned_buckets, cutoff,
+        retraction_images|None) — staged to disk before any state
+        mutation and reused verbatim by a same-epoch retry (module
+        docstring).  The images are read BACK from the stage: a lazy
+        plan over the live buckets would race the upsert's post-commit
+        GC of the versions it points into."""
+        root = os.path.join(self.meta_dir, f"__{self.name}_syn")
+        stage = self._stage_dir(epoch_id)
+        if os.path.isdir(root):
+            for d in os.listdir(root):
+                if d != f"epoch={epoch_id}":
+                    shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        if os.path.isdir(stage):  # retry: reuse the staged decision
+            with open(os.path.join(stage, "_ttl_meta.json")) as f:
+                meta = json.load(f)
+            syn = spark.read.parquet(stage) if meta["has_rows"] else None
+            return meta["exp"], meta["cutoff"], syn
+        wm0 = self.load_wm()
+        if wm0 is None:
+            return [], None, None
+        cutoff = wm0 - self.ttl
+        exp, syn = self._synthesize(spark, cutoff)
+        if not exp:
+            return [], cutoff, None
+        tmp = stage + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        if syn is not None:
+            syn.write.mode("overwrite").parquet(tmp)
+        else:
+            os.makedirs(tmp, exist_ok=True)
+        has_rows = syn is not None
+        with open(os.path.join(tmp, "_ttl_meta.json"), "w") as f:
+            json.dump(
+                {"exp": exp, "cutoff": cutoff, "has_rows": has_rows}, f
+            )
+        os.rename(tmp, stage)  # atomic publish
+        return exp, cutoff, (spark.read.parquet(stage) if has_rows else None)
+
+    # -- post-commit metadata --------------------------------------------
+    def finalize(
+        self,
+        epoch_id: int,
+        exp: list[int],
+        cutoff: int | None,
+        batch_min: dict[str, int],
+        wm_candidate: int | None,
+    ) -> None:
+        """Advance the watermark, apply the bounds rules (module
+        docstring), prune bounds to live buckets, GC the stage.  Call
+        AFTER the epoch's state commits; ``batch_min`` maps bucket id →
+        min ``ttl_col`` over the batch's GENUINE images (synthesized
+        retractions excluded)."""
+        self.store_wm(wm_candidate)
+        bounds = self.load_bounds()
+        for b in exp:
+            bm = batch_min.get(str(b))
+            bounds[str(b)] = (
+                cutoff + 1 if bm is None else min(cutoff + 1, bm)
+            )
+        escan = set(exp)
+        for b, bm in batch_min.items():
+            if int(b) in escan or bm is None:
+                continue
+            old = bounds.get(b)
+            bounds[b] = bm if old is None else min(old, bm)
+        manifest = self.state.load_manifest()
+        live = {b for b, _ in self.state._bucket_items(manifest)}
+        self._store_bounds({b: v for b, v in bounds.items() if b in live})
+        shutil.rmtree(self._stage_dir(epoch_id), ignore_errors=True)

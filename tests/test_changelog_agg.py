@@ -318,3 +318,151 @@ def test_aggregate_null_group_is_a_real_group(spark, tmp_path):
     )
     got = view(spark, agg)
     assert None not in got and got[7][:2] == (2, 8.0)
+
+
+# -- event-time state TTL (Flink table.exec.state.ttl, deterministic) -------
+
+ORDERS_TS = T.StructType(
+    [
+        T.StructField("o_id", T.LongType()),
+        T.StructField("cust_id", T.LongType()),
+        T.StructField("amount", T.DoubleType()),
+        T.StructField("ets", T.LongType()),
+    ]
+)
+
+
+def make_ttl_agg(tmp_path, ttl=100, name="ttl"):
+    return ChangelogAggregate(
+        "orders", ORDERS_TS, key="o_id", group_cols=["cust_id"],
+        output_path=str(tmp_path / name),
+        sum_cols=["amount"], minmax_cols=["amount"],
+        ttl=ttl, ttl_col="ets", n_buckets=8,
+    )
+
+
+def _row(o, c, a, ets):
+    return {"o_id": o, "cust_id": c, "amount": a, "ets": ets}
+
+
+def test_ttl_expires_facts_and_retracts_view(spark, tmp_path):
+    agg = make_ttl_agg(tmp_path)
+    # epoch 0: no prior watermark, nothing can expire
+    agg.process_batch(
+        raw_df(spark, [
+            env("c", _row(1, 1, 5.0, 100), pos=0),
+            env("c", _row(2, 1, 7.0, 1000), pos=1),
+            env("c", _row(3, 2, 3.0, 150), pos=2),
+        ]),
+        epoch_id=0,
+    )
+    assert view(spark, agg) == {1: (2, 12.0, 5.0, 7.0), 2: (1, 3.0, 3.0, 3.0)}
+    assert agg._load_wm() == 1000
+
+    # epoch 1: cutoff = 1000 - 100 = 900 -> o1 (ets 100) and o3 (ets 150)
+    # expire; cust 2's group empties out of the view entirely
+    agg.process_batch(
+        raw_df(spark, [env("c", _row(4, 3, 2.0, 1100), pos=10)]),
+        epoch_id=1,
+    )
+    assert view(spark, agg) == {1: (1, 7.0, 7.0, 7.0), 3: (1, 2.0, 2.0, 2.0)}
+
+    # final expiry-only pass: wm 1100 -> cutoff 1000 ages out o2 (ets 1000)
+    agg.expire(spark, epoch_id=2)
+    assert view(spark, agg) == {3: (1, 2.0, 2.0, 2.0)}
+    # stage dirs are GC'd after each committed pass
+    import os
+    assert not os.path.isdir(str(tmp_path / "ttl" / "view" / "__ttl_syn")) or \
+        os.listdir(str(tmp_path / "ttl" / "view" / "__ttl_syn")) == []
+
+
+def test_ttl_same_epoch_update_supersedes_expiry(spark, tmp_path):
+    agg = make_ttl_agg(tmp_path)
+    agg.process_batch(
+        raw_df(spark, [
+            env("c", _row(1, 1, 5.0, 100), pos=0),
+            env("c", _row(2, 1, 7.0, 1000), pos=1),
+        ]),
+        epoch_id=0,
+    )
+    # o1 is an expiry candidate (cutoff 900) AND updated in the same
+    # batch: the genuine image outranks the synthesized retraction
+    agg.process_batch(
+        raw_df(spark, [
+            env("u", _row(1, 1, 9.0, 1200), before=_row(1, 1, 5.0, 100),
+                pos=10),
+        ]),
+        epoch_id=1,
+    )
+    assert view(spark, agg) == {1: (2, 16.0, 7.0, 9.0)}
+    # wm 1200 -> cutoff 1100: o2 ages out, refreshed o1 survives
+    agg.expire(spark, epoch_id=2)
+    assert view(spark, agg) == {1: (1, 9.0, 9.0, 9.0)}
+
+
+def test_ttl_crash_between_state_and_view_commits_converges(spark, tmp_path):
+    agg = make_ttl_agg(tmp_path)
+    agg.process_batch(
+        raw_df(spark, [
+            env("c", _row(1, 1, 5.0, 100), pos=0),
+            env("c", _row(2, 1, 7.0, 1000), pos=1),
+            env("c", _row(3, 2, 3.0, 150), pos=2),
+        ]),
+        epoch_id=0,
+    )
+    batch = raw_df(spark, [env("c", _row(4, 3, 2.0, 1100), pos=10)])
+    # crash AFTER the fact-state deletions commit but BEFORE the view
+    # upsert: without the staged expiry decision a retry would re-derive
+    # candidates from a state they are already gone from and the view
+    # would keep cust 2 forever
+    orig = agg.output.upsert
+    def boom(*a, **k):
+        raise RuntimeError("injected crash")
+    agg.output.upsert = boom
+    with pytest.raises(RuntimeError, match="injected crash"):
+        agg.process_batch(batch, epoch_id=1)
+    agg.output.upsert = orig
+    agg.process_batch(batch, epoch_id=1)  # same-epoch retry
+    assert view(spark, agg) == {1: (1, 7.0, 7.0, 7.0), 3: (1, 2.0, 2.0, 2.0)}
+
+
+def test_ttl_duplicate_delivery_is_idempotent(spark, tmp_path):
+    agg = make_ttl_agg(tmp_path)
+    agg.process_batch(
+        raw_df(spark, [
+            env("c", _row(1, 1, 5.0, 100), pos=0),
+            env("c", _row(2, 1, 7.0, 1000), pos=1),
+        ]),
+        epoch_id=0,
+    )
+    batch = raw_df(spark, [env("c", _row(4, 3, 2.0, 1000), pos=10)])
+    agg.process_batch(batch, epoch_id=1)  # expires o1; wm stays 1000
+    expected = {1: (1, 7.0, 7.0, 7.0), 3: (1, 2.0, 2.0, 2.0)}
+    assert view(spark, agg) == expected
+    # at-least-once re-delivery of the fully-committed epoch: the
+    # committed-bucket union keeps the epoch-reuse guards satisfied and
+    # the merge converges to the same view
+    agg.process_batch(batch, epoch_id=1)
+    assert view(spark, agg) == expected
+
+
+def test_ttl_bounds_prune_the_expiry_scan(spark, tmp_path):
+    agg = make_ttl_agg(tmp_path)
+    agg.process_batch(
+        raw_df(spark, [
+            env("c", _row(1, 1, 5.0, 100), pos=0),
+            env("c", _row(2, 1, 7.0, 1000), pos=1),
+        ]),
+        epoch_id=0,
+    )
+    agg.process_batch(
+        raw_df(spark, [env("c", _row(4, 3, 2.0, 1000), pos=10)]),
+        epoch_id=1,
+    )
+    # every surviving fact's ts > cutoff (900), so every stored bucket's
+    # bound must now sit above it: the next epoch's expiry scan reads
+    # ZERO buckets
+    bounds = agg._load_bounds()
+    assert bounds and all(v > 900 for v in bounds.values())
+    exp, _cutoff, syn = agg._stage_expiry(spark, epoch_id=2)
+    assert exp == [] and syn is None
