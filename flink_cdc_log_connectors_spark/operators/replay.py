@@ -95,58 +95,25 @@ def _assert_unique_ts(base: DataFrame) -> None:
         )
 
 
-def changelog_join_replay_query(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Replay witness for the incrementally-maintained CDC join
-    (``streaming/joins.py`` ``ChangelogJoin``).
-
-    The events table becomes one ordered change log carrying two tables:
-
-    - dims  (``event_id % 2 == 0``): upserts of (user_id → score, ver) at
-      the event timestamp; every 5th (``% 10 == 0``) is a DELETE,
-      ``% 8 == 6`` arrives as a key-STABLE UPDATE envelope (before+after
-      images, same key), and ``% 8 == 2`` arrives as a PK-CHANGING
-      UPDATE envelope — before-image keyed ``user_id``, after-image
-      keyed ``user_id + RENAME_OFFSET`` — so the latest-state semantics
-      face inserts, updates, deletes, delete-then-reinsert sequences,
-      AND key renames per key;
-    - facts (``event_id % 2 == 1``): insert-only (event_id, user_id,
-      value) rows joining the dim on user_id; every ``% 20 == 1`` fact
-      references a RENAMED key (``user_id + RENAME_OFFSET``), proving
-      the rename's after-image landed under the new key.
-
-    Replayed through ``ChangelogJoin.process_batch`` in three
-    time-contiguous microbatches (log position = microsecond rowtime —
-    unique and monotone, ASSERTED below, so per-key last-write-wins
-    agrees across batch boundaries).  The checked view is the final
-    materialized inner join: every fact whose user's LATEST dim log
-    entry is live (not a delete and not renamed away), enriched with
-    that latest state — exactly the oracle's row_number-over-rowtime
-    formulation with the rename's UPDATE_BEFORE image closing the old
-    key.
-
-    This fixture DISCRIMINATES the r6 UPDATE_BEFORE fix
-    (``sources/debezium.py`` ``retract_before_images``): pre-fix
-    machinery drops the rename's before-image instead of retracting it,
-    leaving a live-looking ghost (score ``-1.0``, ver ``0``) under the
-    OLD key forever — every fact whose user's last dim entry is a
-    rename would then join the ghost and appear in the view, which the
-    oracle (old key closed at the rename) rejects: the pre-fix engine
-    FAILS this oracle on both row count and values.
-    """
+def _join_cdc_fixture(spark: SparkSession, sf_dir: str, fact_ts: bool = False):
+    """Two-table CDC log fixture shared by the join replay witnesses —
+    returns ``(raw_envelopes, left JoinSide, right JoinSide)``; see
+    :func:`changelog_join_replay_query` for the op mix it encodes.  With
+    ``fact_ts`` the fact payload additionally carries its microsecond
+    rowtime as ``fts`` (the TTL witness's event-time column)."""
     from pyspark.sql import types as T
 
     from ..functions.datetime import epoch_micros
-    from ..streaming.joins import ChangelogJoin, JoinSide
+    from ..streaming.joins import JoinSide
 
-    fact_schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("value", T.DoubleType()),
-        ]
-    )
+    fact_fields = [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+    if fact_ts:
+        fact_fields.append(T.StructField("fts", T.LongType()))
+    fact_schema = T.StructType(fact_fields)
     dim_schema = T.StructType(
         [
             T.StructField("user_id", T.LongType()),
@@ -235,14 +202,17 @@ def changelog_join_replay_query(
     fact_uid = F.when(
         e % 20 == 1, F.col("user_id") + RENAME_OFFSET
     ).otherwise(F.col("user_id"))
+    fact_after = [
+        e.alias("event_id"),
+        fact_uid.alias("user_id"),
+        F.col("value"),
+    ]
+    if fact_ts:
+        fact_after.append(F.col("ts_us").alias("fts"))
     fact_env = base.filter(e % 2 == 1).select(
         F.to_json(
             F.struct(
-                F.struct(
-                    e.alias("event_id"),
-                    fact_uid.alias("user_id"),
-                    F.col("value"),
-                ).alias("after"),
+                F.struct(*fact_after).alias("after"),
                 F.lit("c").alias("op"),
                 F.col("ts_us").alias("ts_ms"),
                 _src("facts").alias("source"),
@@ -253,7 +223,52 @@ def changelog_join_replay_query(
         "day",
     )
     raw = dim_env.unionByName(fact_env).persist()
+    return raw, left, right
 
+
+def changelog_join_replay_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Replay witness for the incrementally-maintained CDC join
+    (``streaming/joins.py`` ``ChangelogJoin``).
+
+    The events table becomes one ordered change log carrying two tables:
+
+    - dims  (``event_id % 2 == 0``): upserts of (user_id → score, ver) at
+      the event timestamp; every 5th (``% 10 == 0``) is a DELETE,
+      ``% 8 == 6`` arrives as a key-STABLE UPDATE envelope (before+after
+      images, same key), and ``% 8 == 2`` arrives as a PK-CHANGING
+      UPDATE envelope — before-image keyed ``user_id``, after-image
+      keyed ``user_id + RENAME_OFFSET`` — so the latest-state semantics
+      face inserts, updates, deletes, delete-then-reinsert sequences,
+      AND key renames per key;
+    - facts (``event_id % 2 == 1``): insert-only (event_id, user_id,
+      value) rows joining the dim on user_id; every ``% 20 == 1`` fact
+      references a RENAMED key (``user_id + RENAME_OFFSET``), proving
+      the rename's after-image landed under the new key.
+
+    Replayed through ``ChangelogJoin.process_batch`` in three
+    time-contiguous microbatches (log position = microsecond rowtime —
+    unique and monotone, ASSERTED below, so per-key last-write-wins
+    agrees across batch boundaries).  The checked view is the final
+    materialized inner join: every fact whose user's LATEST dim log
+    entry is live (not a delete and not renamed away), enriched with
+    that latest state — exactly the oracle's row_number-over-rowtime
+    formulation with the rename's UPDATE_BEFORE image closing the old
+    key.
+
+    This fixture DISCRIMINATES the r6 UPDATE_BEFORE fix
+    (``sources/debezium.py`` ``retract_before_images``): pre-fix
+    machinery drops the rename's before-image instead of retracting it,
+    leaving a live-looking ghost (score ``-1.0``, ver ``0``) under the
+    OLD key forever — every fact whose user's last dim entry is a
+    rename would then join the ghost and appear in the view, which the
+    oracle (old key closed at the rename) rejects: the pre-fix engine
+    FAILS this oracle on both row count and values.
+    """
+    from ..streaming.joins import ChangelogJoin
+
+    raw, left, right = _join_cdc_fixture(spark, sf_dir)
     join = ChangelogJoin(
         left,
         right,
@@ -612,6 +627,162 @@ SELECT grp, CAST(COUNT(*) AS BIGINT) AS cnt,
 FROM live
 WHERE ets > (SELECT MAX(ets) FROM log) - {_AGG_TTL_US}
 GROUP BY grp ORDER BY grp
+"""
+)
+
+
+def changelog_join_ttl_replay_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Replay witness for FACT-SIDE EVENT-TIME STATE TTL on the
+    incrementally-maintained CDC join (``streaming/joins.py`` — the
+    deterministic twin of the ``table.exec.state.ttl`` Flink users set
+    to bound a regular join's otherwise-unbounded state): the
+    ``changelog_join_replay`` fixture with fact rowtimes (``fts``),
+    replayed under the PRUNED fact layout (``bucket_left_by_join_col``)
+    so the driver record proves TTL expiry and join-column bucket
+    pruning compose.  Facts older than ``_AGG_TTL_US`` behind the
+    persisted watermark are tombstoned out of the join view and deleted
+    from fact state; dims never expire (the enrichment side is
+    slowly-changing by design).  RAISES unless expiry fired MID-REPLAY
+    and again in the final :meth:`expire` pass.  Oracle = the plain
+    join oracle restricted to facts inside the retention window at the
+    final watermark (expiry is monotone, so mid-stream passes are a
+    prefix of the final predicate)."""
+    from ..streaming.joins import ChangelogJoin
+
+    raw, left, right = _join_cdc_fixture(spark, sf_dir, fact_ts=True)
+    join = ChangelogJoin(
+        left,
+        right,
+        replay_state_dir("cj_ttl_replay", sf_dir),
+        how="inner",
+        n_buckets=8,
+        bucket_left_by_join_col=True,
+        left_ttl=_AGG_TTL_US,
+        left_ttl_col="fts",
+    )
+    with witness_shuffle_partitions(spark):
+        for epoch, (lo, hi) in enumerate(((1, 10), (11, 20), (21, 31))):
+            join.process_batch(
+                raw.filter(F.col("day").between(lo, hi)).select(
+                    "value", "file", "pos"
+                ),
+                epoch_id=epoch,
+            )
+    raw.unpersist(False)
+    if join.expired_applied == 0:
+        raise AssertionError(
+            "join TTL witness never expired a fact mid-replay — the "
+            "per-epoch expiry path was not exercised"
+        )
+    mid = join.expired_applied
+    with witness_shuffle_partitions(spark):
+        join.expire(spark, epoch_id=3)
+    if join.expired_applied <= mid:
+        raise AssertionError(
+            "final expire() pass retracted nothing — fixture/TTL sizing "
+            "no longer exercises the tail flush"
+        )
+    view = join.read_view(spark)
+    return view.select(
+        "event_id", "user_id", "value", "fts", "r_score", "r_ver"
+    ).orderBy("event_id")
+
+
+CHANGELOG_JOIN_TTL_REPLAY_SQL = f"""
+WITH ev AS (
+  SELECT event_id, epoch_us(ts) AS ts_us, user_id, value FROM events
+),
+de AS (SELECT * FROM ev WHERE event_id % 2 = 0),
+dim_log AS (
+  SELECT CASE WHEN event_id % 10 <> 0 AND event_id % 8 = 2
+              THEN user_id + 1000000 ELSE user_id END AS user_id,
+         value AS score, event_id AS ver, ts_us, 1 AS img,
+         CASE WHEN event_id % 10 = 0 THEN 'd' ELSE 'c' END AS op
+  FROM de
+  UNION ALL
+  SELECT user_id, CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT), ts_us, 0, 'd'
+  FROM de WHERE event_id % 10 <> 0 AND event_id % 8 = 2
+),
+dim_latest AS (
+  SELECT user_id, score, ver FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY ts_us DESC, img DESC) AS rk
+    FROM dim_log
+  ) WHERE rk = 1 AND op <> 'd'
+)
+SELECT f.event_id, f.user_id, f.value, f.fts,
+       d.score AS r_score, d.ver AS r_ver
+FROM (SELECT event_id,
+             CASE WHEN event_id % 20 = 1 THEN user_id + 1000000
+                  ELSE user_id END AS user_id,
+             value, ts_us AS fts
+      FROM ev WHERE event_id % 2 = 1) f
+JOIN dim_latest d ON d.user_id = f.user_id
+WHERE f.fts > (SELECT MAX(ts_us) FROM ev WHERE event_id % 2 = 1)
+              - {_AGG_TTL_US}
+ORDER BY f.event_id
+"""
+
+
+def changelog_topn_ttl_replay_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Replay witness for EVENT-TIME STATE TTL on the maintained Top-N
+    view (``streaming/topn.py`` — the deterministic twin of the
+    ``table.exec.state.ttl`` Flink users set to bound the rank
+    operator's state): the keyed CDC fixture ranked n=3 per group, with
+    facts older than ``_AGG_TTL_US`` behind the persisted watermark
+    retracted as the replay progresses — expiry of a RANKED row forces
+    promotions, and fully-expired partitions tombstone out of the view.
+    RAISES unless expiry fired MID-REPLAY and again in the final
+    :meth:`expire` pass.  Oracle = row_number over the latest live state
+    RESTRICTED to the retention window at the final watermark."""
+    from ..streaming.topn import ChangelogTopN
+
+    env = _keyed_state_envelopes(spark, sf_dir)
+    topn = ChangelogTopN(
+        "state",
+        _keyed_state_schema(),
+        key="user_id",
+        partition_cols=["grp"],
+        order_col="value",
+        n=3,
+        output_path=replay_state_dir("topn_ttl_replay", sf_dir),
+        n_buckets=8,
+        ttl=_AGG_TTL_US,
+        ttl_col="ets",
+    )
+    _replay_keyed_batches(topn.process_batch, env)
+    env.unpersist(False)
+    if topn.expired_applied == 0:
+        raise AssertionError(
+            "Top-N TTL witness never expired a fact mid-replay — the "
+            "per-epoch expiry path was not exercised"
+        )
+    mid = topn.expired_applied
+    with witness_shuffle_partitions(spark):
+        topn.expire(spark, epoch_id=3)
+    if topn.expired_applied <= mid:
+        raise AssertionError(
+            "final expire() pass retracted nothing — fixture/TTL sizing "
+            "no longer exercises the tail flush"
+        )
+    view = topn.read_view(spark)
+    return view.orderBy("grp", "rn")
+
+
+CHANGELOG_TOPN_TTL_REPLAY_SQL = (
+    _KEYED_LIVE_CTE
+    + f"""
+SELECT grp, rn, user_id, value, ver, ets FROM (
+  SELECT grp, user_id, value, ver, ets,
+         ROW_NUMBER() OVER (PARTITION BY grp
+                            ORDER BY value DESC, user_id ASC) AS rn
+  FROM live
+  WHERE ets > (SELECT MAX(ets) FROM log) - {_AGG_TTL_US}
+) WHERE rn <= 3 ORDER BY grp, rn
 """
 )
 
@@ -1141,6 +1312,14 @@ REPLAY_QUERIES = {
     "changelog_agg_ttl_replay": (
         changelog_agg_ttl_replay_query,
         CHANGELOG_AGG_TTL_REPLAY_SQL,
+    ),
+    "changelog_join_ttl_replay": (
+        changelog_join_ttl_replay_query,
+        CHANGELOG_JOIN_TTL_REPLAY_SQL,
+    ),
+    "changelog_topn_ttl_replay": (
+        changelog_topn_ttl_replay_query,
+        CHANGELOG_TOPN_TTL_REPLAY_SQL,
     ),
     "changelog_topn_replay": (
         changelog_topn_replay_query,

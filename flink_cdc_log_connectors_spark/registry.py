@@ -150,6 +150,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "ingest_index_migrate_replay",  # new this round, never driver-checked
     "lm_sequence_pack",  # new this round, never driver-checked
     "changelog_agg_ttl_replay",  # new this round, never driver-checked
+    "changelog_join_ttl_replay",  # new this round, never driver-checked
+    "changelog_topn_ttl_replay",  # new this round, never driver-checked
     "sink_exactly_once_replay",
     "temporal_asof_replay",
     "changelog_agg_replay",
@@ -179,9 +181,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "text_rarity_quality",
     "text_token_stats",
     "text_winnow_fingerprint",
-    # (c) the 48-entry r6 band — the window holds 18; the remaining 30
-    # lead r10's category (with the r9 target "none older than r6" met
-    # either way)
+    # (c) the 48-entry r6 band — the window holds ~15 after the three
+    # TTL witnesses joined the head; the remainder leads r10's category
+    # (with the r9 target "none older than r6" met either way)
     "agg_heavy_hitters",
     "agg_kmv_distinct",
     "agg_salted_hotkey",

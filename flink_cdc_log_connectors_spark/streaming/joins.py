@@ -56,6 +56,7 @@ from ..sources.debezium import (
     retract_before_images,
 )
 from .statetable import PartitionedStateTable
+from .ttl import EventTimeTTL, committed_at
 
 
 @dataclass
@@ -83,9 +84,22 @@ class ChangelogJoin:
         right_prefix: str = "r_",
         n_buckets: int = 64,
         bucket_left_by_join_col: bool = False,
+        left_ttl: int | None = None,
+        left_ttl_col: str | None = None,
     ) -> None:
         if how not in ("inner", "left"):
             raise ValueError(f"how must be inner|left, got {how!r}")
+        if (left_ttl is None) != (left_ttl_col is None):
+            raise ValueError(
+                "left_ttl and left_ttl_col must be set together"
+            )
+        if left_ttl_col is not None and left_ttl_col not in {
+            f.name for f in left.physical.fields
+        }:
+            raise ValueError(
+                f"left_ttl_col {left_ttl_col!r} is not a column of the "
+                "left side's physical schema"
+            )
         if bucket_left_by_join_col:
             # The pruned layout reuses RIGHT-key bucket ids against LEFT
             # state bucketed by join column (process_batch: lbk∪rbk) —
@@ -133,6 +147,33 @@ class ChangelogJoin:
         self.output = PartitionedStateTable(
             f"{output_path}/view", [left.key], n_buckets=n_buckets
         )
+        #: event-time state TTL on the FACT side (the deterministic twin
+        #: of Flink's ``table.exec.state.ttl``, which reference users set
+        #: to bound a regular join's otherwise-unbounded two-sided state):
+        #: a fact expires — its output row is tombstoned and its state row
+        #: deleted — once the stream's watermark (max ``left_ttl_col``
+        #: seen, persisted monotonically) passes ``fact.ts + left_ttl``.
+        #: Dim rows are NOT expired: in the many-to-one enrichment shape
+        #: the dim is the slowly-changing side, and Flink's TTL-on-dims is
+        #: the classic "join results silently disappear" footgun.  See
+        #: ``streaming/ttl.py`` for the expiry protocol (bounds pruning,
+        #: staged crash-convergent decisions).
+        self.left_ttl = left_ttl
+        self.left_ttl_col = left_ttl_col
+        self._ttl_proto = (
+            EventTimeTTL(
+                self.left_state,
+                self.output.path,
+                left_ttl,
+                left_ttl_col,
+                name="lttl",
+            )
+            if left_ttl is not None
+            else None
+        )
+        #: expiry images applied so far (this instance) — witnesses
+        #: assert mid-replay expiry; counted inside the fused stats agg
+        self.expired_applied = 0
 
     # -- schema helpers ----------------------------------------------------
     def _out_right_cols(self) -> list[str]:
@@ -146,6 +187,122 @@ class ChangelogJoin:
                 f"{self.right_prefix}{f.name}", F.lit(None).cast(f.dataType)
             )
         return df
+
+    def _left_bucket(self) -> F.Column:
+        """The left-state bucket id of a parsed left image — by join
+        column under the pruned layout, by fact key otherwise."""
+        return self.left_state.bucket_for(
+            F.col(
+                self.left.join_col
+                if self.bucket_left_by_join_col
+                else self.left.key
+            )
+        )
+
+    def _ttl_upserts(self, spark: SparkSession, lb, rb, epoch_id: int):
+        """TTL twin of the fused stats + two state upserts: folds the
+        staged expiry retractions into the left batch, groups the stats
+        agg per bucket (same single driver action — ≤ touched-bucket
+        rows) to maintain the per-bucket min-ts bounds, and unions each
+        table's already-committed-at-this-epoch buckets into its touched
+        set so replays of shrunken effective batches stay legal.
+        Returns (lb_all, lbk, rbk, out_extra, finalize) or None when
+        there is nothing at all to do."""
+        exp, cutoff, syn = self._ttl_proto.stage(spark, epoch_id)
+        lb_flag = lb.withColumn("__syn", F.lit(False))
+        if syn is not None:
+            lb_flag = lb_flag.unionByName(
+                syn.select(*lb.columns).withColumn("__syn", F.lit(True))
+            )
+        ts_type = {
+            f.name: f.dataType for f in self.left.physical.fields
+        }[self.left_ttl_col]
+        live_ts = F.when(~F.col("__syn"), F.col(self.left_ttl_col))
+        probe = lb_flag.select(
+            F.lit(0).alias("__s"),
+            self._left_bucket().alias("__b"),
+            F.col("__syn"),
+            live_ts.alias("__ts"),
+        ).unionByName(
+            rb.select(
+                F.lit(1).alias("__s"),
+                self.right_state.bucket_for(F.col(self.right.key)).alias(
+                    "__b"
+                ),
+                F.lit(False).alias("__syn"),
+                F.lit(None).cast(ts_type).alias("__ts"),
+            )
+        )
+        per = (
+            probe.groupBy("__s", "__b")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.col("__syn").cast("long")).alias("syn_n"),
+                F.min(F.col("__ts")).alias("bmin"),
+                F.max(F.col("__ts")).alias("bmax"),
+            )
+            .collect()
+        )
+        if not per:
+            return None
+        self.expired_applied += sum(
+            r["syn_n"] for r in per if r["__s"] == 0
+        )
+        lbk = sorted(
+            {r["__b"] for r in per if r["__s"] == 0}
+            | committed_at(self.left_state, epoch_id)
+        )
+        rbk = sorted(
+            {r["__b"] for r in per if r["__s"] == 1}
+            | committed_at(self.right_state, epoch_id)
+        )
+        lb_all = lb_flag.drop("__syn")
+        self.left_state.upsert(
+            lb_all,
+            order_by=CHANGELOG_ORDER_BY,
+            epoch_id=epoch_id,
+            touched=lbk,
+        )
+        self.right_state.upsert(
+            rb,
+            order_by=CHANGELOG_ORDER_BY,
+            epoch_id=epoch_id,
+            touched=rbk,
+        )
+        batch_min = {
+            str(r["__b"]): r["bmin"]
+            for r in per
+            if r["__s"] == 0 and r["bmin"] is not None
+        }
+        wm_cands = [
+            r["bmax"] for r in per if r["__s"] == 0 and r["bmax"] is not None
+        ]
+        wm_cand = max(wm_cands) if wm_cands else None
+
+        def finalize():
+            self._ttl_proto.finalize(epoch_id, exp, cutoff, batch_min, wm_cand)
+
+        return (
+            lb_all,
+            lbk,
+            rbk,
+            sorted(committed_at(self.output, epoch_id)),
+            finalize,
+        )
+
+    def expire(self, spark: SparkSession, epoch_id: int) -> None:
+        """Expiry-only pass (no input batch) under a FRESH epoch id —
+        retracts every fact the CURRENT stored watermark has aged out
+        (per-batch expiry lags one epoch: an epoch's cutoff comes from
+        the watermark its predecessors committed).  Drives the normal
+        batch pipeline with an empty envelope frame, so the output
+        tombstones and state deletions take the standard commit path."""
+        if self._ttl_proto is None:
+            raise ValueError("expire() requires left_ttl")
+        empty = spark.createDataFrame(
+            [], "value string, file string, pos long"
+        )
+        self.process_batch(empty, epoch_id)
 
     # -- the per-batch merge ----------------------------------------------
     def process_batch(self, raw_batch: DataFrame, epoch_id: int) -> None:
@@ -172,55 +329,59 @@ class ChangelogJoin:
             )
         ).persist()
 
-        # ONE driver round-trip for all per-batch scalars (r8; was a
-        # touched-bucket collect inside EACH side's state upsert): the
-        # union agg materializes both persists and collects both sides'
-        # state buckets (each bounded by n_buckets).
-        left_bucket = self.left_state.bucket_for(
-            F.col(
-                self.left.join_col
-                if self.bucket_left_by_join_col
-                else self.left.key
+        finalize_ttl = None
+        out_extra = None
+        if self._ttl_proto is None:
+            # ONE driver round-trip for all per-batch scalars (r8; was a
+            # touched-bucket collect inside EACH side's state upsert): the
+            # union agg materializes both persists and collects both
+            # sides' state buckets (each bounded by n_buckets).
+            probe = lb.select(
+                F.lit(0).alias("__s"),
+                self._left_bucket().alias("__b"),
+            ).unionByName(
+                rb.select(
+                    F.lit(1).alias("__s"),
+                    self.right_state.bucket_for(F.col(self.right.key)).alias(
+                        "__b"
+                    ),
+                )
             )
-        )
-        probe = lb.select(
-            F.lit(0).alias("__s"),
-            left_bucket.alias("__b"),
-        ).unionByName(
-            rb.select(
-                F.lit(1).alias("__s"),
-                self.right_state.bucket_for(F.col(self.right.key)).alias(
-                    "__b"
+            stats = probe.agg(
+                F.count(F.when(F.col("__s") == 0, F.lit(1))).alias("nl"),
+                F.count(F.when(F.col("__s") == 1, F.lit(1))).alias("nr"),
+                F.collect_set(F.when(F.col("__s") == 0, F.col("__b"))).alias(
+                    "lbk"
                 ),
+                F.collect_set(F.when(F.col("__s") == 1, F.col("__b"))).alias(
+                    "rbk"
+                ),
+            ).first()
+            if stats["nl"] == 0 and stats["nr"] == 0:
+                lb.unpersist(False)
+                rb.unpersist(False)
+                return
+            lb_all = lb
+            lbk, rbk = stats["lbk"], stats["rbk"]
+            self.left_state.upsert(
+                lb_all,
+                order_by=CHANGELOG_ORDER_BY,
+                epoch_id=epoch_id,
+                touched=lbk,
             )
-        )
-        stats = probe.agg(
-            F.count(F.when(F.col("__s") == 0, F.lit(1))).alias("nl"),
-            F.count(F.when(F.col("__s") == 1, F.lit(1))).alias("nr"),
-            F.collect_set(F.when(F.col("__s") == 0, F.col("__b"))).alias(
-                "lbk"
-            ),
-            F.collect_set(F.when(F.col("__s") == 1, F.col("__b"))).alias(
-                "rbk"
-            ),
-        ).first()
-        if stats["nl"] == 0 and stats["nr"] == 0:
-            lb.unpersist(False)
-            rb.unpersist(False)
-            return
-
-        self.left_state.upsert(
-            lb,
-            order_by=CHANGELOG_ORDER_BY,
-            epoch_id=epoch_id,
-            touched=stats["lbk"],
-        )
-        self.right_state.upsert(
-            rb,
-            order_by=CHANGELOG_ORDER_BY,
-            epoch_id=epoch_id,
-            touched=stats["rbk"],
-        )
+            self.right_state.upsert(
+                rb,
+                order_by=CHANGELOG_ORDER_BY,
+                epoch_id=epoch_id,
+                touched=rbk,
+            )
+        else:
+            ttl_res = self._ttl_upserts(spark, lb, rb, epoch_id)
+            if ttl_res is None:
+                lb.unpersist(False)
+                rb.unpersist(False)
+                return
+            lb_all, lbk, rbk, out_extra, finalize_ttl = ttl_res
 
         if self.bucket_left_by_join_col:
             # every fact row this batch must see lives in a join-value
@@ -236,7 +397,7 @@ class ChangelogJoin:
             # full — by_fact rows may join dim keys far outside this
             # batch.
             l_state = self.left_state.read_buckets(
-                spark, sorted({*stats["lbk"], *stats["rbk"]})
+                spark, sorted({*lbk, *rbk})
             )
         else:
             l_state = self.left_state.read(spark)
@@ -245,7 +406,7 @@ class ChangelogJoin:
         r_cols = [f.name for f in self.right.physical.fields]
 
         # -- affected fact keys (2): batch facts ∪ dim-touched facts ------
-        changed_left_keys = lb.select(
+        changed_left_keys = lb_all.select(
             F.col(self.left.key).alias("__k")
         ).distinct()
         touched_join_vals = rb.select(
@@ -298,7 +459,7 @@ class ChangelogJoin:
         # unioned lazily (r7): a separate emptiness probe was one more
         # per-batch driver action; output.upsert already no-ops on an
         # all-empty batch.
-        dels = lb.filter(F.col("op") == "d").select(self.left.key).distinct()
+        dels = lb_all.filter(F.col("op") == "d").select(self.left.key).distinct()
         if l_state is not None:
             dels = dels.join(
                 l_state.select(self.left.key), self.left.key, "left_anti"
@@ -320,7 +481,10 @@ class ChangelogJoin:
             rows.withColumn("__seq", F.lit(0)),
             order_by=["__seq"],
             epoch_id=epoch_id,
+            extra_touched=out_extra,
         )
+        if finalize_ttl is not None:
+            finalize_ttl()
         lb.unpersist(False)
         rb.unpersist(False)
 
@@ -342,6 +506,8 @@ def materialize_join(
     how: str = "inner",
     n_buckets: int = 64,
     bucket_left_by_join_col: bool = False,
+    left_ttl: int | None = None,
+    left_ttl_col: str | None = None,
 ):
     """Continuously-maintained ``left ⋈ right`` view over a raw CDC stream
     carrying BOTH tables' envelopes (the whole-database capture shape).
@@ -355,6 +521,8 @@ def materialize_join(
         how=how,
         n_buckets=n_buckets,
         bucket_left_by_join_col=bucket_left_by_join_col,
+        left_ttl=left_ttl,
+        left_ttl_col=left_ttl_col,
     )
     return (
         raw_stream.writeStream.foreachBatch(join.process_batch)

@@ -62,6 +62,7 @@ from ..sources.debezium import (
     retract_before_images,
 )
 from .statetable import PartitionedStateTable, null_safe_on
+from .ttl import EventTimeTTL, committed_at
 
 #: injected partition column for global (un-partitioned) Top-N
 _GLOBAL = "__all"
@@ -86,7 +87,11 @@ class ChangelogTopN:
         output_path: str,
         descending: bool = True,
         n_buckets: int = 64,
+        ttl: int | None = None,
+        ttl_col: str | None = None,
     ) -> None:
+        if (ttl is None) != (ttl_col is None):
+            raise ValueError("ttl and ttl_col must be set together")
         self.table = table
         self.physical = physical
         self.key = key
@@ -110,6 +115,25 @@ class ChangelogTopN:
             [*self.partition_cols, "rn"],
             n_buckets=n_buckets,
         )
+        #: event-time state TTL (the deterministic twin of Flink's
+        #: ``table.exec.state.ttl``, which reference users set to bound a
+        #: rank operator's otherwise-unbounded state): a fact expires —
+        #: is retracted (its partition's ranks recompute and promote) and
+        #: deleted from fact state — once the persisted watermark passes
+        #: ``fact.ttl_col + ttl``; the view then ranks exactly the facts
+        #: inside the retention window.  Protocol in ``streaming/ttl.py``.
+        self.ttl = ttl
+        self.ttl_col = ttl_col
+        self._ttl_proto = (
+            EventTimeTTL(
+                self.fact_state, self.output.path, ttl, ttl_col, name="ttl"
+            )
+            if ttl is not None
+            else None
+        )
+        #: expiry images applied so far — witnesses assert mid-replay
+        #: expiry; counted inside the fused per-batch stats agg
+        self.expired_applied = 0
 
     def _with_partition(self, df: DataFrame) -> DataFrame:
         if self._global:
@@ -140,6 +164,12 @@ class ChangelogTopN:
                 )
             )
         ).persist()
+        if self.ttl is not None:
+            try:
+                self._apply_with_ttl(spark, rows, epoch_id)
+            finally:
+                rows.unpersist(False)
+            return
 
         # ONE driver round-trip for all per-batch scalars (r8; was an
         # emptiness probe + a touched-bucket collect inside EACH state
@@ -151,14 +181,9 @@ class ChangelogTopN:
         # collected, never dropped).
         wrows = self._with_partition(rows)
         pcols = [F.col(c) for c in self.partition_cols]
-        fact_bucket = (
-            self.fact_state.bucket_for(F.col(self.key))
-            if self._global
-            else self.fact_state.bucket_for(*pcols)
-        )
         stats = wrows.agg(
             F.count(F.lit(1)).alias("n"),
-            F.collect_set(fact_bucket).alias("fb"),
+            F.collect_set(self._fact_bucket()).alias("fb"),
             *[
                 F.collect_set(
                     self.output.bucket_for(*pcols, F.lit(rn))
@@ -172,27 +197,51 @@ class ChangelogTopN:
         out_touched = sorted(
             {b for rn in range(1, self.n + 1) for b in stats[f"ob{rn}"]}
         )
+        self._merge_and_recompute(
+            spark, rows, epoch_id, stats["fb"], out_touched
+        )
+        rows.unpersist(False)
 
+    def _fact_bucket(self) -> F.Column:
+        pcols = [F.col(c) for c in self.partition_cols]
+        return (
+            self.fact_state.bucket_for(F.col(self.key))
+            if self._global
+            else self.fact_state.bucket_for(*pcols)
+        )
+
+    def _merge_and_recompute(
+        self,
+        spark: SparkSession,
+        rows: DataFrame,
+        epoch_id: int,
+        fact_buckets: Sequence[int],
+        out_buckets: Sequence[int],
+    ) -> None:
+        """Fact-state upsert + touched-partition rank recompute + view
+        upsert — the batch pipeline shared by the plain and TTL paths
+        (``rows`` already contains any synthesized expiry retractions)."""
         # 1. fact state stays current
         self.fact_state.upsert(
             rows,
             order_by=CHANGELOG_ORDER_BY,
             epoch_id=epoch_id,
-            touched=stats["fb"],
+            touched=fact_buckets,
         )
 
         # 2. touched partitions (before-images included — re-pointing)
+        wrows = self._with_partition(rows)
         touched = wrows.select(*self.partition_cols).distinct()
 
         # 3. exact top-N recompute for touched partitions against
         #    post-upsert state — the read prunes to the touched
         #    partitions' buckets (every touched partition came from a
-        #    batch row, so stats["fb"] covers them all); global Top-N's
+        #    batch row, so fact_buckets covers them all); global Top-N's
         #    single partition reads everything by definition
         state = (
             self.fact_state.read(spark)
             if self._global
-            else self.fact_state.read_buckets(spark, stats["fb"])
+            else self.fact_state.read_buckets(spark, fact_buckets)
         )
         fresh = None
         if state is not None:
@@ -258,9 +307,93 @@ class ChangelogTopN:
             merged.withColumn("__seq", F.lit(0)),
             order_by=["__seq"],
             epoch_id=epoch_id,
-            touched=out_touched,
+            touched=out_buckets,
         )
-        rows.unpersist(False)
+
+    def _apply_with_ttl(
+        self, spark: SparkSession, rows: DataFrame | None, epoch_id: int
+    ) -> None:
+        """TTL twin of the fused stats + pipeline (mirrors
+        ``ChangelogAggregate._apply_with_ttl`` — see ``streaming/ttl.py``
+        for the staging/bounds protocol): folds the staged expiry
+        retractions into the batch, groups the stats agg per fact bucket
+        to maintain the min-ts bounds (same single driver action), and
+        unions each table's committed-at-this-epoch buckets in so
+        replays of shrunken effective batches stay legal."""
+        exp, cutoff, syn = self._ttl_proto.stage(spark, epoch_id)
+        parts = []
+        if rows is not None:
+            parts.append(rows.withColumn("__syn", F.lit(False)))
+        if syn is not None:
+            order = parts[0].columns if parts else None
+            flagged_syn = syn.withColumn("__syn", F.lit(True))
+            if order is not None:
+                flagged_syn = flagged_syn.select(*order)
+            parts.append(flagged_syn)
+        if not parts:
+            return
+        flagged = parts[0]
+        for p in parts[1:]:
+            flagged = flagged.unionByName(p)
+        wflagged = self._with_partition(flagged)
+        pcols = [F.col(c) for c in self.partition_cols]
+        live_ts = F.when(~F.col("__syn"), F.col(self.ttl_col))
+        per_bucket = (
+            wflagged.groupBy(self._fact_bucket().alias("__fb"))
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.col("__syn").cast("long")).alias("syn_n"),
+                F.min(live_ts).alias("bmin"),
+                F.max(live_ts).alias("bmax"),
+                *[
+                    F.collect_set(
+                        self.output.bucket_for(*pcols, F.lit(rn))
+                    ).alias(f"ob{rn}")
+                    for rn in range(1, self.n + 1)
+                ],
+            )
+            .collect()
+        )
+        if not per_bucket:
+            return
+        self.expired_applied += sum(r["syn_n"] for r in per_bucket)
+        fb = sorted(
+            {r["__fb"] for r in per_bucket}
+            | committed_at(self.fact_state, epoch_id)
+        )
+        ob = sorted(
+            {
+                b
+                for r in per_bucket
+                for rn in range(1, self.n + 1)
+                for b in r[f"ob{rn}"]
+            }
+            | committed_at(self.output, epoch_id)
+        )
+        self._merge_and_recompute(
+            spark, flagged.drop("__syn"), epoch_id, fb, ob
+        )
+        wm_cands = [v for v in (r["bmax"] for r in per_bucket) if v is not None]
+        self._ttl_proto.finalize(
+            epoch_id,
+            exp,
+            cutoff,
+            {
+                str(r["__fb"]): r["bmin"]
+                for r in per_bucket
+                if r["bmin"] is not None
+            },
+            max(wm_cands) if wm_cands else None,
+        )
+
+    def expire(self, spark: SparkSession, epoch_id: int) -> None:
+        """Expiry-only pass (no input batch) under a FRESH epoch id —
+        retracts every fact the CURRENT stored watermark has aged out
+        (per-batch expiry lags one epoch: cutoffs come from the
+        watermark the epoch's predecessors committed)."""
+        if self.ttl is None:
+            raise ValueError("expire() requires ttl")
+        self._apply_with_ttl(spark, None, epoch_id)
 
     def read_view(self, spark: SparkSession) -> DataFrame | None:
         """Current Top-N contents: the DECLARED physical columns + rank —
@@ -291,6 +424,8 @@ def materialize_topn(
     checkpoint_path: str,
     descending: bool = True,
     n_buckets: int = 64,
+    ttl: int | None = None,
+    ttl_col: str | None = None,
 ):
     """Continuously-maintained Flink-SQL-style Top-N view over a raw CDC
     stream.  Returns the ``DataStreamWriter``; read back with
@@ -298,6 +433,7 @@ def materialize_topn(
     topn = ChangelogTopN(
         table, physical, key, partition_cols, order_col, n, output_path,
         descending=descending, n_buckets=n_buckets,
+        ttl=ttl, ttl_col=ttl_col,
     )
     return (
         raw_stream.writeStream.foreachBatch(topn.process_batch)

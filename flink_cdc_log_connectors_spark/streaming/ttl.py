@@ -205,9 +205,33 @@ class EventTimeTTL:
         else:
             os.makedirs(tmp, exist_ok=True)
         has_rows = syn is not None
+        # per-bucket SURVIVOR minima, staged with the decision: a scanned
+        # bucket's bound becomes its actual min surviving event time
+        # instead of the weak cutoff+1, so an advancing watermark does
+        # not rescan buckets whose facts sit far inside the window.  One
+        # extra job, paid only on expiry epochs, over buckets the scan
+        # reads anyway; stale-LOW on replays (survivors deleted since),
+        # which is the conservative direction.
+        survivor_min: dict[str, int] = {}
+        if has_rows:
+            cand = self.state.read_buckets(spark, exp)
+            tcol = F.col(self.ttl_col)
+            survivor_min = {
+                str(r["__b"]): r["mn"]
+                for r in cand.filter(tcol.isNotNull() & (tcol > cutoff))
+                .groupBy(self.state._bucket().alias("__b"))
+                .agg(F.min(tcol).alias("mn"))
+                .collect()
+            }
         with open(os.path.join(tmp, "_ttl_meta.json"), "w") as f:
             json.dump(
-                {"exp": exp, "cutoff": cutoff, "has_rows": has_rows}, f
+                {
+                    "exp": exp,
+                    "cutoff": cutoff,
+                    "has_rows": has_rows,
+                    "survivor_min": survivor_min,
+                },
+                f,
             )
         os.rename(tmp, stage)  # atomic publish
         return exp, cutoff, (spark.read.parquet(stage) if has_rows else None)
@@ -226,13 +250,27 @@ class EventTimeTTL:
         AFTER the epoch's state commits; ``batch_min`` maps bucket id →
         min ``ttl_col`` over the batch's GENUINE images (synthesized
         retractions excluded)."""
+        survivor_min: dict[str, int] = {}
+        meta_path = os.path.join(
+            self._stage_dir(epoch_id), "_ttl_meta.json"
+        )
+        if os.path.isfile(meta_path):
+            with open(meta_path) as f:
+                survivor_min = json.load(f).get("survivor_min", {})
         self.store_wm(wm_candidate)
         bounds = self.load_bounds()
         for b in exp:
-            bm = batch_min.get(str(b))
-            bounds[str(b)] = (
-                cutoff + 1 if bm is None else min(cutoff + 1, bm)
-            )
+            # a scanned bucket's post-epoch min = min of its surviving
+            # stored rows (staged survivor_min — batch deletes can only
+            # RAISE the true min, so it stays a valid lower bound) and
+            # the batch's own contributions; cutoff+1 only when both are
+            # silent (bucket emptied, or survivors all NULL-ts)
+            cands = [
+                v
+                for v in (survivor_min.get(str(b)), batch_min.get(str(b)))
+                if v is not None
+            ]
+            bounds[str(b)] = min(cands) if cands else cutoff + 1
         escan = set(exp)
         for b, bm in batch_min.items():
             if int(b) in escan or bm is None:

@@ -682,6 +682,8 @@ def measure_agg(
     tag: str,
     n_buckets: int = N_BUCKETS,
     probe_rows: int = PROBE_ROWS,
+    ttl: int | None = None,
+    ttl_col: str | None = None,
 ):
     from flink_cdc_log_connectors_spark.streaming.aggregates import (
         ChangelogAggregate,
@@ -697,6 +699,8 @@ def measure_agg(
         output_path=root,
         sum_cols=["value"],
         n_buckets=n_buckets,
+        ttl=ttl,
+        ttl_col=ttl_col,
     )
     n = n_keys * versions
     build = agg_build_envelopes(spark, n_keys, versions).persist()
@@ -744,12 +748,118 @@ def measure_agg(
     }
 
 
+def agg_ttl_cold_build_envelopes(
+    spark: SparkSession, n_keys: int, versions: int
+) -> DataFrame:
+    """The agg build fixture with COLD GROUPS: keys in groups 0-4 stop
+    updating at ``versions // 2`` (their later rows are dropped; the
+    per-key before-image chain stays well-formed).  With an event-time
+    TTL whose cutoff lands between the cold and warm populations' last
+    versions, exactly the cold keys expire — and because fact state is
+    group-bucketed, they occupy 5 of 50 groups' buckets."""
+    i = F.col("id")
+    k = i % n_keys
+    j = (i / n_keys).cast("long")
+    ts = F.lit(BASE_TS) + j * n_keys + k
+    after = _state_row(k, j, j * 1.0)
+    before = F.when(j > 0, _state_row(k, j - 1, (j - 1) * 1.0))
+    op = F.when(j == 0, F.lit("c")).otherwise(F.lit("u"))
+    return (
+        spark.range(n_keys * versions)
+        .filter(~((k % 50 < 5) & (j >= versions // 2)))
+        .select(*_env("state", op, before, after, ts, i))
+    )
+
+
+def measure_agg_ttl_expiry(
+    spark: SparkSession, n_keys: int, versions: int, tag: str
+):
+    """Expiry-pass cost on the cold-group fixture: the FIRST pass after
+    a bulk build inherently scans every bucket (build-time bounds are
+    batch minima ≈ 0 — no prior scan has tightened them), deletes the
+    cold population, and tightens every bound to its bucket's actual
+    surviving minimum; a SECOND pass after the watermark advances must
+    then scan ZERO buckets.  ``ver`` doubles as the event-time column
+    (monotone with rowtime by construction of the fixture)."""
+    from flink_cdc_log_connectors_spark.streaming.aggregates import (
+        ChangelogAggregate,
+    )
+
+    root = os.path.join(WORK, f"aggttl_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    # wm after build = versions-1, so cutoff = versions//2: cold keys'
+    # last version (versions//2 - 1) expires, warm keys' survives
+    ttl = versions - 1 - versions // 2
+    agg = ChangelogAggregate(
+        "state",
+        STATE_SCHEMA,
+        key="user_id",
+        group_cols=["grp"],
+        output_path=root,
+        sum_cols=["value"],
+        n_buckets=N_BUCKETS,
+        ttl=ttl,
+        ttl_col="ver",
+    )
+    build = agg_ttl_cold_build_envelopes(spark, n_keys, versions).persist()
+    n = build.count()
+    build_epochs = 4
+    per = n_keys * versions // build_epochs
+    for e in range(build_epochs):
+        lo = e * per
+        hi = (e + 1) * per if e < build_epochs - 1 else n_keys * versions
+        agg.process_batch(
+            build.filter((F.col("pos") >= lo) & (F.col("pos") < hi)),
+            epoch_id=e,
+        )
+    build.unpersist()
+
+    # stage the decision first (expire() reuses it) so the scan set and
+    # bytes are reportable without instrumenting the class
+    exp, _cutoff, _syn = agg._stage_expiry(spark, build_epochs)
+    full_bytes = _state_bytes(agg.fact_state)
+    scan_bytes = _pruned_bytes(agg.fact_state, exp)
+    t0 = time.perf_counter()
+    agg.expire(spark, epoch_id=build_epochs)
+    expiry_s = time.perf_counter() - t0
+    expired = agg.expired_applied
+
+    # advance the watermark SLIGHTLY (one update per probe key — a
+    # steady stream's shape; the cutoff moves by 1 version, staying
+    # below every tightened bound), then show the next expiry decision
+    # scans ZERO buckets
+    probe = agg_probe_envelopes(
+        spark, n_keys, versions, 0, probe_rows=PROBE_KEYS
+    ).persist()
+    probe.count()
+    agg.process_batch(probe, epoch_id=build_epochs + 1)
+    probe.unpersist()
+    exp2, _c2, _s2 = agg._stage_expiry(spark, build_epochs + 2)
+
+    view = agg.read_view(spark)
+    groups = 0 if view is None else view.count()
+    assert expired == n_keys // 10, f"expired {expired}, want {n_keys // 10}"
+    # cold groups 0-4 tombstoned by the expiry, then re-opened by the
+    # probe keys (grp 0-7) — the full 50 with fresh membership
+    assert groups == 50, f"groups {groups}"
+    return {
+        "state_rows": n_keys,
+        "expired_rows": expired,
+        "first_expiry_s": round(expiry_s, 3),
+        "first_scan_buckets": len(exp),
+        "first_scan_bytes": scan_bytes,
+        "state_bytes": full_bytes,
+        "rescan_buckets_after_wm_advance": len(exp2),
+    }
+
+
 def main() -> None:
     quick = "--quick" in sys.argv
     # --legs=join,agg runs a subset (default: every leg)
     legs = {
         "temporal",
         "agg",
+        "agg_ttl",
         "join",
         "join_dim",
         "ingest",
@@ -796,6 +906,40 @@ def main() -> None:
         out["agg_ratio"] = round(
             out["agg_10x"]["probe_epoch_s"] / out["agg_1x"]["probe_epoch_s"],
             2,
+        )
+
+    if "agg_ttl" in legs:
+        # r9 event-time state TTL: (a) steady state — a huge TTL means
+        # nothing ever expires; per-epoch cost and jobs should match the
+        # plain aggregate (the bounds check is metadata-only); (b) the
+        # expiry pass — first pass after a bulk build scans all live
+        # buckets (inherent), deletes exactly the cold population, and
+        # tightens bounds so the next decision scans zero buckets
+        ag_keys = int(40_000 * scale)
+        step(
+            "agg_ttl_steady_1x",
+            lambda: measure_agg(
+                spark, ag_keys, 5, "ts1", ttl=10**9, ttl_col="ver"
+            ),
+        )
+        step(
+            "agg_ttl_steady_10x",
+            lambda: measure_agg(
+                spark, ag_keys * 10, 5, "ts10", ttl=10**9, ttl_col="ver"
+            ),
+        )
+        out["agg_ttl_steady_ratio"] = round(
+            out["agg_ttl_steady_10x"]["probe_epoch_s"]
+            / out["agg_ttl_steady_1x"]["probe_epoch_s"],
+            2,
+        )
+        step(
+            "agg_ttl_expiry_1x",
+            lambda: measure_agg_ttl_expiry(spark, ag_keys, 10, "te1"),
+        )
+        step(
+            "agg_ttl_expiry_10x",
+            lambda: measure_agg_ttl_expiry(spark, ag_keys * 10, 10, "te10"),
         )
 
     if "join" in legs:

@@ -466,3 +466,61 @@ def test_ttl_bounds_prune_the_expiry_scan(spark, tmp_path):
     assert bounds and all(v > 900 for v in bounds.values())
     exp, _cutoff, syn = agg._stage_expiry(spark, epoch_id=2)
     assert exp == [] and syn is None
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_ttl_randomized_ops_match_windowed_groupby(spark, tmp_path, seed):
+    """Randomized op interleavings under event-time TTL: after a final
+    expire() pass, the view must equal GROUP BY over the live facts whose
+    latest version's event time is inside the retention window at the
+    final watermark — mid-stream expiry is a prefix of that predicate
+    (watermarks only grow), so WHEN a fact expired must not matter."""
+    import random
+
+    rng = random.Random(seed)
+    ttl = 40
+    agg = ChangelogAggregate(
+        "orders", ORDERS_TS, key="o_id", group_cols=["cust_id"],
+        output_path=str(tmp_path / f"rt{seed}"),
+        sum_cols=["amount"], minmax_cols=["amount"],
+        ttl=ttl, ttl_col="ets", n_buckets=8,
+    )
+    facts: dict[int, tuple[int, float, int]] = {}
+    pos = 0
+    wm = 0
+
+    def gen():
+        nonlocal pos, wm
+        pos += 1
+        oid = rng.randint(1, 10)
+        if oid in facts and rng.random() < 0.3:
+            c0, a0, t0 = facts[oid]
+            del facts[oid]
+            return env("d", before=_row(oid, c0, a0, t0), pos=pos)
+        cid, amt = rng.randint(1, 4), float(rng.randint(1, 50))
+        # event times jump around (late data) but trend upward
+        ets = rng.randint(max(0, wm - 30), wm + 15)
+        wm = max(wm, ets)
+        if oid in facts:
+            c0, a0, t0 = facts[oid]
+            facts[oid] = (cid, amt, ets)
+            return env("u", _row(oid, cid, amt, ets),
+                       before=_row(oid, c0, a0, t0), pos=pos)
+        facts[oid] = (cid, amt, ets)
+        return env("c", _row(oid, cid, amt, ets), pos=pos)
+
+    for epoch in range(5):
+        agg.process_batch(
+            raw_df(spark, [gen() for _ in range(rng.randint(1, 8))]),
+            epoch_id=epoch,
+        )
+    agg.expire(spark, epoch_id=5)
+    cutoff = wm - ttl
+    in_window = {
+        oid: (c, a) for oid, (c, a, t) in facts.items() if t > cutoff
+    }
+    expected: dict[int, tuple] = {}
+    for cid in {c for c, _ in in_window.values()}:
+        amts = [a for c, a in in_window.values() if c == cid]
+        expected[cid] = (len(amts), sum(amts), min(amts), max(amts))
+    assert view(spark, agg) == expected, f"seed={seed}"

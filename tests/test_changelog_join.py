@@ -347,3 +347,124 @@ def test_join_pk_changing_dim_update_retracts_old_key(spark, tmp_path):
     )
     got = {r["o_id"]: r["r_c_id"] for r in join.read_view(spark).collect()}
     assert got == {10: 2}
+
+
+# -- fact-side event-time state TTL ------------------------------------------
+
+ORDERS_TS = T.StructType(
+    [
+        T.StructField("o_id", T.LongType()),
+        T.StructField("cust_id", T.LongType()),
+        T.StructField("amount", T.DoubleType()),
+        T.StructField("ets", T.LongType()),
+    ]
+)
+LEFT_TS = JoinSide(
+    table="orders", physical=ORDERS_TS, key="o_id", join_col="cust_id"
+)
+
+
+def _ord(o, c, a, ets):
+    return {"o_id": o, "cust_id": c, "amount": a, "ets": ets}
+
+
+def ttl_view(spark, join):
+    df = join.read_view(spark)
+    if df is None:
+        return {}
+    return {
+        r["o_id"]: (r["cust_id"], r["amount"], r["r_name"])
+        for r in df.collect()
+    }
+
+
+@pytest.mark.parametrize("by_join_col", [False, True])
+def test_join_fact_ttl_expires_and_tombstones(spark, tmp_path, by_join_col):
+    join = ChangelogJoin(
+        LEFT_TS, RIGHT, str(tmp_path / "jt"),
+        how="inner", n_buckets=8,
+        bucket_left_by_join_col=by_join_col,
+        left_ttl=100, left_ttl_col="ets",
+    )
+    join.process_batch(
+        raw_df(spark, [
+            env("customers", "c", {"c_id": 1, "name": "ann"}, pos=0),
+            env("customers", "c", {"c_id": 2, "name": "bob"}, pos=1),
+            env("orders", "c", _ord(10, 1, 5.0, 100), pos=2),
+            env("orders", "c", _ord(11, 1, 7.0, 1000), pos=3),
+            env("orders", "c", _ord(12, 2, 3.0, 150), pos=4),
+        ]),
+        epoch_id=0,
+    )
+    assert ttl_view(spark, join) == {
+        10: (1, 5.0, "ann"), 11: (1, 7.0, "ann"), 12: (2, 3.0, "bob"),
+    }
+    # epoch 1: cutoff = 1000 - 100 = 900 ages out orders 10 and 12
+    join.process_batch(
+        raw_df(spark, [env("orders", "c", _ord(13, 2, 2.0, 1100), pos=10)]),
+        epoch_id=1,
+    )
+    assert join.expired_applied > 0
+    assert ttl_view(spark, join) == {11: (1, 7.0, "ann"), 13: (2, 2.0, "bob")}
+    # final pass: wm 1100 -> cutoff 1000 ages out order 11 (ets 1000)
+    join.expire(spark, epoch_id=2)
+    assert ttl_view(spark, join) == {13: (2, 2.0, "bob")}
+
+
+def test_join_fact_ttl_same_epoch_update_supersedes_expiry(spark, tmp_path):
+    join = ChangelogJoin(
+        LEFT_TS, RIGHT, str(tmp_path / "js"),
+        how="inner", n_buckets=8, left_ttl=100, left_ttl_col="ets",
+    )
+    join.process_batch(
+        raw_df(spark, [
+            env("customers", "c", {"c_id": 1, "name": "ann"}, pos=0),
+            env("orders", "c", _ord(10, 1, 5.0, 100), pos=1),
+            env("orders", "c", _ord(11, 1, 7.0, 1000), pos=2),
+        ]),
+        epoch_id=0,
+    )
+    # order 10 is an expiry candidate AND refreshed in the same batch
+    join.process_batch(
+        raw_df(spark, [
+            env("orders", "u", _ord(10, 1, 9.0, 1200),
+                before=_ord(10, 1, 5.0, 100), pos=10),
+        ]),
+        epoch_id=1,
+    )
+    assert ttl_view(spark, join) == {10: (1, 9.0, "ann"), 11: (1, 7.0, "ann")}
+
+
+def test_join_fact_ttl_crash_and_duplicate_delivery_converge(spark, tmp_path):
+    join = ChangelogJoin(
+        LEFT_TS, RIGHT, str(tmp_path / "jc"),
+        how="inner", n_buckets=8, left_ttl=100, left_ttl_col="ets",
+    )
+    join.process_batch(
+        raw_df(spark, [
+            env("customers", "c", {"c_id": 1, "name": "ann"}, pos=0),
+            env("orders", "c", _ord(10, 1, 5.0, 100), pos=1),
+            env("orders", "c", _ord(11, 1, 7.0, 1000), pos=2),
+        ]),
+        epoch_id=0,
+    )
+    batch = raw_df(
+        spark, [env("orders", "c", _ord(13, 1, 2.0, 1000), pos=10)]
+    )
+    # crash after the state upserts but before the view commit: the
+    # staged expiry decision must make the retry emit order 10's
+    # tombstone even though its state row is already gone
+    orig = join.output.upsert
+    def boom(*a, **k):
+        raise RuntimeError("injected crash")
+    join.output.upsert = boom
+    with pytest.raises(RuntimeError, match="injected crash"):
+        join.process_batch(batch, epoch_id=1)
+    join.output.upsert = orig
+    join.process_batch(batch, epoch_id=1)  # same-epoch retry
+    expected = {11: (1, 7.0, "ann"), 13: (1, 2.0, "ann")}
+    assert ttl_view(spark, join) == expected
+    # at-least-once re-delivery of the fully-committed epoch (wm did not
+    # advance: ets 1000 == epoch 0's max): converges, guards satisfied
+    join.process_batch(batch, epoch_id=1)
+    assert ttl_view(spark, join) == expected

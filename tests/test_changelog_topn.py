@@ -294,3 +294,105 @@ def test_topn_null_partition_is_a_real_partition(spark, tmp_path):
     got = {(r["cust_id"], r["rn"]): r["o_id"]
            for r in topn.read_view(spark).collect()}
     assert got[(None, 1)] == 3 and got[(None, 2)] == 2
+
+
+# -- event-time state TTL ----------------------------------------------------
+
+ORDERS_TS = T.StructType(
+    [
+        T.StructField("o_id", T.LongType()),
+        T.StructField("cust_id", T.LongType()),
+        T.StructField("amount", T.DoubleType()),
+        T.StructField("ets", T.LongType()),
+    ]
+)
+
+
+def _row(o, c, a, ets):
+    return {"o_id": o, "cust_id": c, "amount": a, "ets": ets}
+
+
+def make_ttl_topn(tmp_path, n=2, partition_cols=("cust_id",), name="tt"):
+    return ChangelogTopN(
+        "orders", ORDERS_TS, key="o_id", partition_cols=list(partition_cols),
+        order_col="amount", n=n, output_path=str(tmp_path / name),
+        n_buckets=8, ttl=100, ttl_col="ets",
+    )
+
+
+def test_ttl_expiry_promotes_ranks_and_tombstones(spark, tmp_path):
+    topn = make_ttl_topn(tmp_path)
+    topn.process_batch(
+        raw_df(spark, [
+            env("c", _row(1, 1, 9.0, 100), pos=0),   # rank 1 of cust 1
+            env("c", _row(2, 1, 7.0, 1000), pos=1),  # rank 2
+            env("c", _row(3, 1, 5.0, 1000), pos=2),  # below N
+            env("c", _row(4, 2, 3.0, 150), pos=3),   # cust 2's only row
+        ]),
+        epoch_id=0,
+    )
+    assert view(spark, topn) == {
+        (1, 1): (1, 9.0), (1, 2): (2, 7.0), (2, 1): (4, 3.0),
+    }
+    # epoch 1: cutoff = 1000 - 100 = 900 expires o1 (rank 1!) and o4:
+    # o2/o3 must PROMOTE, cust 2's partition must vanish entirely
+    topn.process_batch(
+        raw_df(spark, [env("c", _row(5, 3, 2.0, 1100), pos=10)]),
+        epoch_id=1,
+    )
+    assert topn.expired_applied == 2
+    assert view(spark, topn) == {
+        (1, 1): (2, 7.0), (1, 2): (3, 5.0), (3, 1): (5, 2.0),
+    }
+    # final pass: wm 1100 -> cutoff 1000 expires o2 and o3
+    topn.expire(spark, epoch_id=2)
+    assert view(spark, topn) == {(3, 1): (5, 2.0)}
+
+
+def test_ttl_global_topn_expires(spark, tmp_path):
+    topn = ChangelogTopN(
+        "orders", ORDERS_TS, key="o_id", partition_cols=[],
+        order_col="amount", n=2, output_path=str(tmp_path / "g"),
+        n_buckets=8, ttl=100, ttl_col="ets",
+    )
+    topn.process_batch(
+        raw_df(spark, [
+            env("c", _row(1, 1, 9.0, 100), pos=0),
+            env("c", _row(2, 1, 7.0, 1000), pos=1),
+            env("c", _row(3, 2, 5.0, 1000), pos=2),
+        ]),
+        epoch_id=0,
+    )
+    topn.process_batch(
+        raw_df(spark, [env("c", _row(5, 3, 2.0, 1050), pos=10)]),
+        epoch_id=1,
+    )
+    # o1 (ets 100) expired at cutoff 900; ranks promote globally
+    df = topn.read_view(spark)
+    got = {(r["rn"]): (r["o_id"], r["amount"]) for r in df.collect()}
+    assert got == {1: (2, 7.0), 2: (3, 5.0)}
+
+
+def test_ttl_crash_retry_converges_topn(spark, tmp_path):
+    topn = make_ttl_topn(tmp_path, name="tc")
+    topn.process_batch(
+        raw_df(spark, [
+            env("c", _row(1, 1, 9.0, 100), pos=0),
+            env("c", _row(2, 1, 7.0, 1000), pos=1),
+        ]),
+        epoch_id=0,
+    )
+    batch = raw_df(spark, [env("c", _row(5, 3, 2.0, 1000), pos=10)])
+    orig = topn.output.upsert
+    def boom(*a, **k):
+        raise RuntimeError("injected crash")
+    topn.output.upsert = boom
+    with pytest.raises(RuntimeError, match="injected crash"):
+        topn.process_batch(batch, epoch_id=1)
+    topn.output.upsert = orig
+    topn.process_batch(batch, epoch_id=1)  # same-epoch retry
+    expected = {(1, 1): (2, 7.0), (3, 1): (5, 2.0)}
+    assert view(spark, topn) == expected
+    # duplicate delivery of the fully-committed epoch converges too
+    topn.process_batch(batch, epoch_id=1)
+    assert view(spark, topn) == expected
