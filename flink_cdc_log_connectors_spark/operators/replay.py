@@ -888,6 +888,73 @@ FROM live GROUP BY bkt ORDER BY bkt
 )
 
 
+def changelog_cagg_ttl_replay_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Replay witness for event-time state TTL COMPOSED WITH the
+    continuous-aggregate ``derive=`` path — the TimescaleDB retention
+    policy (``drop_chunks`` / ``add_retention_policy``) expressed
+    through the same machinery: the view groups by a derived day bucket
+    while facts behind the watermark by more than ``_AGG_TTL_US``
+    retract, so old buckets drain and disappear as retention advances
+    (``ttl_col`` is read from the POST-derive rows — the same frame the
+    bucket column is derived from).  RAISES unless expiry fired
+    mid-replay and again in the final pass.  Oracle = day-bucket GROUP
+    BY over the latest live state inside the retention window — every
+    surviving bucket sits within TTL of the final watermark."""
+    from ..streaming.aggregates import ChangelogAggregate
+
+    env = _keyed_state_envelopes(spark, sf_dir)
+    agg = ChangelogAggregate(
+        "state",
+        _keyed_state_schema(),
+        key="user_id",
+        group_cols=["bkt"],
+        output_path=replay_state_dir("cagg_ttl_replay", sf_dir),
+        sum_cols=["value"],
+        n_buckets=8,
+        derive=lambda df: df.withColumn(
+            "bkt", F.expr(f"ets div {_CAGG_BUCKET_US}")
+        ),
+        ttl=_AGG_TTL_US,
+        ttl_col="ets",
+    )
+    _replay_keyed_batches(agg.process_batch, env)
+    env.unpersist(False)
+    if agg.expired_applied == 0:
+        raise AssertionError(
+            "cagg TTL witness never expired a fact mid-replay — the "
+            "per-epoch expiry path was not exercised"
+        )
+    mid = agg.expired_applied
+    with witness_shuffle_partitions(spark):
+        agg.expire(spark, epoch_id=3)
+    if agg.expired_applied <= mid:
+        raise AssertionError(
+            "final expire() pass retracted nothing — fixture/TTL sizing "
+            "no longer exercises the tail flush"
+        )
+    view = agg.read_view(spark)
+    return view.select(
+        "bkt",
+        "cnt",
+        F.round("sum_value", 2).alias("sum_value"),
+    ).orderBy("bkt")
+
+
+CHANGELOG_CAGG_TTL_REPLAY_SQL = (
+    _KEYED_LIVE_CTE
+    + f"""
+SELECT ets // {_CAGG_BUCKET_US} AS bkt,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       ROUND(SUM(value), 2) AS sum_value
+FROM live
+WHERE ets > (SELECT MAX(ets) FROM log) - {_AGG_TTL_US}
+GROUP BY bkt ORDER BY bkt
+"""
+)
+
+
 def cep_stream_replay_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay witness for the STREAMING CEP operator
     (``streaming/cep.py`` ``streaming_adjacent_pattern`` —
@@ -1051,12 +1118,14 @@ def ingest_dedup_replay_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("d1", "d2", "jaccard").orderBy("d1", "d2")
 
 
-def _ingest_minhash_oriented_sql() -> str:
+def _ingest_minhash_oriented_sql(window: int | None = None) -> str:
     """DuckDB twin of the streaming ingest dedup: the batch MinHash
     oracle's candidate + verification stages (same constants — identical
     signatures across engines), oriented by arrival batch
     (``doc_id % 3``): d1 = later batch's doc, intra-batch smaller id
-    first."""
+    first.  With ``window``, only pairs whose arrival batches are within
+    ``window`` epochs of each other survive — the dedup-window
+    (``retention_epochs``) semantics."""
     from .dedup import (
         BANDS,
         MINHASH_A,
@@ -1084,6 +1153,14 @@ def _ingest_minhash_oriented_sql() -> str:
             ),
         )
         for b in range(BANDS)
+    )
+    win = (
+        ""
+        if window is None
+        else (
+            "WHERE GREATEST(x % 3, y % 3) - LEAST(x % 3, y % 3) "
+            f"<= {window}"
+        )
     )
     return f"""
 WITH tri AS (
@@ -1119,8 +1196,53 @@ ver AS (
 SELECT CASE WHEN x % 3 >= y % 3 THEN x ELSE y END AS d1,
        CASE WHEN x % 3 >= y % 3 THEN y ELSE x END AS d2,
        jaccard
-FROM ver ORDER BY d1, d2
+FROM ver {win} ORDER BY d1, d2
 """
+
+
+def ingest_dedup_window_replay_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Replay witness for the DEDUP WINDOW (``IngestDedup
+    (retention_epochs=1)`` — the streaming "dedup within the last N"
+    pattern; Flink users express it as state TTL on the dedup
+    operator): the same three-batch replay as ``ingest_dedup_replay``,
+    but each batch dedups only against the immediately preceding epoch
+    (and itself).  The probe's window filter makes the semantics exact
+    immediately; compactions (forced mid-replay, threshold 2) then
+    PHYSICALLY drop index rows aged out of the latest window —
+    asserted below: the bands store retains no epoch-0 rows after the
+    epoch-2 fold, while the pairs OUTPUT record keeps its epoch-0
+    discoveries.  A re-delivery of the LATEST epoch (the only epoch a
+    Structured Streaming retry can replay — commits are sequential,
+    and the drop cutoff preserves exactly its window) re-derives the
+    identical pair set.  Oracle: the batch MinHash pipeline restricted
+    to pairs whose arrival batches are ≤ 1 epoch apart."""
+    from ..streaming.ingest_dedup import IngestDedup, read_dedup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    index_path = replay_state_dir("ingest_window", sf_dir)
+    dd = IngestDedup(index_path, compact_threshold=2, retention_epochs=1)
+    with witness_shuffle_partitions(spark):
+        for epoch in range(3):
+            dd.process_batch(
+                docs.filter(F.col("doc_id") % 3 == epoch), epoch_id=epoch
+            )
+        if not dd.bands.compactions_committed():
+            raise AssertionError(
+                "index auto-compaction did not fire mid-replay"
+            )
+        oldest = dd.bands.read(spark).agg(
+            F.min("__epoch").alias("mn")
+        ).first()["mn"]
+        if oldest < 1:
+            raise AssertionError(
+                f"expired index rows survived the fold (min __epoch "
+                f"{oldest}) — the retention transform did not run"
+            )
+        dd.process_batch(docs.filter(F.col("doc_id") % 3 == 2), epoch_id=2)
+    pairs = read_dedup_pairs(spark, index_path)
+    return pairs.select("d1", "d2", "jaccard").orderBy("d1", "d2")
 
 
 def ingest_index_migrate_replay_query(
@@ -1321,6 +1443,10 @@ REPLAY_QUERIES = {
         changelog_topn_ttl_replay_query,
         CHANGELOG_TOPN_TTL_REPLAY_SQL,
     ),
+    "changelog_cagg_ttl_replay": (
+        changelog_cagg_ttl_replay_query,
+        CHANGELOG_CAGG_TTL_REPLAY_SQL,
+    ),
     "changelog_topn_replay": (
         changelog_topn_replay_query,
         CHANGELOG_TOPN_REPLAY_SQL,
@@ -1340,6 +1466,10 @@ REPLAY_QUERIES = {
     "ingest_index_migrate_replay": (
         ingest_index_migrate_replay_query,
         _ingest_minhash_oriented_sql(),
+    ),
+    "ingest_dedup_window_replay": (
+        ingest_dedup_window_replay_query,
+        _ingest_minhash_oriented_sql(window=1),
     ),
     "sink_exactly_once_replay": (
         sink_exactly_once_replay_query,

@@ -152,6 +152,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "changelog_agg_ttl_replay",  # new this round, never driver-checked
     "changelog_join_ttl_replay",  # new this round, never driver-checked
     "changelog_topn_ttl_replay",  # new this round, never driver-checked
+    "changelog_cagg_ttl_replay",  # new this round, never driver-checked
+    "ingest_dedup_window_replay",  # new this round, never driver-checked
     "sink_exactly_once_replay",
     "temporal_asof_replay",
     "changelog_agg_replay",

@@ -138,7 +138,22 @@ class IngestDedup:
         id_col: str = "doc_id",
         n_buckets: int = 16,
         compact_threshold: int = 16,
+        retention_epochs: int | None = None,
     ) -> None:
+        #: DEDUP WINDOW (the streaming "dedup within the last N" pattern;
+        #: Flink users express it as a TTL on the dedup operator's keyed
+        #: state): a batch dedups only against documents ingested within
+        #: the last ``retention_epochs`` epochs — the new-vs-index probe
+        #: filters the window EXACTLY (``__epoch >= epoch_id - K``, so
+        #: semantics are deterministic immediately), and compactions
+        #: physically drop index rows that have aged out of the LATEST
+        #: epoch's window (storage O(window), not O(corpus); the drop
+        #: rides the fold's existing rewrite).  A streaming retry is
+        #: always the latest epoch (commits are sequential), whose window
+        #: the drop cutoff preserves by construction — so retries still
+        #: re-derive identical pairs.  None = dedup against everything
+        #: ever ingested (the default corpus-wide contract).
+        self.retention_epochs = retention_epochs
         self.n = n
         self.threshold_num = threshold_num
         self.threshold_den = threshold_den
@@ -208,7 +223,12 @@ class IngestDedup:
                 # still pays — only band groups the batch actually
                 # collides with enter the shuffle.
                 probe_keys = new_bands.select("band_idx", "bh").distinct()
-                idx = idx_all.filter(F.col("__epoch") < epoch_id).join(
+                win = F.col("__epoch") < epoch_id
+                if self.retention_epochs is not None:
+                    win = win & (
+                        F.col("__epoch") >= epoch_id - self.retention_epochs
+                    )
+                idx = idx_all.filter(win).join(
                     F.broadcast(probe_keys),
                     ["band_idx", "bh"],
                     "leftsemi",
@@ -269,8 +289,21 @@ class IngestDedup:
             self.pairs.append(pairs, epoch_id=epoch_id)
             self.shsets.append(doc_sets, epoch_id=epoch_id)
             self.bands.append(new_bands, epoch_id=epoch_id)
-            for t in (self.pairs, self.shsets, self.bands):
-                t.maybe_compact(spark, self.compact_threshold)
+            # compactions drop index rows aged out of the CURRENT (=
+            # latest) epoch's dedup window — pure storage GC riding the
+            # fold's rewrite; the probe's window filter already made the
+            # semantics exact.  The pairs table is the OUTPUT record and
+            # never expires.
+            expire = None
+            if self.retention_epochs is not None:
+                cutoff = epoch_id - self.retention_epochs
+                expire = lambda df: df.filter(F.col("__epoch") >= cutoff)
+            for t, tf in (
+                (self.pairs, None),
+                (self.shsets, expire),
+                (self.bands, expire),
+            ):
+                t.maybe_compact(spark, self.compact_threshold, transform=tf)
         finally:
             doc_sets.unpersist()
             new_bands.unpersist()
@@ -289,6 +322,7 @@ def streaming_minhash_dedup(
     id_col: str = "doc_id",
     n_buckets: int = 16,
     compact_threshold: int = 16,
+    retention_epochs: int | None = None,
 ):
     """Returns a ``DataStreamWriter`` running the ingestion-dedup loop.
     Verified near-dup pairs land under ``{index_path}/pairs`` with the
@@ -302,6 +336,7 @@ def streaming_minhash_dedup(
         id_col=id_col,
         n_buckets=n_buckets,
         compact_threshold=compact_threshold,
+        retention_epochs=retention_epochs,
     )
     return (
         stream.writeStream.foreachBatch(dd.process_batch)

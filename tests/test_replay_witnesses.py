@@ -218,3 +218,64 @@ def test_agg_witness_matches_duckdb_oracle(spark, sf_dir):
     )
     want = {tuple(r) for r in con.execute(CHANGELOG_AGG_REPLAY_SQL).fetchall()}
     assert got == want
+
+
+def test_ingest_dedup_window_semantics_and_gc(spark, sf_dir, tmp_path):
+    """retention_epochs=1: the windowed run's pairs are exactly the full
+    run's pairs whose arrival batches are <= 1 apart (probe-side window
+    filter — exact semantics), compactions physically drop index rows
+    aged out of the latest window (bands keep no epoch-0 rows after the
+    epoch-2 fold) while the pairs OUTPUT record keeps its epoch-0
+    discoveries, and a re-delivery of the latest epoch re-derives the
+    identical pair set."""
+    from flink_cdc_log_connectors_spark.io import load_table
+    from flink_cdc_log_connectors_spark.streaming.ingest_dedup import (
+        IngestDedup,
+        read_dedup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def run(path, **kw):
+        dd = IngestDedup(path, compact_threshold=2, **kw)
+        for epoch in range(3):
+            dd.process_batch(
+                docs.filter(F.col("doc_id") % 3 == epoch), epoch_id=epoch
+            )
+        return dd
+
+    full = run(str(tmp_path / "full"))
+    win = run(str(tmp_path / "win"), retention_epochs=1)
+    full_pairs = {
+        (r["d1"], r["d2"])
+        for r in read_dedup_pairs(spark, str(tmp_path / "full")).collect()
+    }
+    win_pairs = {
+        (r["d1"], r["d2"])
+        for r in read_dedup_pairs(spark, str(tmp_path / "win")).collect()
+    }
+    expected = {
+        (d1, d2)
+        for d1, d2 in full_pairs
+        if abs(d1 % 3 - d2 % 3) <= 1
+    }
+    assert win_pairs == expected
+    assert win_pairs < full_pairs, "fixture must have cross-window pairs"
+    # physical GC: the epoch-2 fold dropped bands/shsets rows older than
+    # the latest window; the pairs record never expires
+    assert win.bands.compactions_committed() >= 1
+    assert win.bands.read(spark).agg(F.min("__epoch")).first()[0] >= 1
+    assert (
+        read_dedup_pairs(spark, str(tmp_path / "win"))
+        .filter(F.col("__epoch") == 0)
+        .count()
+        > 0
+    )
+    # latest-epoch re-delivery converges (its window is exactly what the
+    # drop cutoff preserved)
+    win.process_batch(docs.filter(F.col("doc_id") % 3 == 2), epoch_id=2)
+    again = {
+        (r["d1"], r["d2"])
+        for r in read_dedup_pairs(spark, str(tmp_path / "win")).collect()
+    }
+    assert again == win_pairs
