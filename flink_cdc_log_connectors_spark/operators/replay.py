@@ -593,9 +593,15 @@ def changelog_agg_ttl_replay_query(
         ttl=_AGG_TTL_US,
         ttl_col="ets",
     )
+    # strictness asserts apply to the FIRST run on a fresh state dir; a
+    # harness re-run over the persisted dir replays with the final
+    # watermark already stored, which front-loads expiry into the replay
+    # epochs and leaves nothing for the final pass (the view still
+    # converges to the same oracle)
+    fresh = agg._ttl_proto.load_wm() is None
     _replay_keyed_batches(agg.process_batch, env)
     env.unpersist(False)
-    if agg.expired_applied == 0:
+    if fresh and agg.expired_applied == 0:
         raise AssertionError(
             "TTL witness never expired a fact mid-replay — the per-epoch "
             "expiry path was not exercised"
@@ -603,7 +609,7 @@ def changelog_agg_ttl_replay_query(
     mid = agg.expired_applied
     with witness_shuffle_partitions(spark):
         agg.expire(spark, epoch_id=3)
-    if agg.expired_applied <= mid:
+    if fresh and agg.expired_applied <= mid:
         raise AssertionError(
             "final expire() pass retracted nothing — fixture/TTL sizing "
             "no longer exercises the tail flush"
@@ -662,6 +668,8 @@ def changelog_join_ttl_replay_query(
         left_ttl=_AGG_TTL_US,
         left_ttl_col="fts",
     )
+    # fresh-dir gate: see changelog_agg_ttl_replay_query
+    fresh = join._ttl_proto.load_wm() is None
     with witness_shuffle_partitions(spark):
         for epoch, (lo, hi) in enumerate(((1, 10), (11, 20), (21, 31))):
             join.process_batch(
@@ -671,7 +679,7 @@ def changelog_join_ttl_replay_query(
                 epoch_id=epoch,
             )
     raw.unpersist(False)
-    if join.expired_applied == 0:
+    if fresh and join.expired_applied == 0:
         raise AssertionError(
             "join TTL witness never expired a fact mid-replay — the "
             "per-epoch expiry path was not exercised"
@@ -679,7 +687,7 @@ def changelog_join_ttl_replay_query(
     mid = join.expired_applied
     with witness_shuffle_partitions(spark):
         join.expire(spark, epoch_id=3)
-    if join.expired_applied <= mid:
+    if fresh and join.expired_applied <= mid:
         raise AssertionError(
             "final expire() pass retracted nothing — fixture/TTL sizing "
             "no longer exercises the tail flush"
@@ -754,9 +762,11 @@ def changelog_topn_ttl_replay_query(
         ttl=_AGG_TTL_US,
         ttl_col="ets",
     )
+    # fresh-dir gate: see changelog_agg_ttl_replay_query
+    fresh = topn._ttl_proto.load_wm() is None
     _replay_keyed_batches(topn.process_batch, env)
     env.unpersist(False)
-    if topn.expired_applied == 0:
+    if fresh and topn.expired_applied == 0:
         raise AssertionError(
             "Top-N TTL witness never expired a fact mid-replay — the "
             "per-epoch expiry path was not exercised"
@@ -764,7 +774,7 @@ def changelog_topn_ttl_replay_query(
     mid = topn.expired_applied
     with witness_shuffle_partitions(spark):
         topn.expire(spark, epoch_id=3)
-    if topn.expired_applied <= mid:
+    if fresh and topn.expired_applied <= mid:
         raise AssertionError(
             "final expire() pass retracted nothing — fixture/TTL sizing "
             "no longer exercises the tail flush"
@@ -919,9 +929,11 @@ def changelog_cagg_ttl_replay_query(
         ttl=_AGG_TTL_US,
         ttl_col="ets",
     )
+    # fresh-dir gate: see changelog_agg_ttl_replay_query
+    fresh = agg._ttl_proto.load_wm() is None
     _replay_keyed_batches(agg.process_batch, env)
     env.unpersist(False)
-    if agg.expired_applied == 0:
+    if fresh and agg.expired_applied == 0:
         raise AssertionError(
             "cagg TTL witness never expired a fact mid-replay — the "
             "per-epoch expiry path was not exercised"
@@ -929,7 +941,7 @@ def changelog_cagg_ttl_replay_query(
     mid = agg.expired_applied
     with witness_shuffle_partitions(spark):
         agg.expire(spark, epoch_id=3)
-    if agg.expired_applied <= mid:
+    if fresh and agg.expired_applied <= mid:
         raise AssertionError(
             "final expire() pass retracted nothing — fixture/TTL sizing "
             "no longer exercises the tail flush"
@@ -1217,11 +1229,25 @@ def ingest_dedup_window_replay_query(
     Structured Streaming retry can replay — commits are sequential,
     and the drop cutoff preserves exactly its window) re-derives the
     identical pair set.  Oracle: the batch MinHash pipeline restricted
-    to pairs whose arrival batches are ≤ 1 epoch apart."""
+    to pairs whose arrival batches are ≤ 1 epoch apart.
+
+    Per-call FRESH workspace (the ``cep_stream_replay`` precedent):
+    unlike the corpus-wide witnesses, a full from-epoch-0 re-run over a
+    persisted windowed index is not a streaming scenario the machinery
+    supports — the retention fold has correctly GC'd the old epochs'
+    index rows (only the LATEST epoch can retry, and the drop cutoff
+    preserves exactly its window), so replaying epoch 1 against the
+    GC'd window would legitimately derive different pairs."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
     from ..streaming.ingest_dedup import IngestDedup, read_dedup_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    index_path = replay_state_dir("ingest_window", sf_dir)
+    index_path = _tempfile.mkdtemp(prefix="ingest_window_")
+    import atexit
+
+    atexit.register(_shutil.rmtree, index_path, ignore_errors=True)
     dd = IngestDedup(index_path, compact_threshold=2, retention_epochs=1)
     with witness_shuffle_partitions(spark):
         for epoch in range(3):

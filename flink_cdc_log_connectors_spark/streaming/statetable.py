@@ -371,6 +371,23 @@ class PartitionedStateTable:
             new_manifest[str(b)] = [v for v in old if v != epoch_id] + [
                 epoch_id
             ]
+        # the overwrite above deleted EVERY bucket dir of v=<epoch>; a
+        # bucket referenced at this epoch but absent from the new write
+        # must drop the reference or the manifest dangles.  The replay
+        # contract says a retry carries the same rows (same buckets), so
+        # this only fires for contract violations — where a consistent
+        # manifest beats a PATH_NOT_FOUND read forever after.
+        for b, vs in self._bucket_items(manifest):
+            if (
+                isinstance(vs, list)
+                and epoch_id in vs
+                and int(b) not in touched
+            ):
+                left = [v for v in new_manifest[b] if v != epoch_id]
+                if left:
+                    new_manifest[b] = left
+                else:
+                    new_manifest.pop(b, None)
         tmp = self._manifest_path() + ".tmp"
         os.makedirs(self.path, exist_ok=True)
         with open(tmp, "w") as f:
