@@ -356,6 +356,14 @@ _CYCLE_DELETE = 3
 _CYCLE_RENAME = 7
 
 
+#: (session id, sf_dir) → persisted envelope frame.  SEVEN keyed-state
+#: witnesses replay this identical fixture, and bench runs them all
+#: (twice) in one process — memoizing saves six rebuilds (window + json
+#: encode + uniqueness assert) per round at the cost of one small cached
+#: frame (VERDICT r9 #5, bench diet).  Callers must NOT unpersist it.
+_KEYED_ENV_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _keyed_state_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rebadge the events table as one well-formed CDC log of a single
     table ``state`` keyed by ``user_id`` with a NULLABLE group column:
@@ -369,10 +377,16 @@ def _keyed_state_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
       after-image under the globally fresh key ``event_id + 1000000``.
 
     Returned envelopes carry (value, file, pos, day); log position =
-    microsecond rowtime (unique — asserted)."""
+    microsecond rowtime (unique — asserted).  Memoized per (session,
+    sf_dir) — see ``_KEYED_ENV_CACHE``."""
     from pyspark.sql.window import Window
 
     from ..functions.datetime import epoch_micros
+
+    cache_key = (id(spark), sf_dir)
+    cached = _KEYED_ENV_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
 
     base = load_table(spark, sf_dir, "events").select(
         "event_id",
@@ -412,7 +426,7 @@ def _keyed_state_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
     after = F.when(
         op != "d", F.when(p == _CYCLE_RENAME, ren_img).otherwise(u_img)
     )
-    return base.select(
+    env = base.select(
         F.to_json(
             F.struct(
                 before.alias("before"),
@@ -432,6 +446,8 @@ def _keyed_state_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_us").alias("pos"),
         "day",
     ).persist()
+    _KEYED_ENV_CACHE[cache_key] = env
+    return env
 
 
 def _keyed_state_schema():
@@ -461,6 +477,22 @@ def _replay_keyed_batches(consumer_process_batch, env: DataFrame) -> None:
                 ),
                 epoch_id=epoch,
             )
+
+
+def _fresh_expire_epoch(default: int, *tables) -> int:
+    """A provably-fresh epoch id for a witness's final ``expire()``
+    pass: ``default`` on a fresh state dir, else one past the highest
+    committed epoch.  Needed because ``expire()`` now REFUSES recycled
+    ids (ADVICE r9 — a recycled id silently no-ops the retractions
+    while sealing the expiry bounds): a harness re-run over the
+    persisted dir replays the data epochs with the final-pass epoch
+    already committed, so the hardcoded ``default`` would be refused.
+    The view converges identically under any id strictly above every
+    committed epoch (the retractions win the changelog merge)."""
+    from ..streaming.ttl import max_committed_epoch
+
+    mx = max_committed_epoch(*tables)
+    return default if mx is None else max(default, mx + 1)
 
 
 #: latest-live-state CTE shared by both oracles: after-images of
@@ -530,7 +562,6 @@ def changelog_agg_replay_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets=8,
     )
     _replay_keyed_batches(agg.process_batch, env)
-    env.unpersist(False)
     view = agg.read_view(spark)
     # round the float sum on BOTH sides: values are 2-decimal, but Spark
     # and DuckDB add doubles in different orders (ulp-level drift)
@@ -600,7 +631,6 @@ def changelog_agg_ttl_replay_query(
     # converges to the same oracle)
     fresh = agg._ttl_proto.load_wm() is None
     _replay_keyed_batches(agg.process_batch, env)
-    env.unpersist(False)
     if fresh and agg.expired_applied == 0:
         raise AssertionError(
             "TTL witness never expired a fact mid-replay — the per-epoch "
@@ -608,7 +638,9 @@ def changelog_agg_ttl_replay_query(
         )
     mid = agg.expired_applied
     with witness_shuffle_partitions(spark):
-        agg.expire(spark, epoch_id=3)
+        agg.expire(
+            spark, epoch_id=_fresh_expire_epoch(3, agg.fact_state, agg.output)
+        )
     if fresh and agg.expired_applied <= mid:
         raise AssertionError(
             "final expire() pass retracted nothing — fixture/TTL sizing "
@@ -635,6 +667,92 @@ WHERE ets > (SELECT MAX(ets) FROM log) - {_AGG_TTL_US}
 GROUP BY grp ORDER BY grp
 """
 )
+
+
+def changelog_agg_idle_expiry_replay_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Replay witness for IDLE-STREAM EXPIRY (``streaming/epochs.py`` —
+    VERDICT r9 What's-missing #6; Flink's background state-TTL cleanup
+    timers are the analogue): the ``changelog_agg_ttl_replay`` fixture
+    fed through an :class:`EpochSequencer`, after which the stream
+    QUIESCES — no more data batches, no manual ``expire()``.  The idle
+    monitor's ticks (the same ``on_trigger`` the deployable rate-source
+    ticker drives) must detect the quiet period and flush the expirable
+    tail under a sequencer-allocated fresh epoch, making the view equal
+    the retention-window oracle.  RAISES unless expiry fired mid-replay
+    AND the idle flush itself retracted rows (fresh-dir gated).
+
+    The advisory monitor state file is removed up front so harness
+    re-runs observe a fresh quiet period (trigger ids advance past the
+    prior run's, so the sequencer allocates a genuinely fresh epoch and
+    the flush re-retracts what the replayed epochs re-inserted)."""
+    from ..streaming.aggregates import ChangelogAggregate
+    from ..streaming.epochs import (
+        EpochSequencer,
+        IdleExpiryMonitor,
+        sequenced_process_batch,
+    )
+
+    env = _keyed_state_envelopes(spark, sf_dir)
+    agg = ChangelogAggregate(
+        "state",
+        _keyed_state_schema(),
+        key="user_id",
+        group_cols=["grp"],
+        output_path=replay_state_dir("agg_idle_replay", sf_dir),
+        sum_cols=["value"],
+        minmax_cols=["value"],
+        n_buckets=8,
+        ttl=_AGG_TTL_US,
+        ttl_col="ets",
+    )
+    fresh = agg._ttl_proto.load_wm() is None
+    seq = EpochSequencer(agg.output.path)
+    feed = sequenced_process_batch(agg, seq)
+    with witness_shuffle_partitions(spark):
+        for src_epoch, (lo, hi) in enumerate(((1, 10), (11, 20), (21, 31))):
+            feed(
+                env.filter(F.col("day").between(lo, hi)).select(
+                    "value", "file", "pos"
+                ),
+                src_epoch,
+            )
+    if fresh and agg.expired_applied == 0:
+        raise AssertionError(
+            "idle-expiry witness never expired a fact mid-replay — the "
+            "per-epoch expiry path was not exercised"
+        )
+    mid = agg.expired_applied
+    mon = IdleExpiryMonitor(agg, seq, idle_triggers=1)
+    try:
+        os.remove(mon._state_path)
+    except FileNotFoundError:
+        pass
+    fired = False
+    base = seq.last() + 1  # strictly past every prior run's trigger ids
+    with witness_shuffle_partitions(spark):
+        for i in range(4):
+            if mon.on_trigger(spark, base + i):
+                fired = True
+                break
+    if not fired:
+        raise AssertionError(
+            "idle ticker never flushed the quiesced stream"
+        )
+    if fresh and agg.expired_applied <= mid:
+        raise AssertionError(
+            "idle flush retracted nothing — fixture/TTL sizing no longer "
+            "exercises the quiesced tail"
+        )
+    view = agg.read_view(spark)
+    return view.select(
+        "grp",
+        "cnt",
+        F.round("sum_value", 2).alias("sum_value"),
+        "min_value",
+        "max_value",
+    ).orderBy("grp")
 
 
 def changelog_join_ttl_replay_query(
@@ -686,7 +804,12 @@ def changelog_join_ttl_replay_query(
         )
     mid = join.expired_applied
     with witness_shuffle_partitions(spark):
-        join.expire(spark, epoch_id=3)
+        join.expire(
+            spark,
+            epoch_id=_fresh_expire_epoch(
+                3, join.left_state, join.right_state, join.output
+            ),
+        )
     if fresh and join.expired_applied <= mid:
         raise AssertionError(
             "final expire() pass retracted nothing — fixture/TTL sizing "
@@ -765,7 +888,6 @@ def changelog_topn_ttl_replay_query(
     # fresh-dir gate: see changelog_agg_ttl_replay_query
     fresh = topn._ttl_proto.load_wm() is None
     _replay_keyed_batches(topn.process_batch, env)
-    env.unpersist(False)
     if fresh and topn.expired_applied == 0:
         raise AssertionError(
             "Top-N TTL witness never expired a fact mid-replay — the "
@@ -773,7 +895,10 @@ def changelog_topn_ttl_replay_query(
         )
     mid = topn.expired_applied
     with witness_shuffle_partitions(spark):
-        topn.expire(spark, epoch_id=3)
+        topn.expire(
+            spark,
+            epoch_id=_fresh_expire_epoch(3, topn.fact_state, topn.output),
+        )
     if fresh and topn.expired_applied <= mid:
         raise AssertionError(
             "final expire() pass retracted nothing — fixture/TTL sizing "
@@ -822,7 +947,6 @@ def changelog_topn_replay_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets=8,
     )
     _replay_keyed_batches(topn.process_batch, env)
-    env.unpersist(False)
     view = topn.read_view(spark)
     return view.orderBy("grp", "rn")
 
@@ -878,7 +1002,6 @@ def changelog_cagg_replay_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     _replay_keyed_batches(agg.process_batch, env)
-    env.unpersist(False)
     view = agg.read_view(spark)
     return view.select(
         "bkt",
@@ -932,7 +1055,6 @@ def changelog_cagg_ttl_replay_query(
     # fresh-dir gate: see changelog_agg_ttl_replay_query
     fresh = agg._ttl_proto.load_wm() is None
     _replay_keyed_batches(agg.process_batch, env)
-    env.unpersist(False)
     if fresh and agg.expired_applied == 0:
         raise AssertionError(
             "cagg TTL witness never expired a fact mid-replay — the "
@@ -940,7 +1062,9 @@ def changelog_cagg_ttl_replay_query(
         )
     mid = agg.expired_applied
     with witness_shuffle_partitions(spark):
-        agg.expire(spark, epoch_id=3)
+        agg.expire(
+            spark, epoch_id=_fresh_expire_epoch(3, agg.fact_state, agg.output)
+        )
     if fresh and agg.expired_applied <= mid:
         raise AssertionError(
             "final expire() pass retracted nothing — fixture/TTL sizing "
@@ -1130,14 +1254,18 @@ def ingest_dedup_replay_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("d1", "d2", "jaccard").orderBy("d1", "d2")
 
 
-def _ingest_minhash_oriented_sql(window: int | None = None) -> str:
+def _ingest_minhash_oriented_sql(
+    window: int | None = None, slice_mod: int | None = None
+) -> str:
     """DuckDB twin of the streaming ingest dedup: the batch MinHash
     oracle's candidate + verification stages (same constants — identical
     signatures across engines), oriented by arrival batch
     (``doc_id % 3``): d1 = later batch's doc, intra-batch smaller id
     first.  With ``window``, only pairs whose arrival batches are within
     ``window`` epochs of each other survive — the dedup-window
-    (``retention_epochs``) semantics."""
+    (``retention_epochs``) semantics.  With ``slice_mod``, the corpus is
+    restricted to ``doc_id % slice_mod = 0`` — the bench-diet slice the
+    window witness replays (VERDICT r9 #5)."""
     from .dedup import (
         BANDS,
         MINHASH_A,
@@ -1174,9 +1302,14 @@ def _ingest_minhash_oriented_sql(window: int | None = None) -> str:
             f"<= {window}"
         )
     )
+    src = (
+        "documents"
+        if slice_mod is None
+        else f"(SELECT * FROM documents WHERE doc_id % {slice_mod} = 0)"
+    )
     return f"""
 WITH tri AS (
-  SELECT doc_id, unnest({ngrams_sql("text", 3)}) AS g FROM documents
+  SELECT doc_id, unnest({ngrams_sql("text", 3)}) AS g FROM {src}
 ),
 hs AS (SELECT doc_id, ('0x' || substring(md5(g), 1, 15))::BIGINT AS sh FROM tri),
 sig AS (
@@ -1243,32 +1376,49 @@ def ingest_dedup_window_replay_query(
 
     from ..streaming.ingest_dedup import IngestDedup, read_dedup_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
+    # bench diet (VERDICT r9 #5): the witness rebuilds a fresh windowed
+    # index per call BY DESIGN (above), so it replays a HALF slice of the
+    # corpus — the window/fold/redelivery contract is slice-independent,
+    # and the oracle (slice_mod=2) restricts identically, so values still
+    # check end to end
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 2 == 0
+    )
     index_path = _tempfile.mkdtemp(prefix="ingest_window_")
-    import atexit
-
-    atexit.register(_shutil.rmtree, index_path, ignore_errors=True)
-    dd = IngestDedup(index_path, compact_threshold=2, retention_epochs=1)
-    with witness_shuffle_partitions(spark):
-        for epoch in range(3):
+    try:
+        dd = IngestDedup(index_path, compact_threshold=2, retention_epochs=1)
+        with witness_shuffle_partitions(spark):
+            for epoch in range(3):
+                dd.process_batch(
+                    docs.filter(F.col("doc_id") % 3 == epoch), epoch_id=epoch
+                )
+            if not dd.bands.compactions_committed():
+                raise AssertionError(
+                    "index auto-compaction did not fire mid-replay"
+                )
+            oldest = dd.bands.read(spark).agg(
+                F.min("__epoch").alias("mn")
+            ).first()["mn"]
+            # oldest is None ⇔ the bands store is EMPTY — also a fixture
+            # regression (ADVICE r9: without the guard it was a
+            # TypeError, not the intended AssertionError)
+            if oldest is None or oldest < 1:
+                raise AssertionError(
+                    f"expired index rows survived the fold or the store "
+                    f"is empty (min __epoch {oldest}) — the retention "
+                    "transform did not run as intended"
+                )
             dd.process_batch(
-                docs.filter(F.col("doc_id") % 3 == epoch), epoch_id=epoch
+                docs.filter(F.col("doc_id") % 3 == 2), epoch_id=2
             )
-        if not dd.bands.compactions_committed():
-            raise AssertionError(
-                "index auto-compaction did not fire mid-replay"
-            )
-        oldest = dd.bands.read(spark).agg(
-            F.min("__epoch").alias("mn")
-        ).first()["mn"]
-        if oldest < 1:
-            raise AssertionError(
-                f"expired index rows survived the fold (min __epoch "
-                f"{oldest}) — the retention transform did not run"
-            )
-        dd.process_batch(docs.filter(F.col("doc_id") % 3 == 2), epoch_id=2)
-    pairs = read_dedup_pairs(spark, index_path)
-    return pairs.select("d1", "d2", "jaccard").orderBy("d1", "d2")
+        pairs = read_dedup_pairs(spark, index_path)
+        # materialize before the workspace is deleted (try/finally
+        # rmtree replaces the r9 atexit registration, which leaked one
+        # mkdtemp workspace per call until process exit — ADVICE r9)
+        out = pairs.select("d1", "d2", "jaccard").orderBy("d1", "d2")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        _shutil.rmtree(index_path, ignore_errors=True)
 
 
 def ingest_index_migrate_replay_query(
@@ -1461,6 +1611,12 @@ REPLAY_QUERIES = {
         changelog_agg_ttl_replay_query,
         CHANGELOG_AGG_TTL_REPLAY_SQL,
     ),
+    # same fixture and retention-window oracle as the TTL witness — the
+    # convergence driver differs (idle ticker, not a manual expire())
+    "changelog_agg_idle_expiry_replay": (
+        changelog_agg_idle_expiry_replay_query,
+        CHANGELOG_AGG_TTL_REPLAY_SQL,
+    ),
     "changelog_join_ttl_replay": (
         changelog_join_ttl_replay_query,
         CHANGELOG_JOIN_TTL_REPLAY_SQL,
@@ -1495,7 +1651,7 @@ REPLAY_QUERIES = {
     ),
     "ingest_dedup_window_replay": (
         ingest_dedup_window_replay_query,
-        _ingest_minhash_oriented_sql(window=1),
+        _ingest_minhash_oriented_sql(window=1, slice_mod=2),
     ),
     "sink_exactly_once_replay": (
         sink_exactly_once_replay_query,

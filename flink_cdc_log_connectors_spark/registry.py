@@ -138,72 +138,68 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
 #: every round by the committed scripts/selfcheck.py run
 #: (SELFCHECK_r{N}.json).
 _DRIVER_WINDOW_PRIORITY = [
-    # r9 rotation (VERDICT r8 next-round #3), resorted from the measured
-    # CORRECTNESS r1-r8 union (50 r8 / 44 r7 / 48 r6 / 23 r5):
-    # (a) code changed this round: the ChangelogJoin type guard, the
-    # ingest-dedup (band_idx, bh) bucketing + pruned reads + append
-    # reorder, the sink fold-slice fix, and the state-table
-    # __folded_max watermark + spec-grandfather refusal (the last two
-    # underlie every witness that upserts/appends state)
+    # r10 rotation (VERDICT r9 next-round #1), resorted from the
+    # measured CORRECTNESS r1-r9 union (50 r9 / 43 r8 / 44 r7 / 35 r6):
+    # (a) new this round, never driver-checked
+    "changelog_agg_idle_expiry_replay",
+    # (b) code changed this round: the TTL bound-seeding fix +
+    # expire() freshness guard (ttl.py — under all four TTL witnesses
+    # and their consumers), the enrichment dim-read pruning (joins.py —
+    # under both join witnesses), the witness fresh-expire-epoch
+    # allocation + window-witness guard/cleanup (replay.py), and the
+    # sink tier_threshold auto-reconsolidation (sink.py)
+    "changelog_agg_ttl_replay",
+    "changelog_join_ttl_replay",
+    "changelog_topn_ttl_replay",
+    "changelog_cagg_ttl_replay",
+    "ingest_dedup_window_replay",
     "changelog_join_replay",
-    "ingest_dedup_replay",
-    "ingest_index_migrate_replay",  # new this round, never driver-checked
-    "lm_sequence_pack",  # new this round, never driver-checked
-    "changelog_agg_ttl_replay",  # new this round, never driver-checked
-    "changelog_join_ttl_replay",  # new this round, never driver-checked
-    "changelog_topn_ttl_replay",  # new this round, never driver-checked
-    "changelog_cagg_ttl_replay",  # new this round, never driver-checked
-    "ingest_dedup_window_replay",  # new this round, never driver-checked
-    "sink_exactly_once_replay",
-    "temporal_asof_replay",
     "changelog_agg_replay",
     "changelog_topn_replay",
     "changelog_cagg_replay",
-    # (b) stale refresh: the 23 entries whose last driver row is r5
-    "q15_op_breakdown",
-    "q16_tumbling_window",
-    "q17_json_extract",
-    "q18_correlated_subquery",
-    "q19_pivot",
-    "q20_percentiles",
-    "q21_token_freq",
-    "q22_grouping_sets",
-    "q23_shipping_priority",
-    "q35_order_priority_check",
-    "q36_shipmode_priority",
-    "q37_waiting_suppliers",
-    "q38_disjunctive_revenue",
-    "q39_nation_profit",
-    "simsearch_int8_pairs",
-    "simsearch_lsh_cosine",
-    "text_bpe_tokens",
-    "text_decontaminate",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_rarity_quality",
-    "text_token_stats",
-    "text_winnow_fingerprint",
-    # (c) the 48-entry r6 band — the window holds ~15 after the three
-    # TTL witnesses joined the head; the remainder leads r10's category
-    # (with the r9 target "none older than r6" met either way)
-    "agg_heavy_hitters",
-    "agg_kmv_distinct",
-    "agg_salted_hotkey",
-    "ann_ivf_pq",
-    "ann_ivf_recall",
-    "bpe_merge_candidates",
-    "cdc_asof_join",
-    "cdc_parse_throughput",
-    "cdc_scd2_history",
-    "corpus_importance_sample",
-    "corpus_mix_weights",
-    "corpus_quality_filter",
-    "corpus_snapshot_diff",
+    "sink_exactly_once_replay",
+    # (c) stale refresh: ALL 35 entries whose latest driver row is r6 —
+    # after this window no entry's evidence is older than r7
     "corpus_stratified_sample",
     "dedup_clusters",
     "dedup_containment",
     "dedup_keep_best",
     "dedup_minhash_planned",
+    "dedup_substring_span",
+    "emb_kmeans_assign",
+    "emb_outlier_dist",
+    "events_anomaly_zscore",
+    "events_cep_adjacent",
+    "events_cumulate_window",
+    "events_funnel",
+    "events_hop_window",
+    "events_markov_transitions",
+    "events_retention",
+    "events_top_paths",
+    "events_watermark_planning",
+    "hypertable_delta",
+    "hypertable_downsample",
+    "hypertable_fill_values",
+    "hypertable_first_last",
+    "hypertable_gapfill",
+    "hypertable_histogram",
+    "hypertable_rollup",
+    "join_bloom_prune",
+    "layout_zorder_key",
+    "lm_doc_bigram_bits",
+    "lm_stupid_backoff",
+    "mm_audio_rms",
+    "mm_binary_meta",
+    "mm_decode_features",
+    "mm_phash_pairs",
+    "search_hybrid_rrf",
+    "sessionize_events",
+    "simsearch_lsh_wide",
+    # (d) head of the 44-entry r7 band (its remainder leads r11)
+    "q01_project_scalar",
+    "q02_filter",
+    "q03_group_agg",
+    "q05_join_agg",
 ]
 
 

@@ -48,7 +48,7 @@ from ..sources.debezium import (
     retract_before_images,
 )
 from .statetable import PartitionedStateTable, null_safe_on
-from .ttl import EventTimeTTL, committed_at
+from .ttl import EventTimeTTL, check_expire_epoch, committed_at
 
 
 class ChangelogAggregate:
@@ -369,9 +369,12 @@ class ChangelogAggregate:
         "GROUP BY over facts inside the retention window" — per-batch
         expiry necessarily lags one epoch (an epoch's cutoff comes from
         the watermark its PREDECESSORS committed, keeping the batch's
-        scalars in one fused driver action)."""
+        scalars in one fused driver action).  A recycled epoch id is
+        REFUSED (``check_expire_epoch``): it would silently no-op the
+        retractions while sealing the expiry bounds."""
         if self.ttl is None:
             raise ValueError("expire() requires ttl")
+        check_expire_epoch(epoch_id, self.fact_state, self.output)
         self._apply_with_ttl(spark, None, epoch_id)
 
     def read_view(self, spark: SparkSession) -> DataFrame | None:

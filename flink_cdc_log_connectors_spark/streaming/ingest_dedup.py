@@ -457,7 +457,21 @@ def migrate_ingest_index(
     asset — re-ingesting to migrate was the only path before).  Covers
     pre-r8 raw append dirs AND r8 doc_id-bucketed ``bands`` tables; run
     once with the stream stopped, then resume.  Returns per-store
-    whether a migration happened."""
+    whether a migration happened.
+
+    **Sizing ``n_buckets`` (VERDICT r9 #8)**: this migration is also the
+    natural RE-BUCKETING point for corpus growth — per-batch index IO is
+    ``touched_buckets × (index_rows / n_buckets)``, so once the index has
+    outgrown its bucket count the pruned read's per-bucket term dominates
+    (measured: 23.6% of full-scan bytes at 256 buckets vs 1.5% at 4096 on
+    the same corpus, SCALING.md r9).  Rule of thumb: pick ``n_buckets ≈
+    index_rows_at_target_corpus / 2M`` rounded up to a power of two — a
+    bucket then holds ~2M band rows (tens of MB parquet), small enough
+    that a batch probing B distinct band-hash buckets reads O(B·tens MB),
+    large enough that the manifest and per-commit file counts stay
+    trivial.  Growing the corpus 10× later?  Re-run this migration with
+    the next 8-16× bucket count — one full read+write, the same cost as
+    one compaction."""
     return {
         "bands": _migrate_one(
             spark,

@@ -55,6 +55,7 @@ class ExactlyOnceAppendSink:
         path: str,
         compact_threshold: int | None = 64,
         keep_recent: int = 8,
+        tier_threshold: int | None = None,
     ) -> None:
         self.path = path
         #: fold loose epochs once their count exceeds this (None = manual
@@ -65,6 +66,13 @@ class ExactlyOnceAppendSink:
         #: never fold the newest N epochs (conservatively beyond any
         #: window a Structured Streaming retry could re-deliver)
         self.keep_recent = keep_recent
+        #: auto-run :meth:`reconsolidate_tiers` when a fold leaves more
+        #: than this many tier directories (VERDICT r9 #8; None = manual
+        #: only, the default — each re-merge reads+writes ALL folded data,
+        #: so opting in trades O(total) IO every ``tier_threshold`` folds
+        #: (≈ ``tier_threshold × compact_threshold`` epochs) for a reader
+        #: path list bounded at ``tier_threshold + keep_recent``)
+        self.tier_threshold = tier_threshold
 
     def _ledger_path(self) -> str:
         return os.path.join(self.path, _LEDGER)
@@ -180,6 +188,11 @@ class ExactlyOnceAppendSink:
         self._store_ledger(new_led)  # the swap commits the fold
         for e in fold:  # GC best-effort, post-commit
             shutil.rmtree(self._epoch_dir(e), ignore_errors=True)
+        if (
+            self.tier_threshold is not None
+            and len(entry["dirs"]) > self.tier_threshold
+        ):
+            self.reconsolidate_tiers(spark)
         return True
 
     def reconsolidate_tiers(self, spark: SparkSession) -> bool:

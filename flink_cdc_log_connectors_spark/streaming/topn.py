@@ -62,7 +62,7 @@ from ..sources.debezium import (
     retract_before_images,
 )
 from .statetable import PartitionedStateTable, null_safe_on
-from .ttl import EventTimeTTL, committed_at
+from .ttl import EventTimeTTL, check_expire_epoch, committed_at
 
 #: injected partition column for global (un-partitioned) Top-N
 _GLOBAL = "__all"
@@ -390,9 +390,12 @@ class ChangelogTopN:
         """Expiry-only pass (no input batch) under a FRESH epoch id —
         retracts every fact the CURRENT stored watermark has aged out
         (per-batch expiry lags one epoch: cutoffs come from the
-        watermark the epoch's predecessors committed)."""
+        watermark the epoch's predecessors committed).  A recycled
+        epoch id is REFUSED (``check_expire_epoch``): it would silently
+        no-op the retractions while sealing the expiry bounds."""
         if self.ttl is None:
             raise ValueError("expire() requires ttl")
+        check_expire_epoch(epoch_id, self.fact_state, self.output)
         self._apply_with_ttl(spark, None, epoch_id)
 
     def read_view(self, spark: SparkSession) -> DataFrame | None:

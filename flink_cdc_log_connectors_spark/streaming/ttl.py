@@ -61,6 +61,45 @@ from pyspark.sql import functions as F
 from .statetable import PartitionedStateTable
 
 
+def max_committed_epoch(*tables: PartitionedStateTable) -> int | None:
+    """Highest integer epoch any of ``tables`` has committed (manifest
+    values; append-managed version lists included), or None if none
+    committed anything.  Backs the ``expire()`` freshness guard below."""
+    mx: int | None = None
+    for t in tables:
+        for _, v in t._bucket_items(t.load_manifest()):
+            for e in v if isinstance(v, list) else [v]:
+                if isinstance(e, int) and (mx is None or e > mx):
+                    mx = e
+    return mx
+
+
+def check_expire_epoch(
+    epoch_id: int, *tables: PartitionedStateTable
+) -> None:
+    """Refuse an :meth:`expire`-style pass under a RECYCLED epoch id
+    (ADVICE r9): the synthesized retractions would sort below every
+    later-epoch stored row in the changelog merge (order leads with
+    ``__epoch``), so the expiry silently no-ops — while ``finalize``
+    still raises the scanned buckets' bounds past the surviving facts'
+    event times, pruning them out of every future scan: they would
+    never expire.  Raising here turns that permanent silent divergence
+    into an immediate error.  Only ``expire()`` gets the guard: a
+    REPLAYED data epoch legitimately re-enters ``stage()`` with an old
+    id (the from-epoch-0 re-run contract) and stays convergent because
+    its batch re-carries the old facts' event times through
+    ``batch_min``, keeping their buckets scannable."""
+    mx = max_committed_epoch(*tables)
+    if mx is not None and epoch_id <= mx:
+        raise ValueError(
+            f"expire() needs a FRESH epoch id: {epoch_id} is not "
+            f"strictly greater than the highest committed epoch ({mx}) "
+            "— a recycled id would make the synthesized retractions "
+            "lose the changelog merge while still sealing the expiry "
+            "bounds (facts would silently never expire)"
+        )
+
+
 def committed_at(table: PartitionedStateTable, epoch_id: int) -> set[int]:
     """Bucket ids this epoch already committed to ``table`` — a retry
     (or a re-delivery of a fully-committed epoch) must union these into
@@ -97,6 +136,10 @@ class EventTimeTTL:
         self.ttl_col = ttl_col
         #: prefix keeping two TTL'd tables' metadata apart in one dir
         self.name = name
+        #: buckets live before the current epoch's upsert (set by
+        #: :meth:`stage`); ``None`` until then — ``finalize`` without a
+        #: preceding ``stage`` seeds no bounds (conservative)
+        self._prior_live: set[int] | None = None
 
     # -- watermark (monotone max, atomic replace) ---------------------------
     def _wm_path(self) -> str:
@@ -180,6 +223,24 @@ class EventTimeTTL:
         docstring).  The images are read BACK from the stage: a lazy
         plan over the live buckets would race the upsert's post-commit
         GC of the versions it points into."""
+        # Snapshot the buckets live BEFORE this epoch's upsert:
+        # ``finalize`` may only SEED a bound for a bucket that was
+        # provably empty until now (ADVICE r9) — a bucket with
+        # pre-existing rows must stay unbounded (None = always scan)
+        # until an expiry scan stages its true survivor minimum, or the
+        # batch minimum would seal older stored facts out of every
+        # future scan (TTL enabled on a pre-existing dir: the first
+        # epoch runs before any watermark exists, so no scan covers
+        # them and they would never expire).  Captured on EVERY stage
+        # call — including the early returns below — because the
+        # no-watermark first epoch is exactly the hazardous path.  On a
+        # retry the manifest already includes this epoch's buckets, so
+        # seeding is suppressed for them too: conservative (one extra
+        # scan), never wrong.
+        self._prior_live = {
+            int(b)
+            for b, _ in self.state._bucket_items(self.state.load_manifest())
+        }
         root = os.path.join(self.meta_dir, f"__{self.name}_syn")
         stage = self._stage_dir(epoch_id)
         if os.path.isdir(root):
@@ -272,11 +333,24 @@ class EventTimeTTL:
             ]
             bounds[str(b)] = min(cands) if cands else cutoff + 1
         escan = set(exp)
+        prior_live = self._prior_live
         for b, bm in batch_min.items():
             if int(b) in escan or bm is None:
                 continue
             old = bounds.get(b)
-            bounds[b] = bm if old is None else min(old, bm)
+            if old is None:
+                # SEED only for buckets provably empty before this epoch
+                # (ADVICE r9): a bucket that already held rows may hold
+                # facts OLDER than the batch minimum — on the
+                # pre-existing-dir path no scan has covered them yet, so
+                # a batch-min bound would prune them out of every future
+                # expiry scan and they would never expire.  Leave such
+                # buckets unbounded (always scanned) until an expiry
+                # scan stages their true survivor minimum.
+                if prior_live is not None and int(b) not in prior_live:
+                    bounds[b] = bm
+            else:
+                bounds[b] = min(old, bm)
         manifest = self.state.load_manifest()
         live = {b for b, _ in self.state._bucket_items(manifest)}
         self._store_bounds({b: v for b, v in bounds.items() if b in live})

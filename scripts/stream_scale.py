@@ -320,6 +320,7 @@ ORDERS_SCHEMA = T.StructType(
         T.StructField("o_id", T.LongType()),
         T.StructField("cust_id", T.LongType()),
         T.StructField("amount", T.DoubleType()),
+        T.StructField("ots", T.LongType()),  # fact rowtime (TTL legs)
     ]
 )
 CUSTS_SCHEMA = T.StructType(
@@ -352,6 +353,7 @@ def join_build_envelopes(
         (F.lit(10**9) + i).alias("o_id"),
         (i % n_referenced).alias("cust_id"),
         F.lit(1.0).alias("amount"),
+        (F.lit(BASE_TS) + n_dims + i).alias("ots"),
     )
     facts = spark.range(n_facts).select(
         *_env(
@@ -397,6 +399,7 @@ def measure_join(
     by_join_col: bool,
     n_buckets: int = N_BUCKETS,
     n_dims: int | None = None,
+    left_ttl: int | None = None,
 ):
     from flink_cdc_log_connectors_spark.streaming.joins import (
         ChangelogJoin,
@@ -418,6 +421,8 @@ def measure_join(
         how="inner",
         n_buckets=n_buckets,
         bucket_left_by_join_col=by_join_col,
+        left_ttl=left_ttl,
+        left_ttl_col="ots" if left_ttl is not None else None,
     )
     build, n_dims = join_build_envelopes(spark, n_facts, n_dims)
     build = build.persist()
@@ -458,12 +463,150 @@ def measure_join(
     # the probed keys' enrichment must reflect the LAST probe run
     n_latest = view.filter(F.col("r_name") == f"w{RUNS + 1}").count()
     assert n_latest == PROBE_KEYS * JOIN_FAN_OUT, n_latest
+    # deterministic dim-IO reading (VERDICT r9 #2): bytes the LAST probe
+    # epoch's enrichment read actually opened (pruned to the batch's
+    # join-value buckets, r10) vs the full dim store a pre-r10 epoch
+    # scanned — noise-immune where wall clock is not
+    dim_full = _state_bytes(join.right_state)
+    dim_read = (
+        dim_full
+        if join.last_dim_buckets is None
+        else _pruned_bytes(join.right_state, join.last_dim_buckets)
+    )
     return {
         "fact_state_rows": n_facts,
+        "dim_state_rows": n_dims,
         "build_s": round(build_s, 2),
         "probe_epoch_s": round(min(times), 3),
         "probe_runs_s": [round(t, 3) for t in times],
         "jobs_per_epoch": jobs,
+        "dim_state_bytes_full": dim_full,
+        "dim_read_bytes_pruned": dim_read,
+        "dim_read_buckets": (
+            None
+            if join.last_dim_buckets is None
+            else len(join.last_dim_buckets)
+        ),
+    }
+
+
+def join_ttl_cold_build_envelopes(spark: SparkSession, n_facts: int):
+    """The join build fixture with a COLD fact population: every 10th
+    fact carries an EARLY rowtime (``ots = i``) while the rest sit at
+    ``10·n + i`` — a TTL whose cutoff lands between the two expires
+    exactly the cold 10%.  Dims are unchanged (dim state is never
+    TTL'd)."""
+    n_referenced = n_facts // JOIN_FAN_OUT
+    i = F.col("id")
+    dim_after = F.struct(i.alias("c_id"), F.lit("b").alias("name"))
+    dims = spark.range(n_referenced).select(
+        *_env("customers", F.lit("c"), None, dim_after, F.lit(BASE_TS) + i, i)
+    )
+    ots = F.when(i % 10 == 0, i).otherwise(F.lit(10 * n_facts) + i)
+    fact_after = F.struct(
+        (F.lit(10**9) + i).alias("o_id"),
+        (i % n_referenced).alias("cust_id"),
+        F.lit(1.0).alias("amount"),
+        ots.alias("ots"),
+    )
+    facts = spark.range(n_facts).select(
+        *_env(
+            "orders",
+            F.lit("c"),
+            None,
+            fact_after,
+            F.lit(BASE_TS) + n_referenced + i,
+            F.lit(n_referenced) + i,
+        )
+    )
+    return dims.unionByName(facts), n_referenced
+
+
+def measure_join_ttl_expiry(spark: SparkSession, n_facts: int, tag: str):
+    """Expiry-pass cost for the JOIN consumer (VERDICT r9 #3 — the
+    heaviest TTL consumer: its per-batch stats agg is two-sided and its
+    expiry tombstones output rows through the full recompute pipeline).
+    Mirrors ``measure_agg_ttl_expiry``: the first pass after a bulk
+    build scans every bucket (build-time bounds are batch minima), the
+    pass after a small watermark advance must scan ZERO."""
+    from flink_cdc_log_connectors_spark.streaming.joins import (
+        ChangelogJoin,
+        JoinSide,
+    )
+
+    root = os.path.join(WORK, f"jointtl_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    # wm after build = 11n-1; ttl = n puts the cutoff at 10n-1: at or
+    # above every cold rowtime (≤ n-10), below every warm one (≥ 10n+1)
+    join = ChangelogJoin(
+        JoinSide("orders", ORDERS_SCHEMA, key="o_id", join_col="cust_id"),
+        JoinSide("customers", CUSTS_SCHEMA, key="c_id", join_col="c_id"),
+        root,
+        how="inner",
+        n_buckets=N_BUCKETS,
+        bucket_left_by_join_col=True,
+        left_ttl=n_facts,
+        left_ttl_col="ots",
+    )
+    build, n_dims = join_ttl_cold_build_envelopes(spark, n_facts)
+    build = build.persist()
+    total = n_dims + n_facts
+    build_epochs = 4
+    per = total // build_epochs
+    for e in range(build_epochs):
+        lo, hi = e * per, (e + 1) * per if e < build_epochs - 1 else total
+        join.process_batch(
+            build.filter((F.col("pos") >= lo) & (F.col("pos") < hi)),
+            epoch_id=e,
+        )
+    build.unpersist()
+
+    # stage the decision first (expire() reuses it) so scan set + bytes
+    # are reportable without instrumenting the class
+    exp, _cutoff, _syn = join._ttl_proto.stage(spark, build_epochs)
+    full_bytes = _state_bytes(join.left_state)
+    scan_bytes = _pruned_bytes(join.left_state, exp)
+    t0 = time.perf_counter()
+    join.expire(spark, epoch_id=build_epochs)
+    expiry_s = time.perf_counter() - t0
+    expired = join.expired_applied
+
+    # advance the watermark slightly (one fresh fact at ots = 11n) —
+    # the new cutoff (10n) stays below every tightened bound (≥ 10n+1),
+    # so the next expiry decision scans ZERO buckets
+    i = F.col("id")
+    adv_after = F.struct(
+        (F.lit(10**9) + n_facts + i).alias("o_id"),
+        (i % n_dims).alias("cust_id"),
+        F.lit(1.0).alias("amount"),
+        (F.lit(11 * n_facts) + i).alias("ots"),
+    )
+    adv = spark.range(1).select(
+        *_env(
+            "orders",
+            F.lit("c"),
+            None,
+            adv_after,
+            F.lit(BASE_TS) + total + i,
+            F.lit(total) + i,
+        )
+    )
+    join.process_batch(adv, epoch_id=build_epochs + 1)
+    exp2, _c2, _s2 = join._ttl_proto.stage(spark, build_epochs + 2)
+
+    view = join.read_view(spark)
+    n_rows = 0 if view is None else view.count()
+    want = n_facts - n_facts // 10 + 1  # cold 10% tombstoned, +1 advance
+    assert expired == n_facts // 10, f"expired {expired}"
+    assert n_rows == want, f"view {n_rows}, want {want}"
+    return {
+        "fact_state_rows": n_facts,
+        "expired_rows": expired,
+        "first_expiry_s": round(expiry_s, 3),
+        "first_scan_buckets": len(exp),
+        "first_scan_bytes": scan_bytes,
+        "state_bytes": full_bytes,
+        "rescan_buckets_after_wm_advance": len(exp2),
     }
 
 
@@ -862,6 +1005,7 @@ def main() -> None:
         "agg_ttl",
         "join",
         "join_dim",
+        "join_ttl",
         "ingest",
         "retention",
         "witness",
@@ -942,6 +1086,42 @@ def main() -> None:
             lambda: measure_agg_ttl_expiry(spark, ag_keys * 10, 10, "te10"),
         )
 
+    if "join_ttl" in legs:
+        # VERDICT r9 #3: TTL on the JOIN consumer, measured like the
+        # aggregate's — (a) steady state: a huge TTL means nothing
+        # expires; per-epoch cost should match the plain pruned join
+        # (the two-sided stats agg replaces — not adds to — the plain
+        # fused agg, and the bounds check is metadata-only); (b) the
+        # expiry pass: scans all buckets once (build bounds are batch
+        # minima), deletes exactly the cold 10%, rescans ZERO after a
+        # small watermark advance
+        jt_facts = int(20_000 * scale)
+        step(
+            "join_ttl_steady_1x",
+            lambda: measure_join(
+                spark, jt_facts, "jts1", True, left_ttl=10**15
+            ),
+        )
+        step(
+            "join_ttl_steady_10x",
+            lambda: measure_join(
+                spark, jt_facts * 10, "jts10", True, left_ttl=10**15
+            ),
+        )
+        out["join_ttl_steady_ratio"] = round(
+            out["join_ttl_steady_10x"]["probe_epoch_s"]
+            / out["join_ttl_steady_1x"]["probe_epoch_s"],
+            2,
+        )
+        step(
+            "join_ttl_expiry_1x",
+            lambda: measure_join_ttl_expiry(spark, jt_facts, "jte1"),
+        )
+        step(
+            "join_ttl_expiry_10x",
+            lambda: measure_join_ttl_expiry(spark, jt_facts * 10, "jte10"),
+        )
+
     if "join" in legs:
         # dim-churn probe against 1× and 10× fact state, pruned layout
         # (bucket_left_by_join_col) vs the default key-bucketed scan —
@@ -975,22 +1155,34 @@ def main() -> None:
         )
 
     if "join_dim" in legs:
-        # VERDICT r8 #4: fact state FIXED, dim state grown 10× (facts
-        # reference only the first n_facts/FAN_OUT dim keys — the
-        # hot-subset shape of a large dimension).  Exposes the
-        # enrichment probe's full dim-state read (joins.py): if the
-        # curve grows, prune it; if not, document the measurement.
+        # VERDICT r8 #4 / r9 #2: fact state FIXED, dim state grown
+        # 10×/100× — to 500k keys — (facts reference only the first
+        # n_facts/FAN_OUT dim keys: the hot-subset shape of a large
+        # dimension).  The wall-clock axis was noise-blunt at 50k dims
+        # (SCALING.md r9); the deterministic readings are the BYTES the
+        # probe epoch's enrichment actually opened — pre-r10 that was
+        # the full dim store (O(dim) by construction), r10 prunes to
+        # the batch's join-value buckets: pruned/full ≈ touched/total
+        # buckets, and absolute pruned bytes per epoch track
+        # dim_rows/n_buckets — the n_buckets sizing lever, shown by the
+        # 100×-dim run repeated at 8× the bucket count.
         jd_facts = int(20_000 * scale)
+        for mult, tag in ((1, "1x"), (10, "10x"), (100, "100x")):
+            step(
+                f"join_dim_{tag}",
+                lambda m=mult, t=tag: measure_join(
+                    spark, jd_facts, f"d{t}", True, n_dims=jd_facts // 4 * m
+                ),
+            )
         step(
-            "join_dim_1x",
+            "join_dim_100x_wide",
             lambda: measure_join(
-                spark, jd_facts, "d1", True, n_dims=jd_facts // 4
-            ),
-        )
-        step(
-            "join_dim_10x",
-            lambda: measure_join(
-                spark, jd_facts, "d10", True, n_dims=jd_facts // 4 * 10
+                spark,
+                jd_facts,
+                "d100w",
+                True,
+                n_buckets=N_BUCKETS * 8,
+                n_dims=jd_facts // 4 * 100,
             ),
         )
         out["join_dim_ratio"] = round(
@@ -998,6 +1190,11 @@ def main() -> None:
             / out["join_dim_1x"]["probe_epoch_s"],
             2,
         )
+        for tag in ("1x", "10x", "100x", "100x_wide"):
+            r = out[f"join_dim_{tag}"]
+            out[f"join_dim_{tag}_bytes_pruned_vs_full"] = round(
+                r["dim_read_bytes_pruned"] / r["dim_state_bytes_full"], 4
+            )
 
     if "retention" in legs:
         # r9 history retention: stored rows should track the retention

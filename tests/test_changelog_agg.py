@@ -468,6 +468,108 @@ def test_ttl_bounds_prune_the_expiry_scan(spark, tmp_path):
     assert exp == [] and syn is None
 
 
+def test_ttl_preexisting_dir_facts_still_expire(spark, tmp_path):
+    """REGRESSION (ADVICE r9): TTL enabled on a PRE-EXISTING state dir.
+    The first TTL epoch runs before any watermark is stored (no expiry
+    scan), so ``finalize`` used to seed the batch minimum as the bucket
+    bound — sealing OLDER pre-existing facts in the same bucket out of
+    every future expiry scan: they never expired.  A bound may only be
+    seeded for a bucket that was provably empty before the epoch."""
+    # epoch 0: a plain (no-TTL) aggregate commits an OLD fact (ets 100)
+    plain = ChangelogAggregate(
+        "orders", ORDERS_TS, key="o_id", group_cols=["cust_id"],
+        output_path=str(tmp_path / "pre"),
+        sum_cols=["amount"], minmax_cols=["amount"], n_buckets=8,
+    )
+    plain.process_batch(
+        raw_df(spark, [env("c", _row(1, 1, 5.0, 100), pos=0)]), epoch_id=0
+    )
+    # TTL enabled on the same dir; epoch 1 lands a FRESH fact in the
+    # SAME group bucket (cust 1).  No watermark existed when the epoch
+    # started, so nothing can expire yet — and no bound may be seeded
+    # for cust 1's bucket either (it held the old fact already)
+    agg = ChangelogAggregate(
+        "orders", ORDERS_TS, key="o_id", group_cols=["cust_id"],
+        output_path=str(tmp_path / "pre"),
+        sum_cols=["amount"], minmax_cols=["amount"],
+        ttl=100, ttl_col="ets", n_buckets=8,
+    )
+    agg.process_batch(
+        raw_df(spark, [env("c", _row(4, 1, 2.0, 2000), pos=10)]), epoch_id=1
+    )
+    assert agg._load_bounds() == {}, (
+        "no bucket live before the epoch may receive a seeded bound"
+    )
+    assert view(spark, agg) == {1: (2, 7.0, 2.0, 5.0)}
+    # epoch 2: cutoff = 2000 - 100 = 1900 ≥ 100 — the unbounded bucket
+    # is scanned and the pre-existing fact finally expires (under the
+    # pre-fix seeding, the bucket's bound was 2000 > 1900: skipped, and
+    # o1 would have survived every scan forever)
+    agg.process_batch(
+        raw_df(spark, [env("c", _row(5, 2, 3.0, 2100), pos=20)]), epoch_id=2
+    )
+    assert view(spark, agg) == {1: (1, 2.0, 2.0, 2.0), 2: (1, 3.0, 3.0, 3.0)}
+
+
+def test_expire_refuses_recycled_epoch_id(spark, tmp_path):
+    """REGRESSION (ADVICE r9): an ``expire()`` under a recycled epoch id
+    would stamp its synthesized retractions below later-epoch stored
+    rows (silent no-op in the changelog merge) while still raising the
+    expiry bounds past the surviving facts — permanently sealing them
+    out of every future scan.  It must raise instead."""
+    agg = make_ttl_agg(tmp_path)
+    agg.process_batch(
+        raw_df(spark, [
+            env("c", _row(1, 1, 5.0, 100), pos=0),
+            env("c", _row(2, 1, 7.0, 1000), pos=1),
+        ]),
+        epoch_id=0,
+    )
+    agg.process_batch(
+        raw_df(spark, [env("c", _row(4, 3, 2.0, 1100), pos=10)]), epoch_id=1
+    )
+    for recycled in (0, 1):
+        with pytest.raises(ValueError, match="FRESH epoch id"):
+            agg.expire(spark, epoch_id=recycled)
+    agg.expire(spark, epoch_id=2)  # strictly fresh: accepted
+    assert view(spark, agg) == {3: (1, 2.0, 2.0, 2.0)}
+
+
+def test_max_committed_epoch_covers_upsert_and_append_manifests(tmp_path):
+    """Unit pin for the guard's epoch derivation: upsert manifests map
+    bucket → int epoch, append manifests map bucket → version LIST with
+    reserved ``__``-keys — both shapes must be read, reserved keys
+    skipped."""
+    import os
+
+    from flink_cdc_log_connectors_spark.streaming.ttl import (
+        check_expire_epoch,
+        max_committed_epoch,
+    )
+    from flink_cdc_log_connectors_spark.streaming.statetable import (
+        PartitionedStateTable,
+    )
+
+    up = PartitionedStateTable(str(tmp_path / "up"), ["k"])
+    ap = PartitionedStateTable(str(tmp_path / "ap"), ["k"])
+    assert max_committed_epoch(up, ap) is None
+    check_expire_epoch(0, up, ap)  # empty tables: any id is fresh
+    os.makedirs(up.path, exist_ok=True)
+    with open(up._manifest_path(), "w") as f:
+        json.dump({"0": 3, "5": 1}, f)
+    os.makedirs(ap.path, exist_ok=True)
+    with open(ap._manifest_path(), "w") as f:
+        json.dump(
+            {"2": [0, 7], "__compacted_epochs": [99], "__folded_max": 98},
+            f,
+        )
+    assert max_committed_epoch(up) == 3
+    assert max_committed_epoch(up, ap) == 7
+    with pytest.raises(ValueError, match="FRESH epoch id"):
+        check_expire_epoch(7, up, ap)
+    check_expire_epoch(8, up, ap)
+
+
 @pytest.mark.parametrize("seed", [11, 12, 13])
 def test_ttl_randomized_ops_match_windowed_groupby(spark, tmp_path, seed):
     """Randomized op interleavings under event-time TTL: after a final

@@ -194,3 +194,30 @@ def test_tier_ledger_folds_to_one_entry_and_reconsolidates(spark, tmp_path):
     got = sorted(r["x"] for r in sink.read_committed(spark).collect())
     assert got == list(range(12))
     assert sink.reconsolidate_tiers(spark) is False  # single tier: no-op
+
+
+def test_tier_threshold_auto_reconsolidates(spark, tmp_path):
+    """r10 (VERDICT r9 #8): with ``tier_threshold`` set, a fold that
+    leaves more tier dirs than the threshold auto-re-merges them — the
+    reader's path list stays bounded without manual maintenance."""
+    sink = ExactlyOnceAppendSink(
+        str(tmp_path / "auto"), compact_threshold=None, tier_threshold=2
+    )
+    for e in range(18):
+        sink.process_batch(spark.createDataFrame([(e,)], "x long"), epoch_id=e)
+        if e in (5, 11, 17):
+            assert sink.compact_epochs(spark, keep_recent=2) is True
+    led = sink._load_ledger()
+    # folds at e=5 and e=11 left ≤2 tier dirs (under threshold); the
+    # third fold hit 3 > 2 and auto-reconsolidated down to one
+    assert len(led["merged"]) == 1
+    assert len(led["merged"][0]["dirs"]) == 1
+    got = sorted(r["x"] for r in sink.read_committed(spark).collect())
+    assert got == list(range(18))
+    # replays of ids from every folded generation still no-op
+    for replay in (0, 7, 13):
+        sink.process_batch(
+            spark.createDataFrame([(999,)], "x long"), epoch_id=replay
+        )
+    got = sorted(r["x"] for r in sink.read_committed(spark).collect())
+    assert got == list(range(18))
