@@ -198,6 +198,61 @@ def test_idle_monitor_requires_ttl_consumer(tmp_path):
         IdleExpiryMonitor(agg, EpochSequencer(agg.output.path))
 
 
+def test_idle_monitor_flushes_join_consumer(spark, tmp_path):
+    """The monitor is consumer-agnostic: a TTL'd ChangelogJoin quiesced
+    with an expirable fact converges the join VIEW (tombstone) through
+    the same ticks."""
+    from flink_cdc_log_connectors_spark.streaming.joins import (
+        ChangelogJoin,
+        JoinSide,
+    )
+
+    orders = T.StructType([
+        T.StructField("o_id", T.LongType()),
+        T.StructField("cust_id", T.LongType()),
+        T.StructField("amount", T.DoubleType()),
+        T.StructField("ots", T.LongType()),
+    ])
+    custs = T.StructType([
+        T.StructField("c_id", T.LongType()),
+        T.StructField("name", T.StringType()),
+    ])
+
+    def jenv(table, op, after=None, before=None, pos=0):
+        return json.dumps({
+            "before": before, "after": after, "op": op, "ts_ms": 1000 + pos,
+            "source": {"db": "d", "table": table, "ts_ms": 1000 + pos,
+                       "file": "f.0", "pos": pos},
+        })
+
+    join = ChangelogJoin(
+        JoinSide("orders", orders, key="o_id", join_col="cust_id"),
+        JoinSide("customers", custs, key="c_id", join_col="c_id"),
+        str(tmp_path / "jidle"), how="inner",
+        left_ttl=100, left_ttl_col="ots", n_buckets=8,
+    )
+    seq = EpochSequencer(join.output.path)
+    feed = sequenced_process_batch(join, seq)
+    feed(raw_df(spark, [
+        jenv("customers", "c", {"c_id": 1, "name": "ada"}, pos=0),
+        jenv("orders", "c",
+             {"o_id": 10, "cust_id": 1, "amount": 5.0, "ots": 100}, pos=1),
+        jenv("orders", "c",
+             {"o_id": 11, "cust_id": 1, "amount": 7.0, "ots": 1000}, pos=2),
+    ]), 0)
+    feed(raw_df(spark, [
+        jenv("orders", "c",
+             {"o_id": 12, "cust_id": 1, "amount": 2.0, "ots": 1100}, pos=3),
+    ]), 1)
+    rows = {r["o_id"] for r in join.read_view(spark).collect()}
+    assert rows == {11, 12}  # o10 expired mid-stream; o11 lingers (lag)
+    mon = IdleExpiryMonitor(join, seq, idle_triggers=1)
+    assert mon.on_trigger(spark, 0) is False
+    assert mon.on_trigger(spark, 1) is True
+    rows = {r["o_id"] for r in join.read_view(spark).collect()}
+    assert rows == {12}  # the idle flush tombstoned o11 (ots 1000 ≤ cutoff)
+
+
 # -- the real ticker: a rate-source stream, no manual expire() --------------
 
 def test_quiesced_stream_converges_via_rate_ticker(spark, tmp_path):
