@@ -383,7 +383,13 @@ def _keyed_state_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.datetime import epoch_micros
 
-    cache_key = (id(spark), sf_dir)
+    # the events file's (path, mtime, size) is part of the key: a
+    # regenerated dataset at the same sf_dir within one process must
+    # miss the cache, not silently replay stale envelopes against a
+    # fresh oracle (r10 code review)
+    src = os.path.join(sf_dir, "events.parquet")
+    stat = os.stat(src)
+    cache_key = (id(spark), sf_dir, stat.st_mtime_ns, stat.st_size)
     cached = _KEYED_ENV_CACHE.get(cache_key)
     if cached is not None:
         return cached

@@ -374,7 +374,9 @@ class ChangelogAggregate:
         retractions while sealing the expiry bounds."""
         if self.ttl is None:
             raise ValueError("expire() requires ttl")
-        check_expire_epoch(epoch_id, self.fact_state, self.output)
+        check_expire_epoch(
+            epoch_id, self.fact_state, self.output, ttl=self._ttl_proto
+        )
         self._apply_with_ttl(spark, None, epoch_id)
 
     def read_view(self, spark: SparkSession) -> DataFrame | None:

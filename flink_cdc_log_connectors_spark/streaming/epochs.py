@@ -49,6 +49,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 
 from pyspark.sql import SparkSession
 
@@ -71,6 +72,18 @@ class EpochSequencer:
     def __init__(self, meta_dir: str, name: str = "seq") -> None:
         self.meta_dir = meta_dir
         self.name = name
+        #: serializes the two drivers that share this namespace — the
+        #: data query's foreachBatch and the idle ticker's run on
+        #: SEPARATE driver threads (r10 code review: an unlocked
+        #: read-modify-write in allocate() could hand both the same
+        #: internal epoch in the TOCTOU window, and an expire() racing a
+        #: process_batch would interleave two writers over one state
+        #: table).  Both wrappers below hold it across the WHOLE batch /
+        #: tick, making the consumers single-writer by construction —
+        #: the same discipline the state tables already assume.  One
+        #: sequencer INSTANCE per consumer: two instances over the same
+        #: meta_dir would not share the lock.
+        self.lock = threading.RLock()
 
     def _path(self) -> str:
         return os.path.join(self.meta_dir, f"__{self.name}.json")
@@ -102,28 +115,34 @@ class EpochSequencer:
         Refuses a ``source_id`` older than the retry window whose
         mapping has been trimmed: allocating fresh would hand stale
         replayed data an epoch that BEATS newer committed state."""
-        key = f"{source}:{source_id}"
-        st = self._load()
-        if key in st["map"]:
-            return st["map"][key]
-        if source_id <= st["max_src"].get(source, -1):
-            raise ValueError(
-                f"{source} id {source_id} replays from beyond the retry "
-                f"window (seen up to {st['max_src'][source]}, mapping "
-                "trimmed): a fresh epoch would let its stale rows win "
-                "the changelog merge over newer committed state — "
-                "restore the sequencer file alongside the checkpoint, "
-                "or reprocess from scratch"
-            )
-        internal = st["last"] + 1
-        st["last"] = internal
-        st["map"][key] = internal
-        if len(st["map"]) > _MAP_WINDOW:  # oldest-first (insertion order)
-            for k in list(st["map"])[: len(st["map"]) - _MAP_WINDOW]:
-                del st["map"][k]
-        st["max_src"][source] = source_id
-        self._store(st)
-        return internal
+        with self.lock:
+            key = f"{source}:{source_id}"
+            st = self._load()
+            if key in st["map"]:
+                return st["map"][key]
+            if source_id <= st["max_src"].get(source, -1):
+                raise ValueError(
+                    f"{source} id {source_id} replays from beyond the "
+                    f"retry window (seen up to {st['max_src'][source]}, "
+                    "mapping trimmed): a fresh epoch would let its stale "
+                    "rows win the changelog merge over newer committed "
+                    "state — restore the sequencer file alongside the "
+                    "checkpoint, or reprocess from scratch"
+                )
+            internal = st["last"] + 1
+            st["last"] = internal
+            st["map"][key] = internal
+            # trim PER SOURCE (r10 code review: a global oldest-first
+            # trim let a busy source — e.g. one idle tick per quiet
+            # period forever — evict ANOTHER source's recent mappings,
+            # breaking that source's documented retry window)
+            mine = [k for k in st["map"] if k.startswith(f"{source}:")]
+            if len(mine) > _MAP_WINDOW:
+                for k in mine[: len(mine) - _MAP_WINDOW]:
+                    del st["map"][k]
+            st["max_src"][source] = source_id
+            self._store(st)
+            return internal
 
 
 def sequenced_process_batch(consumer, seq: EpochSequencer):
@@ -133,7 +152,12 @@ def sequenced_process_batch(consumer, seq: EpochSequencer):
     sequenced_process_batch(consumer, seq))``."""
 
     def fn(batch_df, batch_id: int) -> None:
-        consumer.process_batch(batch_df, seq.allocate("stream", batch_id))
+        # the lock spans the whole batch so an idle tick can never run
+        # expire() against state a batch is mid-commit on (seq.lock)
+        with seq.lock:
+            consumer.process_batch(
+                batch_df, seq.allocate("stream", batch_id)
+            )
 
     return fn
 
@@ -192,7 +216,15 @@ class IdleExpiryMonitor:
         cursor moving (data batches or a prior idle flush) re-arms the
         idle counter; ``done_at`` keeps one quiet period to one flush —
         after it, nothing more can expire until data advances the
-        watermark, which itself moves the cursor."""
+        watermark, which itself moves the cursor.  The whole tick holds
+        the sequencer lock: ticker and data stream run on separate
+        driver threads, and the consumers are single-writer."""
+        with self.seq.lock:
+            return self._on_trigger_locked(spark, trigger_id)
+
+    def _on_trigger_locked(
+        self, spark: SparkSession, trigger_id: int
+    ) -> bool:
         cur = self.seq.last()
         st = self._load()
         if st["seen"] != cur:
@@ -216,11 +248,26 @@ class IdleExpiryMonitor:
                 "flow through the sequencer (sequenced_process_batch) "
                 "before idle expiry can share its id namespace"
             )
-        epoch = self.seq.allocate("idle", trigger_id)
-        if mx is None or epoch > mx:
-            self.consumer.expire(spark, epoch)
-        # else: a retried tick whose expiry pass already committed state
-        # — the work is done; recording it below keeps the retry silent
+        # Crashed-pass recovery FIRST (r10 code review): ANY published
+        # staged decision means a prior pass died between staging and
+        # finalize (which GC's the stage only after everything lands) —
+        # its fact-state deletions may be applied (undetectably: an
+        # emptied bucket leaves no manifest trace) while the view never
+        # received the retractions.  Complete THAT epoch — the staged
+        # replay is idempotent whatever the crash point was, and
+        # check_expire_epoch admits the retry while the stage exists —
+        # instead of allocating a new one, which stage() would refuse
+        # anyway rather than sweep the recovery evidence.
+        proto = self.consumer._ttl_proto
+        pending = proto.staged_epochs()
+        if pending:
+            self.consumer.expire(spark, pending[0])
+        else:
+            epoch = self.seq.allocate("idle", trigger_id)
+            if mx is None or epoch > mx:
+                self.consumer.expire(spark, epoch)
+            # else: a retried tick whose pass FULLY committed (stage
+            # GC'd) — the work is done; recording below keeps it silent
         now = self.seq.last()
         self._store({"seen": now, "idle": 0, "done_at": now})
         return True

@@ -339,7 +339,11 @@ class ChangelogJoin:
         if self._ttl_proto is None:
             raise ValueError("expire() requires left_ttl")
         check_expire_epoch(
-            epoch_id, self.left_state, self.right_state, self.output
+            epoch_id,
+            self.left_state,
+            self.right_state,
+            self.output,
+            ttl=self._ttl_proto,
         )
         empty = spark.createDataFrame(
             [], "value string, file string, pos long"

@@ -75,7 +75,9 @@ def max_committed_epoch(*tables: PartitionedStateTable) -> int | None:
 
 
 def check_expire_epoch(
-    epoch_id: int, *tables: PartitionedStateTable
+    epoch_id: int,
+    *tables: PartitionedStateTable,
+    ttl: "EventTimeTTL | None" = None,
 ) -> None:
     """Refuse an :meth:`expire`-style pass under a RECYCLED epoch id
     (ADVICE r9): the synthesized retractions would sort below every
@@ -88,7 +90,19 @@ def check_expire_epoch(
     REPLAYED data epoch legitimately re-enters ``stage()`` with an old
     id (the from-epoch-0 re-run contract) and stays convergent because
     its batch re-carries the old facts' event times through
-    ``batch_min``, keeping their buckets scannable."""
+    ``batch_min``, keeping their buckets scannable.
+
+    Exception (r10 code review): a STAGED decision for ``epoch_id``
+    still on disk means a prior expire() under this very id crashed
+    between its state commits — the stage is only GC'd by ``finalize``
+    after everything committed.  That retry is the crash-convergence
+    path the staging design exists for (it replays the staged images
+    and completes the missing commits), so it is admitted even though
+    the crashed attempt already committed state at this id.  A stale
+    OTHER-epoch stage can't slip through: ``stage()`` sweeps every
+    stage dir but the current epoch's on entry."""
+    if ttl is not None and os.path.isdir(ttl._stage_dir(epoch_id)):
+        return
     mx = max_committed_epoch(*tables)
     if mx is not None and epoch_id <= mx:
         raise ValueError(
@@ -188,6 +202,21 @@ class EventTimeTTL:
             self.meta_dir, f"__{self.name}_syn", f"epoch={epoch_id}"
         )
 
+    def staged_epochs(self) -> list[int]:
+        """Epochs with a PUBLISHED staged decision on disk.  Outside a
+        pass's own stage→finalize window this is non-empty only after a
+        crash — the recovery surface the idle monitor checks so it can
+        complete a crashed pass instead of starting a new one."""
+        root = os.path.join(self.meta_dir, f"__{self.name}_syn")
+        if not os.path.isdir(root):
+            return []
+        out = []
+        for d in os.listdir(root):
+            suffix = d.split("=", 1)[-1]
+            if d.startswith("epoch=") and suffix.isdigit():
+                out.append(int(suffix))
+        return sorted(out)
+
     def _synthesize(self, spark: SparkSession, cutoff: int):
         """(scanned_buckets, retraction_images|None) for every stored
         fact whose ``ttl_col`` is at or before ``cutoff`` — read pruned
@@ -245,8 +274,31 @@ class EventTimeTTL:
         stage = self._stage_dir(epoch_id)
         if os.path.isdir(root):
             for d in os.listdir(root):
-                if d != f"epoch={epoch_id}":
-                    shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+                if d == f"epoch={epoch_id}":
+                    continue
+                suffix = d.split("=", 1)[-1]
+                # Published stage for ANOTHER epoch = that pass CRASHED
+                # somewhere between staging and finalize (which GC's the
+                # stage only after everything commits).  Its fact-state
+                # deletions may already be applied — undetectably so: a
+                # deletion that EMPTIES a bucket pops the manifest entry
+                # — while the staged retractions never reached the view.
+                # Sweeping would destroy the only recovery evidence and
+                # let this NEW epoch re-derive an empty decision from
+                # post-deletion state: permanent silent divergence (r10
+                # code review).  Refuse; the crashed epoch's own retry
+                # (admitted by check_expire_epoch's staged exception)
+                # replays the staged decision idempotently whatever the
+                # crash point was.  Unpublished ``.tmp`` dirs (crash
+                # mid-publish: no decision exists) are swept.
+                if suffix.isdigit():
+                    raise ValueError(
+                        f"epoch {suffix} staged an expiry decision but "
+                        "never finalized — a crashed pass; re-run that "
+                        "epoch (same id) to complete it before starting "
+                        f"epoch {epoch_id}"
+                    )
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
         if os.path.isdir(stage):  # retry: reuse the staged decision
             with open(os.path.join(stage, "_ttl_meta.json")) as f:
                 meta = json.load(f)

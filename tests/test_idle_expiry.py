@@ -168,6 +168,70 @@ def test_idle_monitor_retried_tick_is_idempotent(spark, tmp_path):
     assert view(spark, agg) == {3: (1, 2.0)}
 
 
+def test_sequencer_trims_per_source(tmp_path):
+    """r10 code review: a global oldest-first trim let a busy source
+    (one idle tick per quiet period, forever) evict another source's
+    RECENT mappings — the idle witness's replayed stream epochs 0-2
+    would start refusing after ~126 harness re-runs.  Trimming is per
+    source: 200 idle allocations must leave stream:0-2 retry-stable."""
+    from flink_cdc_log_connectors_spark.streaming import epochs
+
+    seq = EpochSequencer(str(tmp_path))
+    stream_ids = [seq.allocate("stream", i) for i in range(3)]
+    for t in range(epochs._MAP_WINDOW + 72):
+        seq.allocate("idle", t)
+    assert [seq.allocate("stream", i) for i in range(3)] == stream_ids
+    # the idle source still trims among its own
+    with pytest.raises(ValueError, match="beyond the retry window"):
+        seq.allocate("idle", 0)
+
+
+def test_crashed_expire_pass_is_retryable_and_completes(spark, tmp_path):
+    """r10 code review (the headline finding): a crash BETWEEN an
+    expire() pass's fact-state commit and its output commit must stay
+    recoverable.  The freshness guard admits the same-epoch retry while
+    its staged decision is still on disk (the stage is only GC'd by
+    finalize, after everything committed), and the idle monitor runs —
+    not skips — the retry.  Pre-fix, the guard refused the retry and
+    the monitor marked it done: the view served expired facts forever."""
+    agg = make_ttl_agg(tmp_path, "crash")
+    seq = EpochSequencer(agg.output.path)
+    feed = sequenced_process_batch(agg, seq)
+    feed(raw_df(spark, [
+        env("c", _row(1, 1, 5.0, 100), pos=0),
+        env("c", _row(2, 1, 7.0, 1000), pos=1),
+    ]), 0)
+    feed(raw_df(spark, [env("c", _row(4, 3, 2.0, 1100), pos=10)]), 1)
+    assert view(spark, agg) == {1: (1, 7.0), 3: (1, 2.0)}  # o2 expirable
+
+    mon = IdleExpiryMonitor(agg, seq, idle_triggers=1)
+    assert mon.on_trigger(spark, 0) is False  # sync
+    # crash AFTER the fact-state deletion commits, BEFORE the view
+    # upsert — the exact window the staged decision exists for
+    orig = agg.output.upsert
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash")
+
+    agg.output.upsert = boom
+    with pytest.raises(RuntimeError, match="injected crash"):
+        mon.on_trigger(spark, 1)
+    agg.output.upsert = orig
+    # the crashed tick's own allocation moved the sequencer cursor, so
+    # the next tick re-syncs; the one after detects the published stage
+    # whose epoch committed fact state (pending) and completes THAT
+    # pass — the guard admits the same-epoch retry while the stage is
+    # on disk
+    assert mon.on_trigger(spark, 2) is False  # re-sync on cursor move
+    assert mon.on_trigger(spark, 3) is True   # completes the crashed pass
+    assert view(spark, agg) == {3: (1, 2.0)}
+    # ...and with the stage GC'd, recycled MANIFEST-VISIBLE ids are
+    # refused again (the recovery emptied every epoch-2 bucket, so id 2
+    # itself legitimately left no manifest trace)
+    with pytest.raises(ValueError, match="FRESH epoch id"):
+        agg.expire(spark, epoch_id=1)
+
+
 def test_idle_monitor_refuses_out_of_namespace_state(spark, tmp_path):
     """State committed under ids the sequencer never allocated (a
     consumer previously driven by raw Structured Streaming batch ids)
