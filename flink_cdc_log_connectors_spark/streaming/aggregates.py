@@ -298,6 +298,16 @@ class ChangelogAggregate:
     def _stage_dir(self, epoch_id: int) -> str:
         return self._ttl_proto._stage_dir(epoch_id)
 
+    def _finalize_if_staged(self, epoch_id, exp, cutoff) -> None:
+        """Early-exit twin of the post-commit finalize: an epoch whose
+        staged decision retracted NOTHING and whose batch was empty
+        mutates no state, but its PUBLISHED stage must still be
+        finalized (conservative bounds from the staged survivor minima,
+        then GC) — a stranded published stage reads as a crashed pass
+        and is refused by every later epoch's stage() (r10)."""
+        if exp:
+            self._ttl_proto.finalize(epoch_id, exp, cutoff, {}, None)
+
     def _apply_with_ttl(
         self, spark: SparkSession, rows: DataFrame | None, epoch_id: int
     ) -> None:
@@ -312,6 +322,7 @@ class ChangelogAggregate:
                 flagged_syn = flagged_syn.select(*order)
             parts.append(flagged_syn)
         if not parts:
+            self._finalize_if_staged(epoch_id, exp, cutoff)
             return
         flagged = parts[0]
         for p in parts[1:]:
@@ -332,6 +343,7 @@ class ChangelogAggregate:
             .collect()
         )
         if not per_bucket:
+            self._finalize_if_staged(epoch_id, exp, cutoff)
             return
         self.expired_applied += sum(r["syn_n"] for r in per_bucket)
         # a replay may see a SMALLER touched set than the buckets this

@@ -275,6 +275,13 @@ class ChangelogJoin:
             .collect()
         )
         if not per:
+            if exp:
+                # staged decision that retracted nothing + empty batch:
+                # no state mutates, but the PUBLISHED stage must still
+                # be finalized (conservative bounds from the staged
+                # survivor minima, then GC) — a stranded stage reads as
+                # a crashed pass and later epochs refuse to start (r10)
+                self._ttl_proto.finalize(epoch_id, exp, cutoff, {}, None)
             return None
         self.expired_applied += sum(
             r["syn_n"] for r in per if r["__s"] == 0

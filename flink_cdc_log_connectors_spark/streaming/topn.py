@@ -310,6 +310,13 @@ class ChangelogTopN:
             touched=out_buckets,
         )
 
+    def _finalize_if_staged(self, epoch_id, exp, cutoff) -> None:
+        """Early-exit twin of the post-commit finalize — see
+        ``ChangelogAggregate._finalize_if_staged`` (a stranded published
+        stage reads as a crashed pass; r10)."""
+        if exp:
+            self._ttl_proto.finalize(epoch_id, exp, cutoff, {}, None)
+
     def _apply_with_ttl(
         self, spark: SparkSession, rows: DataFrame | None, epoch_id: int
     ) -> None:
@@ -331,6 +338,7 @@ class ChangelogTopN:
                 flagged_syn = flagged_syn.select(*order)
             parts.append(flagged_syn)
         if not parts:
+            self._finalize_if_staged(epoch_id, exp, cutoff)
             return
         flagged = parts[0]
         for p in parts[1:]:
@@ -355,6 +363,7 @@ class ChangelogTopN:
             .collect()
         )
         if not per_bucket:
+            self._finalize_if_staged(epoch_id, exp, cutoff)
             return
         self.expired_applied += sum(r["syn_n"] for r in per_bucket)
         fb = sorted(
