@@ -356,12 +356,21 @@ _CYCLE_DELETE = 3
 _CYCLE_RENAME = 7
 
 
-#: (session id, sf_dir) → persisted envelope frame.  SEVEN keyed-state
-#: witnesses replay this identical fixture, and bench runs them all
-#: (twice) in one process — memoizing saves six rebuilds (window + json
-#: encode + uniqueness assert) per round at the cost of one small cached
-#: frame (VERDICT r9 #5, bench diet).  Callers must NOT unpersist it.
-_KEYED_ENV_CACHE: dict[tuple[int, str], DataFrame] = {}
+#: (session id, sf_dir) → (session, events mtime_ns, events size,
+#: persisted envelope frame).  SEVEN keyed-state witnesses replay this
+#: identical fixture, and bench runs them all (twice) in one process —
+#: memoizing saves six rebuilds (window + json encode + uniqueness
+#: assert) per round at the cost of one small cached frame (VERDICT r9
+#: #5, bench diet).  Callers must NOT unpersist it.  The stored SESSION
+#: is part of the value, not just ``id()`` in the key (ADVICE r10):
+#: holding it both prevents CPython from recycling a GC'd session's id
+#: onto a new session (the strong ref keeps the object alive) and lets
+#: the lookup verify identity before returning; a superseded entry for
+#: the same (session, sf_dir) — a regenerated dataset — is unpersisted
+#: and replaced instead of pinning the stale frame for process lifetime.
+_KEYED_ENV_CACHE: dict[
+    tuple[int, str], tuple[SparkSession, int, int, DataFrame]
+] = {}
 
 
 def _keyed_state_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -383,16 +392,28 @@ def _keyed_state_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.datetime import epoch_micros
 
-    # the events file's (path, mtime, size) is part of the key: a
-    # regenerated dataset at the same sf_dir within one process must
-    # miss the cache, not silently replay stale envelopes against a
-    # fresh oracle (r10 code review)
+    # the events file's (mtime, size) gates the hit: a regenerated
+    # dataset at the same sf_dir within one process must miss the cache,
+    # not silently replay stale envelopes against a fresh oracle (r10
+    # code review) — and the superseded frame is unpersisted, not left
+    # pinned (ADVICE r10)
     src = os.path.join(sf_dir, "events.parquet")
     stat = os.stat(src)
-    cache_key = (id(spark), sf_dir, stat.st_mtime_ns, stat.st_size)
-    cached = _KEYED_ENV_CACHE.get(cache_key)
-    if cached is not None:
-        return cached
+    cache_key = (id(spark), sf_dir)
+    entry = _KEYED_ENV_CACHE.get(cache_key)
+    if entry is not None:
+        c_spark, c_mtime, c_size, c_env = entry
+        if (
+            c_spark is spark
+            and c_mtime == stat.st_mtime_ns
+            and c_size == stat.st_size
+        ):
+            return c_env
+        del _KEYED_ENV_CACHE[cache_key]
+        try:
+            c_env.unpersist(False)
+        except Exception:
+            pass  # its session may already be stopped
 
     base = load_table(spark, sf_dir, "events").select(
         "event_id",
@@ -452,7 +473,9 @@ def _keyed_state_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_us").alias("pos"),
         "day",
     ).persist()
-    _KEYED_ENV_CACHE[cache_key] = env
+    _KEYED_ENV_CACHE[cache_key] = (
+        spark, stat.st_mtime_ns, stat.st_size, env
+    )
     return env
 
 

@@ -62,15 +62,27 @@ from .statetable import PartitionedStateTable
 
 
 def max_committed_epoch(*tables: PartitionedStateTable) -> int | None:
-    """Highest integer epoch any of ``tables`` has committed (manifest
-    values; append-managed version lists included), or None if none
-    committed anything.  Backs the ``expire()`` freshness guard below."""
+    """Highest integer epoch any of ``tables`` has committed, or None if
+    none committed anything.  Append-managed tables are covered in full:
+    loose integer versions directly, and epochs folded into compacted
+    ``c<id>`` versions via the ``__folded_max`` manifest watermark
+    (ADVICE r10 — skipping non-int versions alone would UNDERSTATE the
+    max on a compacted table, and ``check_expire_epoch`` would then
+    silently admit a recycled epoch id).  Backs the ``expire()``
+    freshness guard below."""
     mx: int | None = None
     for t in tables:
-        for _, v in t._bucket_items(t.load_manifest()):
-            for e in v if isinstance(v, list) else [v]:
-                if isinstance(e, int) and (mx is None or e > mx):
-                    mx = e
+        manifest = t.load_manifest()
+        folded = manifest.get(PartitionedStateTable._FOLDED_MAX)
+        cands = [folded] if isinstance(folded, int) else []
+        for _, v in t._bucket_items(manifest):
+            cands.extend(
+                e for e in (v if isinstance(v, list) else [v])
+                if isinstance(e, int)
+            )
+        for e in cands:
+            if mx is None or e > mx:
+                mx = e
     return mx
 
 

@@ -95,13 +95,25 @@ def test_sequencer_refuses_beyond_window_replay(tmp_path):
     for i in range(epochs._MAP_WINDOW + 10):
         seq.allocate("stream", i)
     # id 0's mapping has been trimmed; replaying it must refuse loudly
-    # (a fresh high epoch would let its stale rows win the merge)
-    with pytest.raises(ValueError, match="beyond the retry window"):
+    # (a fresh high epoch would let its stale rows win the merge) — and
+    # say it was TRIMMED, not "never allocated" (ADVICE r10)
+    with pytest.raises(ValueError, match="has been trimmed"):
         seq.allocate("stream", 0)
     # recent ids are still retry-stable
     assert seq.allocate("stream", epochs._MAP_WINDOW + 9) == (
         epochs._MAP_WINDOW + 9
     )
+
+
+def test_sequencer_distinguishes_gap_from_trim(tmp_path):
+    """ADVICE r10: a source_id the source simply SKIPPED (never
+    allocated, below the max seen) must not be misreported as a trimmed
+    mapping — the operator fixes a broken source, not a lost sequencer
+    file."""
+    seq = EpochSequencer(str(tmp_path))
+    seq.allocate("stream", 5)
+    with pytest.raises(ValueError, match="never allocated"):
+        seq.allocate("stream", 3)
 
 
 # -- IdleExpiryMonitor (deterministic ticks) ---------------------------------
@@ -232,6 +244,78 @@ def test_crashed_expire_pass_is_retryable_and_completes(spark, tmp_path):
         agg.expire(spark, epoch_id=1)
 
 
+def test_crashed_expire_recovers_on_data_path(spark, tmp_path):
+    """VERDICT r10 #1 (self-healing): a crashed expire() pass used to
+    make every subsequent DATA batch's stage() raise until the idle
+    ticker fired or an operator re-ran the pass by hand — an outage on
+    a busy stream without the ticker deployed.  The sequenced data path
+    now completes the pending staged pass FIRST (it already holds the
+    namespace lock), then processes the batch: no ticker, no manual
+    expire(), view converges to the retention oracle."""
+    agg = make_ttl_agg(tmp_path, "heal")
+    seq = EpochSequencer(agg.output.path)
+    feed = sequenced_process_batch(agg, seq)
+    feed(raw_df(spark, [
+        env("c", _row(1, 1, 5.0, 100), pos=0),
+        env("c", _row(2, 1, 7.0, 1000), pos=1),
+    ]), 0)
+    feed(raw_df(spark, [env("c", _row(4, 3, 2.0, 1100), pos=10)]), 1)
+    assert view(spark, agg) == {1: (1, 7.0), 3: (1, 2.0)}  # o2 expirable
+
+    # crash an idle pass AFTER its fact-state deletion commits, BEFORE
+    # the view upsert — the staged decision survives as recovery evidence
+    mon = IdleExpiryMonitor(agg, seq, idle_triggers=1)
+    assert mon.on_trigger(spark, 0) is False  # sync
+    orig = agg.output.upsert
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash")
+
+    agg.output.upsert = boom
+    with pytest.raises(RuntimeError, match="injected crash"):
+        mon.on_trigger(spark, 1)
+    agg.output.upsert = orig
+    assert agg._ttl_proto.staged_epochs() == [2]
+
+    # a BUSY stream: the next data batch self-heals — completes epoch
+    # 2's staged pass (o2's retraction reaches the view), then processes
+    # its own rows under a fresh epoch
+    feed(raw_df(spark, [env("c", _row(5, 1, 4.0, 1200), pos=20)]), 2)
+    assert agg._ttl_proto.staged_epochs() == []
+    assert view(spark, agg) == {1: (1, 4.0), 3: (1, 2.0)}
+
+
+def test_crashed_data_epoch_retry_reuses_own_stage(spark, tmp_path):
+    """The self-heal must NOT swallow a data epoch's OWN retry: a batch
+    that crashed between staging its expiry decision and committing the
+    view re-delivers with the same batch id — the pending stage belongs
+    to this very epoch, and process_batch's stage() replays it inline
+    (running expire() on it first would apply the retractions without
+    the batch's rows, then the batch would re-stage nothing)."""
+    agg = make_ttl_agg(tmp_path, "retry")
+    seq = EpochSequencer(agg.output.path)
+    feed = sequenced_process_batch(agg, seq)
+    feed(raw_df(spark, [
+        env("c", _row(1, 1, 5.0, 100), pos=0),
+        env("c", _row(2, 1, 7.0, 1000), pos=1),
+    ]), 0)
+    # epoch 1 expires o1 (cutoff 900); crash its view upsert
+    orig = agg.output.upsert
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash")
+
+    agg.output.upsert = boom
+    with pytest.raises(RuntimeError, match="injected crash"):
+        feed(raw_df(spark, [env("c", _row(4, 3, 2.0, 1100), pos=10)]), 1)
+    agg.output.upsert = orig
+    assert agg._ttl_proto.staged_epochs() == [1]
+    # Structured Streaming retries the SAME batch id
+    feed(raw_df(spark, [env("c", _row(4, 3, 2.0, 1100), pos=10)]), 1)
+    assert agg._ttl_proto.staged_epochs() == []
+    assert view(spark, agg) == {1: (1, 7.0), 3: (1, 2.0)}
+
+
 def test_idle_monitor_refuses_out_of_namespace_state(spark, tmp_path):
     """State committed under ids the sequencer never allocated (a
     consumer previously driven by raw Structured Streaming batch ids)
@@ -315,6 +399,77 @@ def test_idle_monitor_flushes_join_consumer(spark, tmp_path):
     assert mon.on_trigger(spark, 1) is True
     rows = {r["o_id"] for r in join.read_view(spark).collect()}
     assert rows == {12}  # the idle flush tombstoned o11 (ots 1000 ≤ cutoff)
+
+
+def test_idle_monitor_flushes_topn_consumer(spark, tmp_path):
+    """VERDICT r10 #2: Top-N composes TTL with RANK MAINTENANCE — an
+    idle flush that expires a ranked row must promote the survivors and
+    refill the freed slot, the interaction most likely to hide a bug."""
+    from flink_cdc_log_connectors_spark.streaming.topn import ChangelogTopN
+
+    topn = ChangelogTopN(
+        "orders", ORDERS_TS, key="o_id", partition_cols=["cust_id"],
+        order_col="amount", n=2, output_path=str(tmp_path / "tidle"),
+        n_buckets=8, ttl=100, ttl_col="ets",
+    )
+    seq = EpochSequencer(topn.output.path)
+    feed = sequenced_process_batch(topn, seq)
+    feed(raw_df(spark, [
+        env("c", _row(1, 1, 5.0, 1050), pos=0),
+        env("c", _row(2, 1, 7.0, 1000), pos=1),
+        env("c", _row(3, 1, 6.0, 1040), pos=2),
+    ]), 0)
+    feed(raw_df(spark, [env("c", _row(4, 3, 2.0, 1100), pos=10)]), 1)
+
+    def ranks():
+        return {
+            (r["cust_id"], r["rn"]): r["o_id"]
+            for r in topn.read_view(spark).collect()
+        }
+
+    # nothing expired yet (epoch 1's cutoff 900 < every ets): o2 leads
+    assert ranks() == {(1, 1): 2, (1, 2): 3, (3, 1): 4}
+    mon = IdleExpiryMonitor(topn, seq, idle_triggers=1)
+    assert mon.on_trigger(spark, 0) is False
+    assert mon.on_trigger(spark, 1) is True
+    # idle flush (cutoff 1000) expired o2: o3 promotes to rank 1 and o1
+    # — previously OUTSIDE the top 2 — enters at rank 2 from fact state
+    assert ranks() == {(1, 1): 3, (1, 2): 1, (3, 1): 4}
+
+
+def test_idle_monitor_flushes_cagg_consumer(spark, tmp_path):
+    """VERDICT r10 #2: the continuous aggregate composes TTL with
+    window RE-BUCKETING (group col DERIVED from event time) — an idle
+    flush must drain and tombstone whole retention-expired buckets."""
+    cagg = ChangelogAggregate(
+        "orders", ORDERS_TS, key="o_id", group_cols=["bkt"],
+        output_path=str(tmp_path / "cidle"), sum_cols=["amount"],
+        n_buckets=8, ttl=100, ttl_col="ets",
+        derive=lambda df: df.withColumn(
+            "bkt", (df["ets"] / 100).cast("long")
+        ),
+    )
+    seq = EpochSequencer(cagg.output.path)
+    feed = sequenced_process_batch(cagg, seq)
+    feed(raw_df(spark, [
+        env("c", _row(1, 1, 5.0, 100), pos=0),
+        env("c", _row(2, 1, 7.0, 1000), pos=1),
+    ]), 0)
+    feed(raw_df(spark, [env("c", _row(4, 3, 2.0, 1100), pos=10)]), 1)
+
+    def buckets():
+        df = cagg.read_view(spark)
+        return {} if df is None else {
+            r["bkt"]: (r["cnt"], r["sum_amount"]) for r in df.collect()
+        }
+
+    # epoch 1 (cutoff 900) drained bucket 1 (o1); o2's bucket 10 lingers
+    assert buckets() == {10: (1, 7.0), 11: (1, 2.0)}
+    mon = IdleExpiryMonitor(cagg, seq, idle_triggers=1)
+    assert mon.on_trigger(spark, 0) is False
+    assert mon.on_trigger(spark, 1) is True
+    # idle flush (cutoff 1000) expired o2: bucket 10 tombstones away
+    assert buckets() == {11: (1, 2.0)}
 
 
 # -- the real ticker: a rate-source stream, no manual expire() --------------
