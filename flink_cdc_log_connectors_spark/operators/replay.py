@@ -79,6 +79,36 @@ def witness_shuffle_partitions(spark: SparkSession, n: int = 8):
     return _scope()
 
 
+def witness_replay_confs(spark: SparkSession, n: int = 2):
+    """Witness-scale session tuning for the keyed/join replay witnesses
+    (r11 bench diet — a superset of :func:`witness_shuffle_partitions`,
+    kept separate so the witnesses still on that helper keep their exact
+    code path): scopes ``spark.sql.shuffle.partitions`` down to ``n``
+    AND turns ADAPTIVE EXECUTION off for the replay.  AQE exists to
+    re-plan real-data shuffles at runtime; at these witnesses' kilobyte
+    microbatches every shuffle is tiny, so AQE's per-stage re-planning
+    is pure driver overhead (measured ~15% of witness wall-clock), and
+    task-launch overhead dominates task work — two shuffle partitions
+    (≤ 50k rows each at the bench sf) measured another ~15% off.  A
+    real deployment leaves AQE on and sizes partitions to its cluster —
+    this is witness-scale tuning only, restored on exit."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _scope():
+        old_n = spark.conf.get("spark.sql.shuffle.partitions")
+        old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_n)
+            spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+    return _scope()
+
+
 def _assert_unique_ts(base: DataFrame) -> None:
     """The replay fixtures use the microsecond rowtime as the log position
     AND as the oracle's ROW_NUMBER tie-break, so determinism of both the
@@ -95,12 +125,26 @@ def _assert_unique_ts(base: DataFrame) -> None:
         )
 
 
+#: (session id, sf_dir, fact_ts) → (session, events mtime_ns, size,
+#: persisted envelope frame) — the join twin of ``_KEYED_ENV_CACHE``
+#: (r11 bench diet): both join witnesses replay this fixture and bench
+#: runs each twice in one process, so memoizing saves three rebuilds
+#: (two unions of window-heavy json encodes) per round.  Same lifetime
+#: discipline: session held strongly, identity-checked on hit,
+#: superseded entries unpersisted.  Callers must NOT unpersist it.
+_JOIN_ENV_CACHE: dict[
+    tuple[int, str, bool], tuple[SparkSession, int, int, DataFrame]
+] = {}
+
+
 def _join_cdc_fixture(spark: SparkSession, sf_dir: str, fact_ts: bool = False):
     """Two-table CDC log fixture shared by the join replay witnesses —
     returns ``(raw_envelopes, left JoinSide, right JoinSide)``; see
     :func:`changelog_join_replay_query` for the op mix it encodes.  With
     ``fact_ts`` the fact payload additionally carries its microsecond
-    rowtime as ``fts`` (the TTL witness's event-time column)."""
+    rowtime as ``fts`` (the TTL witness's event-time column).  The
+    envelope frame is memoized per (session, sf_dir, fact_ts) — callers
+    must not unpersist it."""
     from pyspark.sql import types as T
 
     from ..functions.datetime import epoch_micros
@@ -127,6 +171,23 @@ def _join_cdc_fixture(spark: SparkSession, sf_dir: str, fact_ts: bool = False):
     right = JoinSide(
         table="dims", physical=dim_schema, key="user_id", join_col="user_id"
     )
+
+    stat = os.stat(os.path.join(sf_dir, "events.parquet"))
+    cache_key = (id(spark), sf_dir, fact_ts)
+    entry = _JOIN_ENV_CACHE.get(cache_key)
+    if entry is not None:
+        c_spark, c_mtime, c_size, c_raw = entry
+        if (
+            c_spark is spark
+            and c_mtime == stat.st_mtime_ns
+            and c_size == stat.st_size
+        ):
+            return c_raw, left, right
+        del _JOIN_ENV_CACHE[cache_key]
+        try:
+            c_raw.unpersist(False)
+        except Exception:
+            pass  # its session may already be stopped
 
     base = load_table(spark, sf_dir, "events").select(
         "event_id",
@@ -223,6 +284,9 @@ def _join_cdc_fixture(spark: SparkSession, sf_dir: str, fact_ts: bool = False):
         "day",
     )
     raw = dim_env.unionByName(fact_env).persist()
+    _JOIN_ENV_CACHE[cache_key] = (
+        spark, stat.st_mtime_ns, stat.st_size, raw
+    )
     return raw, left, right
 
 
@@ -247,7 +311,7 @@ def changelog_join_replay_query(
       references a RENAMED key (``user_id + RENAME_OFFSET``), proving
       the rename's after-image landed under the new key.
 
-    Replayed through ``ChangelogJoin.process_batch`` in three
+    Replayed through ``ChangelogJoin.process_batch`` in two
     time-contiguous microbatches (log position = microsecond rowtime —
     unique and monotone, ASSERTED below, so per-key last-write-wins
     agrees across batch boundaries).  The checked view is the final
@@ -282,15 +346,15 @@ def changelog_join_replay_query(
         # under deletes, renames, and re-enrichment
         bucket_left_by_join_col=True,
     )
-    with witness_shuffle_partitions(spark):
-        for epoch, (lo, hi) in enumerate(((1, 10), (11, 20), (21, 31))):
+    with witness_replay_confs(spark):
+        # two microbatches — see _replay_keyed_batches (r11 bench diet)
+        for epoch, (lo, hi) in enumerate(((1, 15), (16, 31))):
             join.process_batch(
                 raw.filter(F.col("day").between(lo, hi)).select(
                     "value", "file", "pos"
                 ),
                 epoch_id=epoch,
             )
-    raw.unpersist(False)
     view = join.read_view(spark)
     return view.select(
         "event_id", "user_id", "value", "r_score", "r_ver"
@@ -498,8 +562,15 @@ def _keyed_state_schema():
 
 
 def _replay_keyed_batches(consumer_process_batch, env: DataFrame) -> None:
-    with witness_shuffle_partitions(env.sparkSession):
-        for epoch, (lo, hi) in enumerate(((1, 10), (11, 20), (21, 31))):
+    # two time-contiguous microbatches (r11 bench diet; was three): the
+    # witnesses are fixed-overhead-bound (~1.4 s per state upsert at any
+    # sf — measured flat from 10k to 100k rows), so epochs are the cost
+    # unit.  Two keeps every semantic the third added nothing to:
+    # cross-batch per-key op sequences, mid-replay TTL expiry (epoch 1's
+    # cutoff = day-15 watermark - 12 days reaches ~day 3), and the final
+    # pass's tail flush (cutoff ~day 19).
+    with witness_replay_confs(env.sparkSession):
+        for epoch, (lo, hi) in enumerate(((1, 15), (16, 31))):
             consumer_process_batch(
                 env.filter(F.col("day").between(lo, hi)).select(
                     "value", "file", "pos"
@@ -564,7 +635,7 @@ def changelog_agg_replay_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``streaming/aggregates.py`` ``ChangelogAggregate``), driven by the
     well-formed keyed CDC fixture (NULL groups, group re-pointing
     updates, deletes, delete-then-reinsert, PK-CHANGING renames) in
-    three time-contiguous microbatches; oracle = GROUP BY over the
+    two time-contiguous microbatches; oracle = GROUP BY over the
     materialized latest live state (reference pattern:
     ``MySqlConnectorITCase.java:186`` — a continuous aggregate stays
     exact under the full CDC op mix).
@@ -614,9 +685,10 @@ FROM live GROUP BY grp ORDER BY grp
 )
 
 
-#: 12 days in micros — sized so the THIRD batch's watermark (≈ day 20)
-#: ages out facts last touched before ≈ day 8 mid-replay, and the final
-#: expiry pass (wm ≈ day 31) ages out everything before ≈ day 19
+#: 12 days in micros — sized so the SECOND batch's cutoff (epoch 0's
+#: watermark ≈ day 15, minus TTL) ages out facts last touched before
+#: ≈ day 3 mid-replay, and the final expiry pass (wm ≈ day 31) ages out
+#: everything before ≈ day 19
 _AGG_TTL_US = 12 * 86_400_000_000
 
 
@@ -631,7 +703,7 @@ def changelog_agg_ttl_replay_query(
     whose latest version's event time falls ``_AGG_TTL_US`` behind the
     stored watermark are retracted from the view and deleted from fact
     state as the replay progresses.  RAISES unless expiry fired
-    MID-REPLAY (epoch 2's cutoff reaches ≈ day 8) — the final
+    MID-REPLAY (epoch 1's cutoff reaches ≈ day 3) — the final
     :meth:`expire` pass alone must not be what satisfies the oracle.
     Oracle = GROUP BY over the latest live state RESTRICTED to facts
     inside the retention window at the final watermark (max after-image
@@ -666,7 +738,7 @@ def changelog_agg_ttl_replay_query(
             "expiry path was not exercised"
         )
     mid = agg.expired_applied
-    with witness_shuffle_partitions(spark):
+    with witness_replay_confs(spark):
         agg.expire(
             spark, epoch_id=_fresh_expire_epoch(3, agg.fact_state, agg.output)
         )
@@ -739,8 +811,9 @@ def changelog_agg_idle_expiry_replay_query(
     fresh = agg._ttl_proto.load_wm() is None
     seq = EpochSequencer(agg.output.path)
     feed = sequenced_process_batch(agg, seq)
-    with witness_shuffle_partitions(spark):
-        for src_epoch, (lo, hi) in enumerate(((1, 10), (11, 20), (21, 31))):
+    with witness_replay_confs(spark):
+        # two microbatches — see _replay_keyed_batches (r11 bench diet)
+        for src_epoch, (lo, hi) in enumerate(((1, 15), (16, 31))):
             feed(
                 env.filter(F.col("day").between(lo, hi)).select(
                     "value", "file", "pos"
@@ -760,7 +833,7 @@ def changelog_agg_idle_expiry_replay_query(
         pass
     fired = False
     base = seq.last() + 1  # strictly past every prior run's trigger ids
-    with witness_shuffle_partitions(spark):
+    with witness_replay_confs(spark):
         for i in range(4):
             if mon.on_trigger(spark, base + i):
                 fired = True
@@ -817,22 +890,22 @@ def changelog_join_ttl_replay_query(
     )
     # fresh-dir gate: see changelog_agg_ttl_replay_query
     fresh = join._ttl_proto.load_wm() is None
-    with witness_shuffle_partitions(spark):
-        for epoch, (lo, hi) in enumerate(((1, 10), (11, 20), (21, 31))):
+    with witness_replay_confs(spark):
+        # two microbatches — see _replay_keyed_batches (r11 bench diet)
+        for epoch, (lo, hi) in enumerate(((1, 15), (16, 31))):
             join.process_batch(
                 raw.filter(F.col("day").between(lo, hi)).select(
                     "value", "file", "pos"
                 ),
                 epoch_id=epoch,
             )
-    raw.unpersist(False)
     if fresh and join.expired_applied == 0:
         raise AssertionError(
             "join TTL witness never expired a fact mid-replay — the "
             "per-epoch expiry path was not exercised"
         )
     mid = join.expired_applied
-    with witness_shuffle_partitions(spark):
+    with witness_replay_confs(spark):
         join.expire(
             spark,
             epoch_id=_fresh_expire_epoch(
@@ -923,7 +996,7 @@ def changelog_topn_ttl_replay_query(
             "per-epoch expiry path was not exercised"
         )
     mid = topn.expired_applied
-    with witness_shuffle_partitions(spark):
+    with witness_replay_confs(spark):
         topn.expire(
             spark,
             epoch_id=_fresh_expire_epoch(3, topn.fact_state, topn.output),
@@ -1090,7 +1163,7 @@ def changelog_cagg_ttl_replay_query(
             "per-epoch expiry path was not exercised"
         )
     mid = agg.expired_applied
-    with witness_shuffle_partitions(spark):
+    with witness_replay_confs(spark):
         agg.expire(
             spark, epoch_id=_fresh_expire_epoch(3, agg.fact_state, agg.output)
         )

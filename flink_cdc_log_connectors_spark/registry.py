@@ -138,70 +138,67 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
 #: every round by the committed scripts/selfcheck.py run
 #: (SELFCHECK_r{N}.json).
 _DRIVER_WINDOW_PRIORITY = [
-    # r10 rotation (VERDICT r9 next-round #1), resorted from the
-    # measured CORRECTNESS r1-r9 union (50 r9 / 43 r8 / 44 r7 / 35 r6):
-    # (a) new this round, never driver-checked
+    # r11 rotation (VERDICT r10 #4), resorted from the measured
+    # CORRECTNESS r1-r10 union (50 r10 / 40 r9 / 43 r8 / 40 r7):
+    # (b) code changed this round — the self-healing crashed-expire
+    # recovery + sequencer trim/gap messages (epochs.py — under the
+    # idle witness and every sequenced consumer), the __folded_max
+    # freshness-guard fix (ttl.py — under all four TTL witnesses), and
+    # the witness diet (replay.py: two-epoch replays, witness_replay_
+    # confs, join-fixture memoization — all nine keyed/join witnesses)
     "changelog_agg_idle_expiry_replay",
-    # (b) code changed this round: the TTL bound-seeding fix +
-    # expire() freshness guard (ttl.py — under all four TTL witnesses
-    # and their consumers), the enrichment dim-read pruning (joins.py —
-    # under both join witnesses), the witness fresh-expire-epoch
-    # allocation + window-witness guard/cleanup (replay.py), and the
-    # sink tier_threshold auto-reconsolidation (sink.py)
     "changelog_agg_ttl_replay",
     "changelog_join_ttl_replay",
     "changelog_topn_ttl_replay",
     "changelog_cagg_ttl_replay",
-    "ingest_dedup_window_replay",
     "changelog_join_replay",
     "changelog_agg_replay",
     "changelog_topn_replay",
     "changelog_cagg_replay",
-    "sink_exactly_once_replay",
-    # (c) stale refresh: ALL 35 entries whose latest driver row is r6 —
-    # after this window no entry's evidence is older than r7
-    "corpus_stratified_sample",
-    "dedup_clusters",
-    "dedup_containment",
-    "dedup_keep_best",
-    "dedup_minhash_planned",
-    "dedup_substring_span",
-    "emb_kmeans_assign",
-    "emb_outlier_dist",
-    "events_anomaly_zscore",
-    "events_cep_adjacent",
-    "events_cumulate_window",
-    "events_funnel",
-    "events_hop_window",
-    "events_markov_transitions",
-    "events_retention",
-    "events_top_paths",
-    "events_watermark_planning",
-    "hypertable_delta",
-    "hypertable_downsample",
-    "hypertable_fill_values",
-    "hypertable_first_last",
-    "hypertable_gapfill",
-    "hypertable_histogram",
-    "hypertable_rollup",
-    "join_bloom_prune",
-    "layout_zorder_key",
-    "lm_doc_bigram_bits",
-    "lm_stupid_backoff",
-    "mm_audio_rms",
-    "mm_binary_meta",
-    "mm_decode_features",
-    "mm_phash_pairs",
-    "search_hybrid_rrf",
-    "sessionize_events",
-    "simsearch_lsh_wide",
-    # (d) head of the 44-entry r7 band (its remainder leads r11)
-    "q01_project_scalar",
-    "q02_filter",
-    "q03_group_agg",
-    "q05_join_agg",
+    # (d) the full 40-entry r7 band — after this window no entry's
+    # latest driver row is older than r8 (the r10 verdict's done
+    # criterion); 9 + 40 = 49 of the driver's 50 slots
+    "agg_count_min_sketch",
+    "agg_histogram_quantiles",
+    "bpe_encode_corpus",
+    "bpe_train_merges",
+    "cdc_canal_roundtrip",
+    "cdc_maxwell_roundtrip",
+    "cdc_ogg_roundtrip",
+    "corpus_overlap_kmv",
+    "corpus_pack_sequences",
+    "corpus_quality_buckets",
+    "corpus_split_leakage",
+    "corpus_token_budget_mix",
+    "ddl_sql_lifecycle",
+    "dedup_family_sizes",
+    "dedup_minhash_accuracy",
+    "dedup_pagerank_centrality",
+    "dedup_segment_exact",
+    "dedup_simhash_wide",
+    "emb_random_projection",
+    "emb_semdedup",
+    "events_dau_wau",
+    "events_key_gini",
+    "events_session_funnel",
+    "events_session_window_tvf",
+    "hypertable_counter_delta",
+    "hypertable_state_durations",
+    "hypertable_time_weight",
+    "mm_frame_sample",
+    "mm_resize",
+    "pipeline_dedup_corpus",
+    "q04_count_distinct",
+    "q04b_approx_distinct",
+    "q24_local_supplier_volume",
+    "text_bm25_topk",
+    "text_cross_entropy",
+    "text_keywords",
+    "text_length_quartiles",
+    "text_ngram_novelty",
+    "text_pii_redact",
+    "text_repetition_stats",
 ]
-
 
 def _driver_window_order(
     out: dict[str, tuple[QueryFn, str | None]]

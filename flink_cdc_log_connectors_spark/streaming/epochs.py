@@ -67,7 +67,17 @@ class EpochSequencer:
     the single id namespace shared by a consumer's data batches and its
     idle-expiry ticks (module docstring).  One sequencer per consumer,
     rooted at a metadata directory (typically the consumer's output
-    path)."""
+    path).
+
+    Backup/restore contract (drilled by
+    ``test_checkpoint_sequencer_restore_drill``): the sequencer file
+    must be snapshotted and restored TOGETHER with the Structured
+    Streaming checkpoint and the consumer's state directories — restore
+    state without it and the replayed batch ids refuse (their mappings
+    were trimmed from the newer file).  Rooting ``meta_dir`` at the
+    consumer's output path does this for free when the backup covers the
+    whole output tree; alternatively root it inside the checkpoint
+    directory so one checkpoint copy carries both."""
 
     def __init__(self, meta_dir: str, name: str = "seq") -> None:
         self.meta_dir = meta_dir

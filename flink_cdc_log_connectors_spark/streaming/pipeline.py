@@ -252,6 +252,40 @@ def progress_metrics(progress) -> dict:
     return out
 
 
+def consumer_state_metrics(consumer) -> dict:
+    """C11 — deterministic state-maintenance gauges for an IVM consumer
+    (``ChangelogAggregate`` / ``ChangelogTopN`` / ``ChangelogJoin`` /
+    continuous aggregate), the production twin of the axes the scale
+    harness reads (VERDICT r10 #8).  Pair with :func:`progress_metrics`
+    in a ``StreamingQueryListener`` or after each foreachBatch:
+
+    - ``expiredApplied``: TTL retraction images applied so far by this
+      consumer instance (cumulative; counted inside the fused per-batch
+      stats agg — zero extra driver actions).
+    - ``dimBucketsOpened``: how many dim-store buckets the last join
+      enrichment actually read (``ChangelogJoin.last_dim_buckets``) —
+      the bytes-opened pruning axis; ``None`` when the last read was a
+      full dim read (type-mismatch fallback).  Key absent for
+      consumers without a dim side.
+    - ``watermark`` / ``pendingExpiryEpochs``: the TTL protocol's
+      persisted event-time watermark and any staged-but-unfinalized
+      expiry epochs (non-empty = a crashed pass awaiting the
+      self-healing data path or idle ticker).
+
+    Reads two tiny JSON files at most; no Spark jobs."""
+    out: dict = {}
+    if hasattr(consumer, "expired_applied"):
+        out["expiredApplied"] = consumer.expired_applied
+    if hasattr(consumer, "last_dim_buckets"):
+        ldb = consumer.last_dim_buckets
+        out["dimBucketsOpened"] = None if ldb is None else len(ldb)
+    proto = getattr(consumer, "_ttl_proto", None)
+    if proto is not None:
+        out["watermark"] = proto.load_wm()
+        out["pendingExpiryEpochs"] = proto.staged_epochs()
+    return out
+
+
 def dedup_stream(
     stream: DataFrame,
     keys: Sequence[str],

@@ -538,8 +538,11 @@ def test_expire_refuses_recycled_epoch_id(spark, tmp_path):
 def test_max_committed_epoch_covers_upsert_and_append_manifests(tmp_path):
     """Unit pin for the guard's epoch derivation: upsert manifests map
     bucket → int epoch, append manifests map bucket → version LIST with
-    reserved ``__``-keys — both shapes must be read, reserved keys
-    skipped."""
+    reserved ``__``-keys — both shapes must be read; reserved keys are
+    skipped EXCEPT ``__folded_max``, which is folded into the max
+    (ADVICE r10: a compacted append-managed table's loose versions
+    understate its true committed max — epochs folded into ``c<id>``
+    versions are only visible through the watermark)."""
     import os
 
     from flink_cdc_log_connectors_spark.streaming.ttl import (
@@ -560,14 +563,18 @@ def test_max_committed_epoch_covers_upsert_and_append_manifests(tmp_path):
     os.makedirs(ap.path, exist_ok=True)
     with open(ap._manifest_path(), "w") as f:
         json.dump(
-            {"2": [0, 7], "__compacted_epochs": [99], "__folded_max": 98},
+            {"2": [0, 7], "__compacted_epochs": [97, 98], "__folded_max": 98},
             f,
         )
     assert max_committed_epoch(up) == 3
-    assert max_committed_epoch(up, ap) == 7
+    # the folded watermark (98) outranks the loose versions (7): a
+    # recycled id anywhere at or below it must be refused
+    assert max_committed_epoch(up, ap) == 98
     with pytest.raises(ValueError, match="FRESH epoch id"):
         check_expire_epoch(7, up, ap)
-    check_expire_epoch(8, up, ap)
+    with pytest.raises(ValueError, match="FRESH epoch id"):
+        check_expire_epoch(98, up, ap)
+    check_expire_epoch(99, up, ap)
 
 
 @pytest.mark.parametrize("seed", [11, 12, 13])
