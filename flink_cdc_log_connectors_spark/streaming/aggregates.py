@@ -48,7 +48,12 @@ from ..sources.debezium import (
     retract_before_images,
 )
 from .statetable import PartitionedStateTable, null_safe_on
-from .ttl import EventTimeTTL, check_expire_epoch, committed_at
+from .ttl import (
+    EventTimeTTL,
+    check_expire_epoch,
+    committed_at,
+    heal_pending_expiry,
+)
 
 
 class ChangelogAggregate:
@@ -158,6 +163,10 @@ class ChangelogAggregate:
     # -- the per-batch merge ----------------------------------------------
     def process_batch(self, raw_batch: DataFrame, epoch_id: int) -> None:
         spark = raw_batch.sparkSession
+        # self-heal a crashed expire() pass before anything else (r11 —
+        # covers raw-foreachBatch deployments too, not just the
+        # sequenced adapter); no-op on healthy batches
+        heal_pending_expiry(self, spark, epoch_id)
         table_of = F.get_json_object(F.col("value"), "$.source.table")
         # retract_before_images: PK-changing updates retract the old fact
         # key from state (UPDATE_BEFORE semantics); group re-pointing was

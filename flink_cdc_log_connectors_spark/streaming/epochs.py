@@ -53,7 +53,7 @@ import threading
 
 from pyspark.sql import SparkSession
 
-from .ttl import max_committed_epoch
+from .ttl import heal_pending_expiry, max_committed_epoch
 
 #: retries can only re-deliver recent epochs (Structured Streaming
 #: commits sequentially); mappings older than this many allocations can
@@ -212,11 +212,11 @@ def sequenced_process_batch(consumer, seq: EpochSequencer):
         # expire() against state a batch is mid-commit on (seq.lock)
         with seq.lock:
             epoch = seq.allocate("stream", batch_id)
-            proto = getattr(consumer, "_ttl_proto", None)
-            if proto is not None:
-                for pending in proto.staged_epochs():
-                    if pending != epoch:
-                        consumer.expire(batch_df.sparkSession, pending)
+            # the consumers' own process_batch entries heal too (r11 —
+            # raw foreachBatch deployments); healing here as well keeps
+            # the recovery under this adapter's namespace lock and
+            # documents the contract at the adapter boundary
+            heal_pending_expiry(consumer, batch_df.sparkSession, epoch)
             consumer.process_batch(batch_df, epoch)
 
     return fn

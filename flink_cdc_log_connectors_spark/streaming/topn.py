@@ -62,7 +62,12 @@ from ..sources.debezium import (
     retract_before_images,
 )
 from .statetable import PartitionedStateTable, null_safe_on
-from .ttl import EventTimeTTL, check_expire_epoch, committed_at
+from .ttl import (
+    EventTimeTTL,
+    check_expire_epoch,
+    committed_at,
+    heal_pending_expiry,
+)
 
 #: injected partition column for global (un-partitioned) Top-N
 _GLOBAL = "__all"
@@ -153,6 +158,9 @@ class ChangelogTopN:
     # -- the per-batch merge ----------------------------------------------
     def process_batch(self, raw_batch: DataFrame, epoch_id: int) -> None:
         spark = raw_batch.sparkSession
+        # self-heal a crashed expire() pass before anything else (r11 —
+        # see streaming/ttl.heal_pending_expiry); no-op when healthy
+        heal_pending_expiry(self, spark, epoch_id)
         table_of = F.get_json_object(F.col("value"), "$.source.table")
         # retract_before_images: PK-changing updates retract the old fact
         # key (UPDATE_BEFORE semantics) — see the helper's docstring

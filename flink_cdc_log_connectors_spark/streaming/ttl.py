@@ -126,6 +126,30 @@ def check_expire_epoch(
         )
 
 
+def heal_pending_expiry(consumer, spark: SparkSession, epoch_id: int) -> None:
+    """Complete a crashed ``expire()`` pass from the DATA path (VERDICT
+    r10 #1): a published staged decision outside a pass's own
+    stage→finalize window means a prior pass died between its state
+    commits — ``stage()`` rightly refuses every LATER epoch until that
+    pass completes, which used to stall a busy stream until the idle
+    ticker fired or an operator re-ran the pass by hand.  Called at the
+    top of every consumer's ``process_batch`` (and by the sequenced
+    adapter): replays the staged decision under its own epoch — the
+    idempotent recovery ``check_expire_epoch`` admits while the stage
+    survives — then lets the batch proceed.  A pending stage equal to
+    ``epoch_id`` is left alone: that is THIS batch's own retry, and its
+    ``stage()`` call reuses the decision inline, folding the retractions
+    with the batch's rows (running ``expire()`` on it first would apply
+    them without the batch).  No-op for non-TTL consumers and on every
+    healthy batch (one directory listing)."""
+    proto = getattr(consumer, "_ttl_proto", None)
+    if proto is None:
+        return
+    for pending in proto.staged_epochs():
+        if pending != epoch_id:
+            consumer.expire(spark, pending)
+
+
 def committed_at(table: PartitionedStateTable, epoch_id: int) -> set[int]:
     """Bucket ids this epoch already committed to ``table`` — a retry
     (or a re-delivery of a fully-committed epoch) must union these into

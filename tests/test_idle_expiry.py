@@ -316,6 +316,65 @@ def test_crashed_data_epoch_retry_reuses_own_stage(spark, tmp_path):
     assert view(spark, agg) == {1: (1, 7.0), 3: (1, 2.0)}
 
 
+def test_crashed_expire_recovers_on_raw_data_path(spark, tmp_path):
+    """The self-heal lives in the consumers' own ``process_batch`` entry
+    (``heal_pending_expiry``), so RAW foreachBatch deployments — the
+    ``materialize_aggregate`` wiring, no sequencer — recover from a
+    crashed expire() pass on their next data batch too."""
+    agg = make_ttl_agg(tmp_path, "rawheal")
+    agg.process_batch(raw_df(spark, [
+        env("c", _row(1, 1, 5.0, 100), pos=0),
+        env("c", _row(2, 1, 7.0, 1000), pos=1),
+    ]), 0)
+    agg.process_batch(
+        raw_df(spark, [env("c", _row(4, 3, 2.0, 1100), pos=10)]), 1
+    )
+    orig = agg.output.upsert
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash")
+
+    agg.output.upsert = boom
+    with pytest.raises(RuntimeError, match="injected crash"):
+        agg.expire(spark, epoch_id=2)
+    agg.output.upsert = orig
+    assert agg._ttl_proto.staged_epochs() == [2]
+    agg.process_batch(
+        raw_df(spark, [env("c", _row(5, 1, 4.0, 1200), pos=20)]), 3
+    )
+    assert agg._ttl_proto.staged_epochs() == []
+    assert view(spark, agg) == {1: (1, 4.0), 3: (1, 2.0)}
+
+
+def test_raw_id_collision_with_pending_stage_folds_inline(spark, tmp_path):
+    """Raw-id hazard the carve-out exists for: the next batch's id
+    EQUALS the crashed pass's epoch — the heal skips it and the batch's
+    own ``stage()`` reuses the staged decision, folding the retractions
+    with the batch's rows (the pytest-proven same-epoch retry path)."""
+    agg = make_ttl_agg(tmp_path, "rawcoll")
+    agg.process_batch(raw_df(spark, [
+        env("c", _row(1, 1, 5.0, 100), pos=0),
+        env("c", _row(2, 1, 7.0, 1000), pos=1),
+    ]), 0)
+    agg.process_batch(
+        raw_df(spark, [env("c", _row(4, 3, 2.0, 1100), pos=10)]), 1
+    )
+    orig = agg.output.upsert
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash")
+
+    agg.output.upsert = boom
+    with pytest.raises(RuntimeError, match="injected crash"):
+        agg.expire(spark, epoch_id=2)
+    agg.output.upsert = orig
+    agg.process_batch(
+        raw_df(spark, [env("c", _row(5, 1, 4.0, 1200), pos=20)]), 2
+    )
+    assert agg._ttl_proto.staged_epochs() == []
+    assert view(spark, agg) == {1: (1, 4.0), 3: (1, 2.0)}
+
+
 def test_idle_monitor_refuses_out_of_namespace_state(spark, tmp_path):
     """State committed under ids the sequencer never allocated (a
     consumer previously driven by raw Structured Streaming batch ids)
