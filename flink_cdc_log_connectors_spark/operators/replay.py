@@ -64,7 +64,15 @@ def witness_shuffle_partitions(spark: SparkSession, n: int = 8):
     rows per partition — pure scheduler overhead, measured ~20% of
     witness wall-clock.  A real deployment sizes shuffle partitions to
     its cluster (and AQE coalesces); this is witness-scale tuning only,
-    restored on exit."""
+    restored on exit.
+
+    KEEP THE SAVE/SET/RESTORE BODY IN SYNC with
+    :func:`witness_replay_confs`, which duplicates it and layers the
+    AQE toggle on top (ADVICE r11: fold one into the other — deferred
+    to r13 for the driver-window rotation budget, the same constraint
+    that deferred the ingest diet from r11: composing them changes the
+    executed path of every witness_replay_confs witness, and the r12
+    window is full with the r8 band + this round's diet)."""
     import contextlib
 
     @contextlib.contextmanager
@@ -91,7 +99,12 @@ def witness_replay_confs(spark: SparkSession, n: int = 2):
     task-launch overhead dominates task work — two shuffle partitions
     (≤ 50k rows each at the bench sf) measured another ~15% off.  A
     real deployment leaves AQE on and sizes partitions to its cluster —
-    this is witness-scale tuning only, restored on exit."""
+    this is witness-scale tuning only, restored on exit.
+
+    KEEP THE SAVE/SET/RESTORE BODY IN SYNC with
+    :func:`witness_shuffle_partitions` (see the deferral note there —
+    composition lands r13 with the window budget to re-prove the
+    witnesses it touches)."""
     import contextlib
 
     @contextlib.contextmanager
@@ -1327,21 +1340,34 @@ def ingest_dedup_replay_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     band collision is discovered either intra-batch or when its later
     doc arrives and probes the index; orientation by arrival:
     d1 = the LATER doc (same batch: smaller id first, matching the
-    ``a.doc_id < b.doc_id`` intra join)."""
+    ``a.doc_id < b.doc_id`` intra join).
+
+    Bench diet (VERDICT r11 #4 — the same levers that cut the
+    keyed/join witnesses 0.60×, profiled fixed-overhead-bound here
+    too): TWO arrival batches instead of three (every gate still
+    fires: the new-vs-index probe, the mid-replay fold at
+    ``compact_threshold=1`` — bucket version lists reach 2 at epoch 1,
+    BEFORE the re-delivery — and the at-least-once re-delivery of a
+    committed epoch), ``witness_replay_confs`` scoping (AQE off + 2
+    shuffle partitions, restored on exit), and ``n_buckets=4`` — pure
+    witness-scale placement (semantics are bucket-count-independent;
+    production sizing is the ``migrate_ingest_index`` rule), cutting
+    per-append bucket-file IO 4×.  The oracle's orientation modulus
+    follows (``n_batches=2``)."""
     from ..streaming.ingest_dedup import IngestDedup, read_dedup_pairs
 
     docs = load_table(spark, sf_dir, "documents")
     index_path = replay_state_dir("ingest_dedup", sf_dir)
-    # compact_threshold=2 forces the index stores' auto-compaction to
-    # fire MID-replay (bucket version lists exceed 2 by epoch 2), so the
-    # driver record proves the fold preserves the __epoch stamps the
-    # retry discipline reads — same witness discipline as the temporal
-    # join's history compaction
-    dd = IngestDedup(index_path, compact_threshold=2)
-    with witness_shuffle_partitions(spark):
-        for epoch in range(3):
+    # compact_threshold=1 forces the index stores' auto-compaction to
+    # fire MID-replay (bucket version lists exceed 1 by epoch 1, before
+    # the re-delivery), so the driver record proves the fold preserves
+    # the __epoch stamps the retry discipline reads — same witness
+    # discipline as the temporal join's history compaction
+    dd = IngestDedup(index_path, compact_threshold=1, n_buckets=4)
+    with witness_replay_confs(spark):
+        for epoch in range(2):
             dd.process_batch(
-                docs.filter(F.col("doc_id") % 3 == epoch), epoch_id=epoch
+                docs.filter(F.col("doc_id") % 2 == epoch), epoch_id=epoch
             )
         if not dd.bands.compactions_committed():
             raise AssertionError(
@@ -1351,23 +1377,27 @@ def ingest_dedup_replay_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         # not change (a retried append overwrites its own version — or
         # no-ops if the fold subsumed it — also what makes harness
         # re-runs over the shared state dir safe)
-        dd.process_batch(docs.filter(F.col("doc_id") % 3 == 1), epoch_id=1)
+        dd.process_batch(docs.filter(F.col("doc_id") % 2 == 1), epoch_id=1)
     pairs = read_dedup_pairs(spark, index_path)
     return pairs.select("d1", "d2", "jaccard").orderBy("d1", "d2")
 
 
 def _ingest_minhash_oriented_sql(
-    window: int | None = None, slice_mod: int | None = None
+    window: int | None = None,
+    slice_mod: int | None = None,
+    n_batches: int = 3,
 ) -> str:
     """DuckDB twin of the streaming ingest dedup: the batch MinHash
     oracle's candidate + verification stages (same constants — identical
     signatures across engines), oriented by arrival batch
-    (``doc_id % 3``): d1 = later batch's doc, intra-batch smaller id
-    first.  With ``window``, only pairs whose arrival batches are within
-    ``window`` epochs of each other survive — the dedup-window
-    (``retention_epochs``) semantics.  With ``slice_mod``, the corpus is
-    restricted to ``doc_id % slice_mod = 0`` — the bench-diet slice the
-    window witness replays (VERDICT r9 #5)."""
+    (``doc_id % n_batches``): d1 = later batch's doc, intra-batch
+    smaller id first.  With ``window``, only pairs whose arrival batches
+    are within ``window`` epochs of each other survive — the
+    dedup-window (``retention_epochs``) semantics.  With ``slice_mod``,
+    the corpus is restricted to ``doc_id % slice_mod = 0`` — the
+    bench-diet slice the window witness replays (VERDICT r9 #5).
+    ``n_batches`` is the replay's arrival-batch modulus (r12 diet: the
+    corpus-wide witnesses replay two batches)."""
     from .dedup import (
         BANDS,
         MINHASH_A,
@@ -1400,8 +1430,8 @@ def _ingest_minhash_oriented_sql(
         ""
         if window is None
         else (
-            "WHERE GREATEST(x % 3, y % 3) - LEAST(x % 3, y % 3) "
-            f"<= {window}"
+            f"WHERE GREATEST(x % {n_batches}, y % {n_batches}) - "
+            f"LEAST(x % {n_batches}, y % {n_batches}) <= {window}"
         )
     )
     src = (
@@ -1440,8 +1470,8 @@ ver AS (
   FROM common JOIN sizes s1 ON x = s1.doc_id JOIN sizes s2 ON y = s2.doc_id
   WHERE 5 * common >= 1 * (s1.n_sh + s2.n_sh - common)
 )
-SELECT CASE WHEN x % 3 >= y % 3 THEN x ELSE y END AS d1,
-       CASE WHEN x % 3 >= y % 3 THEN y ELSE x END AS d2,
+SELECT CASE WHEN x % {n_batches} >= y % {n_batches} THEN x ELSE y END AS d1,
+       CASE WHEN x % {n_batches} >= y % {n_batches} THEN y ELSE x END AS d2,
        jaccard
 FROM ver {win} ORDER BY d1, d2
 """
@@ -1482,14 +1512,19 @@ def ingest_dedup_window_replay_query(
     # index per call BY DESIGN (above), so it replays a HALF slice of the
     # corpus — the window/fold/redelivery contract is slice-independent,
     # and the oracle (slice_mod=2) restricts identically, so values still
-    # check end to end
+    # check end to end.  r12 (VERDICT r11 #4): witness_replay_confs
+    # scoping + n_buckets=4 witness-scale placement; the THREE epochs
+    # stay — the retention window needs an epoch that ages OUT (0 vs 2)
+    # and one that stays IN, which two batches cannot express
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 2 == 0
     )
     index_path = _tempfile.mkdtemp(prefix="ingest_window_")
     try:
-        dd = IngestDedup(index_path, compact_threshold=2, retention_epochs=1)
-        with witness_shuffle_partitions(spark):
+        dd = IngestDedup(
+            index_path, compact_threshold=2, retention_epochs=1, n_buckets=4
+        )
+        with witness_replay_confs(spark):
             for epoch in range(3):
                 dd.process_batch(
                     docs.filter(F.col("doc_id") % 3 == epoch), epoch_id=epoch
@@ -1533,19 +1568,27 @@ def ingest_index_migrate_replay_query(
     (plain ``mode("append")`` parquet with at-least-once duplicate
     appends and a legacy ``epoch`` column on pairs — exactly what the
     r7-era loop produced), migrated in place, then the CURRENT loop
-    resumes with epochs 1-2 and a deliberate re-delivery of epoch 1.
+    resumes with epoch 1 and a deliberate re-delivery of it.
 
     What the oracle match proves: the migration's read-side dedup folds
     the duplicate raw appends exactly once; migrated rows keep probing
-    (epoch-1/2 docs pair with epoch-0 docs THROUGH the migrated,
+    (epoch-1 docs pair with epoch-0 docs THROUGH the migrated,
     (band_idx, bh)-bucketed bands store); and the re-delivered epoch's
     ``__epoch < 1`` replay filter sees precisely the migrated epoch-0
     stamps — so the retry re-derives the SAME oriented pairs.
 
     Oracle: identical to ``ingest_dedup_replay`` — the global batch
-    MinHash pipeline oriented by arrival batch (``doc_id % 3``); any
+    MinHash pipeline oriented by arrival batch (``doc_id % 2``); any
     migration-induced duplication, loss, or mis-stamping shifts the
-    pair set and fails on values."""
+    pair set and fails on values.
+
+    Bench diet (VERDICT r11 #4): two arrival batches (the second epoch
+    added nothing the migration contract needs — every gate above
+    binds at epoch 1 already), ``witness_replay_confs`` scoping, and
+    ``n_buckets=4`` witness-scale placement end to end (the raw layout
+    has no buckets; the MIGRATION itself re-buckets into 4 — also the
+    first driver proof of its ``n_buckets`` parameter, the documented
+    corpus-growth re-bucketing knob)."""
     from ..functions.text import hashed_word_ngrams
     from ..streaming.ingest_dedup import (
         IngestDedup,
@@ -1557,11 +1600,11 @@ def ingest_index_migrate_replay_query(
 
     docs = load_table(spark, sf_dir, "documents")
     index_path = replay_state_dir("ingest_migrate", sf_dir)
-    with witness_shuffle_partitions(spark):
+    with witness_replay_confs(spark):
         if not os.path.isdir(os.path.join(index_path, "bands")):
             # epoch 0, as the pre-r8 loop wrote it (raw appends; intra
             # candidates only — the index was empty at epoch 0)
-            doc_sets = docs.filter(F.col("doc_id") % 3 == 0).select(
+            doc_sets = docs.filter(F.col("doc_id") % 2 == 0).select(
                 "doc_id",
                 hashed_word_ngrams(F.col("text"), 3).alias("shset"),
             )
@@ -1588,15 +1631,12 @@ def ingest_index_migrate_replay_query(
                 )
         # one-shot, idempotent (no-ops on a reused state dir — already
         # the current layout, the migration's own contract)
-        migrate_ingest_index(spark, index_path)
-        dd = IngestDedup(index_path)
-        for epoch in (1, 2):
-            dd.process_batch(
-                docs.filter(F.col("doc_id") % 3 == epoch), epoch_id=epoch
-            )
+        migrate_ingest_index(spark, index_path, n_buckets=4)
+        dd = IngestDedup(index_path, n_buckets=4)
+        dd.process_batch(docs.filter(F.col("doc_id") % 2 == 1), epoch_id=1)
         # re-delivery OVER THE MIGRATED INDEX: the retry's epoch filter
         # must see exactly the migrated epoch-0 stamps plus nothing newer
-        dd.process_batch(docs.filter(F.col("doc_id") % 3 == 1), epoch_id=1)
+        dd.process_batch(docs.filter(F.col("doc_id") % 2 == 1), epoch_id=1)
     pairs = read_dedup_pairs(spark, index_path)
     return pairs.select("d1", "d2", "jaccard").orderBy("d1", "d2")
 
@@ -1745,11 +1785,11 @@ REPLAY_QUERIES = {
     ),
     "ingest_dedup_replay": (
         ingest_dedup_replay_query,
-        _ingest_minhash_oriented_sql(),
+        _ingest_minhash_oriented_sql(n_batches=2),
     ),
     "ingest_index_migrate_replay": (
         ingest_index_migrate_replay_query,
-        _ingest_minhash_oriented_sql(),
+        _ingest_minhash_oriented_sql(n_batches=2),
     ),
     "ingest_dedup_window_replay": (
         ingest_dedup_window_replay_query,

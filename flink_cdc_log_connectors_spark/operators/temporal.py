@@ -1219,24 +1219,27 @@ def temporal_asof_replay_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     - facts (``event_id % 3 == 1``): (event_id, user_id, value) rowtimes.
 
     The log is replayed through the real ``TemporalJoin.process_batch``
-    machinery in FIVE time-contiguous microbatches: three day-split
-    batches of real events (days 1–10 / 11–20 / 21–31 — contiguity
-    preserves log order across batch boundaries, the same property a
-    real offset-ordered CDC read has), then two synthetic batches that
-    pin the r6 watermark-finality fix on the driver record:
+    machinery in FOUR time-contiguous microbatches (r12 bench diet —
+    VERDICT r11 #7; formerly five, the third day-split batch carried no
+    gate of its own): two day-split batches of real events (days 1–15 /
+    16–31 — contiguity preserves log order across batch boundaries, the
+    same property a real offset-ordered CDC read has, and facts still
+    join dim versions committed by an EARLIER batch), then two
+    synthetic batches that pin the r6 watermark-finality fix on the
+    driver record:
 
-    - batch 3: dim version v1 (key −1, price 10.0) at ts ``m+1`` (m =
+    - batch 2: dim version v1 (key −1, price 10.0) at ts ``m+1`` (m =
       max event rowtime) and a fact (event −101) at the SAME
       millisecond ``m+1``;
-    - batch 4: dim version v2 (key −1, price 20.0) ALSO at ``m+1`` but
+    - batch 3: dim version v2 (key −1, price 20.0) ALSO at ``m+1`` but
       at a higher log offset — the same-ms tie group SPLIT across the
       microbatch boundary — plus a trailing HEARTBEAT at ``m+2`` that
       advances the watermark past every fact (the reference's L5
       heartbeat feature is the designed end-of-log flush).
 
     A pre-r6 engine (inclusive ``fact_ts <= wm`` emit bound) issues the
-    fact's FINAL verdict already in batch 3, pinning v1 (price 10.0)
-    forever; the fixed strict bound defers it to batch 4, where the
+    fact's FINAL verdict already in batch 2, pinning v1 (price 10.0)
+    forever; the fixed strict bound defers it to batch 3, where the
     complete tie group ranks v2 (price 20.0) — which is what the
     declarative oracle (latest version at-or-before rowtime, offset
     breaking same-ms ties) demands: the pre-fix engine FAILS this
@@ -1331,10 +1334,7 @@ def temporal_asof_replay_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "file",
         "pos",
-        F.when(F.col("day") <= 10, 0)
-        .when(F.col("day") <= 20, 1)
-        .otherwise(2)
-        .alias("b"),
+        F.when(F.col("day") <= 15, 0).otherwise(1).alias("b"),
     )
 
     # ---- synthetic same-ms tie split + trailing heartbeat (r7) ----------
@@ -1377,10 +1377,10 @@ def temporal_asof_replay_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1.0).alias("value"),
     )
     synth = (
-        _senv(3, "dims", "c", _dimg(10.0, 1), 1, 1)
-        .unionByName(_senv(3, "facts", "c", tie_fact, 1, 2))
-        .unionByName(_senv(4, "dims", "c", _dimg(20.0, 2), 1, 3))
-        .unionByName(_senv(4, "dims", "h", None, 2, 4))
+        _senv(2, "dims", "c", _dimg(10.0, 1), 1, 1)
+        .unionByName(_senv(2, "facts", "c", tie_fact, 1, 2))
+        .unionByName(_senv(3, "dims", "c", _dimg(20.0, 2), 1, 3))
+        .unionByName(_senv(3, "dims", "h", None, 2, 4))
     )
     log = raw.unionByName(synth).persist()
 
@@ -1391,16 +1391,17 @@ def temporal_asof_replay_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         how="inner",
         n_buckets=8,
         # witness-scale threshold so the steady-state compaction POLICY
-        # (r8; VERDICT r7 next-round #1) fires MID-replay: the day-split
-        # epochs push several buckets past 2 versions, the policy folds
-        # the history, and the remaining epochs + emits run against the
-        # compacted layout — asserted below (production default is 16)
+        # (r8; VERDICT r7 next-round #1) fires MID-replay: the two
+        # day-split epochs plus the synthetic dim batch push key -1's
+        # bucket past 2 versions, the policy folds the history, and the
+        # remaining epoch + emits run against the compacted layout —
+        # asserted below (production default is 16)
         history_compact_threshold=2,
     )
-    from .replay import witness_shuffle_partitions
+    from .replay import witness_replay_confs
 
-    with witness_shuffle_partitions(spark):
-        for epoch in range(5):
+    with witness_replay_confs(spark):
+        for epoch in range(4):
             tj.process_batch(
                 log.filter(F.col("b") == epoch).select(
                     "value", "file", "pos"
@@ -1431,7 +1432,7 @@ def temporal_asof_replay_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Declarative AS-OF oracle.  The synthetic rows mirror the witness's
-#: batches 3/4: two same-ms versions of key -1 (offset order must rank
+#: batches 2/3: two same-ms versions of key -1 (offset order must rank
 #: v2) and the tie fact -101; the trailing heartbeat pushes the final
 #: watermark past every fact, so NO emit bound appears here — a pre-r6
 #: engine (inclusive emit bound) pins the tie fact to v1 (price 10.0)

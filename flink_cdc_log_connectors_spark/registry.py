@@ -138,67 +138,74 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
 #: every round by the committed scripts/selfcheck.py run
 #: (SELFCHECK_r{N}.json).
 _DRIVER_WINDOW_PRIORITY = [
-    # r11 rotation (VERDICT r10 #4), resorted from the measured
-    # CORRECTNESS r1-r10 union (50 r10 / 40 r9 / 43 r8 / 40 r7):
-    # (b) code changed this round — the self-healing crashed-expire
-    # recovery + sequencer trim/gap messages (epochs.py — under the
-    # idle witness and every sequenced consumer), the __folded_max
-    # freshness-guard fix (ttl.py — under all four TTL witnesses), and
-    # the witness diet (replay.py: two-epoch replays, witness_replay_
-    # confs, join-fixture memoization — all nine keyed/join witnesses)
+    # r12 rotation (VERDICT r11 #2), resorted from the measured
+    # CORRECTNESS r1-r11 union (50 r11 / 40 r10 / 40 r9 / 43 r8):
+    # (b) code changed this round — the ingest-trio bench diet
+    # (replay.py: two-batch replays + compact_threshold=1 for the
+    # corpus-wide pair, witness_replay_confs, n_buckets=4; oracle
+    # modulus follows), the temporal witness diet (temporal.py:
+    # four-batch replay + witness_replay_confs), and the sequenced
+    # adapter changes (epochs.py: adapter-level heal dropped per
+    # ADVICE r11 — the consumer-entry heal runs under the same lock —
+    # plus for_checkpoint and the trim_max extraction fix; under the
+    # idle witness, the one registry entry driving the sequencer)
+    "ingest_dedup_window_replay",
+    "ingest_index_migrate_replay",
+    "ingest_dedup_replay",
+    "temporal_asof_replay",
     "changelog_agg_idle_expiry_replay",
-    "changelog_agg_ttl_replay",
-    "changelog_join_ttl_replay",
-    "changelog_topn_ttl_replay",
-    "changelog_cagg_ttl_replay",
-    "changelog_join_replay",
-    "changelog_agg_replay",
-    "changelog_topn_replay",
-    "changelog_cagg_replay",
-    # (d) the full 40-entry r7 band — after this window no entry's
-    # latest driver row is older than r8 (the r10 verdict's done
-    # criterion); 9 + 40 = 49 of the driver's 50 slots
-    "agg_count_min_sketch",
-    "agg_histogram_quantiles",
-    "bpe_encode_corpus",
-    "bpe_train_merges",
-    "cdc_canal_roundtrip",
-    "cdc_maxwell_roundtrip",
-    "cdc_ogg_roundtrip",
-    "corpus_overlap_kmv",
-    "corpus_pack_sequences",
-    "corpus_quality_buckets",
-    "corpus_split_leakage",
-    "corpus_token_budget_mix",
-    "ddl_sql_lifecycle",
-    "dedup_family_sizes",
-    "dedup_minhash_accuracy",
-    "dedup_pagerank_centrality",
-    "dedup_segment_exact",
-    "dedup_simhash_wide",
-    "emb_random_projection",
-    "emb_semdedup",
-    "events_dau_wau",
-    "events_key_gini",
-    "events_session_funnel",
-    "events_session_window_tvf",
-    "hypertable_counter_delta",
-    "hypertable_state_durations",
-    "hypertable_time_weight",
-    "mm_frame_sample",
-    "mm_resize",
-    "pipeline_dedup_corpus",
-    "q04_count_distinct",
-    "q04b_approx_distinct",
-    "q24_local_supplier_volume",
-    "text_bm25_topk",
-    "text_cross_entropy",
-    "text_keywords",
-    "text_length_quartiles",
-    "text_ngram_novelty",
-    "text_pii_redact",
-    "text_repetition_stats",
+    # (d) the full 43-entry r8 band — after this window no entry's
+    # latest driver row is older than r9 (the r11 verdict's done
+    # criterion); 5 + 43 = 48 of the driver's 50 slots
+    "ann_cosine_topk",
+    "ann_hamming_topk",
+    "ann_ivf_label",
+    "ann_ivf_multiprobe",
+    "cep_stream_replay",
+    "changelog_skew_hotkey",
+    "corpus_chunk_windows",
+    "corpus_reservoir_topk",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "graph_triangle_count",
+    "lm_bigram_train",
+    "pipeline_clean_corpus",
+    "q06_multijoin_broadcast",
+    "q07a_outer_null",
+    "q07b_semi_join",
+    "q07c_anti_join",
+    "q08_wide_agg",
+    "q09_rollup",
+    "q09b_cube",
+    "q10a_topk_window",
+    "q10b_running_sum",
+    "q11_topk",
+    "q12a_intersect",
+    "q12b_except",
+    "q12c_union_agg",
+    "q13_scalars",
+    "q14_changelog_materialize",
+    "q14b_changelog_maxby",
+    "q25_volume_shipping",
+    "q26_returned_items",
+    "q27_promo_effect",
+    "q28_customer_distribution",
+    "q29_forecast_revenue",
+    "q30_market_share",
+    "q31_top_supplier",
+    "q32_large_volume_customer",
+    "q33_small_qty_revenue",
+    "q34_sales_opportunity",
+    "range_join_events",
+    # the last two slots begin the r9 band (alphabetical; the r13
+    # window carries the remaining 38)
+    "agg_heavy_hitters",
+    "agg_kmv_distinct",
 ]
+
 
 def _driver_window_order(
     out: dict[str, tuple[QueryFn, str | None]]

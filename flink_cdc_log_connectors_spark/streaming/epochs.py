@@ -53,7 +53,7 @@ import threading
 
 from pyspark.sql import SparkSession
 
-from .ttl import heal_pending_expiry, max_committed_epoch
+from .ttl import max_committed_epoch
 
 #: retries can only re-deliver recent epochs (Structured Streaming
 #: commits sequentially); mappings older than this many allocations can
@@ -78,6 +78,21 @@ class EpochSequencer:
     consumer's output path does this for free when the backup covers the
     whole output tree; alternatively root it inside the checkpoint
     directory so one checkpoint copy carries both."""
+
+    @classmethod
+    def for_checkpoint(
+        cls, checkpoint_path: str, name: str = "seq"
+    ) -> "EpochSequencer":
+        """Sequencer rooted INSIDE the Structured Streaming checkpoint
+        directory (``<checkpoint>/__epoch_seq/``) — the safe default
+        layout (VERDICT r11 #6): one checkpoint backup then carries the
+        offset log AND the epoch mapping by construction, so a restore
+        can never pair replayed batch ids with a sequencer file trimmed
+        past them (the refusal ``test_checkpoint_sequencer_restore_
+        drill`` pins).  Prefer this unless the backup already covers the
+        consumer's whole output tree (where rooting at the output path
+        gives the same guarantee)."""
+        return cls(os.path.join(checkpoint_path, "__epoch_seq"), name=name)
 
     def __init__(self, meta_dir: str, name: str = "seq") -> None:
         self.meta_dir = meta_dir
@@ -179,9 +194,11 @@ class EpochSequencer:
                 # per-source allocations are strictly increasing (the
                 # guard above), so insertion order = ascending source_id
                 # and the LAST trimmed key carries the highest trimmed id
+                # (sliced off the key by prefix length — ADVICE r11: a
+                # source name containing ':' would break a split(":"))
                 st["trim_max"][source] = max(
                     st["trim_max"].get(source, -1),
-                    int(trimmed[-1].split(":", 1)[1]),
+                    int(trimmed[-1][len(source) + 1 :]),
                 )
             st["max_src"][source] = source_id
             self._store(st)
@@ -198,25 +215,25 @@ def sequenced_process_batch(consumer, seq: EpochSequencer):
     its staged decision published, and every later epoch's ``stage()``
     rightly REFUSES to start until that pass completes — on a busy
     stream without the idle ticker deployed, that used to be an outage
-    with a manual fix.  The data path already holds the namespace lock
-    here, so it completes any pending staged pass FIRST (the staged
-    replay is idempotent whatever the crash point was, and
-    ``check_expire_epoch`` admits the same-id retry while its stage
-    survives — exactly what ``IdleExpiryMonitor._on_trigger_locked``
-    does), then processes the batch.  A pending stage belonging to THIS
-    batch's own epoch is left alone: that is the batch's own retry, and
+    with a manual fix.  Recovery lives at the CONSUMER layer: every TTL
+    consumer's ``process_batch`` opens with
+    :func:`~.ttl.heal_pending_expiry` (r11 — so raw foreachBatch
+    deployments recover too), and because this adapter holds the
+    namespace lock across the whole batch, that heal runs under the
+    lock here with no second call needed (ADVICE r11: the adapter-level
+    duplicate cost one directory listing per batch and a second code
+    path to keep in sync).  A pending stage belonging to THIS batch's
+    own epoch is left alone: that is the batch's own retry, and
     ``stage()`` reuses the staged decision inline."""
 
     def fn(batch_df, batch_id: int) -> None:
         # the lock spans the whole batch so an idle tick can never run
-        # expire() against state a batch is mid-commit on (seq.lock)
+        # expire() against state a batch is mid-commit on (seq.lock);
+        # crashed-expire healing happens INSIDE process_batch (every TTL
+        # consumer's entry calls heal_pending_expiry first — see the
+        # docstring above), so it too runs under this lock
         with seq.lock:
             epoch = seq.allocate("stream", batch_id)
-            # the consumers' own process_batch entries heal too (r11 —
-            # raw foreachBatch deployments); healing here as well keeps
-            # the recovery under this adapter's namespace lock and
-            # documents the contract at the adapter boundary
-            heal_pending_expiry(consumer, batch_df.sparkSession, epoch)
             consumer.process_batch(batch_df, epoch)
 
     return fn

@@ -133,15 +133,26 @@ def heal_pending_expiry(consumer, spark: SparkSession, epoch_id: int) -> None:
     commits — ``stage()`` rightly refuses every LATER epoch until that
     pass completes, which used to stall a busy stream until the idle
     ticker fired or an operator re-ran the pass by hand.  Called at the
-    top of every consumer's ``process_batch`` (and by the sequenced
-    adapter): replays the staged decision under its own epoch — the
-    idempotent recovery ``check_expire_epoch`` admits while the stage
-    survives — then lets the batch proceed.  A pending stage equal to
-    ``epoch_id`` is left alone: that is THIS batch's own retry, and its
-    ``stage()`` call reuses the decision inline, folding the retractions
-    with the batch's rows (running ``expire()`` on it first would apply
-    them without the batch).  No-op for non-TTL consumers and on every
-    healthy batch (one directory listing)."""
+    top of every consumer's ``process_batch``: replays the staged
+    decision under its own epoch — the idempotent recovery
+    ``check_expire_epoch`` admits while the stage survives — then lets
+    the batch proceed.  A pending stage equal to ``epoch_id`` is left
+    alone: that is THIS batch's own retry, and its ``stage()`` call
+    reuses the decision inline, folding the retractions with the
+    batch's rows (running ``expire()`` on it first would apply them
+    without the batch).  No-op for non-TTL consumers and on every
+    healthy batch (one directory listing).
+
+    Locking invariant (VERDICT r11 #3): on the RAW (un-sequenced)
+    foreachBatch path this runs with NO lock.  That is safe today only
+    because no concurrent expirer can exist there — the idle ticker
+    (the one out-of-band ``expire()`` driver) requires an
+    :class:`~.epochs.EpochSequencer`, and on the sequenced path the
+    adapter holds ``seq.lock`` across the whole batch, covering this
+    call.  Any future out-of-band expiry added to a RAW deployment must
+    bring its own mutual exclusion with ``process_batch`` (or route
+    through the sequencer), or this heal races it over the same staged
+    decision."""
     proto = getattr(consumer, "_ttl_proto", None)
     if proto is None:
         return

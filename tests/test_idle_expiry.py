@@ -116,6 +116,24 @@ def test_sequencer_distinguishes_gap_from_trim(tmp_path):
         seq.allocate("stream", 3)
 
 
+def test_sequencer_trims_source_name_containing_colon(tmp_path):
+    """ADVICE r11: trim_max extracted the trimmed id with
+    split(':', 1)[1], so a source NAME containing ':' (e.g. a
+    'db:table' routing label) blew up with ValueError inside allocate()
+    the first time its window trimmed; the id is now sliced off by
+    prefix length."""
+    from flink_cdc_log_connectors_spark.streaming import epochs
+
+    seq = EpochSequencer(str(tmp_path))
+    for i in range(epochs._MAP_WINDOW + 5):
+        seq.allocate("db:orders", i)  # trims without raising
+    with pytest.raises(ValueError, match="has been trimmed"):
+        seq.allocate("db:orders", 0)
+    assert seq.allocate("db:orders", epochs._MAP_WINDOW + 4) == (
+        epochs._MAP_WINDOW + 4
+    )
+
+
 # -- IdleExpiryMonitor (deterministic ticks) ---------------------------------
 
 def test_idle_monitor_flushes_quiesced_stream_and_rearms(spark, tmp_path):
@@ -531,7 +549,10 @@ def test_idle_monitor_flushes_cagg_consumer(spark, tmp_path):
     assert buckets() == {11: (1, 2.0)}
 
 
-def test_checkpoint_sequencer_restore_drill(spark, tmp_path, monkeypatch):
+@pytest.mark.parametrize("layout", ["output_path", "checkpoint"])
+def test_checkpoint_sequencer_restore_drill(
+    spark, tmp_path, monkeypatch, layout
+):
     """VERDICT r10 #5: the sequencer file is a recovery artifact NEXT TO
     the Structured Streaming checkpoint — its restore-alongside contract
     (epochs.py allocate()) was error-messaged but never drilled end to
@@ -540,7 +561,13 @@ def test_checkpoint_sequencer_restore_drill(spark, tmp_path, monkeypatch):
     the replayed batch is REFUSED (its mapping was trimmed from the
     newer file; a fresh epoch would let stale rows beat newer state);
     (b) restore state AND sequencer together — the replay re-allocates
-    the same epochs and converges to the straight-through view."""
+    the same epochs and converges to the straight-through view.
+
+    r12 (VERDICT r11 #6): parametrized over BOTH supported layouts —
+    the sequencer rooted at the consumer's output path, and the
+    ``EpochSequencer.for_checkpoint`` default that roots it inside the
+    checkpoint directory so one checkpoint backup carries the offset
+    log and the epoch mapping by construction."""
     import shutil
 
     from flink_cdc_log_connectors_spark.streaming import epochs
@@ -554,9 +581,23 @@ def test_checkpoint_sequencer_restore_drill(spark, tmp_path, monkeypatch):
             [env("c", _row(100 + i, i % 2, float(i), 1000 + i), pos=i)],
         )
 
+    # both layouts keep the sequencer INSIDE the snapshotted root (the
+    # backup the drill copies): the checkpoint dir lives under the
+    # output tree here purely so one copytree models "one backup covers
+    # checkpoint + state" — in production for_checkpoint points at the
+    # real Structured Streaming checkpointLocation
+    def mk_seq(a):
+        if layout == "checkpoint":
+            return EpochSequencer.for_checkpoint(str(root / "ckpt"))
+        return EpochSequencer(a.output.path)
+
+    seq_file = (
+        root / "ckpt" / "__epoch_seq" / "__seq.json"
+        if layout == "checkpoint"
+        else root / "view" / "__seq.json"
+    )
     agg = make_ttl_agg(tmp_path, "drill")
-    seq = EpochSequencer(agg.output.path)
-    feed = sequenced_process_batch(agg, seq)
+    feed = sequenced_process_batch(agg, mk_seq(agg))
     for i in range(3):
         feed(mk(i), i)
     snap = tmp_path / "snap"
@@ -565,16 +606,17 @@ def test_checkpoint_sequencer_restore_drill(spark, tmp_path, monkeypatch):
         feed(mk(i), i)
     expected = view(spark, agg)
     assert expected == {0: (5, 20.0), 1: (4, 16.0)}
-    cur_seq = (root / "view" / "__seq.json").read_bytes()
+    cur_seq = seq_file.read_bytes()
 
     # (a) state restored from backup, sequencer file NOT restored (the
     # live, post-continue file stays): batch 3's mapping was trimmed
     # (window 4 retains ids 5-8) — refused before any state mutation
     shutil.rmtree(root)
     shutil.copytree(snap, root)
-    (root / "view" / "__seq.json").write_bytes(cur_seq)
+    seq_file.parent.mkdir(parents=True, exist_ok=True)
+    seq_file.write_bytes(cur_seq)
     agg2 = make_ttl_agg(tmp_path, "drill")
-    feed2 = sequenced_process_batch(agg2, EpochSequencer(agg2.output.path))
+    feed2 = sequenced_process_batch(agg2, mk_seq(agg2))
     with pytest.raises(ValueError, match="has been trimmed"):
         feed2(mk(3), 3)
 
@@ -583,7 +625,7 @@ def test_checkpoint_sequencer_restore_drill(spark, tmp_path, monkeypatch):
     shutil.rmtree(root)
     shutil.copytree(snap, root)
     agg3 = make_ttl_agg(tmp_path, "drill")
-    feed3 = sequenced_process_batch(agg3, EpochSequencer(agg3.output.path))
+    feed3 = sequenced_process_batch(agg3, mk_seq(agg3))
     for i in range(3, 9):
         feed3(mk(i), i)
     assert view(spark, agg3) == expected
@@ -636,6 +678,47 @@ def test_consumer_state_metrics_surface(spark, tmp_path):
     jm = consumer_state_metrics(join)
     assert jm["dimBucketsOpened"] is None  # no enrichment read yet
     assert jm["expiredApplied"] == 0
+
+
+def test_state_metrics_listener_publishes_merged_payload(spark, tmp_path):
+    """VERDICT r11 #7: the listener wiring around the C11 gauges — one
+    publish per progress event carrying the query's source metrics AND
+    every registered consumer's state gauges; a publish failure warns
+    instead of propagating into the listener thread."""
+    import warnings
+
+    from flink_cdc_log_connectors_spark.streaming.pipeline import (
+        state_metrics_listener,
+    )
+
+    agg = make_ttl_agg(tmp_path, "listener")
+    feed = sequenced_process_batch(agg, EpochSequencer(agg.output.path))
+    feed(raw_df(spark, [
+        env("c", _row(1, 1, 5.0, 100), pos=0),
+        env("c", _row(2, 1, 7.0, 1000), pos=1),
+    ]), 0)
+    feed(raw_df(spark, [env("c", _row(4, 3, 2.0, 1100), pos=10)]), 1)
+
+    got = []
+    listener = state_metrics_listener({"agg": agg}, got.append)
+
+    class _Event:
+        progress = {"batchId": 7, "numInputRows": 3, "sources": []}
+
+    listener.onQueryProgress(_Event())
+    assert len(got) == 1
+    assert got[0]["query"]["batchId"] == 7
+    m = got[0]["consumers"]["agg"]
+    assert m["expiredApplied"] == 1 and m["watermark"] == 1100
+
+    def boom(_):
+        raise RuntimeError("sink down")
+
+    bad = state_metrics_listener({"agg": agg}, boom)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        bad.onQueryProgress(_Event())  # must not raise
+    assert any("publish failed" in str(x.message) for x in w)
 
 
 # -- the real ticker: a rate-source stream, no manual expire() --------------
