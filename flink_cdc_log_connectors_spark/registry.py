@@ -148,20 +148,23 @@ _DRIVER_WINDOW_PRIORITY = [
     # adapter changes (epochs.py: adapter-level heal dropped per
     # ADVICE r11 — the consumer-entry heal runs under the same lock —
     # plus for_checkpoint and the trim_max extraction fix; under the
-    # idle witness, the one registry entry driving the sequencer)
+    # idle witness, the one registry entry driving the sequencer), and
+    # the cep witness rework (two waves + an ASSERTED checkpoint-
+    # recovery straddle gate; wall-clock-neutral by side-by-side
+    # measure — already an r8-band member, so window-free)
     "ingest_dedup_window_replay",
     "ingest_index_migrate_replay",
     "ingest_dedup_replay",
     "temporal_asof_replay",
     "changelog_agg_idle_expiry_replay",
-    # (d) the full 43-entry r8 band — after this window no entry's
+    "cep_stream_replay",
+    # (d) the remaining 42-entry r8 band — after this window no entry's
     # latest driver row is older than r9 (the r11 verdict's done
-    # criterion); 5 + 43 = 48 of the driver's 50 slots
+    # criterion); 6 + 42 = 48 of the driver's 50 slots
     "ann_cosine_topk",
     "ann_hamming_topk",
     "ann_ivf_label",
     "ann_ivf_multiprobe",
-    "cep_stream_replay",
     "changelog_skew_hotkey",
     "corpus_chunk_windows",
     "corpus_reservoir_topk",
