@@ -1509,8 +1509,10 @@ def ingest_dedup_window_replay_query(
     """Replay witness for the DEDUP WINDOW (``IngestDedup
     (retention_epochs=1)`` — the streaming "dedup within the last N"
     pattern; Flink users express it as state TTL on the dedup
-    operator): the same three-batch replay as ``ingest_dedup_replay``,
-    but each batch dedups only against the immediately preceding epoch
+    operator): a three-batch replay (``ingest_dedup_replay``'s shape
+    before its r12 two-batch diet — THIS witness keeps all three, see
+    below), where each batch dedups only against the immediately
+    preceding epoch
     (and itself).  The probe's window filter makes the semantics exact
     immediately; compactions (forced mid-replay, threshold 2) then
     PHYSICALLY drop index rows aged out of the latest window —
