@@ -205,7 +205,8 @@ class ChangelogAggregate:
             rows.unpersist(False)
             return
         self._merge_and_recompute(
-            spark, rows, epoch_id, stats["fb"], stats["ob"]
+            spark, rows, epoch_id, stats["fb"], stats["ob"],
+            n_rows=stats["n"],
         )
         rows.unpersist(False)
 
@@ -216,6 +217,7 @@ class ChangelogAggregate:
         epoch_id: int,
         fact_buckets: Sequence[int],
         out_buckets: Sequence[int],
+        n_rows: int | None = None,
     ) -> None:
         """Fact-state upsert + touched-group recompute + view upsert —
         the batch pipeline shared by the plain and TTL paths (``rows``
@@ -227,6 +229,7 @@ class ChangelogAggregate:
             order_by=CHANGELOG_ORDER_BY,
             epoch_id=epoch_id,
             touched=fact_buckets,
+            batch_rows=n_rows,
         )
 
         # 2. touched groups: every group any image of this batch mentions
@@ -367,7 +370,8 @@ class ChangelogAggregate:
             | committed_at(self.output, epoch_id)
         )
         self._merge_and_recompute(
-            spark, flagged.drop("__syn"), epoch_id, fb, ob
+            spark, flagged.drop("__syn"), epoch_id, fb, ob,
+            n_rows=sum(r["cnt"] for r in per_bucket),
         )
         # -- post-commit metadata (monotone / conservative) ----------------
         wm_cands = [v for v in (r["bmax"] for r in per_bucket) if v is not None]

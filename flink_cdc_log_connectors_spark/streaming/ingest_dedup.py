@@ -287,8 +287,14 @@ class IngestDedup:
             # two retries the epoch and every append idempotently
             # overwrites its own version — convergent
             self.pairs.append(pairs, epoch_id=epoch_id)
-            self.shsets.append(doc_sets, epoch_id=epoch_id)
-            self.bands.append(new_bands, epoch_id=epoch_id)
+            # batch_rows: every doc emits exactly BANDS band rows, so the
+            # fused stats' band count names both table sizes for free
+            self.shsets.append(
+                doc_sets, epoch_id=epoch_id, batch_rows=stats["nb"] // BANDS
+            )
+            self.bands.append(
+                new_bands, epoch_id=epoch_id, batch_rows=stats["nb"]
+            )
             # compactions drop index rows aged out of the CURRENT (=
             # latest) epoch's dedup window — pure storage GC riding the
             # fold's rewrite; the probe's window filter already made the

@@ -304,17 +304,10 @@ class ChangelogJoin:
             | {r["__b"] for r in per if r["__s"] == 1}
         )
         lb_all = lb_flag.drop("__syn")
-        self.left_state.upsert(
-            lb_all,
-            order_by=CHANGELOG_ORDER_BY,
-            epoch_id=epoch_id,
-            touched=lbk,
-        )
-        self.right_state.upsert(
-            rb,
-            order_by=CHANGELOG_ORDER_BY,
-            epoch_id=epoch_id,
-            touched=rbk,
+        self._upsert_sides(
+            (lb_all, lbk, sum(r["cnt"] for r in per if r["__s"] == 0)),
+            (rb, rbk, sum(r["cnt"] for r in per if r["__s"] == 1)),
+            epoch_id,
         )
         batch_min = {
             str(r["__b"]): r["bmin"]
@@ -337,6 +330,34 @@ class ChangelogJoin:
             sorted(committed_at(self.output, epoch_id)),
             finalize,
         )
+
+    def _upsert_sides(self, left_args, right_args, epoch_id: int) -> None:
+        """Commit the two side-state upserts as CONCURRENT driver jobs
+        (r12, optimization guide §2.6): the tables are independent —
+        disjoint directories, separate manifests — and each commit is a
+        short job preceded by driver-side planning, so running them from
+        two threads overlaps one side's planning+job behind the other's.
+        Crash discipline is unchanged: each table's manifest swap remains
+        its own atomic commit point, and a crash with either (or both)
+        un-swapped replays idempotently, exactly as the old sequential
+        ordering did (neither ordering was ever load-bearing)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _side(state, args):
+            batch, touched, rows = args
+            state.upsert(
+                batch,
+                order_by=CHANGELOG_ORDER_BY,
+                epoch_id=epoch_id,
+                touched=touched,
+                batch_rows=rows,
+            )
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fl = pool.submit(_side, self.left_state, left_args)
+            fr = pool.submit(_side, self.right_state, right_args)
+            fl.result()
+            fr.result()
 
     def expire(self, spark: SparkSession, epoch_id: int) -> None:
         """Expiry-only pass (no input batch) under a FRESH epoch id —
@@ -432,17 +453,10 @@ class ChangelogJoin:
             lb_all = lb
             lbk, rbk = stats["lbk"], stats["rbk"]
             dim_buckets = sorted({*stats["dbk"], *rbk})
-            self.left_state.upsert(
-                lb_all,
-                order_by=CHANGELOG_ORDER_BY,
-                epoch_id=epoch_id,
-                touched=lbk,
-            )
-            self.right_state.upsert(
-                rb,
-                order_by=CHANGELOG_ORDER_BY,
-                epoch_id=epoch_id,
-                touched=rbk,
+            self._upsert_sides(
+                (lb_all, lbk, stats["nl"]),
+                (rb, rbk, stats["nr"]),
+                epoch_id,
             )
         else:
             ttl_res = self._ttl_upserts(spark, lb, rb, epoch_id)

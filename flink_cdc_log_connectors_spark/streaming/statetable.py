@@ -80,6 +80,23 @@ _MANIFEST = "_manifest.json"
 _DATA = "_data"
 
 
+def _commit_target_bytes() -> int:
+    """Target bytes per write task on a state commit (conf §2.2/§6 of the
+    optimization playbook: shuffle/output partitions in the 100 MB–1 GB
+    range).  Env-overridable so a cluster deployment can size it to its
+    executors; the default keeps microbatch commits single-task."""
+    return int(
+        os.environ.get("SPARK_GRAFT_COMMIT_TARGET_BYTES", str(128 << 20))
+    )
+
+
+def _commit_task_rows() -> int:
+    """Row-count floor companion to :func:`_commit_target_bytes` for
+    batches whose byte size is unknown (first commit into an empty
+    table): one write task per this many batch rows."""
+    return int(os.environ.get("SPARK_GRAFT_COMMIT_TASK_ROWS", str(1 << 20)))
+
+
 class PartitionedStateTable:
     """Upsert target for changelog materialization (see module docstring).
 
@@ -230,10 +247,11 @@ class PartitionedStateTable:
                 "retain_versions > 0"
             )
         manifest = eligible[-1]["manifest"]
-        if not manifest:
+        buckets = self._bucket_items(manifest)
+        if not buckets:
             return None
-        paths = [self._bucket_dir(v, int(b)) for b, v in manifest.items()]
-        return spark.read.option("mergeSchema", "true").parquet(*paths)
+        paths = [self._bucket_dir(v, int(b)) for b, v in buckets]
+        return self._reader(spark, manifest).parquet(*paths)
 
     # -- read -------------------------------------------------------------
     # mergeSchema: after an L6 schema widening, buckets written before
@@ -251,6 +269,20 @@ class PartitionedStateTable:
     #: an auto-compaction can never reuse (and therefore never clobber) a
     #: referenced compacted version, no matter how epochs retry
     _COMPACT_SEQ = "__compact_seq"
+    #: reserved manifest key: JSON of the UNION schema of every live data
+    #: file (r12 optimization) — readers pass it as an explicit
+    #: ``.schema(...)`` instead of ``mergeSchema=true``, which pays a
+    #: driver-side footer merge of every file at PLAN time on every read
+    #: (measured ~250 ms per read at witness scale, and ~2× the scan's
+    #: execution time).  Maintained as a monotone union: each commit
+    #: merges the written frame's schema in (L6 widenings only ever ADD
+    #: columns; old files lacking a column read as NULL by parquet
+    #: name-based resolution — exactly what mergeSchema produced).  The
+    #: key is DROPPED — falling every reader back to mergeSchema — when
+    #: the union is unsafe: a pre-existing dir with unknown file schemas,
+    #: or a field whose TYPE drifted (a widening coercion in unionByName);
+    #: ``compact()``'s full rewrite re-establishes it.
+    _SCHEMA = "__schema"
     #: reserved manifest key: the HIGHEST integer epoch any compaction has
     #: folded.  ``append()`` no-ops every epoch at or below it — airtight
     #: where the bounded ``__compacted_epochs`` list is not (ADVICE r8: a
@@ -268,6 +300,101 @@ class PartitionedStateTable:
         ``__``-prefixed bookkeeping — excluded)."""
         return [(b, v) for b, v in manifest.items() if not b.startswith("__")]
 
+    # -- stored file schema (see _SCHEMA) -----------------------------------
+    @staticmethod
+    def _file_schema(schema):
+        """The written FILE schema of a partitioned write: ``__bucket``
+        lives in the directory name, never in the files."""
+        from pyspark.sql import types as T
+
+        return T.StructType(
+            [f for f in schema.fields if f.name != "__bucket"]
+        )
+
+    def _schema_entry(
+        self, prior_manifest: dict, written_schema
+    ) -> str | None:
+        """Union of the stored schema and this commit's written file
+        schema as a JSON string — or None when storing is unsafe and
+        readers must keep footer-merging (see ``_SCHEMA``)."""
+        from pyspark.sql import types as T
+
+        new = self._file_schema(written_schema)
+        stored = prior_manifest.get(self._SCHEMA)
+        if stored is None:
+            if self._bucket_items(prior_manifest):
+                # pre-schema-era dir: files of unknown schema stay live
+                # after this commit, so no claimed union is sound
+                return None
+            return new.json()
+        old = T.StructType.fromJson(json.loads(stored))
+        by_name = {f.name: f for f in old.fields}
+        out = list(old.fields)
+        for f in new.fields:
+            g = by_name.get(f.name)
+            if g is None:
+                out.append(f)  # L6 widening: a genuinely new column
+            elif g.dataType.simpleString() != f.dataType.simpleString():
+                return None  # type drift — only mergeSchema is sound
+        return T.StructType(out).json()
+
+    def _stamp_schema(
+        self, new_manifest: dict, written_schema, prior_manifest: dict
+    ) -> None:
+        """Fold this commit's written schema into ``new_manifest``; the
+        legacy-dir and type-drift guards run against ``prior_manifest``
+        (the manifest BEFORE this commit — live files not rewritten by
+        this commit are exactly its bucket entries)."""
+        entry = self._schema_entry(prior_manifest, written_schema)
+        if entry is None:
+            new_manifest.pop(self._SCHEMA, None)
+        else:
+            new_manifest[self._SCHEMA] = entry
+
+    def _reader(self, spark: SparkSession, manifest: dict):
+        """DataFrameReader for this table's files: explicit stored schema
+        when the manifest carries one (no per-read footer merge), else
+        ``mergeSchema`` (pre-schema-era dirs; type-drifted tables)."""
+        from pyspark.sql import types as T
+
+        stored = manifest.get(self._SCHEMA)
+        if stored is not None:
+            return spark.read.schema(T.StructType.fromJson(json.loads(stored)))
+        return spark.read.option("mergeSchema", "true")
+
+    def _commit_partitions(
+        self,
+        manifest: dict,
+        touched: Sequence[int],
+        batch_rows: int | None,
+    ) -> int:
+        """Write-task count for a commit, derived from the PRIOR size of
+        the touched buckets (driver-side file stats — the merge rewrites
+        roughly those bytes) with a row-count floor for batches into
+        empty buckets.  Microbatches collapse to ONE task — the dynamic-
+        partition writer's per-task sort/commit machinery measured ~5×
+        a single-task write at kilobyte scale — while large states keep
+        one task per ~``_commit_target_bytes()`` (guide §2.2/§6 file
+        sizing).  Used via ``coalesce`` (a no-op when the plan already
+        has fewer partitions), so it can only REDUCE task counts."""
+        total = 0
+        for b in touched:
+            vs = manifest.get(str(b))
+            if vs is None:
+                continue
+            for v in vs if isinstance(vs, list) else [vs]:
+                try:
+                    with os.scandir(self._bucket_dir(v, b)) as it:
+                        total += sum(
+                            e.stat().st_size for e in it if e.is_file()
+                        )
+                except OSError:
+                    continue
+        n = max(1, -(-total // _commit_target_bytes()))
+        if batch_rows:
+            n = max(n, -(-batch_rows // _commit_task_rows()))
+        return n
+
     def read(self, spark: SparkSession) -> DataFrame | None:
         """Current state as a DataFrame, or None if nothing materialized."""
         manifest = self.load_manifest()
@@ -279,7 +406,7 @@ class PartitionedStateTable:
             for b, vs in buckets.items()
             for v in (vs if isinstance(vs, list) else [vs])
         ]
-        return spark.read.option("mergeSchema", "true").parquet(*paths)
+        return self._reader(spark, manifest).parquet(*paths)
 
     def read_buckets(
         self, spark: SparkSession, buckets: Sequence[int]
@@ -298,10 +425,12 @@ class PartitionedStateTable:
         ]
         if not paths:
             return None
-        return spark.read.option("mergeSchema", "true").parquet(*paths)
+        return self._reader(spark, manifest).parquet(*paths)
 
     # -- append-only commit (insert-only tables) ---------------------------
-    def append(self, batch: DataFrame, epoch_id: int) -> None:
+    def append(
+        self, batch: DataFrame, epoch_id: int, batch_rows: int | None = None
+    ) -> None:
         """Append-only commit for INSERT-ONLY tables — e.g. a temporal
         join's dim VERSION HISTORY, where rows are never updated or
         deleted, only accumulated.
@@ -354,9 +483,17 @@ class PartitionedStateTable:
                 "append-managed or upsert-managed, not both"
             )
         version_dir = os.path.join(self.path, _DATA, f"v={epoch_id}")
-        batch.withColumn("__epoch", F.lit(epoch_id)).withColumn(
+        out = batch.withColumn("__epoch", F.lit(epoch_id)).withColumn(
             "__bucket", self._bucket()
-        ).write.mode("overwrite").partitionBy("__bucket").parquet(version_dir)
+        )
+        if batch_rows is not None:
+            # scale-adaptive write parallelism (callers pass the count
+            # their fused stats agg already collected): microbatches
+            # write single-task — the dynamic-partition writer's
+            # per-task machinery dominates at small sizes — and big
+            # backfills keep one task per _commit_task_rows()
+            out = out.coalesce(max(1, -(-batch_rows // _commit_task_rows())))
+        out.write.mode("overwrite").partitionBy("__bucket").parquet(version_dir)
         touched = [
             int(d.split("=", 1)[1])
             for d in os.listdir(version_dir)
@@ -388,6 +525,7 @@ class PartitionedStateTable:
                     new_manifest[b] = left
                 else:
                     new_manifest.pop(b, None)
+        self._stamp_schema(new_manifest, out.schema, manifest)
         tmp = self._manifest_path() + ".tmp"
         os.makedirs(self.path, exist_ok=True)
         with open(tmp, "w") as f:
@@ -445,9 +583,16 @@ class PartitionedStateTable:
             current = transform(current)
         version_dir = os.path.join(self.path, _DATA, f"v={version}")
         # __bucket came from the directory name; restamp for the write
-        current.withColumn("__bucket", self._bucket()).write.mode(
-            "overwrite"
-        ).partitionBy("__bucket").parquet(version_dir)
+        out = current.withColumn("__bucket", self._bucket()).coalesce(
+            self._commit_partitions(
+                manifest,
+                [int(b) for b, _ in self._bucket_items(manifest)],
+                None,
+            )
+        )
+        out.write.mode("overwrite").partitionBy("__bucket").parquet(
+            version_dir
+        )
         touched = [
             int(d.split("=", 1)[1])
             for d in os.listdir(version_dir)
@@ -482,6 +627,10 @@ class PartitionedStateTable:
         if isinstance(epoch_id, int):
             seq = max(seq, epoch_id)
         new_manifest[self._COMPACT_SEQ] = seq
+        # the rewrite replaced EVERY live file, so its schema is the
+        # table's schema outright — re-establishes explicit-schema reads
+        # even after a type-drift or legacy-dir fallback
+        new_manifest[self._SCHEMA] = self._file_schema(out.schema).json()
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as f:
             json.dump(new_manifest, f)
@@ -547,6 +696,7 @@ class PartitionedStateTable:
         op_col: str = "op",
         touched: Sequence[int] | None = None,
         extra_touched: Sequence[int] | None = None,
+        batch_rows: int | None = None,
     ) -> None:
         """Merge one microbatch: read ONLY the buckets the batch touches,
         apply changelog semantics over prior-state ∪ batch, write fresh
@@ -578,11 +728,13 @@ class PartitionedStateTable:
             batch.persist()
         try:
             if self_collected:
+                # per-bucket counts: same single job as the old distinct
+                # (≤ n_buckets result rows), and the row total feeds the
+                # scale-adaptive write-task count below for free
+                per_bucket = batch.groupBy("__bucket").count().collect()
+                batch_rows = sum(r["count"] for r in per_bucket)
                 touched = sorted(
-                    {
-                        r[0]
-                        for r in batch.select("__bucket").distinct().collect()
-                    }
+                    {r["__bucket"] for r in per_bucket}
                     | set(extra_touched or ())
                 )
             else:
@@ -630,19 +782,48 @@ class PartitionedStateTable:
                 keys=self.keys,
                 order_by=["__epoch", *order_by],
                 op_col=op_col,
+            ).coalesce(
+                # scale-adaptive commit parallelism: a microbatch merge
+                # writes from ONE task (the dynamic-partition writer's
+                # per-task sort/commit machinery measured ~5× a single-
+                # task write at kilobyte scale); large touched states
+                # keep ~one task per _commit_target_bytes() of prior
+                # bucket bytes — which also sizes output files sanely
+                self._commit_partitions(manifest, touched, batch_rows)
             )
             version_dir = os.path.join(self.path, _DATA, f"v={epoch_id}")
             if any(manifest.get(str(b)) == epoch_id for b in touched):
                 # Replay of an epoch whose manifest swap already committed
                 # (crash between swap and the stream's own commit): the
-                # lazy prior-read above points INTO v=<epoch>, which the
-                # overwrite below is about to clobber — pin the merged
-                # result first so the write never races its own input.
-                merged = merged.localCheckpoint(eager=True)
-            # one job; overwrite makes a same-epoch streaming retry idempotent
-            merged.write.mode("overwrite").partitionBy("__bucket").parquet(
-                version_dir
-            )
+                # lazy prior-read above points INTO v=<epoch>, so the
+                # write must not clobber its own input.  Write to a
+                # sibling tmp dir (prior files stay intact while the plan
+                # executes), then swap directories — one job, where the
+                # old eager localCheckpoint pinned `merged` with an EXTRA
+                # full materialization job per replayed upsert (r12).
+                # The tmp name must not start with "v=" (the GC sweeps
+                # parse that prefix as an integer version).
+                tmp_dir = os.path.join(
+                    self.path, _DATA, f"_tmp_v{epoch_id}"
+                )
+                shutil.rmtree(tmp_dir, ignore_errors=True)
+                merged.write.mode("overwrite").partitionBy(
+                    "__bucket"
+                ).parquet(tmp_dir)
+                old_dir = os.path.join(
+                    self.path, _DATA, f"_old_v{epoch_id}"
+                )
+                shutil.rmtree(old_dir, ignore_errors=True)
+                if os.path.isdir(version_dir):
+                    os.rename(version_dir, old_dir)
+                os.rename(tmp_dir, version_dir)
+                shutil.rmtree(old_dir, ignore_errors=True)
+            else:
+                # one job; overwrite makes a same-epoch streaming retry
+                # idempotent
+                merged.write.mode("overwrite").partitionBy(
+                    "__bucket"
+                ).parquet(version_dir)
             new_manifest = dict(manifest)
             for b in touched:
                 if os.path.isdir(self._bucket_dir(epoch_id, b)):
@@ -650,6 +831,7 @@ class PartitionedStateTable:
                 else:
                     # every key in this bucket was deleted → no output dir
                     new_manifest.pop(str(b), None)
+            self._stamp_schema(new_manifest, merged.schema, manifest)
             tmp = self._manifest_path() + ".tmp"
             os.makedirs(self.path, exist_ok=True)
             with open(tmp, "w") as f:

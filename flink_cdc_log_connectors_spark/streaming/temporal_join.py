@@ -242,6 +242,9 @@ class TemporalJoin:
             F.max(F.when(is_hb, F.col("_valid_ms"))).alias("hb_max"),
             F.max(F.when(is_dim, F.col("_valid_ms"))).alias("dim_max"),
             F.count(F.when(is_dim, F.lit(1))).alias("n_dim"),
+            F.count(F.when(F.col("_vop") == "__fact", F.lit(1))).alias(
+                "n_fact"
+            ),
             F.collect_set("__pb").alias("fact_pb"),
         ).first()
         if stats["n_dim"] > 0:
@@ -250,7 +253,9 @@ class TemporalJoin:
             # no touched-bucket collect, no prior-bucket rewrite (r7; an
             # upsert rewrote every touched bucket's FULL history per batch)
             self.history.append(
-                dim_all.filter(F.col("_vop") != "h"), epoch_id=epoch_id
+                dim_all.filter(F.col("_vop") != "h"),
+                epoch_id=epoch_id,
+                batch_rows=stats["n_dim"],
             )
             # steady-state compaction policy (r8): fold the history's
             # accumulated version files when any bucket's list exceeds
@@ -344,6 +349,7 @@ class TemporalJoin:
             order_by=["__seq"],
             epoch_id=epoch_id,
             touched=[*stats["fact_pb"], *ready_pb],
+            batch_rows=stats["n_fact"],
         )
         dim_all.unpersist(False)
         facts.unpersist(False)
@@ -520,6 +526,7 @@ class TemporalJoin:
                 order_by=["__seq"],
                 epoch_id=epoch_id,
                 touched=pbs,
+                batch_rows=rstats["n"],
             )
         finally:
             ready.unpersist(False)

@@ -206,7 +206,8 @@ class ChangelogTopN:
             {b for rn in range(1, self.n + 1) for b in stats[f"ob{rn}"]}
         )
         self._merge_and_recompute(
-            spark, rows, epoch_id, stats["fb"], out_touched
+            spark, rows, epoch_id, stats["fb"], out_touched,
+            n_rows=stats["n"],
         )
         rows.unpersist(False)
 
@@ -225,6 +226,7 @@ class ChangelogTopN:
         epoch_id: int,
         fact_buckets: Sequence[int],
         out_buckets: Sequence[int],
+        n_rows: int | None = None,
     ) -> None:
         """Fact-state upsert + touched-partition rank recompute + view
         upsert — the batch pipeline shared by the plain and TTL paths
@@ -235,6 +237,7 @@ class ChangelogTopN:
             order_by=CHANGELOG_ORDER_BY,
             epoch_id=epoch_id,
             touched=fact_buckets,
+            batch_rows=n_rows,
         )
 
         # 2. touched partitions (before-images included — re-pointing)
@@ -388,7 +391,8 @@ class ChangelogTopN:
             | committed_at(self.output, epoch_id)
         )
         self._merge_and_recompute(
-            spark, flagged.drop("__syn"), epoch_id, fb, ob
+            spark, flagged.drop("__syn"), epoch_id, fb, ob,
+            n_rows=sum(r["cnt"] for r in per_bucket),
         )
         wm_cands = [v for v in (r["bmax"] for r in per_bucket) if v is not None]
         self._ttl_proto.finalize(

@@ -296,7 +296,9 @@ def test_partitioned_state_table_batch_proportional(spark, tmp_path):
         [(i, float(i), "c") for i in range(20)], "id int, v double, op string"
     )
     t.upsert(b0, order_by=["v"], epoch_id=0)
-    m0 = t.load_manifest()
+    # bucket entries only — the manifest also carries __-prefixed
+    # bookkeeping (e.g. the stored file schema, r12)
+    m0 = dict(t._bucket_items(t.load_manifest()))
     assert set(m0.values()) == {0} and len(m0) >= 2
 
     t.upsert(
@@ -304,7 +306,7 @@ def test_partitioned_state_table_batch_proportional(spark, tmp_path):
         order_by=["v"],
         epoch_id=1,
     )
-    m1 = t.load_manifest()
+    m1 = dict(t._bucket_items(t.load_manifest()))
     changed = {b for b in set(m0) | set(m1) if m0.get(b) != m1.get(b)}
     assert len(changed) == 1  # exactly the bucket key 3 hashes into
     got = {r["id"]: r["v"] for r in t.read(spark).collect()}
