@@ -360,10 +360,6 @@ class EventTimeTTL:
             return [], cutoff, None
         tmp = stage + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
-        if syn is not None:
-            syn.write.mode("overwrite").parquet(tmp)
-        else:
-            os.makedirs(tmp, exist_ok=True)
         has_rows = syn is not None
         # per-bucket SURVIVOR minima, staged with the decision: a scanned
         # bucket's bound becomes its actual min surviving event time
@@ -372,17 +368,37 @@ class EventTimeTTL:
         # extra job, paid only on expiry epochs, over buckets the scan
         # reads anyway; stale-LOW on replays (survivors deleted since),
         # which is the conservative direction.
+        #
+        # The retraction write and the survivor scan are independent
+        # reads of the same live buckets (neither publishes anything —
+        # the atomic rename below is the only commit point), so they run
+        # as CONCURRENT driver jobs (r12, optimization guide §2.6): one
+        # job's planning+execution hides behind the other's.
         survivor_min: dict[str, int] = {}
         if has_rows:
-            cand = self.state.read_buckets(spark, exp)
-            tcol = F.col(self.ttl_col)
-            survivor_min = {
-                str(r["__b"]): r["mn"]
-                for r in cand.filter(tcol.isNotNull() & (tcol > cutoff))
-                .groupBy(self.state._bucket().alias("__b"))
-                .agg(F.min(tcol).alias("mn"))
-                .collect()
-            }
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _write_syn():
+                syn.write.mode("overwrite").parquet(tmp)
+
+            def _survivors():
+                cand = self.state.read_buckets(spark, exp)
+                tcol = F.col(self.ttl_col)
+                return {
+                    str(r["__b"]): r["mn"]
+                    for r in cand.filter(tcol.isNotNull() & (tcol > cutoff))
+                    .groupBy(self.state._bucket().alias("__b"))
+                    .agg(F.min(tcol).alias("mn"))
+                    .collect()
+                }
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                fw = pool.submit(_write_syn)
+                fs = pool.submit(_survivors)
+                fw.result()
+                survivor_min = fs.result()
+        else:
+            os.makedirs(tmp, exist_ok=True)
         with open(os.path.join(tmp, "_ttl_meta.json"), "w") as f:
             json.dump(
                 {
