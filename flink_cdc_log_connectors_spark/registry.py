@@ -138,29 +138,36 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
 #: every round by the committed scripts/selfcheck.py run
 #: (SELFCHECK_r{N}.json).
 _DRIVER_WINDOW_PRIORITY = [
-    # r12 rotation (VERDICT r11 #2), resorted from the measured
-    # CORRECTNESS r1-r11 union (50 r11 / 40 r10 / 40 r9 / 43 r8):
-    # (b) code changed this round — the ingest-trio bench diet
-    # (replay.py: two-batch replays + compact_threshold=1 for the
-    # corpus-wide pair, witness_replay_confs, n_buckets=4; oracle
-    # modulus follows), the temporal witness diet (temporal.py:
-    # four-batch replay + witness_replay_confs), and the sequenced
-    # adapter changes (epochs.py: adapter-level heal dropped per
-    # ADVICE r11 — the consumer-entry heal runs under the same lock —
-    # plus for_checkpoint and the trim_max extraction fix; under the
-    # idle witness, the one registry entry driving the sequencer), and
-    # the cep witness rework (two waves + an ASSERTED checkpoint-
-    # recovery straddle gate; wall-clock-neutral by side-by-side
-    # measure — already an r8-band member, so window-free)
+    # r12 rotation, resorted at the END of the r12 OPTIMIZATION round:
+    # (b) code changed this round leads — the optimization round changed
+    # the state-table commit/read path (statetable.py: stored-schema
+    # reads, scale-adaptive commit parallelism, tmp-dir replay swap),
+    # the TTL stage (ttl.py: concurrent stage jobs), and the join's
+    # concurrent side commits (joins.py) — under EVERY IVM/ingest
+    # replay witness; plus the earlier-r12 witness diets (ingest trio,
+    # temporal) and the sequencer/cep changes (epochs.py, cep witness).
+    # cep_stream_replay's engine path (cep.py, sink) is untouched by
+    # the optimization round but keeps its diet-change slot.
     "ingest_dedup_window_replay",
     "ingest_index_migrate_replay",
     "ingest_dedup_replay",
     "temporal_asof_replay",
     "changelog_agg_idle_expiry_replay",
     "cep_stream_replay",
-    # (d) the remaining 42-entry r8 band — after this window no entry's
-    # latest driver row is older than r9 (the r11 verdict's done
-    # criterion); 6 + 42 = 48 of the driver's 50 slots
+    "changelog_join_replay",
+    "changelog_join_ttl_replay",
+    "changelog_agg_replay",
+    "changelog_agg_ttl_replay",
+    "changelog_topn_replay",
+    "changelog_topn_ttl_replay",
+    "changelog_cagg_replay",
+    "changelog_cagg_ttl_replay",
+    # (d) the r8 band continues the r10 rotation promise; the 8
+    # code-changed slots above displace the band's last 6 entries and
+    # the 2 r9-band starters to r13 (documented in OPTIMIZATION_r12.md
+    # — code-changed-first is the standing policy; the displaced
+    # entries' code is untouched and all are covered by this round's
+    # committed SELFCHECK/driver_sim full-registry runs)
     "ann_cosine_topk",
     "ann_hamming_topk",
     "ann_ivf_label",
@@ -197,16 +204,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "q27_promo_effect",
     "q28_customer_distribution",
     "q29_forecast_revenue",
-    "q30_market_share",
-    "q31_top_supplier",
-    "q32_large_volume_customer",
-    "q33_small_qty_revenue",
-    "q34_sales_opportunity",
-    "range_join_events",
-    # the last two slots begin the r9 band (alphabetical; the r13
-    # window carries the remaining 38)
-    "agg_heavy_hitters",
-    "agg_kmv_distinct",
 ]
 
 
