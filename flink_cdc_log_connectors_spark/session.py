@@ -44,6 +44,15 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # PySpark wraps EVERY DataFrame/Column API call in a call-site
+        # capture (Python stack walk + two py4j round-trips to stash the
+        # origin for error enrichment).  The foreachBatch consumers make
+        # thousands of such calls per epoch, where it profiled at ~5-10%
+        # of witness wall-clock (r13, cProfile: 555 wrapped calls/run =
+        # _capture_call_site 0.27s + origin set round-trips).  Scale-
+        # independent driver-overhead toggle — costs only error-message
+        # call-site detail.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
