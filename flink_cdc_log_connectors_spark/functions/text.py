@@ -114,7 +114,14 @@ def _hashed_ngram_udf(col: str | Column, n: int, positional: bool) -> Column:
         return pd.Series(out)
 
     _f.__annotations__ = {"texts": pd.Series, "return": pd.Series}
-    udf = F.pandas_udf(_f, "array<long>")
+    from .prepared import prepared
+
+    # the UDF wrapper (registration + schema round-trips) is memoized;
+    # the function body is a pure closure over (n, positional) (r13)
+    udf = prepared(
+        ("hashed_ngram_udf", n, positional),
+        lambda: F.pandas_udf(_f, "array<long>"),
+    )
     c = F.col(col) if isinstance(col, str) else col
     return udf(c)
 

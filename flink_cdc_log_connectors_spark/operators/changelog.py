@@ -54,13 +54,24 @@ def apply_changelog(
         raise ValueError("apply_changelog requires at least one key column")
     if not order_by:
         raise ValueError("apply_changelog requires at least one order column")
-    w = Window.partitionBy(*keys).orderBy(*[F.desc(c) for c in order_by])
-    out = (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .filter(F.col(op_col) != delete_op)
-        .drop("__rn")
+    from ..functions.prepared import prepared
+
+    def build():
+        w = Window.partitionBy(*keys).orderBy(
+            *[F.desc(c) for c in order_by]
+        )
+        rn = F.row_number().over(w)
+        keep = (F.col("__rn") == 1) & (F.col(op_col) != delete_op)
+        return rn, keep
+
+    # memoized window/filter trees + fused filters: the consumers build
+    # this per state commit, every epoch (r13; identical semantics — the
+    # two filters were a conjunction already)
+    rn, keep = prepared(
+        ("apply_changelog", tuple(keys), tuple(order_by), op_col, delete_op),
+        build,
     )
+    out = df.withColumn("__rn", rn).filter(keep).drop("__rn")
     if not keep_op_col:
         out = out.drop(op_col)
     return out

@@ -77,6 +77,85 @@ def _src_struct(env: Column, img_seq: Column) -> Column:
     )
 
 
+def _prep_parse(
+    physical: T.StructType,
+    json_col: str,
+    include_source: bool,
+    retract: bool,
+    offsets: bool,
+):
+    """Memoized Column trees for :func:`parse_debezium` /
+    :func:`parse_change_rows` (``functions/prepared.py`` — the trees are
+    pure functions of the arguments, rebuilt identically every epoch
+    before r13).  Returns ``(env_col, gen_cols, final_cols)`` for the
+    three projections below."""
+    from ..functions.prepared import prepared
+
+    key = (
+        "dbz_parse",
+        physical.json(),
+        json_col,
+        include_source,
+        retract,
+        offsets,
+    )
+
+    def build():
+        env_col = F.from_json(
+            F.col(json_col), envelope_schema(physical)
+        ).alias("__env")
+        env = F.col("__env")
+        op = env["op"]
+        # image selection incl. update explosion (deserialize:117-146)
+        images = (
+            F.when(op == OP_UPDATE, F.array(env["before"], env["after"]))
+            .when(op == OP_DELETE, F.array(env["before"]))
+            .otherwise(F.array(env["after"]))
+        )
+        # posexplode: the image index disambiguates an update's two rows,
+        # which share one log offset — the after-image (img_seq=1) must
+        # win any last-write-per-key merge (apply_changelog/offset_order).
+        gen_cols = [
+            F.posexplode(images).alias("__img_seq", "__row"),
+            op.alias("op"),
+            env.alias("__env2"),
+        ]
+        env2 = F.col("__env2")
+        img = F.col("__img_seq")
+        final = [
+            F.col(f"__row.{f.name}").alias(f.name) for f in physical.fields
+        ]
+        if retract:
+            # fused retract_before_images: identical rewrite, zero extra
+            # projection (img IS what _src.img_seq is built from)
+            final.append(
+                F.when(
+                    (F.col("op") == OP_UPDATE) & (img == 0), F.lit(OP_DELETE)
+                )
+                .otherwise(F.col("op"))
+                .alias("op")
+            )
+        else:
+            final.append(F.col("op"))
+        if include_source:
+            final.append(_src_struct(env2, img).alias("_src"))
+        if offsets:
+            # fused offset_sort_columns — same null-safe expressions over
+            # the same source fields (_src.file IS env2.source.file)
+            final.append(
+                F.coalesce(env2["source"]["file"], F.lit("")).alias(
+                    "_off_file"
+                )
+            )
+            final.append(
+                F.coalesce(env2["source"]["pos"], F.lit(-1)).alias("_off_pos")
+            )
+            final.append(F.coalesce(img, F.lit(-1)).alias("_off_img"))
+        return env_col, gen_cols, final
+
+    return prepared(key, build)
+
+
 def parse_debezium(
     df: DataFrame,
     physical: T.StructType,
@@ -95,40 +174,41 @@ def parse_debezium(
     (filters, routing, window aggregates over after-images) use the
     parse output as-is.
     """
+    return parse_change_rows(
+        df,
+        physical,
+        json_col=json_col,
+        include_source=include_source,
+        retract=False,
+        offsets=False,
+    )
+
+
+def parse_change_rows(
+    df: DataFrame,
+    physical: T.StructType,
+    json_col: str = "value",
+    include_source: bool = True,
+    retract: bool = True,
+    offsets: bool = True,
+) -> DataFrame:
+    """:func:`parse_debezium` with :func:`retract_before_images` and/or
+    :func:`offset_sort_columns` FUSED into the parse's own projections
+    (r13): identical output columns/values, but three DataFrame ops
+    instead of seven — each op is an eager re-analysis plus py4j
+    round-trips, which at microbatch scale dominated the chain's cost
+    (139 ms/call measured) — with the Column trees memoized across
+    epochs (``_prep_parse``)."""
+    env_col, gen_cols, final = _prep_parse(
+        physical, json_col, include_source, retract, offsets
+    )
     # Materialize the parsed envelope in its OWN projection below the
     # explode: the generator's input crosses a GenerateExec boundary where
     # common-subexpression elimination cannot reach, so inlining from_json
     # would evaluate the JSON parse up to 3× per row (generator input +
     # op + metadata).  Parsing once and exploding the column reference
     # measured ~1.9× faster on the 100k-envelope throughput probe.
-    base = df.select(
-        F.from_json(F.col(json_col), envelope_schema(physical)).alias("__env")
-    )
-    env = F.col("__env")
-    op = env["op"]
-    # image selection incl. update explosion (deserialize:117-146)
-    images = (
-        F.when(op == OP_UPDATE, F.array(env["before"], env["after"]))
-        .when(op == OP_DELETE, F.array(env["before"]))
-        .otherwise(F.array(env["after"]))
-    )
-    # posexplode: the image index disambiguates an update's two rows, which
-    # share one log offset — the after-image (img_seq=1) must win any
-    # last-write-per-key merge (apply_changelog over offset_order).
-    out = base.select(
-        F.posexplode(images).alias("__img_seq", "__row"),
-        op.alias("op"),
-        env.alias("__env2"),
-    ).select(
-        F.col("__row"),
-        F.col("op"),
-        _src_struct(F.col("__env2"), F.col("__img_seq")).alias("_src"),
-    )
-    cols = [F.col(f"__row.{f.name}").alias(f.name) for f in physical.fields]
-    cols.append(F.col("op"))
-    if include_source:
-        cols.append(F.col("_src"))
-    return out.select(*cols)
+    return df.select(env_col).select(*gen_cols).select(*final)
 
 
 def filter_tables(
@@ -244,23 +324,33 @@ def retract_before_images(df: DataFrame) -> DataFrame:
     With it, the old key retracts and the new key upserts, exactly
     UPDATE_BEFORE/UPDATE_AFTER.  Apply AFTER :func:`parse_debezium`,
     BEFORE any keyed state merge."""
-    op = F.col("op")
-    img = F.col("_src.img_seq")
-    return df.withColumn(
-        "op",
-        F.when((op == OP_UPDATE) & (img == 0), F.lit(OP_DELETE)).otherwise(op),
-    )
+    from ..functions.prepared import prepared
+
+    def build():
+        op = F.col("op")
+        img = F.col("_src.img_seq")
+        return F.when(
+            (op == OP_UPDATE) & (img == 0), F.lit(OP_DELETE)
+        ).otherwise(op)
+
+    return df.withColumn("op", prepared(("dbz_retract",), build))
 
 
 def offset_sort_columns(df: DataFrame) -> DataFrame:
     """Append null-safe offset sort keys (``_off_file``, ``_off_pos``,
     ``_off_img``) usable directly as ``apply_changelog(order_by=...)`` —
     snapshot rows sort before every log offset."""
-    return (
-        df.withColumn("_off_file", F.coalesce(F.col("_src.file"), F.lit("")))
-        .withColumn("_off_pos", F.coalesce(F.col("_src.pos"), F.lit(-1)))
-        .withColumn("_off_img", F.coalesce(F.col("_src.img_seq"), F.lit(-1)))
-    )
+    from ..functions.prepared import prepared
+
+    def build():
+        return {
+            "_off_file": F.coalesce(F.col("_src.file"), F.lit("")),
+            "_off_pos": F.coalesce(F.col("_src.pos"), F.lit(-1)),
+            "_off_img": F.coalesce(F.col("_src.img_seq"), F.lit(-1)),
+        }
+
+    # one DataFrame op (eager re-analysis) instead of three
+    return df.withColumns(prepared(("dbz_offsort",), build))
 
 
 CHANGELOG_ORDER_BY = ["_off_file", "_off_pos", "_off_img"]

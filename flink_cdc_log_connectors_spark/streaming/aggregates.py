@@ -44,8 +44,7 @@ from pyspark.sql import types as T
 from ..sources.debezium import (
     CHANGELOG_ORDER_BY,
     offset_sort_columns,
-    parse_debezium,
-    retract_before_images,
+    parse_change_rows,
 )
 from .statetable import PartitionedStateTable, null_safe_on
 from .ttl import (
@@ -139,18 +138,45 @@ class ChangelogAggregate:
         )
 
     # -- aggregate expressions --------------------------------------------
+    def _prepared(self, tag: str, build):
+        """Memoize a Column tree under this view's semantic parameters
+        (``functions/prepared.py``) — instances are recreated per query
+        invocation, so the trees were rebuilt every epoch AND every
+        bench re-run before r13."""
+        from ..functions.prepared import prepared
+
+        return prepared(
+            (
+                "cagg",
+                tag,
+                self.table,
+                self.physical.json(),
+                self.key,
+                tuple(self.group_cols),
+                tuple(self.sum_cols),
+                tuple(self.minmax_cols),
+                tuple(self.distinct_cols),
+                self.fact_state.n_buckets,
+                self.ttl_col or "",
+            ),
+            build,
+        )
+
     def _agg_exprs(self):
-        exprs = [F.count(F.lit(1)).cast("long").alias("cnt")]
-        for c in self.sum_cols:
-            exprs.append(F.sum(c).alias(f"sum_{c}"))
-        for c in self.minmax_cols:
-            exprs.append(F.min(c).alias(f"min_{c}"))
-            exprs.append(F.max(c).alias(f"max_{c}"))
-        for c in self.distinct_cols:
-            exprs.append(
-                F.countDistinct(c).cast("long").alias(f"dcnt_{c}")
-            )
-        return exprs
+        def build():
+            exprs = [F.count(F.lit(1)).cast("long").alias("cnt")]
+            for c in self.sum_cols:
+                exprs.append(F.sum(c).alias(f"sum_{c}"))
+            for c in self.minmax_cols:
+                exprs.append(F.min(c).alias(f"min_{c}"))
+                exprs.append(F.max(c).alias(f"max_{c}"))
+            for c in self.distinct_cols:
+                exprs.append(
+                    F.countDistinct(c).cast("long").alias(f"dcnt_{c}")
+                )
+            return exprs
+
+        return self._prepared("agg_exprs", build)
 
     def _out_cols(self) -> list[str]:
         out = ["cnt"]
@@ -168,18 +194,26 @@ class ChangelogAggregate:
         # sequenced adapter); no-op on healthy batches
         heal_pending_expiry(self, spark, epoch_id)
         table_of = F.get_json_object(F.col("value"), "$.source.table")
-        # retract_before_images: PK-changing updates retract the old fact
-        # key from state (UPDATE_BEFORE semantics); group re-pointing was
-        # already covered by before-image group touching
-        parsed = retract_before_images(
-            parse_debezium(
+        # parse + UPDATE_BEFORE retraction (+ offset sort keys when no
+        # derive hook intervenes) fused into the parse's projections with
+        # memoized trees (r13) — the chain was rebuilt per epoch.  With a
+        # derive hook the offsets are appended AFTER it, preserving the
+        # hook's original input columns exactly.
+        if self.derive is not None:
+            parsed = self.derive(
+                parse_change_rows(
+                    raw_batch.filter(table_of == self.table),
+                    self.physical,
+                    offsets=False,
+                )
+            )
+            rows_lazy = offset_sort_columns(parsed)
+        else:
+            rows_lazy = parse_change_rows(
                 raw_batch.filter(table_of == self.table), self.physical
             )
-        )
-        if self.derive is not None:
-            parsed = self.derive(parsed)
         # lazy persist (r7): the stats agg below materializes the cache
-        rows = offset_sort_columns(parsed).persist()
+        rows = rows_lazy.persist()
         if self.ttl is not None:
             try:
                 self._apply_with_ttl(spark, rows, epoch_id)
@@ -195,11 +229,23 @@ class ChangelogAggregate:
         # real value, so the NULL group's bucket is collected, never
         # dropped — pinned by the NULL-group replay witness).  Both
         # upserts below take the sets precomputed.
-        gcols = [F.col(c) for c in self.group_cols]
         stats = rows.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.collect_set(self.fact_state.bucket_for(*gcols)).alias("fb"),
-            F.collect_set(self.output.bucket_for(*gcols)).alias("ob"),
+            *self._prepared(
+                "batch_stats",
+                lambda: [
+                    F.count(F.lit(1)).alias("n"),
+                    F.collect_set(
+                        self.fact_state.bucket_for(
+                            *[F.col(c) for c in self.group_cols]
+                        )
+                    ).alias("fb"),
+                    F.collect_set(
+                        self.output.bucket_for(
+                            *[F.col(c) for c in self.group_cols]
+                        )
+                    ).alias("ob"),
+                ],
+            )
         ).first()
         if stats["n"] == 0:
             rows.unpersist(False)
@@ -273,12 +319,16 @@ class ChangelogAggregate:
             (f.name, f.dataType)
             for f in (alive.schema.fields if alive is not None else [])
         )
-        tomb = gone
-        for c in self._out_cols():
-            tomb = tomb.withColumn(
-                c, F.lit(None).cast(out_types.get(c, T.LongType()))
-            )
-        tomb = tomb.withColumn("op", F.lit("d"))
+        # one projection — was one withColumn (an eager re-analysis) per
+        # output column per epoch (r13)
+        tomb = gone.select(
+            "*",
+            *[
+                F.lit(None).cast(out_types.get(c, T.LongType())).alias(c)
+                for c in self._out_cols()
+            ],
+            F.lit("d").alias("op"),
+        )
         merged = tomb if alive is None else alive.unionByName(tomb)
         # alive ∪ tomb groups ⊆ touched groups, so the precomputed group
         # buckets cover every output row (superset-safe)
@@ -339,21 +389,21 @@ class ChangelogAggregate:
         flagged = parts[0]
         for p in parts[1:]:
             flagged = flagged.unionByName(p)
-        gcols = [F.col(c) for c in self.group_cols]
-        live_ts = F.when(~F.col("__syn"), F.col(self.ttl_col))
-        per_bucket = (
-            flagged.groupBy(
-                self.fact_state.bucket_for(*gcols).alias("__fb")
-            )
-            .agg(
+        def _build_ttl_stats():
+            gcols = [F.col(c) for c in self.group_cols]
+            live_ts = F.when(~F.col("__syn"), F.col(self.ttl_col))
+            key = self.fact_state.bucket_for(*gcols).alias("__fb")
+            aggs = [
                 F.count(F.lit(1)).alias("cnt"),
                 F.sum(F.col("__syn").cast("long")).alias("syn_n"),
                 F.min(live_ts).alias("bmin"),
                 F.max(live_ts).alias("bmax"),
                 F.collect_set(self.output.bucket_for(*gcols)).alias("ob"),
-            )
-            .collect()
-        )
+            ]
+            return key, aggs
+
+        fb_key, ttl_aggs = self._prepared("ttl_stats", _build_ttl_stats)
+        per_bucket = flagged.groupBy(fb_key).agg(*ttl_aggs).collect()
         if not per_bucket:
             self._finalize_if_staged(epoch_id, exp, cutoff)
             return

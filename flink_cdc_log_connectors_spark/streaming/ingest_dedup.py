@@ -72,19 +72,28 @@ from .statetable import PartitionedStateTable
 
 
 def _batch_bands(doc_sets: DataFrame) -> DataFrame:
+    from ..functions.prepared import prepared
+
     sh = doc_sets.select("doc_id", F.explode("shset").alias("sh"))
     sig = minhash_signatures(sh)
-    return sig.select(
-        "doc_id",
-        F.explode(
+    # band-struct array memoized (r13): ~150 py4j round-trips per
+    # rebuild, rebuilt every epoch before
+    bands_col = prepared(
+        ("ingest_bands", BANDS),
+        lambda: F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(b).alias("band_idx"), _band_bucket(b).alias("bh"))
+                    F.struct(
+                        F.lit(b).alias("band_idx"), _band_bucket(b).alias("bh")
+                    )
                     for b in range(BANDS)
                 ]
             )
         ).alias("e"),
-    ).select("doc_id", "e.band_idx", "e.bh")
+    )
+    return sig.select("doc_id", bands_col).select(
+        "doc_id", "e.band_idx", "e.bh"
+    )
 
 
 def _verify_pairs(
@@ -177,10 +186,19 @@ class IngestDedup:
         )
 
     def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        from ..functions.prepared import prepared
+
         spark = batch.sparkSession
         doc_sets = batch.select(
-            F.col(self.id_col).alias("doc_id"),
-            hashed_word_ngrams(F.col(self.text_col), self.n).alias("shset"),
+            *prepared(
+                ("ingest_docsets", self.id_col, self.text_col, self.n),
+                lambda: [
+                    F.col(self.id_col).alias("doc_id"),
+                    hashed_word_ngrams(F.col(self.text_col), self.n).alias(
+                        "shset"
+                    ),
+                ],
+            )
         ).persist()
         new_bands = _batch_bands(doc_sets).persist()
         cand = None

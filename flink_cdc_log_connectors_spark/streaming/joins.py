@@ -62,12 +62,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..sources.debezium import (
-    CHANGELOG_ORDER_BY,
-    offset_sort_columns,
-    parse_debezium,
-    retract_before_images,
-)
+from ..sources.debezium import CHANGELOG_ORDER_BY, parse_change_rows
 from .statetable import PartitionedStateTable
 from .ttl import (
     EventTimeTTL,
@@ -207,27 +202,65 @@ class ChangelogJoin:
         self.expired_applied = 0
 
     # -- schema helpers ----------------------------------------------------
+    def _prepared(self, tag: str, build):
+        """Memoize a Column tree under this join's semantic parameters
+        (``functions/prepared.py``) — instances are recreated per query
+        invocation, so per-instance laziness alone would still rebuild
+        the trees every bench run."""
+        from ..functions.prepared import prepared
+
+        return prepared(
+            (
+                "cjoin",
+                tag,
+                self.left.table,
+                self.left.physical.json(),
+                self.left.key,
+                self.left.join_col,
+                self.right.table,
+                self.right.physical.json(),
+                self.right.key,
+                self.right_prefix,
+                self.how,
+                self.left_state.n_buckets,
+                self.bucket_left_by_join_col,
+                self.left_ttl_col or "",
+            ),
+            build,
+        )
+
     def _out_right_cols(self) -> list[str]:
         return [
             f"{self.right_prefix}{f.name}" for f in self.right.physical.fields
         ]
 
+    def _null_right_cols(self) -> list[F.Column]:
+        return self._prepared(
+            "null_right",
+            lambda: [
+                F.lit(None).cast(f.dataType).alias(
+                    f"{self.right_prefix}{f.name}"
+                )
+                for f in self.right.physical.fields
+            ],
+        )
+
     def _empty_right(self, df: DataFrame) -> DataFrame:
-        for f in self.right.physical.fields:
-            df = df.withColumn(
-                f"{self.right_prefix}{f.name}", F.lit(None).cast(f.dataType)
-            )
-        return df
+        # one projection instead of one withColumn per right column
+        return df.select("*", *self._null_right_cols())
 
     def _left_bucket(self) -> F.Column:
         """The left-state bucket id of a parsed left image — by join
         column under the pruned layout, by fact key otherwise."""
-        return self.left_state.bucket_for(
-            F.col(
-                self.left.join_col
-                if self.bucket_left_by_join_col
-                else self.left.key
-            )
+        return self._prepared(
+            "left_bucket",
+            lambda: self.left_state.bucket_for(
+                F.col(
+                    self.left.join_col
+                    if self.bucket_left_by_join_col
+                    else self.left.key
+                )
+            ),
         )
 
     def _ttl_upserts(self, spark: SparkSession, lb, rb, epoch_id: int):
@@ -245,20 +278,21 @@ class ChangelogJoin:
             lb_flag = lb_flag.unionByName(
                 syn.select(*lb.columns).withColumn("__syn", F.lit(True))
             )
-        ts_type = {
-            f.name: f.dataType for f in self.left.physical.fields
-        }[self.left_ttl_col]
-        live_ts = F.when(~F.col("__syn"), F.col(self.left_ttl_col))
-        probe = lb_flag.select(
-            F.lit(0).alias("__s"),
-            self._left_bucket().alias("__b"),
-            F.col("__syn"),
-            live_ts.alias("__ts"),
-            self.right_state.bucket_for(F.col(self.left.join_col)).alias(
-                "__db"
-            ),
-        ).unionByName(
-            rb.select(
+        def _build_ttl_probe():
+            ts_type = {
+                f.name: f.dataType for f in self.left.physical.fields
+            }[self.left_ttl_col]
+            live_ts = F.when(~F.col("__syn"), F.col(self.left_ttl_col))
+            lcols = [
+                F.lit(0).alias("__s"),
+                self._left_bucket().alias("__b"),
+                F.col("__syn"),
+                live_ts.alias("__ts"),
+                self.right_state.bucket_for(
+                    F.col(self.left.join_col)
+                ).alias("__db"),
+            ]
+            rcols = [
                 F.lit(1).alias("__s"),
                 self.right_state.bucket_for(F.col(self.right.key)).alias(
                     "__b"
@@ -266,19 +300,19 @@ class ChangelogJoin:
                 F.lit(False).alias("__syn"),
                 F.lit(None).cast(ts_type).alias("__ts"),
                 F.lit(None).cast("int").alias("__db"),
-            )
-        )
-        per = (
-            probe.groupBy("__s", "__b")
-            .agg(
+            ]
+            aggs = [
                 F.count(F.lit(1)).alias("cnt"),
                 F.sum(F.col("__syn").cast("long")).alias("syn_n"),
                 F.min(F.col("__ts")).alias("bmin"),
                 F.max(F.col("__ts")).alias("bmax"),
                 F.collect_set(F.col("__db")).alias("dbs"),
-            )
-            .collect()
-        )
+            ]
+            return lcols, rcols, aggs
+
+        lcols, rcols, aggs = self._prepared("ttl_probe", _build_ttl_probe)
+        probe = lb_flag.select(*lcols).unionByName(rb.select(*rcols))
+        per = probe.groupBy("__s", "__b").agg(*aggs).collect()
         if not per:
             if exp:
                 # staged decision that retracted nothing + empty batch:
@@ -390,25 +424,19 @@ class ChangelogJoin:
         # see streaming/ttl.heal_pending_expiry); no-op when healthy
         heal_pending_expiry(self, spark, epoch_id)
         table_of = F.get_json_object(F.col("value"), "$.source.table")
-        # retract_before_images: PK-changing updates retract the old key
-        # (UPDATE_BEFORE semantics) — see the helper's docstring
+        # parse_change_rows = parse + UPDATE_BEFORE retraction + offset
+        # sort keys FUSED into the parse's own projections (r13 — the
+        # seven-op chain rebuilt per epoch measured 139 ms of pure plan
+        # construction per side).
         # lazy persist (r7): the state upserts below materialize the
         # caches — eager localCheckpoints spent two extra jobs per batch
-        lb = offset_sort_columns(
-            retract_before_images(
-                parse_debezium(
-                    raw_batch.filter(table_of == self.left.table),
-                    self.left.physical,
-                )
-            )
+        lb = parse_change_rows(
+            raw_batch.filter(table_of == self.left.table),
+            self.left.physical,
         ).persist()
-        rb = offset_sort_columns(
-            retract_before_images(
-                parse_debezium(
-                    raw_batch.filter(table_of == self.right.table),
-                    self.right.physical,
-                )
-            )
+        rb = parse_change_rows(
+            raw_batch.filter(table_of == self.right.table),
+            self.right.physical,
         ).persist()
 
         finalize_ttl = None
@@ -420,32 +448,37 @@ class ChangelogJoin:
             # sides' state buckets (each bounded by n_buckets), plus —
             # r10 — the DIM buckets the batch's fact join values hash to
             # (__db), which bound the enrichment probe's dim read.
-            probe = lb.select(
-                F.lit(0).alias("__s"),
-                self._left_bucket().alias("__b"),
-                self.right_state.bucket_for(F.col(self.left.join_col)).alias(
-                    "__db"
-                ),
-            ).unionByName(
-                rb.select(
+            def _build_probe():
+                lcols = [
+                    F.lit(0).alias("__s"),
+                    self._left_bucket().alias("__b"),
+                    self.right_state.bucket_for(
+                        F.col(self.left.join_col)
+                    ).alias("__db"),
+                ]
+                rcols = [
                     F.lit(1).alias("__s"),
                     self.right_state.bucket_for(F.col(self.right.key)).alias(
                         "__b"
                     ),
                     F.lit(None).cast("int").alias("__db"),
-                )
-            )
-            stats = probe.agg(
-                F.count(F.when(F.col("__s") == 0, F.lit(1))).alias("nl"),
-                F.count(F.when(F.col("__s") == 1, F.lit(1))).alias("nr"),
-                F.collect_set(F.when(F.col("__s") == 0, F.col("__b"))).alias(
-                    "lbk"
-                ),
-                F.collect_set(F.when(F.col("__s") == 1, F.col("__b"))).alias(
-                    "rbk"
-                ),
-                F.collect_set(F.col("__db")).alias("dbk"),
-            ).first()
+                ]
+                aggs = [
+                    F.count(F.when(F.col("__s") == 0, F.lit(1))).alias("nl"),
+                    F.count(F.when(F.col("__s") == 1, F.lit(1))).alias("nr"),
+                    F.collect_set(
+                        F.when(F.col("__s") == 0, F.col("__b"))
+                    ).alias("lbk"),
+                    F.collect_set(
+                        F.when(F.col("__s") == 1, F.col("__b"))
+                    ).alias("rbk"),
+                    F.collect_set(F.col("__db")).alias("dbk"),
+                ]
+                return lcols, rcols, aggs
+
+            lcols, rcols, aggs = self._prepared("probe", _build_probe)
+            probe = lb.select(*lcols).unionByName(rb.select(*rcols))
+            stats = probe.agg(*aggs).first()
             if stats["nl"] == 0 and stats["nr"] == 0:
                 lb.unpersist(False)
                 rb.unpersist(False)
@@ -526,10 +559,19 @@ class ChangelogJoin:
         if affected is not None:
             renamed = r_state
             if renamed is not None:
-                for c in r_cols:
-                    renamed = renamed.withColumnRenamed(c, f"{self.right_prefix}{c}")
+                # single prefixed projection — one op instead of a
+                # withColumnRenamed per right column + a select (r13)
+                renamed = renamed.select(
+                    *self._prepared(
+                        "rename_right",
+                        lambda: [
+                            F.col(c).alias(f"{self.right_prefix}{c}")
+                            for c in r_cols
+                        ],
+                    )
+                )
                 joined = affected.select(*l_cols).join(
-                    renamed.select(*self._out_right_cols()),
+                    renamed,
                     affected[self.left.join_col]
                     == F.col(f"{self.right_prefix}{self.right.key}"),
                     "left",
@@ -560,14 +602,21 @@ class ChangelogJoin:
             dels = dels.join(
                 l_state.select(self.left.key), self.left.key, "left_anti"
             )
-        ltypes = {f.name: f.dataType for f in self.left.physical.fields}
-        tomb = dels
-        for c in l_cols:
-            if c != self.left.key:
-                tomb = tomb.withColumn(c, F.lit(None).cast(ltypes[c]))
-        tomb = self._empty_right(tomb).select(
-            *l_cols, *self._out_right_cols()
-        ).withColumn("op", F.lit("d"))
+
+        def _build_tomb():
+            ltypes = {f.name: f.dataType for f in self.left.physical.fields}
+            cols = [
+                F.col(c) if c == self.left.key
+                else F.lit(None).cast(ltypes[c]).alias(c)
+                for c in l_cols
+            ]
+            cols += self._null_right_cols()
+            cols.append(F.lit("d").alias("op"))
+            return cols
+
+        # one projection — was one withColumn per left column + the
+        # _empty_right chain + a select + a withColumn (r13)
+        tomb = dels.select(*self._prepared("tomb", _build_tomb))
         rows = tomb if rows is None else rows.unionByName(tomb)
 
         # one deterministic upsert; each fact key appears once — recomputes

@@ -146,7 +146,12 @@ class PartitionedStateTable:
         return F.pmod(F.xxhash64(*cols), F.lit(self.n_buckets)).cast("int")
 
     def _bucket(self) -> F.Column:
-        return self.bucket_for(*[F.col(c) for c in self.bucket_cols])
+        from ..functions.prepared import prepared
+
+        return prepared(
+            ("st_bucket", self.n_buckets, tuple(self.bucket_cols)),
+            lambda: self.bucket_for(*[F.col(c) for c in self.bucket_cols]),
+        )
 
     def _manifest_path(self) -> str:
         return os.path.join(self.path, _MANIFEST)
@@ -483,8 +488,8 @@ class PartitionedStateTable:
                 "append-managed or upsert-managed, not both"
             )
         version_dir = os.path.join(self.path, _DATA, f"v={epoch_id}")
-        out = batch.withColumn("__epoch", F.lit(epoch_id)).withColumn(
-            "__bucket", self._bucket()
+        out = batch.withColumns(
+            {"__epoch": F.lit(epoch_id), "__bucket": self._bucket()}
         )
         if batch_rows is not None:
             # scale-adaptive write parallelism (callers pass the count
@@ -720,8 +725,8 @@ class PartitionedStateTable:
         in the batch, but the epoch-reuse guard rightly demands every
         bucket this epoch committed).  Supersets are safe as above."""
         spark = batch.sparkSession
-        batch = batch.withColumn("__epoch", F.lit(epoch_id)).withColumn(
-            "__bucket", self._bucket()
+        batch = batch.withColumns(
+            {"__epoch": F.lit(epoch_id), "__bucket": self._bucket()}
         )
         self_collected = touched is None
         if self_collected:

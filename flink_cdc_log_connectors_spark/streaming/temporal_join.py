@@ -54,7 +54,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..sources.debezium import parse_debezium, retract_before_images
+from ..sources.debezium import parse_change_rows, parse_debezium
 from .joins import JoinSide
 from .statetable import PartitionedStateTable
 
@@ -173,9 +173,8 @@ class TemporalJoin:
         table_of = F.get_json_object(F.col("value"), "$.source.table")
 
         # ---- dim side: versions + watermark -----------------------------
-        dim_parsed = parse_debezium(
-            raw_batch.filter(table_of == self.dim.table), self.dim.physical
-        )
+        # parse + UPDATE_BEFORE retraction fused into the parse's own
+        # projections with memoized trees (r13).
         # UPDATE_BEFORE semantics (r6): the update's before-image becomes
         # an explicit CLOSING version of ITS key ('d' at the update's ts).
         # For key-stable updates it is shadowed at join time (the rank
@@ -188,16 +187,26 @@ class TemporalJoin:
         # an eager localCheckpoint would spend one extra job per batch
         # (r7: per-batch driver actions are the dominant fixed cost of
         # the foreachBatch deployment — see NOTES_r7)
-        dim_all = (
-            retract_before_images(dim_parsed)
-            .select(
-                *[f.name for f in self.dim.physical.fields],
+        from ..functions.prepared import prepared
+
+        dim_sel = prepared(
+            ("tj_dim_sel", self.dim.physical.json()),
+            lambda: [
+                *[F.col(f.name) for f in self.dim.physical.fields],
                 F.col("op").alias("_vop"),
                 F.col("_src.op_ts_ms").alias("_valid_ms"),
                 F.coalesce(F.col("_src.file"), F.lit("")).alias("_vfile"),
                 F.coalesce(F.col("_src.pos"), F.lit(-1)).alias("_vpos"),
                 F.coalesce(F.col("_src.img_seq"), F.lit(-1)).alias("_vimg"),
+            ],
+        )
+        dim_all = (
+            parse_change_rows(
+                raw_batch.filter(table_of == self.dim.table),
+                self.dim.physical,
+                offsets=False,
             )
+            .select(*dim_sel)
             .persist()
         )
         # ---- fact side parse (needed for the fused stats agg below) -----
@@ -210,13 +219,18 @@ class TemporalJoin:
             raw_batch.filter(table_of == self.fact.table), self.fact.physical
         )
         fact_cols = [f.name for f in self.fact.physical.fields]
+        fact_sel = prepared(
+            ("tj_fact_sel", self.fact.physical.json()),
+            lambda: (
+                F.col("op").isin("c", "r"),
+                [
+                    *[F.col(c) for c in fact_cols],
+                    F.col("_src.op_ts_ms").alias("_fact_ms"),
+                ],
+            ),
+        )
         facts = (
-            fact_parsed.filter(F.col("op").isin("c", "r"))
-            .select(
-                *fact_cols,
-                F.col("_src.op_ts_ms").alias("_fact_ms"),
-            )
-            .persist()
+            fact_parsed.filter(fact_sel[0]).select(*fact_sel[1]).persist()
         )
 
         # ONE driver round-trip for ALL per-batch input scalars (r8; r7
@@ -227,26 +241,41 @@ class TemporalJoin:
         # watermark stats AND collects the pending-table buckets this
         # batch's facts hash to (bounded by n_buckets), which
         # pending.upsert below takes precomputed.
-        is_hb = F.col("_vop") == "h"
-        is_dim = (~is_hb) & (F.col("_vop") != "__fact")
-        probe = dim_all.select(
-            "_vop", "_valid_ms", F.lit(None).cast("int").alias("__pb")
-        ).unionByName(
-            facts.select(
+        def _build_stats():
+            is_hb = F.col("_vop") == "h"
+            is_dim = (~is_hb) & (F.col("_vop") != "__fact")
+            dcols = [
+                F.col("_vop"),
+                F.col("_valid_ms"),
+                F.lit(None).cast("int").alias("__pb"),
+            ]
+            fcols = [
                 F.lit("__fact").alias("_vop"),
                 F.lit(None).cast("long").alias("_valid_ms"),
                 self.pending.bucket_for(F.col(self.fact.key)).alias("__pb"),
-            )
-        )
-        stats = probe.agg(
-            F.max(F.when(is_hb, F.col("_valid_ms"))).alias("hb_max"),
-            F.max(F.when(is_dim, F.col("_valid_ms"))).alias("dim_max"),
-            F.count(F.when(is_dim, F.lit(1))).alias("n_dim"),
-            F.count(F.when(F.col("_vop") == "__fact", F.lit(1))).alias(
-                "n_fact"
+            ]
+            aggs = [
+                F.max(F.when(is_hb, F.col("_valid_ms"))).alias("hb_max"),
+                F.max(F.when(is_dim, F.col("_valid_ms"))).alias("dim_max"),
+                F.count(F.when(is_dim, F.lit(1))).alias("n_dim"),
+                F.count(F.when(F.col("_vop") == "__fact", F.lit(1))).alias(
+                    "n_fact"
+                ),
+                F.collect_set("__pb").alias("fact_pb"),
+            ]
+            return dcols, fcols, aggs
+
+        dcols, fcols, aggs = prepared(
+            (
+                "tj_stats",
+                self.fact.physical.json(),
+                self.fact.key,
+                self.pending.n_buckets,
             ),
-            F.collect_set("__pb").alias("fact_pb"),
-        ).first()
+            _build_stats,
+        )
+        probe = dim_all.select(*dcols).unionByName(facts.select(*fcols))
+        stats = probe.agg(*aggs).first()
         if stats["n_dim"] > 0:
             # version history is INSERT-ONLY (keyed by dim key + offset,
             # rows never change) — append-only commit: one O(batch) write,
@@ -407,66 +436,98 @@ class TemporalJoin:
         pending table's key and bucket count, so the caller's collected
         pending-bucket set is a valid superset — emitted rows are a
         subset of ready), letting the upsert skip its own collect job."""
+        from ..functions.prepared import prepared
+
         dim_cols = [f.name for f in self.dim.physical.fields]
         hist = (
             self.history.read_buckets(spark, hist_buckets)
             if hist_buckets
             else None
         )
+        prep_key = (
+            "tj_emit",
+            self.dim.physical.json(),
+            self.dim.key,
+            self.dim_prefix,
+            self.fact.key,
+            self.fact.join_col,
+            tuple(fact_cols),
+            self.how,
+        )
         if hist is not None:
-            renamed = hist
-            for c in dim_cols:
-                renamed = renamed.withColumnRenamed(c, f"{self.dim_prefix}{c}")
             dk = f"{self.dim_prefix}{self.dim.key}"
-            cand = ready.select(*fact_cols, "_fact_ms").join(
-                renamed.select(
-                    dk,
+
+            def _build_emit():
+                # history side in ONE prefixed projection (was a
+                # withColumnRenamed per dim column + a select — r13)
+                hist_sel = [
+                    F.col(self.dim.key).alias(dk),
                     *[
-                        f"{self.dim_prefix}{c}"
+                        F.col(c).alias(f"{self.dim_prefix}{c}")
                         for c in dim_cols
                         if c != self.dim.key
                     ],
-                    "_vop",
-                    "_valid_ms",
-                    *_OFF_COLS,
-                ),
-                (F.col(self.fact.join_col) == F.col(dk))
-                & (F.col("_valid_ms") <= F.col("_fact_ms")),
-                "left",
-            )
-            w_rank = Window.partitionBy(self.fact.key).orderBy(
-                F.col("_valid_ms").desc_nulls_last(),
-                F.col("_vfile").desc_nulls_last(),
-                F.col("_vpos").desc_nulls_last(),
-                F.col("_vimg").desc_nulls_last(),
-            )
-            picked = (
-                cand.withColumn("__rn", F.row_number().over(w_rank))
-                .filter(F.col("__rn") == 1)
-            )
-            # a delete version = no value at fact time
-            live = F.col("_vop").isNotNull() & (F.col("_vop") != "d")
-            for c in dim_cols:
-                pc = f"{self.dim_prefix}{c}"
-                picked = picked.withColumn(
-                    pc, F.when(live, F.col(pc))
+                    F.col("_vop"),
+                    F.col("_valid_ms"),
+                    *[F.col(c) for c in _OFF_COLS],
+                ]
+                cond = (F.col(self.fact.join_col) == F.col(dk)) & (
+                    F.col("_valid_ms") <= F.col("_fact_ms")
                 )
-            picked = picked.withColumn("__matched", live)
-        else:
-            picked = ready.select(*fact_cols, "_fact_ms")
-            for f_ in self.dim.physical.fields:
-                picked = picked.withColumn(
-                    f"{self.dim_prefix}{f_.name}",
-                    F.lit(None).cast(f_.dataType),
+                w_rank = Window.partitionBy(self.fact.key).orderBy(
+                    F.col("_valid_ms").desc_nulls_last(),
+                    F.col("_vfile").desc_nulls_last(),
+                    F.col("_vpos").desc_nulls_last(),
+                    F.col("_vimg").desc_nulls_last(),
                 )
-            picked = picked.withColumn("__matched", F.lit(False))
+                rn = F.row_number().over(w_rank)
+                # a delete version = no value at fact time
+                live = F.col("_vop").isNotNull() & (F.col("_vop") != "d")
+                out_cols = [
+                    *[F.col(c) for c in fact_cols],
+                    F.col("_fact_ms").alias("fact_ts_ms"),
+                    *[
+                        F.when(live, F.col(f"{self.dim_prefix}{c}")).alias(
+                            f"{self.dim_prefix}{c}"
+                        )
+                        for c in dim_cols
+                    ],
+                ]
+                return hist_sel, cond, rn, live, out_cols
 
-        out_cols = [*fact_cols, F.col("_fact_ms").alias("fact_ts_ms"),
-                    *self._dim_out_cols()]
-        if self.how == "inner":
-            emit = picked.filter(F.col("__matched")).select(*out_cols)
+            hist_sel, cond, rn, live, out_cols = prepared(
+                prep_key, _build_emit
+            )
+            cand = ready.select(*fact_cols, "_fact_ms").join(
+                hist.select(*hist_sel), cond, "left"
+            )
+            picked = cand.withColumn("__rn", rn).filter(F.col("__rn") == 1)
+            if self.how == "inner":
+                # on live rows when(live, pc) == pc; the filter makes the
+                # projection identical to the pre-r13 masked columns
+                emit = picked.filter(live).select(*out_cols)
+            else:
+                emit = picked.select(*out_cols)
         else:
-            emit = picked.select(*out_cols)
+
+            def _build_emit_none():
+                return [
+                    *[F.col(c) for c in fact_cols],
+                    F.col("_fact_ms").alias("fact_ts_ms"),
+                    *[
+                        F.lit(None).cast(f_.dataType).alias(
+                            f"{self.dim_prefix}{f_.name}"
+                        )
+                        for f_ in self.dim.physical.fields
+                    ],
+                ]
+
+            null_cols = prepared((*prep_key, "none"), _build_emit_none)
+            if self.how == "inner":
+                # no history ⇒ nothing matches ⇒ inner emits nothing
+                emit = ready.select(*null_cols).limit(0)
+            else:
+                emit = ready.select(*null_cols)
         self.output.upsert(
             emit.withColumn("op", F.lit("c")).withColumn("__seq", F.lit(0)),
             order_by=["__seq"],

@@ -55,12 +55,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-from ..sources.debezium import (
-    CHANGELOG_ORDER_BY,
-    offset_sort_columns,
-    parse_debezium,
-    retract_before_images,
-)
+from ..sources.debezium import CHANGELOG_ORDER_BY, parse_change_rows
 from .statetable import PartitionedStateTable, null_safe_on
 from .ttl import (
     EventTimeTTL,
@@ -162,15 +157,11 @@ class ChangelogTopN:
         # see streaming/ttl.heal_pending_expiry); no-op when healthy
         heal_pending_expiry(self, spark, epoch_id)
         table_of = F.get_json_object(F.col("value"), "$.source.table")
-        # retract_before_images: PK-changing updates retract the old fact
-        # key (UPDATE_BEFORE semantics) — see the helper's docstring
+        # parse + UPDATE_BEFORE retraction + offset sort keys fused into
+        # the parse's own projections with memoized trees (r13)
         # lazy persist (r7): the fact-state upsert materializes the cache
-        rows = offset_sort_columns(
-            retract_before_images(
-                parse_debezium(
-                    raw_batch.filter(table_of == self.table), self.physical
-                )
-            )
+        rows = parse_change_rows(
+            raw_batch.filter(table_of == self.table), self.physical
         ).persist()
         if self.ttl is not None:
             try:
