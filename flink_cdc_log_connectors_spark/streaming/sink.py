@@ -122,6 +122,47 @@ class ExactlyOnceAppendSink:
     def _merged_dir(self, name: str) -> str:
         return os.path.join(self.path, _DATA, name)
 
+    # -- stored file schema (r13, the statetable trick applied to the
+    # ledger): readers passed mergeSchema over every committed epoch dir
+    # — a driver-side footer merge of every file at PLAN time on every
+    # read.  Each commit folds its written schema into the ledger as a
+    # monotone union (new columns only ADD; old files NULL-fill by
+    # parquet name resolution — exactly what mergeSchema produced); the
+    # entry is ABSENT — falling readers back to mergeSchema — for
+    # pre-schema-era ledgers with live unknown files and on field-type
+    # drift, where a claimed union would be unsound.
+    @staticmethod
+    def _fold_schema(led: dict, written_schema) -> None:
+        from pyspark.sql import types as T
+
+        stored = led.get("schema")
+        if stored is None:
+            if led["epochs"] or led["merged"]:
+                return  # live files of unknown schema: stay mergeSchema
+            led["schema"] = written_schema.json()
+            return
+        old = T.StructType.fromJson(json.loads(stored))
+        by_name = {f.name: f for f in old.fields}
+        out = list(old.fields)
+        for f in written_schema.fields:
+            g = by_name.get(f.name)
+            if g is None:
+                out.append(f)
+            elif g.dataType.simpleString() != f.dataType.simpleString():
+                led.pop("schema", None)  # type drift — only mergeSchema
+                return
+        led["schema"] = T.StructType(out).json()
+
+    def _reader(self, spark: SparkSession, led: dict):
+        from pyspark.sql import types as T
+
+        stored = led.get("schema")
+        if stored is not None:
+            return spark.read.schema(
+                T.StructType.fromJson(json.loads(stored))
+            )
+        return spark.read.option("mergeSchema", "true")
+
     def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
         led = self._load_ledger()
         if epoch_id in led["epochs"] or any(
@@ -133,6 +174,10 @@ class ExactlyOnceAppendSink:
         out_dir = self._epoch_dir(epoch_id)
         # overwrite = a retry clobbers its own earlier partial write
         batch.write.mode("overwrite").parquet(out_dir)
+        # fold BEFORE recording the epoch: the legacy-dir guard must see
+        # only files committed by PRIOR epochs (this epoch's schema is
+        # exactly `batch.schema`)
+        self._fold_schema(led, batch.schema)
         led["epochs"] = sorted([*led["epochs"], epoch_id])
         self._store_ledger(led)
         if (
@@ -158,7 +203,7 @@ class ExactlyOnceAppendSink:
             return False
         seq = led["compact_seq"] + 1
         name = f"merged={seq}"
-        spark.read.option("mergeSchema", "true").parquet(
+        self._reader(spark, led).parquet(
             *[self._epoch_dir(e) for e in fold]
         ).write.mode("overwrite").parquet(self._merged_dir(name))
         # second-level ledger fold (VERDICT r8 #8): tiers are committed in
@@ -185,6 +230,8 @@ class ExactlyOnceAppendSink:
             "merged": [entry],
             "compact_seq": seq,
         }
+        if "schema" in led:
+            new_led["schema"] = led["schema"]
         self._store_ledger(new_led)  # the swap commits the fold
         for e in fold:  # GC best-effort, post-commit
             shutil.rmtree(self._epoch_dir(e), ignore_errors=True)
@@ -210,7 +257,7 @@ class ExactlyOnceAppendSink:
             return False
         seq = led["compact_seq"] + 1
         name = f"merged={seq}"
-        spark.read.option("mergeSchema", "true").parquet(
+        self._reader(spark, led).parquet(
             *[self._merged_dir(d) for d in dirs]
         ).write.mode("overwrite").parquet(self._merged_dir(name))
         new_led = {
@@ -224,6 +271,8 @@ class ExactlyOnceAppendSink:
             ],
             "compact_seq": seq,
         }
+        if "schema" in led:
+            new_led["schema"] = led["schema"]
         self._store_ledger(new_led)
         for d in dirs:
             shutil.rmtree(self._merged_dir(d), ignore_errors=True)
@@ -238,7 +287,7 @@ class ExactlyOnceAppendSink:
         ] + [self._epoch_dir(e) for e in led["epochs"]]
         if not paths:
             return None
-        return spark.read.option("mergeSchema", "true").parquet(*paths)
+        return self._reader(spark, led).parquet(*paths)
 
     def gc_uncommitted(self) -> list[int]:
         """Remove orphan epoch directories (written but never committed —

@@ -773,6 +773,33 @@ class PartitionedStateTable:
                     "this batch does not touch; overwriting v="
                     f"{epoch_id} would clobber them — use a fresh epoch id"
                 )
+            # Self-heal a crashed replay swap BEFORE the prior read
+            # (ADVICE r12): a crash between the swap's two renames left
+            # the manifest referencing a missing v=<e> dir while the
+            # prior state sits stranded in _old_v<e> — rename it back so
+            # the read below (and any other reader) sees the committed
+            # state again.  Any stranded epoch is healed, not just the
+            # one being replayed; one listdir per commit.
+            data_root = os.path.join(self.path, _DATA)
+            try:
+                stranded = [
+                    d for d in os.listdir(data_root)
+                    if d.startswith("_old_v")
+                ]
+            except OSError:
+                stranded = []
+            if stranded:
+                referenced = {
+                    v for _, v in self._bucket_items(manifest)
+                }
+                for d in stranded:
+                    try:
+                        eid = int(d[6:])
+                    except ValueError:
+                        continue
+                    vdir = os.path.join(data_root, f"v={eid}")
+                    if eid in referenced and not os.path.isdir(vdir):
+                        os.rename(os.path.join(data_root, d), vdir)
             prior = self.read_buckets(spark, touched)
             if prior is not None:
                 # stored buckets carry their __epoch; recompute the bucket
@@ -895,6 +922,41 @@ class PartitionedStateTable:
                         os.rmdir(os.path.join(self.path, _DATA, f"v={old}"))
                     except OSError:
                         pass  # version dir still holds live buckets
+            # GC stranded replay-swap dirs (ADVICE r12): _tmp_v*/_old_v*
+            # leaked forever (the v=-prefix sweeps skip them).  A foreign
+            # _tmp_v is always garbage (pre-swap; its own replay rewrites
+            # it); an _old_v that survived the entry heal above is
+            # garbage too — either its v= dir exists (swap completed,
+            # crash before the final rmtree) or its epoch is
+            # unreferenced.  This epoch's own swap already cleaned its
+            # dirs.
+            live_epochs = {
+                v for _, v in self._bucket_items(new_manifest)
+            }
+            try:
+                stranded_dirs = [
+                    d
+                    for d in os.listdir(data_root)
+                    if d.startswith(("_tmp_v", "_old_v"))
+                ]
+            except OSError:
+                stranded_dirs = []
+            for d in stranded_dirs:
+                if d.startswith("_old_v"):
+                    try:
+                        eid = int(d[6:])
+                    except ValueError:
+                        eid = None
+                    if (
+                        eid is not None
+                        and eid in live_epochs
+                        and not os.path.isdir(
+                            os.path.join(data_root, f"v={eid}")
+                        )
+                    ):
+                        continue  # healing source (committed post-entry
+                        # by THIS epoch's swap crash window) — keep
+                shutil.rmtree(os.path.join(data_root, d), ignore_errors=True)
         finally:
             if self_collected:
                 batch.unpersist()

@@ -107,8 +107,19 @@ def test_agg_witness_discriminates_r6_fixes(spark, sf_dir, tmp_path, monkeypatch
     assert any(g is None for g, *_ in good), "NULL group must be populated"
 
     # pre-fix (a): UPDATE_BEFORE images dropped instead of retracted —
-    # rename ghosts stay live under their old key and inflate groups
-    monkeypatch.setattr(agg_mod, "retract_before_images", lambda df: df)
+    # rename ghosts stay live under their old key and inflate groups.
+    # The retraction is fused into parse_change_rows since r13, so the
+    # pre-fix machinery is simulated by forcing retract=False there.
+    import flink_cdc_log_connectors_spark.sources.debezium as dbz_mod
+
+    real_parse = dbz_mod.parse_change_rows
+    monkeypatch.setattr(
+        agg_mod,
+        "parse_change_rows",
+        lambda df, physical, **kw: real_parse(
+            df, physical, **{**kw, "retract": False}
+        ),
+    )
     ghosts = _run_agg(spark, env, tmp_path / "ghosts")
     monkeypatch.undo()
     assert ghosts != good

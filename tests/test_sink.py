@@ -221,3 +221,38 @@ def test_tier_threshold_auto_reconsolidates(spark, tmp_path):
         )
     got = sorted(r["x"] for r in sink.read_committed(spark).collect())
     assert got == list(range(18))
+
+
+def test_ledger_stored_schema_matches_merge_schema(spark, tmp_path):
+    """r13: the ledger's stored union schema must reproduce mergeSchema
+    reads exactly (widened epochs NULL-fill older files), survive
+    compaction, and drop to the mergeSchema fallback on type drift."""
+    sink = ExactlyOnceAppendSink(str(tmp_path / "sch"), compact_threshold=None)
+    sink.process_batch(spark.createDataFrame([(1,)], "x long"), epoch_id=0)
+    led = sink._load_ledger()
+    assert "schema" in led
+    # widening epoch adds a column
+    sink.process_batch(
+        spark.createDataFrame([(2, "eu")], "x long, region string"),
+        epoch_id=1,
+    )
+    got = sink.read_committed(spark)
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        *[sink._epoch_dir(e) for e in (0, 1)]
+    )
+    assert sorted(got.columns) == sorted(merged.columns)
+    assert {r["x"]: r["region"] for r in got.collect()} == {1: None, 2: "eu"}
+    # schema survives the ledger fold
+    sink.process_batch(spark.createDataFrame([(3,)], "x long"), epoch_id=2)
+    sink.process_batch(spark.createDataFrame([(4,)], "x long"), epoch_id=3)
+    assert sink.compact_epochs(spark, keep_recent=1)
+    assert "schema" in sink._load_ledger()
+    assert sink.read_committed(spark).count() == 4
+    # type drift drops the stored schema -> mergeSchema fallback path
+    led = sink._load_ledger()
+    from pyspark.sql import types as T
+
+    sink._fold_schema(
+        led, T.StructType([T.StructField("x", T.IntegerType())])
+    )
+    assert "schema" not in led

@@ -447,3 +447,45 @@ def test_stored_schema_matches_merge_schema_reads(spark, tmp_path):
     a.compact(spark, epoch_id=99)
     assert "__schema" in a.load_manifest()  # full rewrite re-established
     assert {r["k"] for r in a.read(spark).collect()} == {1, 2, 3}
+
+
+def test_replay_swap_crash_heals_and_orphans_gced(spark, tmp_path):
+    """r13 (ADVICE r12): a crash BETWEEN the replay swap's two renames
+    leaves the manifest referencing a missing ``v=<epoch>`` while the
+    prior state sits stranded in ``_old_v<epoch>`` — the next upsert of
+    that epoch must rename it back (self-heal) before its prior read;
+    and stranded ``_tmp_v*``/``_old_v*`` dirs of OTHER epochs must be
+    swept by a later commit's GC instead of leaking forever."""
+    import os
+
+    t = PartitionedStateTable(str(tmp_path / "heal"), ["id"], n_buckets=2)
+
+    def df(rows):
+        return spark.createDataFrame(rows, "id int, v double, op string")
+
+    t.upsert(df([(1, 1.0, "c"), (2, 2.0, "c")]), order_by=["v"], epoch_id=0)
+    t.upsert(df([(1, 5.0, "c")]), order_by=["v"], epoch_id=1)
+    data = os.path.join(t.path, "_data")
+    # simulate the crash window: v=1 renamed away, tmp never renamed in
+    os.rename(os.path.join(data, "v=1"), os.path.join(data, "_old_v1"))
+    # plus stranded dirs from a fictitious older epoch's crashed replay
+    os.makedirs(os.path.join(data, "_tmp_v0"))
+    # replay of epoch 1 must heal (read its prior state) and converge
+    t.upsert(df([(1, 5.0, "c")]), order_by=["v"], epoch_id=1)
+    got = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    assert got == {1: 5.0, 2: 2.0}
+    leftovers = [
+        d for d in os.listdir(data) if d.startswith(("_tmp_v", "_old_v"))
+    ]
+    assert leftovers == [], leftovers
+    # a LATER epoch's commit also heals a stranded predecessor (the
+    # entry heal covers every referenced-but-missing epoch) and its GC
+    # leaves no stranded dirs behind
+    os.rename(os.path.join(data, "v=1"), os.path.join(data, "_old_v1"))
+    t.upsert(df([(9, 9.0, "c")]), order_by=["v"], epoch_id=2)
+    assert os.path.isdir(os.path.join(data, "v=1"))
+    assert not any(
+        d.startswith(("_tmp_v", "_old_v")) for d in os.listdir(data)
+    )
+    got = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    assert got == {1: 5.0, 2: 2.0, 9: 9.0}
