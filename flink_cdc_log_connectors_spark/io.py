@@ -64,14 +64,53 @@ def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
 _TABLE_CACHE: dict[str, DataFrame] = {}
 
 
+def _cache_partitions(spark: SparkSession, path: str) -> int:
+    """Partition count for a pinned table: one per
+    ``SPARK_GRAFT_CACHE_PART_BYTES`` of on-disk parquet (default 256 KB —
+    roughly 20-50k rows / a few MB deserialized per partition on this
+    corpus), capped at the session's core count.  The synthetic tables
+    are single small files, so the scan-side split rules
+    (``maxPartitionBytes``) leave them at ONE partition — every scan
+    stage, including the Arrow/pandas text pipelines, then runs
+    single-task no matter how many cores the session has (r13: profiled
+    as the bottleneck of the document/compute-heavy queries).  Derived
+    from data size and the session's parallelism, not a local-core
+    constant; env-overridable for deployments whose inputs are already
+    well-split (set it huge to disable)."""
+    target = int(
+        os.environ.get("SPARK_GRAFT_CACHE_PART_BYTES", str(256 << 10))
+    )
+    try:
+        size = (
+            os.path.getsize(path)
+            if os.path.isfile(path)
+            else sum(
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _, fs in os.walk(path)
+                for f in fs
+            )
+        )
+    except OSError:
+        return 1
+    cores = spark.sparkContext.defaultParallelism
+    return max(1, min(cores, -(-size // target)))
+
+
 def cache_tables(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
     """Pin tables in memory (MEMORY_AND_DISK) for a multi-query workload.
     Subsequent ``load_table`` calls reuse the cached plans; queries keep
-    identical semantics (cache is an execution detail)."""
+    identical semantics (cache is an execution detail).  Tables large
+    enough to matter are re-split to :func:`_cache_partitions` partitions
+    at pin time so cached scan stages can use the cluster (a one-time
+    shuffle per table, amortized over the whole workload)."""
     for name in tables:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if path not in _TABLE_CACHE:
-            df = load_table(spark, sf_dir, name).cache()
+            df = load_table(spark, sf_dir, name)
+            n = _cache_partitions(spark, path)
+            if n > df.rdd.getNumPartitions():
+                df = df.repartition(n)
+            df = df.cache()
             df.count()  # materialize
             _TABLE_CACHE[path] = df
 

@@ -124,8 +124,14 @@ def ensure_changelog_fixture(spark: SparkSession, sf_dir: str) -> str:
     import uuid
 
     staging = f"{root}.staging.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    # Split the log over ~cores files (r13): the cdclog reader assigns
+    # one partition per file, so the 3-file layout pinned the envelope
+    # parse to 3 tasks regardless of session size (profiled 1.6 s
+    # single-stage at 32 cores).  Per-key ordering is carried by the
+    # envelopes' own source.pos offsets, so file layout is free.
+    n_files = max(4, min(32, spark.sparkContext.defaultParallelism))
     (
-        creates.unionAll(updates).unionAll(deletes)
+        creates.unionAll(updates).unionAll(deletes).repartition(n_files)
         .write.mode("overwrite").text(os.path.join(staging, "log"))
     )
     # the cdclog reader serves *.jsonl — rename the text parts

@@ -1265,9 +1265,17 @@ def cep_stream_replay_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the state-store partition count is BAKED into the checkpoint at the
     # first run, so the conf scope must span every wave (it does); AQE
     # does not apply to the streaming runs — the toggle only trims the
-    # wave-prep batch writes
+    # wave-prep batch writes.
+    # Unlike the kilobyte-microbatch IVM witnesses, THIS witness is
+    # data-bound: each wave pushes ~half the events table through the
+    # stateful Python stage, so its partition count sets the stateful
+    # parallelism.  Follow the session's core count (r13; interleaved
+    # A/B at 32 cores: n=2 6.1s, n=8 4.1s, n=32 4.5s min-of-3) instead
+    # of the 2-partition microbatch tuning — scale-adaptive, so the
+    # driver's lower-core bench sees a matching layout.
     boundary = None
-    with witness_replay_confs(spark):
+    cep_parts = max(2, min(32, spark.sparkContext.defaultParallelism))
+    with witness_replay_confs(spark, n=cep_parts):
         for lo, hi in ((1, 15), (16, 31)):
             wave = base.filter(F.col("day").between(lo, hi)).drop("day")
             if lo == 16:
