@@ -97,27 +97,38 @@ def witness_replay_confs(spark: SparkSession, n: int = 2):
     microbatches every shuffle is tiny, so AQE's per-stage re-planning
     is pure driver overhead (measured ~15% of witness wall-clock), and
     task-launch overhead dominates task work — two shuffle partitions
-    (≤ 50k rows each at the bench sf) measured another ~15% off.  A
-    real deployment leaves AQE on and sizes partitions to its cluster —
-    this is witness-scale tuning only, restored on exit.
+    (≤ 50k rows each at the bench sf) measured another ~15% off.
+
+    r13: WHOLE-STAGE CODEGEN is also off inside the scope.  Every epoch
+    plans fresh literals (the ``__epoch`` stamp) and fresh state-file
+    paths, so no generated class is ever reused — each per-epoch job
+    paid a janino compile for a pipeline that then processes kilobytes.
+    Interleaved A/B (min-of-3, sf0.1): agg_ttl 4.82→3.69s, join
+    6.07→4.74s, join_ttl 8.77→7.37s; the data-bound cep witness is flat
+    (4.87 vs 4.73s), so the toggle is unconditional here.  A real
+    deployment at real microbatch sizes keeps codegen on — witness-scale
+    tuning only, restored on exit.
 
     KEEP THE SAVE/SET/RESTORE BODY IN SYNC with
     :func:`witness_shuffle_partitions` (see the deferral note there —
-    composition lands r13 with the window budget to re-prove the
-    witnesses it touches)."""
+    composition lands with the window budget to re-prove the witnesses
+    it touches)."""
     import contextlib
 
     @contextlib.contextmanager
     def _scope():
         old_n = spark.conf.get("spark.sql.shuffle.partitions")
         old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        old_cg = spark.conf.get("spark.sql.codegen.wholeStage")
         spark.conf.set("spark.sql.shuffle.partitions", str(n))
         spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
         try:
             yield
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", old_n)
             spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+            spark.conf.set("spark.sql.codegen.wholeStage", old_cg)
 
     return _scope()
 
