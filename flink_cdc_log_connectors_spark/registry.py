@@ -138,73 +138,77 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
 #: every round by the committed scripts/selfcheck.py run
 #: (SELFCHECK_r{N}.json).
 _DRIVER_WINDOW_PRIORITY = [
-    # r12 rotation, resorted at the END of the r12 OPTIMIZATION round:
-    # (b) code changed this round leads — the optimization round changed
-    # the state-table commit/read path (statetable.py: stored-schema
-    # reads, scale-adaptive commit parallelism, tmp-dir replay swap),
-    # the TTL stage (ttl.py: concurrent stage jobs), and the join's
-    # concurrent side commits (joins.py) — under EVERY IVM/ingest
-    # replay witness; plus the earlier-r12 witness diets (ingest trio,
-    # temporal) and the sequencer/cep changes (epochs.py, cep witness).
-    # cep_stream_replay's engine path (cep.py, sink) is untouched by
-    # the optimization round but keeps its diet-change slot.
-    "ingest_dedup_window_replay",
-    "ingest_index_migrate_replay",
-    "ingest_dedup_replay",
-    "temporal_asof_replay",
-    "changelog_agg_idle_expiry_replay",
-    "cep_stream_replay",
-    "changelog_join_replay",
+    # r13 rotation (optimization round 2): VERDICT r12 #10 + the standing
+    # code-changed-first policy, with a staleness ledger computed from
+    # CORRECTNESS_r1..r12 (per-entry last driver round).  Composition:
+    # (d) the 6 displaced r8-band entries + ALL 37 r9-band entries — the
+    #     complete staleness tail, so after this round no entry's driver
+    #     evidence predates r10;
+    # (b) sink_exactly_once_replay / ddl_sql_lifecycle /
+    #     cdc_canal_roundtrip — their engine paths changed this round
+    #     (ledger stored-schema; cdclog fixture layout + cached-scan
+    #     splits) and their last rows are r10/r11;
+    # (b) 4 of the 14 replay witnesses whose executed path changed most
+    #     (fused parse + codegen-off scope + replay-swap heal):
+    #     changelog_join_ttl_replay, ingest_dedup_window_replay,
+    #     temporal_asof_replay, cep_stream_replay.  The other 10
+    #     witnesses share those code paths, hold fresh r12 driver rows,
+    #     and are covered by this round's committed full-registry
+    #     SELFCHECK + driver_sim runs — the same budget trade r12 made.
+    # 43 + 3 + 4 = 50 = the window.
+    "q30_market_share",
+    "q31_top_supplier",
+    "q32_large_volume_customer",
+    "q33_small_qty_revenue",
+    "q34_sales_opportunity",
+    "range_join_events",
+    "agg_heavy_hitters",
+    "agg_kmv_distinct",
+    "agg_salted_hotkey",
+    "ann_ivf_pq",
+    "ann_ivf_recall",
+    "bpe_merge_candidates",
+    "cdc_asof_join",
+    "cdc_parse_throughput",
+    "cdc_scd2_history",
+    "corpus_importance_sample",
+    "corpus_mix_weights",
+    "corpus_quality_filter",
+    "corpus_snapshot_diff",
+    "lm_sequence_pack",
+    "q15_op_breakdown",
+    "q16_tumbling_window",
+    "q17_json_extract",
+    "q18_correlated_subquery",
+    "q19_pivot",
+    "q20_percentiles",
+    "q21_token_freq",
+    "q22_grouping_sets",
+    "q23_shipping_priority",
+    "q35_order_priority_check",
+    "q36_shipmode_priority",
+    "q37_waiting_suppliers",
+    "q38_disjunctive_revenue",
+    "q39_nation_profit",
+    "simsearch_int8_pairs",
+    "simsearch_lsh_cosine",
+    "text_bpe_tokens",
+    "text_decontaminate",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_rarity_quality",
+    "text_token_stats",
+    "text_winnow_fingerprint",
+    "sink_exactly_once_replay",
+    "ddl_sql_lifecycle",
+    "cdc_canal_roundtrip",
     "changelog_join_ttl_replay",
-    "changelog_agg_replay",
-    "changelog_agg_ttl_replay",
-    "changelog_topn_replay",
-    "changelog_topn_ttl_replay",
-    "changelog_cagg_replay",
-    "changelog_cagg_ttl_replay",
-    # (d) the r8 band continues the r10 rotation promise; the 8
-    # code-changed slots above displace the band's last 6 entries and
-    # the 2 r9-band starters to r13 (documented in OPTIMIZATION_r12.md
-    # — code-changed-first is the standing policy; the displaced
-    # entries' code is untouched and all are covered by this round's
-    # committed SELFCHECK/driver_sim full-registry runs)
-    "ann_cosine_topk",
-    "ann_hamming_topk",
-    "ann_ivf_label",
-    "ann_ivf_multiprobe",
-    "changelog_skew_hotkey",
-    "corpus_chunk_windows",
-    "corpus_reservoir_topk",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "graph_triangle_count",
-    "lm_bigram_train",
-    "pipeline_clean_corpus",
-    "q06_multijoin_broadcast",
-    "q07a_outer_null",
-    "q07b_semi_join",
-    "q07c_anti_join",
-    "q08_wide_agg",
-    "q09_rollup",
-    "q09b_cube",
-    "q10a_topk_window",
-    "q10b_running_sum",
-    "q11_topk",
-    "q12a_intersect",
-    "q12b_except",
-    "q12c_union_agg",
-    "q13_scalars",
-    "q14_changelog_materialize",
-    "q14b_changelog_maxby",
-    "q25_volume_shipping",
-    "q26_returned_items",
-    "q27_promo_effect",
-    "q28_customer_distribution",
-    "q29_forecast_revenue",
+    "ingest_dedup_window_replay",
+    "temporal_asof_replay",
+    "cep_stream_replay",
 ]
+
+
 
 
 def _driver_window_order(

@@ -286,7 +286,15 @@ class PartitionedStateTable:
     #: key is DROPPED — falling every reader back to mergeSchema — when
     #: the union is unsafe: a pre-existing dir with unknown file schemas,
     #: or a field whose TYPE drifted (a widening coercion in unionByName);
-    #: ``compact()``'s full rewrite re-establishes it.
+    #: ``compact()``'s full rewrite re-establishes it.  SUPERSET
+    #: guarantee (ADVICE r12, documented trade): the union is monotone,
+    #: so a column whose last containing file is deleted or rewritten
+    #: stays in the stored schema and explicit-schema reads surface it
+    #: as an all-NULL column where a fresh footer merge would drop it —
+    #: a wider-but-compatible schema, never missing data.  Append tables
+    #: get the exact live union back from ``compact()``; upsert-managed
+    #: consumers select named columns and are indifferent to trailing
+    #: NULL columns.
     _SCHEMA = "__schema"
     #: reserved manifest key: the HIGHEST integer epoch any compaction has
     #: folded.  ``append()`` no-ops every epoch at or below it — airtight
